@@ -1,0 +1,112 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, compare
+row count, schema (column names) and an order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round-trip repr keeps full precision; exact match is the goal
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_fingerprint(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("\x01".join(normalize(r[i]) for i in order) for r in rows)
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return h, lines
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from spark_on_hbase_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = [c.lower() for c in df.columns]
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only check, {len(spark_rows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [c.lower() for c in [d[0] for d in res.description]]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            sh, slines = frame_fingerprint(spark_cols, spark_rows)
+            dh, dlines = frame_fingerprint(duck_cols, duck_rows)
+            if sh != dh:
+                diffs = [(a, b) for a, b in zip(slines, dlines) if a != b][:3]
+                problems.append(f"valuehash: first diffs {diffs}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"PASS  {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,445 @@
+"""Query inventory: every implemented operator exposed as a (Spark query,
+DuckDB oracle SQL) pair over the driver's test tables.
+
+This is the correctness surface the driver grades (CORRECTNESS_r{N}.json):
+for each entry the Spark DataFrame and the oracle SQL must produce identical
+row counts, schemas and value hashes at sf0.01. Conventions that make the
+hashes stable:
+
+- every computed column is aliased identically on both sides;
+- double aggregations cast RAW columns (2 decimal places in the testdata) to
+  DECIMAL(18,2) — lossless and engine-identical — do all arithmetic in exact
+  decimal with explicit intermediate casts, SUM exactly, and cast the final
+  result to DOUBLE: bit-identical regardless of summation order or engine.
+  (Casting a *computed* double to decimal is NOT safe: Spark rounds the
+  shortest decimal repr HALF_UP while DuckDB rounds the exact binary value,
+  and they disagree on values like 94192.85625.);
+- sampling/hashing uses md5 (identical in Spark, DuckDB, Python) rather than
+  engine-specific hash functions;
+- any top-k / argmax has a full deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.operators import agg as A
+from spark_on_hbase_spark.operators import graph as G
+from spark_on_hbase_spark.operators import joins as J
+from spark_on_hbase_spark.operators import scan as S
+
+
+@dataclass
+class QuerySpec:
+    """One graded query: Spark implementation + DuckDB oracle + provenance."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+    tags: tuple = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, sql: Optional[str], doc: str = "", tags: tuple = ()):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, sql=sql, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; sub-microsecond parts are zero
+        # in the testdata, so the µs conversion is lossless.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def dec2(col) -> "F.Column":
+    """Lossless decimal view of a raw 2-dp money column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def dsum(col, alias: str, scale: int = 2):
+    """Exact decimal sum of a raw money column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def dsum_sql(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def davg(col, alias: str, scale: int = 2):
+    """Exact decimal sum / count as double — deterministic avg."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+def davg_sql(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+# exact decimal (l_extendedprice * (1 - l_discount)) at scale 4 — Spark/SQL twins
+def disc_price_dec():
+    return (dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+DISC_PRICE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+
+
+def charge_dec():
+    return disc_price_dec() * (F.lit(1).cast("decimal(18,2)") + dec2("l_tax"))
+
+
+CHARGE_SQL = f"{DISC_PRICE_SQL} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
+
+
+# ===========================================================================
+# Scans / filters (SURVEY.md §2.1-2.2)
+# ===========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           {dsum_sql('l_extendedprice', 'sum_base_price')},
+           CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           {davg_sql('l_quantity', 'avg_qty')},
+           {davg_sql('l_extendedprice', 'avg_price')},
+           {davg_sql('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship scan+aggregate (TPC-H Q1 shape): predicate pushdown, column "
+    "pruning, partial+final hash aggregation. Reference analog: full-table "
+    "scan with Transformation projection (HBaseTable.scala:55-98).",
+    tags=("scan", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price_dec()).cast("double").alias("sum_disc_price"),
+            F.sum(charge_dec()).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "scan_required_columns",
+    """
+    SELECT event_id, event_type,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS prop_k
+    FROM events
+    WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> ''
+    """,
+    doc="F1 — mandatory-column projection: selecting a qualified column drops "
+    "rows where it is missing (HBaseRDDFunctions.scala:54-70). The 'family "
+    "qualifier' here is a field inside the events.props document.",
+    tags=("scan", "filter"),
+)
+def scan_required_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "prop_k", F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    )
+    # select_required semantics: qualified column present => keep, else drop
+    kept = ev.where(F.col("prop_k") != "")
+    return kept.select("event_id", "event_type", F.col("prop_k").cast("bigint").alias("prop_k"))
+
+
+@query(
+    "filter_comparison",
+    """
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part
+    WHERE p_size >= 20 AND p_size < 40 AND p_retailprice > 1200.0
+    """,
+    doc="F3 — typed comparison predicates pushed to the scan "
+    "(ColumnTransformation <,<=,==,>=,> -> SingleColumnValueFilter, "
+    "helpers/ColumnTransformation.scala:32-52). Catalyst pushes these to "
+    "Parquet (verified via PushedFilters in tests/test_plans.py).",
+    tags=("filter",),
+)
+def filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(
+        (F.col("p_size") >= 20) & (F.col("p_size") < 40) & (F.col("p_retailprice") > 1200.0)
+    ).select("p_partkey", "p_name", "p_size", "p_retailprice")
+
+
+@query(
+    "map_contains",
+    """
+    SELECT event_id, user_id,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS prop_k
+    FROM events
+    WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> ''
+      AND CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) > 50
+    """,
+    doc="F4 — map-contains predicate: row has qualifier k (with value "
+    "constraint) in a family (FamilyTransformation.contains, "
+    "helpers/FamilyTransformation.scala:48-66).",
+    tags=("filter",),
+)
+def map_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "prop_k", F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    )
+    return (
+        ev.where((F.col("prop_k") != "") & (F.col("prop_k").cast("bigint") > 50))
+        .select("event_id", "user_id", F.col("prop_k").cast("bigint").alias("prop_k"))
+    )
+
+
+@query(
+    "time_range_scan",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+    doc="F5 — time-range filter [minStamp, maxStamp) "
+    "(rdd.filter(minStamp,maxStamp), HBaseRDDFunctions.scala:39-46).",
+    tags=("filter", "agg"),
+)
+def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.time_range(
+        load(spark, sf_dir, "events"), "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
+
+
+@query(
+    "sample_scan",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE {S.sample_sql("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)", 0.01)}
+    """,
+    doc="F7 — row sampling (rdd.sample -> server-side RandomRowFilter, "
+    "HBaseRDDFunctions.scala:48-52), deterministic md5-salt variant: stable "
+    "across engines, task retries and scale (see operators/scan.py).",
+    tags=("filter",),
+)
+def sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__rowid",
+        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")),
+    )
+    return S.sample_deterministic(li, "__rowid", 0.01).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "latest_version_scan",
+    """
+    SELECT user_id, event_type, value AS latest_value, ts AS latest_ts
+    FROM (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="F10 — maxVersions=1: latest cell per (row, column) "
+    "(HBaseRDD.scala:39-42). events = cell-version writes keyed by "
+    "(user_id, event_type); implemented as a max_by hash aggregation, not a "
+    "window sort (operators/scan.py:latest_version).",
+    tags=("scan", "versions"),
+)
+def latest_version_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value", "ts", "event_id")
+    latest = S.latest_version(ev, ["user_id", "event_type"], "ts", ["event_id"])
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("latest_value"),
+        F.col("ts").alias("latest_ts"),
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY.md §2.3)
+# ===========================================================================
+
+
+@query(
+    "lookup_join",
+    f"""
+    SELECT p.p_brand,
+           CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part p ON lineitem.l_partkey = p.p_partkey
+    WHERE p.p_size <= 15
+    GROUP BY p.p_brand
+    """,
+    doc="J1 — multiget lookup join: big fact side never shuffles; the small "
+    "probe/dimension broadcasts (HBaseJoinMultiGet, "
+    "HBaseRDDFunctions.scala:121-198). Plan asserted broadcast in tests.",
+    tags=("join",),
+)
+def lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    probe = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 15)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    joined = J.lookup_join(li, probe, on="l_partkey", how="inner")
+    return joined.groupBy("p_brand").agg(
+        F.sum(disc_price_dec()).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "right_outer_lookup_join",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(COALESCE(CAST(o.o_totalprice AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))))
+                AS DOUBLE) AS total_spent
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="J5 — right outer lookup join: probe rows with no table match "
+    "survive with nulls (rdd.rightOuterJoin, HBaseRDDFunctions.scala:86-94).",
+    tags=("join",),
+)
+def right_outer_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = load(spark, sf_dir, "customer")
+    joined = J.right_outer_lookup_join(orders, cust, on="c_custkey")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.coalesce(dec2("o_totalprice"), F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("total_spent"),
+    )
+
+
+@query(
+    "fill_join",
+    """
+    WITH user_stats AS (
+        SELECT user_id,
+               CASE WHEN user_id % 3 = 0 THEN NULL ELSE 'cached:' || CAST(user_id AS VARCHAR) END
+                   AS user_name,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT u.user_id,
+           COALESCE(u.user_name, c.c_name) AS user_name,
+           u.n_events
+    FROM user_stats u LEFT JOIN customer c ON u.user_id = c.c_custkey
+    """,
+    doc="J6 — memoized fill join: already-populated rows pass through, only "
+    "missing values are looked up from the table (HBaseLookupMultiGet, "
+    "HBaseRDDFunctions.scala:278-343; left join + coalesce here). Also "
+    "documents/fixes the reference's fill() self-recursion bug (:96).",
+    tags=("join",),
+)
+def fill_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    partial = stats.withColumn(
+        "user_name",
+        F.when(
+            F.col("user_id") % 3 != 0,
+            F.concat(F.lit("cached:"), F.col("user_id").cast("string")),
+        ),
+    )
+    cust = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+    filled = J.fill_join(cust, partial, on="user_id", fill_cols={"user_name": "c_name"})
+    return filled.select("user_id", "user_name", "n_events")
+
+
+@query(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > 4000.0
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000.0)
+    """,
+    doc="F11/J11 — left-semi join restriction (AGraph.limit restricts a layer "
+    "to keys of another layer, AGraph.scala:49-51 — reference used inner "
+    "join + project; proper semi join avoids duplicating matches).",
+    tags=("join",),
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 4000.0)
+    big_orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 50000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return J.semi_join(cust, big_orders, on="c_custkey").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "anti_join_spellcheck",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dictionary AS (
+        SELECT word FROM words WHERE word <> ''
+        GROUP BY word HAVING COUNT(*) >= 100
+    )
+    SELECT w.doc_id, COUNT(*) AS n_unknown_words
+    FROM words w ANTI JOIN dictionary d ON w.word = d.word
+    WHERE w.word <> ''
+    GROUP BY w.doc_id
+    """,
+    doc="B9 + anti join — the README spell-check tutorial "
+    "(/root/reference/README.md:146-159): split body on whitespace, explode, "
+    "anti-join against a dictionary, re-group unknown counts per doc. "
+    "Dictionary = words seen >= 100 times (derived, deterministic).",
+    tags=("join", "text"),
+)
+def anti_join_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    dictionary = words.groupBy("word").agg(F.count("*").alias("n")).where(F.col("n") >= 100)
+    unknown = J.anti_join(words, dictionary.select("word"), on="word")
+    return unknown.groupBy("doc_id").agg(F.count("*").alias("n_unknown_words"))

@@ -1,0 +1,87 @@
+"""Aggregations (SURVEY.md §2.4, A1-A16).
+
+All are single hash-aggregations with map-side partial aggregation (Catalyst
+plans partial+final automatically), replacing the reference's
+aggregateByKey/reduceByKey chains. The one driver-side pattern in the
+reference — cutoff's collected cumulative histogram (AGraph.scala:103-107) —
+is re-expressed as a distributed window cumulative sum, which survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram(df: DataFrame, value_col: str | Column) -> DataFrame:
+    """A1 — value-frequency histogram (AGraph.hist, AGraph.scala:61):
+    ``map(v->(v,1)).aggregateByKey.sortByKey`` becomes groupBy().count().
+    Returns (value, freq) sorted by value."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return df.groupBy(c.alias("value")).agg(F.count("*").alias("freq")).orderBy("value")
+
+
+def frequency(df: DataFrame, key_col: str) -> DataFrame:
+    """A3 — occurrences per key (AGraph.frequency, AGraph.scala:68-70)."""
+    return df.groupBy(key_col).agg(F.count("*").alias("freq"))
+
+
+def cutoff(
+    pairs: DataFrame, key_col: str, threshold: float = 0.05
+) -> DataFrame:
+    """A11 — drop super-connected keys carrying the top ``threshold`` of
+    total mass (AGraph.cutoff, AGraph.scala:98-113).
+
+    The reference computes the frequency histogram, collects it to the driver,
+    walks a cumulative sum and broadcasts a driver-side Set — which dies at
+    scale. Here the cumulative sum is a window over the frequency table
+    (tiny relative to the data: one row per distinct key), fully distributed.
+    Keys are kept while the running total stays within (1 - threshold) of the
+    grand total, ordered by descending frequency (ties broken by key for
+    determinism). Returns the surviving keys with their frequencies."""
+    freq = pairs.groupBy(key_col).agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col(key_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    ranked = freq.select(
+        key_col,
+        "freq",
+        F.sum("freq").over(w).alias("__running"),
+        F.sum("freq").over(total).alias("__total"),
+    )
+    return ranked.where(
+        F.col("__running") > F.col("__total") * F.lit(threshold)
+    ).select(key_col, "freq")
+
+
+def two_level_aggregate(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """A10 — reduce per group key, then global reduce ->
+    (#groups, #members, sum) (AGraph.aggregate, AGraph.scala:286-301).
+    Catalyst plans this as partial + final aggregation — the distributed shape
+    the reference hand-built with reduceByKey + aggregate."""
+    per_group = df.groupBy(group_col).agg(
+        F.count("*").alias("members"), F.sum(value_col).alias("group_sum")
+    )
+    return per_group.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("members").alias("n_members"),
+        F.sum("group_sum").alias("total"),
+    )
+
+
+def partition_distribution(df: DataFrame, partition_col: Column) -> DataFrame:
+    """A15 — per-partition row counts + spread stats
+    (RDDUtils.distribution/printDistribution, misc/RDDUtils.scala:27-45).
+    ``partition_col`` is any expression assigning a partition id (e.g.
+    keys.key_partition_expr); returns one row of distribution stats."""
+    counts = df.groupBy(partition_col.alias("pid")).agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.count("*").alias("n_partitions"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.avg("cnt").alias("mean_cnt"),
+        F.stddev_pop("cnt").alias("stdev_cnt"),
+    )

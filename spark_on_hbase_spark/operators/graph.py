@@ -1,0 +1,207 @@
+"""Property-graph workload (SURVEY.md §2.9 + graph rows of §2.3/§2.4).
+
+The reference's AGraph (examples/graph/AGraph.scala) models a NETWORK as
+``RDD[(Key, Seq[(Key, EP)])]`` — per-vertex adjacency lists, deduplicated by a
+86-line sort-merge aggregation (AGraph.deduplicate, AGraph.scala:126-211).
+
+Spark-first we keep edges **flat**: ``(src, dst, prob, vendor, ts)`` rows.
+Flat edges shuffle and aggregate with built-in hash aggregation, skew is
+handled by AQE, and adjacency lists (which concentrate a celebrity vertex's
+edges in one row) are built only on demand via ``to_adjacency``. At 100 TB an
+adjacency-array representation is exactly the thing that dies first; the flat
+form is the scalable primitive.
+
+Edge-property combine (EP.combine, EP.scala:14): max of the packed property
+bytes — with a fixed version byte that is (prob, vendor_code) lexicographic max
+— plus max ts. ``dedup_edges`` reproduces it with one aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.functions.ep import VENDOR_CODES
+
+
+def vendor_code_expr(vendor_col: str = "vendor"):
+    """Map vendor names to their EP wire codes for combine ordering."""
+    mapping = F.create_map(
+        *[x for name, code in VENDOR_CODES.items() for x in (F.lit(name), F.lit(code))]
+    )
+    return F.coalesce(mapping[F.col(vendor_col)], F.lit(0))
+
+
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """A6's symmetrize step (AGraph.reverse, AGraph.scala:80-82): emit the
+    mirrored edge for every edge."""
+    mirrored = edges.withColumnsRenamed({"src": "dst", "dst": "src"}).select(edges.columns)
+    return edges.unionByName(mirrored)
+
+
+def dedup_edges(edges: DataFrame) -> DataFrame:
+    """A4/A5 — deduplicate edges, combining duplicates with EP.combine
+    semantics: winner is max (prob, vendor_code), ts is the max over all
+    duplicates (AGraph.deduplicate, AGraph.scala:126-211; EP.combine,
+    EP.scala:14).
+
+    One hash aggregation replaces the reference's
+    repartitionAndSortWithinPartitions + per-key k-way merge-sort of
+    pre-sorted edge lists; partial aggregation makes it map-side combining,
+    so duplicate-heavy inputs shrink before the shuffle."""
+    winner = F.struct(F.col("prob"), vendor_code_expr().alias("vc"), F.col("vendor"))
+    return (
+        edges.groupBy("src", "dst")
+        .agg(
+            F.max(winner).alias("__w"),
+            F.max("ts").alias("ts"),
+        )
+        .select("src", "dst", F.col("__w.prob").alias("prob"), F.col("__w.vendor").alias("vendor"), "ts")
+    )
+
+
+def from_pairs(pairs: DataFrame) -> DataFrame:
+    """A6 — build a symmetric deduplicated network from directed pairs
+    (AGraph.fromPairs, AGraph.scala:75-82)."""
+    return dedup_edges(reverse_edges(pairs))
+
+
+def to_adjacency(edges: DataFrame) -> DataFrame:
+    """NETWORK materialization: per-vertex sorted adjacency list — the
+    reference's native form (AGraph.scala:30-47; edge lists sorted by dst,
+    AGraph.scala:124-125). Use only for export/parity; flat form scales."""
+    return edges.groupBy("src").agg(
+        F.sort_array(F.collect_list(F.struct("dst", "prob", "vendor", "ts"))).alias("edges")
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Out-degree per vertex (NumEdges transformation,
+    examples/graph/HGraphTable.scala:60-67)."""
+    return edges.groupBy("src").agg(F.count("*").alias("degree"))
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """A2 — histogram of vertex out-degrees (AGraph.histogram,
+    AGraph.scala:66; HGraphTable.scala:86-88)."""
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count("*").alias("freq"))
+        .orderBy("degree")
+    )
+
+
+def network_counts(edges: DataFrame) -> DataFrame:
+    """A7 — (#vertices, estimated #connected groups = sum 1/(1+degree))
+    (AGraph.counts, AGraph.scala:216-221)."""
+    return degrees(edges).agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(F.lit(1.0) / (F.lit(1.0) + F.col("degree"))).alias("est_groups"),
+    )
+
+
+def expand(edges: DataFrame, pool: DataFrame) -> DataFrame:
+    """J7 — BFS frontier expansion: for every vertex reachable from the pool,
+    the max pool key that reaches it (AGraph.expand, AGraph.scala:234-245:
+    leftOuterJoin + flatMap connectivity + reduceByKey(max))."""
+    frontier = pool.join(edges, pool["key"] == edges["src"], "inner").select(
+        F.col("dst").alias("key"), F.col("src").alias("origin")
+    )
+    both = frontier.unionByName(pool.select("key", F.col("key").alias("origin")))
+    return both.groupBy("key").agg(F.max("origin").alias("origin"))
+
+
+def profile_join(pool: DataFrame, profile: DataFrame, on: str = "key") -> DataFrame:
+    """J8 — attach profile values to pool members (AGraph.profile,
+    AGraph.scala:247-249)."""
+    return pool.join(profile, on=on, how="inner")
+
+
+def inner_expand(edges: DataFrame, pool: DataFrame, profile: DataFrame) -> DataFrame:
+    """J10 — expand the pool, pull each group's profiles, resolve them back
+    onto the original pool members (AGraph.innerExpand, AGraph.scala:264-276 —
+    a 4-join pipeline). Returns (key, origin, <profile columns>) for original
+    pool members, carrying profiles found anywhere in their expanded group."""
+    expanded = expand(edges, pool)  # key -> origin (group id)
+    profiled = expanded.join(profile, on="key", how="inner").drop("key")
+    originals = pool.join(expanded, on="key", how="inner")
+    return originals.join(profiled, on="origin", how="inner")
+
+
+def bsp_step(edges: DataFrame, state: DataFrame) -> DataFrame:
+    """G1 — one BSP superstep of max-label propagation: every vertex adopts
+    the max of its own label and its neighbors' labels (AGraph.bsp,
+    AGraph.scala:88-93 — broadcast edge lists to neighbors, dedup-merge).
+
+    ``state``: (key, label). Returns the next (key, label)."""
+    messages = edges.join(state, edges["src"] == state["key"], "inner").select(
+        F.col("dst").alias("key"), F.col("label")
+    )
+    return (
+        state.unionByName(messages)
+        .groupBy("key")
+        .agg(F.max("label").alias("label"))
+    )
+
+
+def bsp_converge(
+    edges: DataFrame, state: DataFrame, max_iters: int = 50, checkpoint_every: int = 5
+) -> tuple[DataFrame, int]:
+    """G2 — iterate bsp_step to a fixpoint (max-label connected components),
+    the engine's version of the reference's incremental N-step BSP
+    (HGraphTable.scala:144-228, incl. its per-superstep persist/unpersist
+    discipline at HGraphTable.scala:116-124 -> localCheckpoint here, which
+    truncates lineage so the loop survives hundreds of supersteps)."""
+    spark = edges.sparkSession
+    edges = edges.localCheckpoint()
+    current = state.localCheckpoint()
+    for i in range(1, max_iters + 1):
+        nxt = bsp_step(edges, current)
+        nxt = nxt.localCheckpoint() if i % checkpoint_every == 0 else nxt.persist()
+        changed = (
+            nxt.join(current.withColumnRenamed("label", "__old"), on="key", how="inner")
+            .where(F.col("label") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        current.unpersist()
+        current = nxt
+        if changed == 0:
+            return current, i
+    return current, max_iters
+
+
+def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:
+    """J12 — precision/recall/F1 of a modeled edge set against a validation
+    edge set (AGraph.f1, AGraph.scala:307-326: join + per-key set
+    intersections -> TP/FP/FN). Both inputs are flat (src, dst) frames;
+    computed with joins instead of per-row Seq.intersect, so it distributes."""
+    m = modeled.select("src", "dst").distinct()
+    v = validation.select("src", "dst").distinct()
+    tp = m.join(v, ["src", "dst"], "left_semi").groupBy("src").agg(F.count("*").alias("tp"))
+    mc = m.groupBy("src").agg(F.count("*").alias("m_cnt"))
+    vc = v.groupBy("src").agg(F.count("*").alias("v_cnt"))
+    per_key = (
+        mc.join(vc, "src", "inner")
+        .join(tp, "src", "left")
+        .select(
+            "src",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (F.col("m_cnt") - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
+            (F.col("v_cnt") - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+        )
+    )
+    totals = per_key.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    return totals.select(
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        (F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        (
+            F.lit(2.0) * F.col("tp") / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )

@@ -1,0 +1,95 @@
+"""Joins (SURVEY.md §2.3, J1-J6).
+
+The reference's signature capability: join an RDD against the HBase table in
+a single stage regardless of partitioners, by turning the join into
+executor-side multiget point lookups (HBaseJoinMultiGet,
+HBaseRDDFunctions.scala:121-198) or a sorted merge scan (HBaseJoinRangeScan,
+:200-268). Spark-first, the same intent maps to:
+
+- small probe side  -> broadcast join (probe ships to the table's executors;
+  the big table never shuffles — exactly the multiget pattern),
+- both sides big    -> sort-merge join; with both tables stored
+  range-partitioned and sorted by key (KeyedTable layout) AQE's shuffle
+  elimination / storage-partitioned joins keep it cheap,
+- strategy choice   -> AQE at runtime, replacing the reference's hardcoded
+  MultiGet(1000) (join dispatch, HBaseRDDFunctions.scala:77-84 — per-op
+  estimation was an acknowledged TODO there; Catalyst actually does it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def lookup_join(
+    table: DataFrame,
+    probe: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """J1/J3 — point-lookup join of a probe set against the big keyed table.
+
+    Inner semantics drop probe keys absent from the table, like the
+    reference's multiget merge (HBaseRDDFunctions.scala:187). Broadcasting
+    the probe reproduces "the big table does not move": each table partition
+    receives the whole (small) probe and performs local hash lookups — the
+    DataFrame twin of 1000-key multiget batches. With ``broadcast_probe=False``
+    AQE picks the strategy (J3's envisioned size-based choice)."""
+    right = broadcast(probe) if broadcast_probe else probe
+    return right.join(table, on=on, how=how)
+
+
+def right_outer_lookup_join(table: DataFrame, probe: DataFrame, on: str | list[str]) -> DataFrame:
+    """J5 — every probe row survives; table side null when missing
+    (rdd.rightOuterJoin, HBaseRDDFunctions.scala:86-94)."""
+    return table.join(broadcast(probe), on=on, how="right")
+
+
+def fill_join(
+    table: DataFrame,
+    partial: DataFrame,
+    on: str,
+    fill_cols: dict[str, str],
+) -> DataFrame:
+    """J6 — memoized lookup join ("fill"): rows whose value is already
+    present pass through untouched; only missing values are looked up
+    (HBaseLookupMultiGet, HBaseRDDFunctions.scala:278-343 — used by iterative
+    algorithms to avoid re-fetching state).
+
+    ``fill_cols`` maps column-in-partial -> column-in-table. Expressed as a
+    left join + coalesce: Catalyst scans the table once; rows already filled
+    keep their value. (The reference's 1-arg ``fill`` overload at
+    HBaseRDDFunctions.scala:96 is an infinite self-recursion bug — fixed here
+    by construction.)"""
+    lookup = table.select(
+        on, *[F.col(src).alias(f"__lk_{dst}") for dst, src in fill_cols.items()]
+    )
+    out = partial.join(lookup, on=on, how="left")
+    for dst in fill_cols:
+        out = out.withColumn(dst, F.coalesce(F.col(dst), F.col(f"__lk_{dst}")))
+    return out.drop(*[f"__lk_{dst}" for dst in fill_cols])
+
+
+def semi_join(table: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """F11's ``limit`` / J11's id-restriction, as a proper left-semi join
+    (the reference approximates it with inner join + project,
+    AGraph.scala:49-51)."""
+    return table.join(keys, on=on, how="left_semi")
+
+
+def anti_join(table: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """Anti-join — the delete-merge / unknown-words shape
+    (HGraphTable.remove, HGraphTable.scala:127-135; README.md:146-159
+    spell-check tutorial)."""
+    return table.join(keys, on=on, how="left_anti")
+
+
+def merge_join(left: DataFrame, right: DataFrame, on: str | list[str], how: str = "inner") -> DataFrame:
+    """J2 — sort-merge join of two big keyed datasets (HBaseJoinRangeScan,
+    HBaseRDDFunctions.scala:200-268 walks sorted iterators in lockstep).
+    Spark's SMJ is the same algorithm; the hint pins it for the case both
+    sides are large pre-sorted tables."""
+    return left.hint("merge").join(right, on=on, how=how)

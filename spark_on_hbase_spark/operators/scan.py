@@ -1,0 +1,90 @@
+"""Scan-side projections and filters (SURVEY.md §2.2, F1-F10).
+
+In the reference each of these compiles into a server-side HBase Filter
+mutated onto the per-region Scan (HBaseFilter.scala:6-10, HBaseQuery.scala:9-49).
+Here they are plain Column predicates: Catalyst pushes them into the Parquet
+scan (PushedFilters) and prunes columns — the same work, done by the optimizer
+instead of by hand. Check with ``plans.assert_pushed_filters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def select_required(df: DataFrame, *columns: str) -> DataFrame:
+    """F1 — projection with the reference's mandatory-column semantics.
+
+    ``rdd.select("CF:qual")`` adds a SingleColumnValueFilter(NOT_EQUAL, null,
+    filterIfMissing=true): **rows missing any selected qualified column are
+    dropped**, silently unlike SQL projection
+    (HBaseRDDFunctions.scala:54-70, esp. :62-64). Column specs:
+
+    - ``"col"``         — plain column, no drop (a family selection).
+    - ``"col!"``        — qualified column: select and drop rows where null.
+    - ``"map:key"``     — map-typed family qualifier: selects
+                          ``element_at(map, key)`` AND drops rows missing it.
+    """
+    out_cols: list[Column] = []
+    conditions: list[Column] = []
+    for spec in columns:
+        if ":" in spec:
+            fam, qual = spec.split(":", 1)
+            c = F.element_at(F.col(fam), qual).alias(f"{fam}_{qual}")
+            out_cols.append(c)
+            conditions.append(F.element_at(F.col(fam), qual).isNotNull())
+        elif spec.endswith("!"):
+            name = spec[:-1]
+            out_cols.append(F.col(name))
+            conditions.append(F.col(name).isNotNull())
+        else:
+            out_cols.append(F.col(spec))
+    for cond in conditions:
+        df = df.where(cond)
+    return df.select(*out_cols)
+
+
+def map_contains(df: DataFrame, map_col: str, key: str, value=None) -> DataFrame:
+    """F4 — row has qualifier ``key`` in a map family, optionally with value
+    == v (FamilyTransformation.contains, helpers/FamilyTransformation.scala:48-66)."""
+    if value is None:
+        return df.where(F.map_contains_key(F.col(map_col), F.lit(key)))
+    return df.where(F.element_at(F.col(map_col), key) == F.lit(value))
+
+
+def time_range(df: DataFrame, ts_col: str, min_ts, max_ts) -> DataFrame:
+    """F5 — restrict to ``[min_ts, max_ts)``
+    (rdd.filter(minStamp, maxStamp), HBaseRDDFunctions.scala:39-46)."""
+    return df.where((F.col(ts_col) >= F.lit(min_ts)) & (F.col(ts_col) < F.lit(max_ts)))
+
+
+def sample_deterministic(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """F7 — row sampling (rdd.sample / server-side RandomRowFilter,
+    HBaseRDDFunctions.scala:48-52), made *deterministic and cross-engine
+    reproducible* by hashing the row id with md5 instead of a per-task RNG:
+    a row is kept iff the first 4 salt bytes of md5(id), as an integer, fall
+    under fraction * 2^32. Scan-local, no shuffle, stable under retries —
+    which a 1000-executor job needs (RNG sampling resamples on task retry)."""
+    salt_int = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    return df.where(salt_int < F.lit(int(fraction * 4294967296)))
+
+
+def sample_sql(id_sql: str, fraction: float) -> str:
+    """DuckDB twin of sample_deterministic's predicate for SQL oracles."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({id_sql} AS VARCHAR)), 1, 8)) AS UBIGINT) "
+        f"< {int(fraction * 4294967296)}"
+    )
+
+
+def latest_version(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak_cols: list[str] = ()) -> DataFrame:
+    """F10 — maxVersions=1: keep only the newest cell per key
+    (HBaseRDD.configureQuery setMaxVersions(1), HBaseRDD.scala:39-42).
+    Implemented as one hash aggregation (max_by over a version struct) rather
+    than a window sort — cheaper at scale (no per-partition full sort)."""
+    order = F.struct(ts_col, *tiebreak_cols)
+    others = [c for c in df.columns if c not in key_cols]
+    packed = df.select(*key_cols, F.struct(order.alias("__v"), F.struct(*others).alias("__row")).alias("__cell"))
+    latest = packed.groupBy(*key_cols).agg(F.max("__cell").alias("__cell"))
+    return latest.select(*key_cols, *[F.col(f"__cell.__row.{c}").alias(c) for c in others])

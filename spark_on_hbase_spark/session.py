@@ -41,6 +41,11 @@ def get_spark(app_name: str = "spark_on_hbase_spark", shuffle_partitions: int | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # testdata's events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and convert on load
+        # (inventory.load converts ns -> microsecond timestamps).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]")
