@@ -182,7 +182,7 @@ def scan_required_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey, p_name, p_size, p_retailprice
     FROM part
-    WHERE p_size >= 20 AND p_size < 40 AND p_retailprice > 1200.0
+    WHERE p_size >= 20 AND p_size < 40 AND p_retailprice > 950.0
     """,
     doc="F3 — typed comparison predicates pushed to the scan "
     "(ColumnTransformation <,<=,==,>=,> -> SingleColumnValueFilter, "
@@ -193,7 +193,7 @@ def scan_required_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     return p.where(
-        (F.col("p_size") >= 20) & (F.col("p_size") < 40) & (F.col("p_retailprice") > 1200.0)
+        (F.col("p_size") >= 20) & (F.col("p_size") < 40) & (F.col("p_retailprice") > 950.0)
     ).select("p_partkey", "p_name", "p_size", "p_retailprice")
 
 
