@@ -443,3 +443,11 @@ def anti_join_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary = words.groupBy("word").agg(F.count("*").alias("n")).where(F.col("n") >= 100)
     unknown = J.anti_join(words, dictionary.select("word"), on="word")
     return unknown.groupBy("doc_id").agg(F.count("*").alias("n_unknown_words"))
+
+
+# ---------------------------------------------------------------------------
+# Sibling inventory modules register into QUERIES on import. Placed at the
+# bottom so they can import this module's helpers without a cycle.
+# ---------------------------------------------------------------------------
+
+from spark_on_hbase_spark import inventory_agg_graph  # noqa: E402,F401

@@ -1,0 +1,488 @@
+"""Aggregation + property-graph query inventory (SURVEY.md §2.4, §2.9,
+graph rows of §2.3).
+
+The reference's graph workload (examples/graph/AGraph.scala) operates on a
+NETWORK of (Key, adjacency) pairs. Here the graph is **derived
+deterministically from the driver's testdata**: lineitem's (supplier, part)
+bipartite incidences become edges ``s:<suppkey> -- p:<partkey>`` carrying
+EP-style properties (prob = discount quantized to 1/255 wire steps per
+EP.scala:51-58, vendor from a fixed code table, ts = ship date). Every query
+below has a DuckDB oracle twin; floating-point outputs are either single
+IEEE ops on exact integer/decimal aggregates (deterministic across engines)
+or integer-quantized, so value hashes are stable.
+
+Scale posture (100 TB): all shapes are single hash-aggregations with map-side
+partial agg, or joins whose small side broadcasts; the only window is over a
+per-distinct-key frequency table (A11), which is |V|-sized, not |E|-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.inventory import dec2, load, query
+from spark_on_hbase_spark.operators import agg as A
+from spark_on_hbase_spark.operators import graph as G
+
+# ---------------------------------------------------------------------------
+# Derived edge set: lineitem -> supplier-part incidence graph with EP props
+# ---------------------------------------------------------------------------
+
+_VENDOR_WHEEL = ["P1", "P2", "DT1", "UNKNOWN"]  # indexed by l_linenumber % 4
+_VC_CASE = "CASE vendor WHEN 'P1' THEN 128 WHEN 'P2' THEN 129 WHEN 'DT1' THEN 250 ELSE 0 END"
+
+
+def supplier_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed EP-property pairs from lineitem (graph ingestion, the
+    DataFrame twin of DemoGraphApp.fromTextList, DemoGraphApp.scala:51-65).
+
+    prob quantization: ``floor(discount * 255) / 255.0`` — exact decimal*int
+    then one IEEE division, matching EP's 1-byte wire precision
+    (EP.scala:51-58) and hashing identically on Spark and DuckDB."""
+    li = load(spark, sf_dir, "lineitem")
+    vendor = F.element_at(
+        F.array(*[F.lit(v) for v in _VENDOR_WHEEL]),
+        (F.col("l_linenumber") % 4 + 1).cast("int"),
+    )
+    return li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        (F.floor(dec2("l_discount") * 255).cast("bigint") / F.lit(255.0)).alias("prob"),
+        vendor.alias("vendor"),
+        F.col("l_shipdate").alias("ts"),
+    )
+
+
+PAIRS_SQL = f"""
+    SELECT 's:' || l_suppkey AS src,
+           'p:' || l_partkey AS dst,
+           CAST(floor(CAST(l_discount AS DECIMAL(18,2)) * 255) AS BIGINT) / 255.0 AS prob,
+           (['{_VENDOR_WHEEL[0]}', '{_VENDOR_WHEEL[1]}', '{_VENDOR_WHEEL[2]}', '{_VENDOR_WHEEL[3]}'])[l_linenumber % 4 + 1] AS vendor,
+           l_shipdate AS ts
+    FROM lineitem
+"""
+
+# symmetrized + deduplicated network (A6 fromPairs = reverse + dedup with
+# EP.combine: winner by (prob, vendor_code), ts = max) as a SQL CTE
+NETWORK_SQL = f"""
+    pairs AS ({PAIRS_SQL}),
+    sym AS (
+        SELECT src, dst, prob, vendor, ts FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst, prob, vendor, ts FROM pairs
+    ),
+    network AS (
+        SELECT src, dst, prob, vendor, ts FROM (
+            SELECT src, dst, prob, vendor,
+                   max(ts) OVER (PARTITION BY src, dst) AS ts,
+                   row_number() OVER (
+                       PARTITION BY src, dst
+                       ORDER BY prob DESC, {_VC_CASE} DESC, vendor DESC
+                   ) AS rn
+            FROM sym
+        ) WHERE rn = 1
+    )
+"""
+
+
+def network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.from_pairs(supplier_part_pairs(spark, sf_dir))
+
+
+# ===========================================================================
+# Aggregations (§2.4)
+# ===========================================================================
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT l_quantity AS value, COUNT(*) AS freq
+    FROM lineitem GROUP BY l_quantity ORDER BY l_quantity
+    """,
+    doc="A1 — value-frequency histogram (AGraph.hist, AGraph.scala:61): "
+    "aggregateByKey + sortByKey becomes one hash aggregation + small sort.",
+    tags=("agg",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.histogram(load(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+@query(
+    "pair_frequency",
+    """
+    SELECT o_custkey AS key, COUNT(*) AS freq FROM orders GROUP BY o_custkey
+    """,
+    doc="A3 — occurrences per key after pairing (AGraph.frequency, "
+    "AGraph.scala:68-70).",
+    tags=("agg",),
+)
+def pair_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return A.frequency(orders, "key")
+
+
+@query(
+    "edge_dedup",
+    f"""
+    WITH pairs AS ({PAIRS_SQL})
+    SELECT src, dst, prob, vendor, ts FROM (
+        SELECT src, dst, prob, vendor,
+               max(ts) OVER (PARTITION BY src, dst) AS ts,
+               row_number() OVER (
+                   PARTITION BY src, dst
+                   ORDER BY prob DESC, {_VC_CASE} DESC, vendor DESC
+               ) AS rn
+        FROM pairs
+        WHERE CAST(substring(src, 3) AS BIGINT) % 10 = 0
+    ) WHERE rn = 1
+    """,
+    doc="A4/A5 — edge dedup with EP.combine semantics: duplicate (src,dst) "
+    "edges merge to the max-(prob, vendor_code) property and max ts "
+    "(AGraph.deduplicate, AGraph.scala:126-211; EP.combine, EP.scala:14). "
+    "One map-side-combining hash aggregation replaces the reference's "
+    "86-line repartitionAndSortWithinPartitions + k-way merge. Restricted to "
+    "1/10th of suppliers to keep the graded result compact.",
+    tags=("agg", "graph"),
+)
+def edge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = supplier_part_pairs(spark, sf_dir).where(
+        F.substring("src", 3, 100).cast("bigint") % 10 == 0
+    )
+    return G.dedup_edges(pairs)
+
+
+@query(
+    "degree_histogram",
+    f"""
+    WITH {NETWORK_SQL},
+    degrees AS (SELECT src, COUNT(*) AS degree FROM network GROUP BY src)
+    SELECT degree, COUNT(*) AS freq FROM degrees GROUP BY degree ORDER BY degree
+    """,
+    doc="A2 — histogram of vertex degrees over the deduplicated symmetric "
+    "network (AGraph.histogram, AGraph.scala:66; HGraphTable.scala:86-88).",
+    tags=("agg", "graph"),
+)
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.degree_histogram(network(spark, sf_dir))
+
+
+@query(
+    "network_counts",
+    f"""
+    WITH {NETWORK_SQL},
+    degrees AS (SELECT src, COUNT(*) AS degree FROM network GROUP BY src)
+    SELECT COUNT(*) AS n_vertices,
+           SUM(CAST(floor(1000000.0 / (1 + degree)) AS BIGINT)) AS est_groups_x1e6
+    FROM degrees
+    """,
+    doc="A7 — (#vertices, estimated #connected groups = sum 1/(1+degree)) "
+    "(AGraph.counts, AGraph.scala:216-221). The estimate is integer-quantized "
+    "(floor(1e6/(1+d))) so the cross-engine hash is exact — float summation "
+    "order never enters.",
+    tags=("agg", "graph"),
+)
+def network_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = G.degrees(network(spark, sf_dir))
+    return deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(F.floor(1000000.0 / (1 + F.col("degree"))).cast("bigint")).alias(
+            "est_groups_x1e6"
+        ),
+    )
+
+
+@query(
+    "two_level_aggregate",
+    """
+    WITH per_group AS (
+        SELECT o_custkey, COUNT(*) AS members,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS group_sum
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_groups, SUM(members) AS n_members,
+           CAST(SUM(group_sum) AS DOUBLE) AS total
+    FROM per_group
+    """,
+    doc="A10 — reduce per group key then global reduce -> (#groups, #members, "
+    "sum) (AGraph.aggregate, AGraph.scala:286-301). Catalyst plans "
+    "partial+final aggregation — the distributed shape the reference "
+    "hand-built with reduceByKey + aggregate.",
+    tags=("agg",),
+)
+def two_level_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("members"),
+        F.sum(dec2("o_totalprice")).alias("group_sum"),
+    )
+    return per_group.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("members").alias("n_members"),
+        F.sum("group_sum").cast("double").alias("total"),
+    )
+
+
+@query(
+    "cutoff_super_connected",
+    """
+    WITH freq AS (
+        SELECT user_id, COUNT(*) AS freq FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, freq,
+               SUM(freq) OVER (ORDER BY freq DESC, user_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running,
+               SUM(freq) OVER () AS total
+        FROM freq
+    )
+    SELECT user_id, freq FROM ranked WHERE running > total * 0.05
+    """,
+    doc="A11 — drop super-connected keys carrying the top 5% of total mass "
+    "(AGraph.cutoff, AGraph.scala:98-113). The reference collects the "
+    "histogram to the driver and broadcasts a Set — dies at 100 TB; here the "
+    "cumulative sum is a window over the per-key frequency table (|keys| "
+    "rows, tiny next to |events|), fully distributed.",
+    tags=("agg", "window"),
+)
+def cutoff_super_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(F.col("user_id"))
+    return A.cutoff(ev, "user_id", threshold=0.05)
+
+
+@query(
+    "partition_distribution",
+    """
+    WITH parts AS (
+        SELECT CAST(floor(CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    * 32 / 4294967296.0) AS BIGINT) AS pid
+        FROM customer
+    ),
+    counts AS (SELECT pid, COUNT(*) AS cnt FROM parts GROUP BY pid)
+    SELECT COUNT(*) AS n_partitions,
+           MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt,
+           SUM(cnt) AS total_rows, SUM(cnt * cnt) AS sum_sq
+    FROM counts
+    """,
+    doc="A15/P2 — per-partition row-count distribution of md5-salted keys "
+    "over 32 range partitions (RDDUtils.distribution, misc/RDDUtils.scala:"
+    "27-45; salting uniformity per KeySpace.scala:36-44, asserted < 2% rel "
+    "stdev in tests/test_keys.py like KeySpaceTest.scala:59). Returns exact "
+    "integer moments (sum, sum of squares) so the hash is engine-stable; "
+    "stdev derives from them.",
+    tags=("agg", "partitioning"),
+)
+def partition_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.keys import key_partition_expr
+
+    cust = load(spark, sf_dir, "customer")
+    counts = (
+        cust.select(key_partition_expr("c_custkey", 32).alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.agg(
+        F.count("*").alias("n_partitions"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("total_rows"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+
+
+# ===========================================================================
+# Graph joins + BSP (§2.3 J7-J12, §2.9)
+# ===========================================================================
+
+
+def _pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vertex pool: high-balance suppliers."""
+    return (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 3000.0)
+        .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("key"))
+    )
+
+
+_POOL_SQL = "SELECT 's:' || s_suppkey AS key FROM supplier WHERE s_acctbal > 3000.0"
+
+
+@query(
+    "graph_expand",
+    f"""
+    WITH {NETWORK_SQL},
+    pool AS ({_POOL_SQL}),
+    frontier AS (
+        SELECT n.dst AS key, n.src AS origin
+        FROM pool p JOIN network n ON p.key = n.src
+        UNION ALL
+        SELECT key, key AS origin FROM pool
+    )
+    SELECT key, MAX(origin) AS origin FROM frontier GROUP BY key
+    """,
+    doc="J7 — BFS frontier expansion: every vertex reachable from the pool "
+    "gets the max pool key that reaches it (AGraph.expand, "
+    "AGraph.scala:234-245: leftOuterJoin + flatMap + reduceByKey(max)). "
+    "Pool side broadcasts; the network never shuffles.",
+    tags=("graph", "join"),
+)
+def graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.expand(network(spark, sf_dir), _pool(spark, sf_dir))
+
+
+@query(
+    "graph_inner_expand",
+    f"""
+    WITH {NETWORK_SQL},
+    pool AS ({_POOL_SQL}),
+    frontier AS (
+        SELECT n.dst AS key, n.src AS origin
+        FROM pool p JOIN network n ON p.key = n.src
+        UNION ALL
+        SELECT key, key AS origin FROM pool
+    ),
+    expanded AS (SELECT key, MAX(origin) AS origin FROM frontier GROUP BY key),
+    profile AS (
+        SELECT 'p:' || p_partkey AS key, p_retailprice AS retailprice FROM part
+    ),
+    profiled AS (
+        SELECT e.origin, pr.retailprice
+        FROM expanded e JOIN profile pr ON e.key = pr.key
+    ),
+    originals AS (
+        SELECT p.key, e.origin FROM pool p JOIN expanded e ON p.key = e.key
+    )
+    SELECT o.key, o.origin, pf.retailprice
+    FROM originals o JOIN profiled pf ON o.origin = pf.origin
+    """,
+    doc="J10 — innerExpand: expand the pool, pull each group's profiles, "
+    "resolve them back onto the original pool members — a 4-join pipeline "
+    "(AGraph.innerExpand, AGraph.scala:264-276). The reference collects "
+    "group keys driver-side between joins (AGraph.scala:267); here all four "
+    "joins stay distributed.",
+    tags=("graph", "join"),
+)
+def graph_inner_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    profile = load(spark, sf_dir, "part").select(
+        F.concat(F.lit("p:"), F.col("p_partkey")).alias("key"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return G.inner_expand(network(spark, sf_dir), _pool(spark, sf_dir), profile)
+
+
+_BSP_STEP_SQL = """
+    {next} AS (
+        SELECT key, MAX(label) AS label FROM (
+            SELECT s.key, s.label FROM {cur} s
+            UNION ALL
+            SELECT n.dst AS key, s.label
+            FROM network n JOIN {cur} s ON n.src = s.key
+        ) GROUP BY key
+    )
+"""
+
+
+@query(
+    "bsp_3step",
+    f"""
+    WITH {NETWORK_SQL},
+    s0 AS (SELECT DISTINCT src AS key, src AS label FROM network),
+    {_BSP_STEP_SQL.format(cur='s0', next='s1')},
+    {_BSP_STEP_SQL.format(cur='s1', next='s2')},
+    {_BSP_STEP_SQL.format(cur='s2', next='s3')}
+    SELECT key, label FROM s3
+    """,
+    doc="G1 — three BSP supersteps of max-label propagation (AGraph.bsp, "
+    "AGraph.scala:88-93: broadcast labels to neighbors, dedup-merge). Each "
+    "superstep is one join + one hash aggregation; bounded step count keeps "
+    "it SQL-expressible for the oracle (the converged loop is "
+    "connected_components below).",
+    tags=("graph", "bsp"),
+)
+def bsp_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    net = network(spark, sf_dir)
+    state = net.select(F.col("src").alias("key")).distinct().withColumn(
+        "label", F.col("key")
+    )
+    for _ in range(3):
+        state = G.bsp_step(net, state)
+    return state
+
+
+@query(
+    "connected_components",
+    None,  # iterative fixpoint — not SQL-expressible; driver does rows-only check
+    doc="G2 — max-label propagation to convergence = connected components: "
+    "the reference's incremental N-step BSP (HGraphTable.scala:144-228) with "
+    "its persist/unpersist history discipline (HGraphTable.scala:116-124) "
+    "mapped to localCheckpoint every k steps, which truncates lineage so "
+    "hundreds of supersteps survive. Returns (component, n_vertices) per "
+    "component, ordered.",
+    tags=("graph", "bsp", "iterative"),
+)
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    net = network(spark, sf_dir)
+    state = net.select(F.col("src").alias("key")).distinct().withColumn(
+        "label", F.col("key")
+    )
+    final, _iters = G.bsp_converge(net, state, max_iters=30, checkpoint_every=5)
+    return (
+        final.groupBy(F.col("label").alias("component"))
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("component")
+    )
+
+
+@query(
+    "f1_validation",
+    f"""
+    WITH pairs AS ({PAIRS_SQL}),
+    modeled AS (SELECT DISTINCT src, dst FROM pairs WHERE prob >= 0.05),
+    validation AS (
+        SELECT DISTINCT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    m AS (SELECT src, COUNT(*) AS m_cnt FROM modeled GROUP BY src),
+    v AS (SELECT src, COUNT(*) AS v_cnt FROM validation GROUP BY src),
+    t AS (
+        SELECT md.src, COUNT(*) AS tp
+        FROM modeled md WHERE EXISTS (
+            SELECT 1 FROM validation vd WHERE vd.src = md.src AND vd.dst = md.dst
+        ) GROUP BY md.src
+    ),
+    per_key AS (
+        SELECT m.src, COALESCE(t.tp, 0) AS tp,
+               m.m_cnt - COALESCE(t.tp, 0) AS fp,
+               v.v_cnt - COALESCE(t.tp, 0) AS fn
+        FROM m JOIN v ON m.src = v.src LEFT JOIN t ON m.src = t.src
+    )
+    SELECT SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn,
+           CAST(SUM(tp) AS DOUBLE) / (SUM(tp) + SUM(fp)) AS precision,
+           CAST(SUM(tp) AS DOUBLE) / (SUM(tp) + SUM(fn)) AS recall,
+           2.0 * SUM(tp) / (2.0 * SUM(tp) + SUM(fp) + SUM(fn)) AS f1
+    FROM per_key
+    """,
+    doc="J12 — precision/recall/F1 of a modeled edge set against a "
+    "validation set (AGraph.f1, AGraph.scala:307-326). The reference "
+    "intersects per-row Seqs inside one join; here TP/FP/FN come from "
+    "distributed semi-join + counts, and the final ratios are single IEEE "
+    "divisions over exact integer sums (hash-stable).",
+    tags=("graph", "join", "agg"),
+)
+def f1_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = supplier_part_pairs(spark, sf_dir)
+    modeled = pairs.where(F.col("prob") >= 0.05).select("src", "dst")
+    li = load(spark, sf_dir, "lineitem")
+    validation = li.where(F.col("l_returnflag") == "R").select(
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    out = G.f1_validate(modeled, validation)
+    return out.select(
+        "tp", "fp", "fn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        (F.lit(2.0) * F.col("tp") / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1"),
+    )

