@@ -1,0 +1,555 @@
+"""Training-data-pipeline query inventory: deduplication, similarity search,
+text analysis, multimodal columns (the 100 TB LLM-corpus operators layered on
+the engine; BASELINE.json north star, SURVEY.md §7.2 step 8).
+
+The base documents/embeddings tables contain no duplicates, so the dedup
+queries run over a **constructed corpus**: base rows unioned with
+deterministic copies (exact clones and small perturbations) derived by the
+same expressions in Spark and DuckDB — giving the dedup operators known
+structure to find while keeping the oracle exact.
+
+Determinism rules (see inventory.py docstring): md5-derived hashes
+everywhere, exact integer counts/quantized-int linear algebra, ratios as
+single IEEE ops. No Python UDFs except the Arrow-batched multimodal kernels,
+whose stub outputs are integer functions of byte length (oracle-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.inventory import load, query
+from spark_on_hbase_spark.operators import dedup as D
+from spark_on_hbase_spark.operators import multimodal as M
+from spark_on_hbase_spark.operators import similarity as V
+from spark_on_hbase_spark.operators import text as T
+
+# ---------------------------------------------------------------------------
+# constructed document corpus: base ∪ exact clones ∪ drop-first-word copies
+# ---------------------------------------------------------------------------
+
+CORPUS_SQL = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substring(text, position(' ' IN text) + 1) AS text
+        FROM documents WHERE doc_id % 10 = 5
+    )
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    drop1 = base.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return base.unionByName(exact).unionByName(drop1)
+
+
+def _shingled_sql(n: int) -> str:
+    """Exploded distinct word n-gram shingles of the corpus (DuckDB)."""
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+    shingled AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= {n}
+                      THEN list_distinct([{parts} for i in range(1, len(ws) - {n} + 2)])
+                      ELSE [] END) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+              FROM corpus)
+    )
+    """
+
+
+def _shingled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    return corpus(spark, sf_dir).select(
+        "doc_id", F.explode(D.shingles_expr("text", n)).alias("shingle")
+    )
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@query(
+    "exact_dedup",
+    f"""
+    WITH {CORPUS_SQL}
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS group_size
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    doc="Exact dedup: hash-groupBy on the md5 content fingerprint, one row "
+    "per duplicate group with canonical (min) id. One map-side-combining "
+    "aggregation; the shuffle carries 16-byte hashes, not documents — the "
+    "shape that survives a 100 TB corpus.",
+    tags=("dedup",),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(corpus(spark, sf_dir))
+
+
+_MH_K, _MH_BANDS = 12, 4  # 12 minhashes in 4 bands of 3
+
+
+def _minhash_sql() -> str:
+    r = _MH_K // _MH_BANDS
+    mh_aggs = ",\n               ".join(
+        f"CAST(min(CAST(('0x' || substring(md5('{i}:' || shingle), 1, 8)) AS UBIGINT)) AS BIGINT) AS mh{i}"
+        for i in range(_MH_K)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || ':' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    sigs AS (
+        SELECT doc_id, {mh_aggs}
+        FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS shared
+        FROM cands c
+        JOIN shingled sa ON sa.doc_id = c.id_a
+        JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT s.id_a, s.id_b, s.shared, na.n AS n_a, nb.n AS n_b,
+           CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) AS jaccard
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.id_a
+    JOIN sizes nb ON nb.doc_id = s.id_b
+    WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.7
+    """
+
+
+@query(
+    "minhash_lsh_dedup",
+    f"WITH {CORPUS_SQL}, {_shingled_sql(3)}, {_minhash_sql()}",
+    doc="MinHash + LSH near-dedup: 3-gram shingles -> 12 md5-derived "
+    "minhashes -> 4 bands of 3 -> band-bucket self-join for candidates -> "
+    "exact-Jaccard verify >= 0.7. The band bucket is the join key, so the "
+    "pair blow-up is bounded per bucket (never |corpus|^2), and only "
+    "candidates pay the set-intersection cost — the standard web-scale "
+    "near-dedup topology (Broder MinHash + banding).",
+    tags=("dedup", "lsh"),
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = _shingled(spark, sf_dir, 3)
+    sigs = D.minhash_signatures(exploded, "doc_id", "shingle", _MH_K)
+    bands = D.lsh_bands(sigs, "doc_id", _MH_K, _MH_BANDS)
+    pairs = D.candidate_pairs(bands, "doc_id")
+    return D.jaccard_verify(pairs, exploded, "doc_id", "shingle", 0.7)
+
+
+def _simhash_sql() -> str:
+    votes = ",\n               ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT AS h
+        FROM shingled
+    ),
+    voted AS (
+        SELECT doc_id, {votes}
+        FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM voted),
+    bucketed AS (
+        SELECT doc_id, simhash, simhash >> {D.SIMHASH_BITS - 16} AS bucket FROM sigs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sig_a, b.simhash AS sig_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query(
+    "simhash_dedup",
+    f"WITH {CORPUS_SQL}, {_shingled_sql(3)}, {_simhash_sql()}",
+    doc="SimHash near-dedup: every shingle occurrence votes ±1 on each bit "
+    "of its 32-bit hash; signature = sign vector. Pairs bucket on the top "
+    "16 bits (LSH bound on the self-join) and verify Hamming <= 3 via "
+    "bit_count(xor). One 32-SUM hash aggregation computes all signatures — "
+    "no per-bit explode, no UDF.",
+    tags=("dedup", "lsh"),
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = _shingled(spark, sf_dir, 3)
+    sigs = D.simhash_signatures(exploded, "doc_id", "shingle")
+    return D.simhash_near_pairs(sigs, "doc_id", max_hamming=3, prefix_bits=16)
+
+
+@query(
+    "ngram_jaccard_dedup",
+    f"""
+    WITH {CORPUS_SQL}, {_shingled_sql(5)},
+    docfreq AS (
+        SELECT shingle FROM shingled GROUP BY shingle HAVING COUNT(*) <= 100
+    ),
+    rare AS (SELECT s.doc_id, s.shingle FROM shingled s JOIN docfreq USING (shingle)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS shared
+        FROM cands c
+        JOIN shingled sa ON sa.doc_id = c.id_a
+        JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT s.id_a, s.id_b, s.shared, na.n AS n_a, nb.n AS n_b,
+           CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) AS jaccard
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.id_a
+    JOIN sizes nb ON nb.doc_id = s.id_b
+    WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.6
+    """,
+    doc="Exact n-gram Jaccard dedup (the exact baseline minhash "
+    "approximates): candidates share >= 1 non-ubiquitous 5-gram shingle "
+    "(doc-frequency <= 100 — the A11 cutoff idea applied to shingles, which "
+    "is what bounds the candidate join at scale), verified with exact "
+    "Jaccard >= 0.6.",
+    tags=("dedup",),
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = _shingled(spark, sf_dir, 5)
+    return D.ngram_jaccard_pairs(exploded, "doc_id", "shingle", 0.6, max_shingle_df=100)
+
+
+# ---------------------------------------------------------------------------
+# embedding corpus: base ∪ exact clones ∪ perturbed copies (quantized int64)
+# ---------------------------------------------------------------------------
+
+_QSQL = V.quantize_sql("embedding")
+_PERTURBED_SQL = (
+    "[CAST(floor(CAST(embedding[d] AS DOUBLE) * (1 + ((d - 1) % 5 - 2) * 0.004) "
+    "* 1000000) AS BIGINT) for d in range(1, len(embedding) + 1)]"
+)
+
+VECS_SQL = f"""
+    vecs AS (
+        SELECT vec_id, {_QSQL} AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, {_QSQL} AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 2000000 AS vec_id, {_PERTURBED_SQL} AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
+"""
+
+_COS = V.COSINE_SQL.format(
+    dot=V.dot_sql("a.v", "b.v"), na=V.norm2_sql("a.v"), nb=V.norm2_sql("b.v")
+)
+
+
+def vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embedding corpus with constructed near-dups. Perturbation:
+    component d scales by (1 + ((d % 5) - 2) * 0.004) before quantization —
+    cosine vs the original ≈ 0.99997, same doubles in both engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", V.quantize_expr("embedding").alias("v"))
+    exact = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), V.quantize_expr("embedding").alias("v")
+    )
+    perturbed = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.floor(
+                x.cast("double") * (1 + ((i % 5) - 2) * 0.004) * V.QUANT
+            ).cast("bigint"),
+        ).alias("v"),
+    )
+    return base.unionByName(exact).unionByName(perturbed)
+
+
+_PLANES = V.plane_matrix(8, 64)
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH {VECS_SQL},
+    bucketed AS (SELECT vec_id, v, {V.bucket_sql('v', _PLANES)} AS bucket FROM vecs)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id AND {_COS} >= 0.999
+    """,
+    doc="Embedding-cosine near-duplicate detection: sign-LSH bucket "
+    "self-join (8 md5-derived ±1 hyperplanes -> 256 buckets bound the "
+    "candidate pairs) + exact quantized-int cosine verify >= 0.999. Same "
+    "bucket-then-verify topology as minhash/simhash; embeddings quantized "
+    "floor(x*1e6) to int64 so dot/norms are exact integer math.",
+    tags=("dedup", "embedding", "lsh"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vec_corpus(spark, sf_dir)
+    v = vecs.withColumn("__bucket", V.bucket_expr(F.col("v"), _PLANES))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"), "__bucket")
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"), "__bucket")
+    return (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            V.cosine_expr(
+                V.dot_expr(F.col("__va"), F.col("__vb")),
+                V.norm2_expr(F.col("__va")),
+                V.norm2_expr(F.col("__vb")),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.999)
+    )
+
+
+# ===========================================================================
+# Similarity search (ANN)
+# ===========================================================================
+
+_BASE_VECS_SQL = f"base_vecs AS (SELECT vec_id, {_QSQL} AS v FROM embeddings)"
+
+
+@query(
+    "ann_brute_topk",
+    f"""
+    WITH {_BASE_VECS_SQL},
+    queries AS (SELECT vec_id, v FROM base_vecs WHERE vec_id % 97 = 0),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id, {_COS} AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS} DESC, b.vec_id
+               ) AS rank
+        FROM queries a JOIN base_vecs b ON b.vec_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM scored WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-k (the ANN correctness baseline): broadcast "
+    "the query set, stream the corpus once, rank-then-filter per query "
+    "(Spark plans WindowGroupLimit — per-partition top-k, no global sort). "
+    "Exact quantized-int dot products; deterministic vec_id tiebreak.",
+    tags=("similarity", "embedding"),
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    return V.brute_force_topk(emb, queries, k=10)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH {_BASE_VECS_SQL},
+    bucketed AS (SELECT vec_id, v, {V.bucket_sql('v', _PLANES)} AS bucket FROM base_vecs),
+    queries AS (SELECT vec_id, v, bucket FROM bucketed WHERE vec_id % 97 = 0),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id, {_COS} AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS} DESC, b.vec_id
+               ) AS rank
+        FROM queries a JOIN bucketed b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM scored WHERE rank <= 10
+    """,
+    doc="LSH-bucketed ANN top-k (the scale path): score only candidates in "
+    "the query's sign-LSH bucket — each query touches ~|corpus|/256 rows. "
+    "At 100 TB the corpus partitions by bucket once and is reused across "
+    "query batches; recall tunes with plane count / multi-probe.",
+    tags=("similarity", "embedding", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    return V.lsh_topk(emb, queries, k=10, num_planes=8, dim=64)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+_WS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+
+
+def _hits_sql(lang: str) -> str:
+    lit = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return f"len(list_filter({_WS_SQL}, w -> list_contains([{lit}], lower(w))))"
+
+
+@query(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS actual_lang,
+           {_hits_sql('en')} AS en_hits,
+           {_hits_sql('de')} AS de_hits,
+           {_hits_sql('fr')} AS fr_hits,
+           CASE WHEN {_hits_sql('en')} >= {_hits_sql('de')}
+                 AND {_hits_sql('en')} >= {_hits_sql('fr')} THEN 'en'
+                WHEN {_hits_sql('de')} >= {_hits_sql('fr')} THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM documents
+    """,
+    doc="Language ID by stopword-hit ratio (n-gram heuristic): per-language "
+    "hit counts, argmax with deterministic language-order tiebreak. Pure "
+    "column expressions — language ID over 100 TB is one codegen'd scan.",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("actual_lang"), "text"
+    )
+    return T.lang_id(docs).select(
+        "doc_id", "actual_lang", "en_hits", "de_hits", "fr_hits", "pred_lang"
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           len({_WS_SQL}) AS n_tokens,
+           CAST(length(text) - len({_WS_SQL}) + 1 AS DOUBLE) / len({_WS_SQL}) AS mean_word_len,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+           CAST({_hits_sql('en')} AS DOUBLE) / len({_WS_SQL}) AS stop_ratio
+    FROM documents
+    WHERE len({_WS_SQL}) >= 20
+    """,
+    doc="Quality scoring: length / punctuation / stopword ratios from exact "
+    "integer counts (single IEEE divisions), then a min-length gate — the "
+    "C4/Gopher-style corpus filter as one predicate-pushdown scan.",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = T.quality_score(docs)
+    return scored.where(F.col("n_tokens") >= 20).select(
+        "doc_id", "n_tokens", "mean_word_len", "punct_ratio", "stop_ratio"
+    )
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS n_subword_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish subword regex (letter "
+    "runs / digit singletons / punctuation singletons — the classic "
+    "pre-tokenizer) + chars. The per-corpus token census every training "
+    "pipeline starts with.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.token_counts(docs).select(
+        "doc_id", "n_ws_tokens", "n_subword_tokens", "n_chars_measured"
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of whitespace-normalized lowercased "
+    "text — the formatting-noise-resistant exact-dedup key.",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ===========================================================================
+# Multimodal columns
+# ===========================================================================
+
+
+@query(
+    "multimodal_decode_meta",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(64 + strlen(text) % 512 AS INT) AS width,
+           CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height,
+           CAST(1 + strlen(text) % 30 AS INT) AS n_frames
+    FROM documents
+    """,
+    doc="Multimodal decode: media as opaque binary columns, metadata "
+    "extracted by an Arrow-batched mapInPandas kernel (one Python hop per "
+    "batch, fixed output schema so Catalyst plans around it). The decode "
+    "body is a clearly-marked STUB (no codecs in this container) whose fake "
+    "metadata is a pure function of byte length — hence SQL-checkable; the "
+    "Spark-side plumbing (binary column, batch iteration, schema) is real.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = M.attach_binary_payload(docs)
+    return M.decode_metadata(with_payload)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH meta AS (
+        SELECT doc_id, 1 + strlen(text) % 30 AS n_frames FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(list_distinct([0, n_frames // 2, n_frames - 1])) AS INT) AS frame_idx
+    FROM meta
+    """,
+    doc="Frame sampling (video -> first/middle/last frame): a UDTF-shaped "
+    "mapInPandas kernel emitting up to 3 rows per document — the Spark "
+    "plumbing for per-item multi-row media extraction. Frame bytes are stub "
+    "slices (dropped from the graded projection; byte equality is covered "
+    "in tests/test_pipeline.py).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = M.attach_binary_payload(docs)
+    return M.sample_frames(with_payload).select("doc_id", "frame_idx")

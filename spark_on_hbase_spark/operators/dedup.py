@@ -54,11 +54,14 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def shingles_expr(text_col: str | Column = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles of a document as an array<string>."""
     ws = words_expr(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    # docs shorter than n words have no shingles (matches the SQL twin, where
+    # concat over missing elements would otherwise emit partial grams)
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
 
 

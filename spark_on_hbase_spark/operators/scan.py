@@ -81,8 +81,10 @@ def sample_sql(id_sql: str, fraction: float) -> str:
 def latest_version(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak_cols: list[str] = ()) -> DataFrame:
     """F10 — maxVersions=1: keep only the newest cell per key
     (HBaseRDD.configureQuery setMaxVersions(1), HBaseRDD.scala:39-42).
-    Implemented as one hash aggregation (max_by over a version struct) rather
-    than a window sort — cheaper at scale (no per-partition full sort)."""
+    Implemented as one partial+final aggregation (max over a version struct;
+    Spark plans SortAggregate for struct buffers) rather than a window sort:
+    map-side combine shrinks the shuffle to one row per key, where a window
+    would shuffle every version of every row."""
     order = F.struct(ts_col, *tiebreak_cols)
     others = [c for c in df.columns if c not in key_cols]
     packed = df.select(*key_cols, F.struct(order.alias("__v"), F.struct(*others).alias("__row")).alias("__cell"))

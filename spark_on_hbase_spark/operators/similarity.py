@@ -1,0 +1,233 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, sharing one exact integer kernel:
+
+- brute-force cosine top-k  : the correctness baseline — score every
+  (query, candidate) pair, rank per query. Fine for |Q| small; the candidate
+  side streams, queries broadcast, so it's one scan of the corpus.
+- sign-LSH bucketed ANN     : the 100 TB path — hash every vector to a
+  B-bit bucket by the signs of dot products with B deterministic ±1
+  hyperplanes; only same-bucket pairs are scored. Bucket count 2^B bounds
+  each self-join bucket; recall tunes with B and multi-probe.
+
+Determinism (DuckDB oracle twins must hash-match): embeddings are quantized
+``floor(x * 1e6)`` to exact int64 once, so every dot product / norm is exact
+integer arithmetic — float summation order never enters — and cosine is a
+single IEEE division of exact values. The ±1 hyperplanes are md5-derived
+(hyperplane j, dimension d -> sign of a md5 bit), identical in both engines.
+
+All column expressions, JVM-side; no Python UDF in any scoring path. (A
+vectorized Pandas-UDF kernel would also work — see multimodal.py for that
+pattern — but the expression form keeps whole-stage codegen.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000  # fixed-point scale for embedding quantization
+
+
+def quantize_expr(vec_col: str | Column) -> Column:
+    """array<float> -> array<bigint>, floor(x * 1e6). Exact in both engines
+    (float widens to double losslessly; floor breaks no ties)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint"))
+
+
+def quantize_sql(vec_sql: str) -> str:
+    return f"list_transform({vec_sql}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors (fold is sequential
+    but integer addition is associative — order-independent by construction)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    return f"list_sum(list_transform(list_zip({a_sql}, {b_sql}), p -> p[1] * p[2]))"
+
+
+def norm2_expr(a: Column) -> Column:
+    """Exact squared L2 norm of a quantized vector."""
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+
+
+def norm2_sql(a_sql: str) -> str:
+    return f"list_sum(list_transform({a_sql}, x -> x * x))"
+
+
+def cosine_expr(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
+    """cosine = dot / (||a|| * ||b||): IEEE ops over exact integers —
+    bit-identical across engines."""
+    return dot.cast("double") / (
+        F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double"))
+    )
+
+
+COSINE_SQL = "CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: score every (query, candidate) pair, keep
+    the k best per query (self-matches excluded). Ranking is rank-then-filter,
+    which Spark rewrites to a per-partition top-k (WindowGroupLimit) — no full
+    sort of the scored space.
+
+    ``queries`` is expected small (it broadcasts); the corpus side streams
+    through one scan. Returns (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
+    )
+    c = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            cosine_expr(
+                dot_expr(F.col("__qv"), F.col("__cv")),
+                norm2_expr(F.col("__qv")),
+                norm2_expr(F.col("__cv")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+def _plane_sign(j: int, d: int) -> int:
+    """Deterministic ±1 hyperplane component: parity of the first hex char of
+    md5('<j>:<d>'). Python-side constant generation — both engines receive the
+    same literal hyperplanes, no cross-engine hash needed at query time."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def plane_matrix(num_planes: int, dim: int) -> list[list[int]]:
+    return [[_plane_sign(j, d) for d in range(dim)] for j in range(num_planes)]
+
+
+def bucket_expr(qvec: Column, planes: list[list[int]]) -> Column:
+    """B-bit sign bucket of a quantized vector: bit j = [dot(vec, plane_j) > 0].
+    Each plane dot is an exact integer combination (components are ±1)."""
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        dot_j = F.aggregate(
+            F.zip_with(
+                qvec,
+                F.array(*[F.lit(s) for s in plane]),
+                lambda x, s: x * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def bucket_sql(qvec_sql: str, planes: list[list[int]]) -> str:
+    terms = []
+    for j, plane in enumerate(planes):
+        plane_lit = "[" + ", ".join(str(s) for s in plane) + "]"
+        dot_j = f"list_sum(list_transform(list_zip({qvec_sql}, {plane_lit}), p -> p[1] * p[2]))"
+        terms.append(f"(CASE WHEN {dot_j} > 0 THEN {2**j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only candidates in the query's sign-LSH bucket.
+    The bucket id is the shuffle/join key — at 100 TB the corpus partitions
+    by bucket once (reusable across query batches), and each query touches
+    ~|corpus| / 2^B rows instead of all of them."""
+    from pyspark.sql import Window
+
+    planes = plane_matrix(num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
+    ).withColumn("__bucket", bucket_expr(F.col("__qv"), planes))
+    c = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__cv")).withColumn(
+        "__bucket", bucket_expr(F.col("__cv"), planes)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "__bucket")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            cosine_expr(
+                dot_expr(F.col("__qv"), F.col("__cv")),
+                norm2_expr(F.col("__qv")),
+                norm2_expr(F.col("__cv")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join (the
+    candidate bound), exact quantized cosine verify. Same shape as the
+    minhash/simhash dedups in dedup.py — bucket, then verify candidates only."""
+    planes = plane_matrix(num_planes, dim)
+    v = vectors.select(F.col(id_col), quantize_expr(vec_col).alias("__v")).withColumn(
+        "__bucket", bucket_expr(F.col("__v"), planes)
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket")
+    return (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr(
+                dot_expr(F.col("__va"), F.col("__vb")),
+                norm2_expr(F.col("__va")),
+                norm2_expr(F.col("__vb")),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,97 @@
+"""Physical-plan introspection helpers — the engine's "did Catalyst do what
+the reference did by hand" checks.
+
+The reference pushes filters/projections into the storage scan manually
+(HBaseFilter/HBaseQuery) and avoids shuffles via its RegionPartitioner. Here
+the same guarantees are *verified* rather than hand-built: these helpers
+assert on the formatted physical plan that pushdown, pruning, broadcast and
+codegen actually happened, and tests/test_plans.py pins them for the
+inventory's headline queries so a regression (e.g. an expression becoming
+non-pushable, a join falling back to SMJ + full shuffle) fails CI instead of
+silently costing 100× at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert every fragment appears in a PushedFilters: [...] section of the
+    scan node — the Catalyst twin of the reference's server-side
+    SingleColumnValueFilter pushdown (helpers/ColumnTransformation.scala:44-52)."""
+    plan = formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    joined = "\n".join(pushed)
+    assert pushed, f"no PushedFilters section in plan:\n{plan}"
+    for frag in fragments:
+        assert frag in joined, f"filter {frag!r} not pushed; pushed lines:\n{joined}\n\nfull plan:\n{plan}"
+
+
+def assert_read_schema_only(df: DataFrame, table_fragment: str, allowed: set[str]) -> None:
+    """Assert the scan's ReadSchema contains only ``allowed`` columns —
+    column pruning reached the file reader (the reference's Transformation
+    column declarations, Transformation.scala:8)."""
+    plan = formatted_plan(df)
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln and table_fragment in plan:
+            start = ln.find("struct<")
+            if start == -1:
+                continue
+            cols = {
+                c.split(":")[0].strip()
+                for c in ln[start + len("struct<"):].rstrip(">").split(",")
+                if c.strip()
+            }
+            extra = cols - allowed
+            assert not extra, f"scan reads unexpected columns {extra}; line: {ln}"
+            return
+    raise AssertionError(f"no ReadSchema line found for {table_fragment}:\n{plan}")
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    """Assert at least one broadcast join — the 'big table never moves'
+    multiget intent (HBaseJoinMultiGet, HBaseRDDFunctions.scala:121-198)."""
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"no broadcast join in plan:\n{plan}"
+    )
+
+
+def assert_no_shuffle(df: DataFrame) -> None:
+    """Assert the plan contains no Exchange — for scan-shaped pipelines that
+    must stay narrow (filter/project/sample chains)."""
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange nodes. Formatted mode prints every node twice
+    (tree + details); ``Exchange (N)`` is the tree form, counted once."""
+    return formatted_plan(df).count("Exchange (")
+
+
+def assert_whole_stage_codegen(df: DataFrame) -> None:
+    """Assert the plan has WholeStageCodegen spans (expressions stayed
+    JVM-side; a Python UDF in the hot path would break them). In formatted
+    explain mode a codegen'd operator is marked with a ``*`` prefix."""
+    plan = formatted_plan(df)
+    has_span = "WholeStageCodegen" in plan or any(
+        ln.lstrip().startswith(("* ", "*(")) or ln.lstrip("+- ").startswith("* ")
+        for ln in plan.splitlines()
+    )
+    assert has_span, f"no codegen span:\n{plan}"
+
+
+def assert_no_python_row_udf(df: DataFrame) -> None:
+    """Assert no row-at-a-time Python UDF node (BatchEvalPython). Arrow
+    paths (ArrowEvalPython / MapInPandas) are allowed — they are the
+    sanctioned vectorized escape hatch."""
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, f"row-at-a-time Python UDF in plan:\n{plan}"

@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale guarantees (pushdown, pruning,
+broadcast, codegen, no row-Python) asserted on real inventory queries.
+
+These are the checks that matter at 100 TB: a filter that silently stops
+pushing to Parquet, or a dimension join that falls back to a full shuffle,
+is invisible at sf0.001 and catastrophic at scale (SURVEY.md §4.1)."""
+
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark import plans
+from spark_on_hbase_spark.inventory import QUERIES, load
+from spark_on_hbase_spark.operators import scan as S
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = QUERIES["filter_comparison"].fn(spark, sf_dir)
+    plans.assert_pushed_filters(
+        df, "GreaterThanOrEqual(p_size,20)", "LessThan(p_size,40)"
+    )
+    plans.assert_whole_stage_codegen(df)
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    df = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    plans.assert_read_schema_only(df, "part", {"p_partkey", "p_name"})
+    plans.assert_no_shuffle(df)
+
+
+def test_select_required_stays_narrow(spark, sf_dir):
+    # F1 semantics add isNotNull filters — they must push down, not shuffle
+    df = S.select_required(load(spark, sf_dir, "part"), "p_partkey", "p_name!")
+    plans.assert_pushed_filters(df, "IsNotNull(p_name)")
+    plans.assert_no_shuffle(df)
+
+
+def test_lookup_join_broadcasts_probe(spark, sf_dir):
+    df = QUERIES["lookup_join"].fn(spark, sf_dir)
+    plans.assert_broadcast_join(df)
+
+
+def test_semi_join_broadcasts(spark, sf_dir):
+    df = QUERIES["semi_join"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_q1_single_aggregation_no_join(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # partial + final hash aggregate with exactly one exchange between them
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_row_python_udf_anywhere(spark, sf_dir):
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, sf_dir)
+        plans.assert_no_python_row_udf(df)
+
+
+def test_latest_version_is_hash_agg_not_window_sort(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value", "ts")
+    df = S.latest_version(ev, ["user_id", "event_type"], "ts")
+    plan = plans.formatted_plan(df)
+    # struct-valued max buffers plan as SortAggregate; the point is a
+    # partial+final aggregation (map-side combine), never a Window sort
+    assert "Aggregate" in plan
+    assert plan.count("Aggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_dedup_edges_single_shuffle(spark, sf_dir):
+    from spark_on_hbase_spark.inventory_agg_graph import supplier_part_pairs
+    from spark_on_hbase_spark.operators import graph as G
+
+    df = G.dedup_edges(supplier_part_pairs(spark, sf_dir))
+    # one Exchange for the groupBy; partial agg must appear before it
+    assert plans.count_shuffles(df) == 1
+    plan = plans.formatted_plan(df)
+    assert plan.count("Aggregate (") >= 2  # partial + final
