@@ -451,4 +451,5 @@ def anti_join_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from spark_on_hbase_spark import inventory_agg_graph  # noqa: E402,F401
+from spark_on_hbase_spark import inventory_misc  # noqa: E402,F401
 from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401

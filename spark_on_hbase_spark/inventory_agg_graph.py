@@ -87,7 +87,11 @@ NETWORK_SQL = f"""
 
 
 def network(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.from_pairs(supplier_part_pairs(spark, sf_dir))
+    """Materialized (localCheckpoint) so multi-reference plans — BSP
+    supersteps, innerExpand's four joins — compute the dedup once instead of
+    inlining it per reference. On a cluster this is the persisted network
+    layer the reference also materializes (HGraphTable.loadNet)."""
+    return G.from_pairs(supplier_part_pairs(spark, sf_dir)).localCheckpoint()
 
 
 # ===========================================================================

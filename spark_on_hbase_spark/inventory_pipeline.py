@@ -71,8 +71,13 @@ def _shingled_sql(n: int) -> str:
 
 
 def _shingled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    return corpus(spark, sf_dir).select(
-        "doc_id", F.explode(D.shingles_expr("text", n)).alias("shingle")
+    """Materialized (localCheckpoint): the dedup pipelines reference the
+    exploded shingle relation 3-5 times (signatures, doc-freq, sizes, both
+    verify sides); checkpointing computes the explode + md5s once."""
+    return (
+        corpus(spark, sf_dir)
+        .select("doc_id", F.explode(D.shingles_expr("text", n)).alias("shingle"))
+        .localCheckpoint()
     )
 
 
@@ -321,7 +326,8 @@ _PLANES = V.plane_matrix(8, 64)
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = vec_corpus(spark, sf_dir)
-    v = vecs.withColumn("__bucket", V.bucket_expr(F.col("v"), _PLANES))
+    # materialize quantization+bucketing once; both self-join sides reuse it
+    v = vecs.withColumn("__bucket", V.bucket_expr(F.col("v"), _PLANES)).localCheckpoint()
     a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"), "__bucket")
     b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"), "__bucket")
     return (

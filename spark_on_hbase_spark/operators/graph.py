@@ -51,15 +51,30 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
     One hash aggregation replaces the reference's
     repartitionAndSortWithinPartitions + per-key k-way merge-sort of
     pre-sorted edge lists; partial aggregation makes it map-side combining,
-    so duplicate-heavy inputs shrink before the shuffle."""
-    winner = F.struct(F.col("prob"), vendor_code_expr().alias("vc"), F.col("vendor"))
-    return (
+    so duplicate-heavy inputs shrink before the shuffle.
+
+    The combine key is bit-packed into ONE bigint — prob's 1/255 wire step
+    (EP's own byte quantization, EP.scala:51-58) in the high bits, the
+    vendor code in the low 16 — because ``max(struct(...))`` forces a
+    SortAggregate (struct agg buffers aren't hash-aggregable) while
+    ``max(bigint)`` stays a HashAggregate: measurably faster and no
+    per-partition sort at 100 TB. Decode recovers (prob, vendor) exactly."""
+    # prob is k/255.0 by construction; round() undoes the float error of *255
+    prob_byte = F.round(F.col("prob") * 255).cast("bigint")
+    packed = F.shiftleft(prob_byte, 16) + vendor_code_expr()
+    code_to_vendor = F.create_map(
+        *[x for name, code in VENDOR_CODES.items() for x in (F.lit(code), F.lit(name))]
+    )
+    out = (
         edges.groupBy("src", "dst")
-        .agg(
-            F.max(winner).alias("__w"),
-            F.max("ts").alias("ts"),
-        )
-        .select("src", "dst", F.col("__w.prob").alias("prob"), F.col("__w.vendor").alias("vendor"), "ts")
+        .agg(F.max(packed).alias("__w"), F.max("ts").alias("ts"))
+    )
+    return out.select(
+        "src",
+        "dst",
+        (F.shiftright(F.col("__w"), 16).cast("double") / F.lit(255.0)).alias("prob"),
+        code_to_vendor[F.col("__w").bitwiseAND(F.lit(0xFFFF))].alias("vendor"),
+        "ts",
     )
 
 

@@ -1,0 +1,7 @@
+from spark_on_hbase_spark.streaming.ingest import (  # noqa: F401
+    file_stream,
+    merge_stream_into_table,
+    sessionized_counts,
+    socket_stream,
+    windowed_agg,
+)

@@ -1,0 +1,118 @@
+"""Structured Streaming ingest (SURVEY.md §2.8 ST1 — and its idiomatic
+superset).
+
+The reference's entire streaming surface is a Kafka topic piped through
+netcat into ``ssc.socketTextStream`` as ``DStream[String]``
+(misc/KafkaProxy.scala:143-164) — no watermarks, no event-time windows, no
+state. Structured Streaming gives all of that for free, so this module
+exposes:
+
+- sources: socket (the KafkaProxy twin), file/parquet (replayable), kafka
+  (gated — not available in this container's Spark build without packages);
+- ``merge_stream_into_table``: the reference's implied use — stream
+  mutations into a keyed table via ``foreachBatch`` + KeyedTable.update
+  (each micro-batch is one deterministic last-writer-wins merge, so the
+  sink is idempotent under micro-batch replay: exactly-once table state);
+- event-time tumbling/sliding windows with watermark late-data handling;
+- session windows (gap-based), the canonical stateful aggregation.
+
+At 100 TB/day the same topology holds: watermark bounds state, the window
+aggregation is partial+final per micro-batch, and the table merge is a
+keyed rewrite of only affected partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.table import KeyedTable
+
+
+def socket_stream(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:
+    """ST1 — the KafkaProxy→netcat→socketTextStream twin: a stream of lines
+    (misc/KafkaProxy.scala:143-164). Structured (value: string) instead of
+    DStream[String]."""
+    return (
+        spark.readStream.format("socket").option("host", host).option("port", port).load()
+    )
+
+
+def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet") -> DataFrame:
+    """Replayable file-based stream — the testable ingest source; also the
+    shape of a warehouse-landing-zone tail at scale (new files appear, each
+    read exactly once)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def merge_stream_into_table(
+    stream: DataFrame, table: KeyedTable, checkpoint_dir: str, available_now: bool = False
+):
+    """Stream mutations into a KeyedTable: every micro-batch applies one
+    last-writer-wins keyed merge (KeyedTable.update). Because the merge is
+    deterministic and keyed, replaying a micro-batch after failure converges
+    to the same table — the foreachBatch idempotency pattern.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.update(batch_df)
+
+    writer = stream.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "1 day",
+    group_cols: tuple = ("event_type",),
+) -> DataFrame:
+    """Event-time tumbling (or sliding) window counts+sums with a watermark:
+    late rows beyond the watermark are dropped, bounding state — what the
+    reference's DStream could never express."""
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *group_cols)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the canonical stateful
+    streaming aggregation; state per open session, closed by the watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )

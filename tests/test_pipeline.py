@@ -1,0 +1,148 @@
+"""Unit tests for the training-pipeline operators: dedup recall on known
+constructed duplicates, ANN self-consistency, multimodal kernel byte-level
+behavior, EP codec round-trips."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.functions.ep import EP, ep_combine, ep_decode, ep_encode
+from spark_on_hbase_spark.operators import dedup as D
+from spark_on_hbase_spark.operators import multimodal as M
+from spark_on_hbase_spark.operators import similarity as V
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup of 1
+        Row(doc_id=3, text=base.replace("today", "tomorrow")),  # near dup of 1
+        Row(doc_id=4, text="completely different words nothing shared here at all ok"),
+        Row(doc_id=5, text="yet another unrelated document with its own distinct phrasing"),
+    ]
+    return spark.createDataFrame(docs)
+
+
+def test_exact_dedup_finds_clones(corpus):
+    groups = D.exact_dup_groups(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1 and groups[0]["group_size"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    exploded = corpus.select("doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle"))
+    sigs = D.minhash_signatures(exploded, "doc_id", "shingle", 12)
+    bands = D.lsh_bands(sigs, "doc_id", 12, 4)
+    pairs = D.candidate_pairs(bands, "doc_id")
+    verified = D.jaccard_verify(pairs, exploded, "doc_id", "shingle", 0.5)
+    found = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in found  # exact dup: jaccard 1.0
+    assert (1, 3) in found and (2, 3) in found  # near dup
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_simhash_hamming_zero_for_clones(corpus):
+    exploded = corpus.select("doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle"))
+    sigs = D.simhash_signatures(exploded, "doc_id", "shingle")
+    pairs = D.simhash_near_pairs(sigs, "doc_id", max_hamming=6, prefix_bits=8)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found[(1, 2)] == 0
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="just two")])
+    out = df.select(D.shingles_expr("text", 3).alias("s")).collect()
+    assert out[0]["s"] == []
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    def v(seed):
+        return [math.sin(seed * (d + 1)) for d in range(8)]
+
+    rows = [Row(vec_id=i, embedding=v(i)) for i in range(1, 21)]
+    rows.append(Row(vec_id=100, embedding=v(1)))  # clone of vec 1
+    return spark.createDataFrame(rows)
+
+
+def test_brute_topk_finds_clone(vectors):
+    queries = vectors.where(F.col("vec_id") == 1)
+    top = V.brute_force_topk(vectors, queries, k=3, vec_col="embedding").collect()
+    assert top[0]["vec_id"] == 100 and top[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_brute(vectors):
+    queries = vectors.where(F.col("vec_id") == 1)
+    brute = V.brute_force_topk(vectors, queries, k=20)
+    lsh = V.lsh_topk(vectors, queries, k=20, num_planes=4, dim=8)
+    brute_cos = {r["vec_id"]: r["cosine"] for r in brute.collect()}
+    for r in lsh.collect():  # LSH scores must agree exactly where present
+        assert r["cosine"] == brute_cos[r["vec_id"]]
+
+
+def test_near_dups_by_bucket(vectors):
+    pairs = V.embedding_near_dups(vectors, threshold=0.999, num_planes=4, dim=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 100) in found
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_decode_metadata_matches_python_stub(spark):
+    df = spark.createDataFrame([Row(doc_id=7, text="hello world")])
+    out = M.decode_metadata(M.attach_binary_payload(df)).collect()[0]
+    n, w, h, f = M._fake_decode_meta(b"hello world")
+    assert (out["n_bytes"], out["width"], out["height"], out["n_frames"]) == (n, w, h, f)
+
+
+def test_sample_frames_emits_first_middle_last(spark):
+    text = "x" * 100  # n_frames = 1 + 100 % 30 = 11 -> frames {0, 5, 10}
+    df = spark.createDataFrame([Row(doc_id=9, text=text)])
+    out = M.sample_frames(M.attach_binary_payload(df)).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 5, 10]
+    for r in out:
+        start = (r["frame_idx"] * 16) % 100
+        assert bytes(r["frame_bytes"]) == text.encode()[start : start + 16]
+
+
+# ---------------------------------------------------------------------------
+# EP codec (reference parity, EP.scala:12-79)
+# ---------------------------------------------------------------------------
+
+
+def test_ep_roundtrip_and_quantization():
+    packed, ts = ep_encode(0.5, "P1", 1234)
+    ep = ep_decode(packed, ts)
+    assert ep.vendor == "P1" and ep.ts == 1234
+    assert ep.probability == pytest.approx(int(0.5 * 255) / 255.0)
+
+
+def test_ep_decode_unknown_fallbacks():
+    assert ep_decode(b"\x00\x00\x00\x00", 1).vendor == "UNKNOWN"  # bad version
+    assert ep_decode(bytes([1, 128, 0x7F, 0x00]), 1).vendor == "UNKNOWN"  # bad vendor
+
+
+def test_ep_combine_max_prob_then_vendor_then_ts():
+    a, b = EP(0.9, "P1", 10), EP(0.5, "DT1", 20)
+    c = ep_combine(a, b)
+    assert c.probability == 0.9 and c.vendor == "P1" and c.ts == 20  # max prob wins, max ts kept
+    d = ep_combine(EP(0.5, "P1", 5), EP(0.5, "DT1", 3))
+    assert d.vendor == "DT1"  # equal prob: higher vendor code wins

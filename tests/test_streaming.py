@@ -1,0 +1,104 @@
+"""Structured Streaming tests: file-stream ingest -> foreachBatch merge into
+a KeyedTable (the reference's implied Kafka->table path, ST1 + S5), and
+incremental windowed aggregation agreeing with its batch twin."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark import streaming as ST
+from spark_on_hbase_spark.table import KeyedTable
+
+
+@pytest.fixture
+def source_dir(spark, tmp_path):
+    """A replayable parquet 'topic': two files of keyed mutations."""
+    d = tmp_path / "src"
+    spark.createDataFrame(
+        [Row(key="a", ts=1, v=10), Row(key="b", ts=1, v=20)]
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(
+        [Row(key="a", ts=2, v=99), Row(key="c", ts=1, v=30)]
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    return str(d)
+
+
+def test_stream_merge_into_table(spark, tmp_path, source_dir):
+    table = KeyedTable(spark, str(tmp_path / "table"), num_partitions=2)
+    table.create(spark.createDataFrame([Row(key="b", ts=0, v=-1)]))
+
+    schema = "key string, ts bigint, v bigint"
+    stream = ST.file_stream(spark, source_dir, schema)
+    q = ST.merge_stream_into_table(
+        stream, table, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    final = {r["key"]: (r["ts"], r["v"]) for r in table.df().collect()}
+    assert final["a"] == (2, 99)   # later micro-batch row won by ts
+    assert final["b"] == (1, 20)   # stream overwrote the seeded ts=0 row
+    assert final["c"] == (1, 30)
+
+
+def test_windowed_agg_stream_matches_batch(spark, tmp_path):
+    rows = [
+        Row(ts="2024-01-01 00:10:00", event_type="x", value=1.0),
+        Row(ts="2024-01-01 10:00:00", event_type="x", value=2.0),
+        Row(ts="2024-01-02 00:00:01", event_type="x", value=5.0),
+        Row(ts="2024-01-01 03:00:00", event_type="y", value=7.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = tmp_path / "events"
+    df.coalesce(1).write.parquet(str(src))
+
+    stream = ST.file_stream(spark, str(src), "ts timestamp, event_type string, value double")
+    agg = ST.windowed_agg(stream, ts_col="ts", window="1 day", watermark="2 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "x")] == (2, 3.0)
+    assert got[("2024-01-02 00:00:00", "x")] == (1, 5.0)
+    assert got[("2024-01-01 00:00:00", "y")] == (1, 7.0)
+
+
+def test_sessionized_counts_stream(spark, tmp_path):
+    rows = [
+        Row(ts="2024-01-01 00:00:00", user_id=1),
+        Row(ts="2024-01-01 00:10:00", user_id=1),  # same session (< 30 min gap)
+        Row(ts="2024-01-01 02:00:00", user_id=1),  # new session
+        Row(ts="2024-01-01 00:05:00", user_id=2),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = tmp_path / "sess_events"
+    df.coalesce(1).write.parquet(str(src))
+
+    stream = ST.file_stream(spark, str(src), "ts timestamp, user_id bigint")
+    sess = ST.sessionized_counts(stream, ts_col="ts", gap="30 minutes", watermark="1 day")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_agg").collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", 2),
+        (1, "2024-01-01 02:00:00", 1),
+        (2, "2024-01-01 00:05:00", 1),
+    ]
