@@ -490,3 +490,37 @@ def f1_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall"),
         (F.lit(2.0) * F.col("tp") / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1"),
     )
+
+
+@query(
+    "max_connected",
+    f"""
+    WITH {NETWORK_SQL},
+    pvertices AS (SELECT DISTINCT src AS key FROM network WHERE src LIKE 's:%'),
+    best AS (
+        SELECT src AS key, MAX(dst) AS best_p
+        FROM network WHERE src LIKE 's:%' AND dst LIKE 'p:%'
+        GROUP BY src
+    )
+    SELECT v.key, COALESCE(b.best_p, v.key) AS max_connected
+    FROM pvertices v LEFT JOIN best b ON v.key = b.key
+    """,
+    doc="A13/A14 — per-vertex max connected key within one keyspace, falling "
+    "back to the vertex's own key when it has no edges there "
+    "(HGraphTable.MaxConnected, examples/graph/HGraphTable.scala:69-83; "
+    "Key.higher/highest, keyspace/Key.scala:36-50). The keyspace filter is "
+    "the 'p:' prefix — the engine's keyspace discriminator (keys.py).",
+    tags=("graph", "agg"),
+)
+def max_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    net = network(spark, sf_dir)
+    s_vertices = net.where(F.col("src").startswith("s:")).select("src").distinct()
+    best = (
+        net.where(F.col("src").startswith("s:") & F.col("dst").startswith("p:"))
+        .groupBy("src")
+        .agg(F.max("dst").alias("best_p"))
+    )
+    return s_vertices.join(best, "src", "left").select(
+        F.col("src").alias("key"),
+        F.coalesce(F.col("best_p"), F.col("src")).alias("max_connected"),
+    )

@@ -1,0 +1,85 @@
+"""Misc IO surface (SURVEY.md §2.1 S13/S14).
+
+- S13 Kryo sequence-file save/load (misc/RDDUtils.scala:51-75): obsolete with
+  columnar storage — ``snapshot``/``load_snapshot`` provide the same
+  checkpoint-a-keyed-layer capability as sorted Parquet (faster, splittable,
+  schema'd — everything the Kryo blobs were not).
+- S14 HTTP export (misc/HttpRDD.scala:91-131): serve a DataFrame as one CSV
+  HTTP response for R's ``read.table(url)``. Same driver-streaming shape:
+  ``toLocalIterator`` pulls one partition at a time, so the driver never
+  holds the full result — but it IS a driver bottleneck by design; anything
+  large should ``df.write.csv`` to shared storage instead (and ``export_csv``
+  does exactly that). The HTTP server is a dev/demo convenience, ported for
+  parity.
+"""
+
+from __future__ import annotations
+
+import csv
+import io as _io
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def snapshot(df: DataFrame, path: str, key_col: str | None = None, num_partitions: int = 32) -> None:
+    """S13 — persist a keyed layer for later reuse (RDDUtils.saveAsKryo).
+    Sorted Parquet when a key is given (zone-map-prunable), plain otherwise."""
+    if key_col:
+        df = df.repartitionByRange(num_partitions, F.col(key_col)).sortWithinPartitions(key_col)
+    df.write.mode("overwrite").parquet(path)
+
+
+def load_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """S13 — reload a snapshot (RDDUtils.loadKryo)."""
+    return spark.read.parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """The scale-correct export: distributed CSV write to shared storage."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def iter_csv(df: DataFrame, header: bool = True, sep: str = "\t"):
+    """Stream a DataFrame as CSV lines on the driver, one partition at a
+    time (toLocalIterator — the HttpRDD pull shape, HttpRDD.scala:112-121)."""
+    if header:
+        buf = _io.StringIO()
+        csv.writer(buf, delimiter=sep).writerow(df.columns)
+        yield buf.getvalue()
+    for row in df.toLocalIterator():
+        buf = _io.StringIO()
+        csv.writer(buf, delimiter=sep).writerow(["" if v is None else v for v in row])
+        yield buf.getvalue()
+
+
+class HttpDataFrame:
+    """S14 — serve a DataFrame as a single CSV HTTP response
+    (HttpRDD(rdd, port), misc/HttpRDD.scala:91-131; used from R via
+    ``read.table(url)``). Dev convenience; see module docstring."""
+
+    def __init__(self, df: DataFrame, port: int = 0):
+        self.df = df
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                self.send_response(200)
+                self.send_header("Content-Type", "text/tab-separated-values")
+                self.end_headers()
+                for line in iter_csv(outer.df):
+                    self.wfile.write(line.encode())
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.server = HTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.server.server_address[1]
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()

@@ -71,6 +71,18 @@ class KeyedTable:
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 
+    def add_column(self, name: str, default=None, dtype: str = "string") -> None:
+        """S16 — ALTER TABLE ADD column with a default (HBaseAdminUtils.
+        updateSchema adds column families, misc/HBaseAdminUtils.scala:105-143).
+        One sorted rewrite; at scale this is a metadata-only op on lakehouse
+        formats, and the rewrite form here keeps plain Parquet self-contained."""
+        self._write(self.df().withColumn(name, F.lit(default).cast(dtype)))
+
+    def drop_column(self, name: str) -> None:
+        """S16 — ALTER TABLE DROP column (HBaseAdminUtils.dropColumnIfExists,
+        misc/HBaseAdminUtils.scala:178-214)."""
+        self._write(self.df().drop(name))
+
     def copy(self, dest: "KeyedTable") -> None:
         """S12 — scan source, re-partition to destination layout, write
         (HBaseAdminUtils.copy, misc/HBaseAdminUtils.scala:146-176)."""
