@@ -23,6 +23,87 @@ from spark_on_hbase_spark.table import _upsert_latest
 
 
 @query(
+    "keyspace_scan",
+    """
+    WITH keyed AS (
+        SELECT substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                   || ':C:' || c_custkey AS key,
+               'C' AS ks, c_name AS name FROM customer
+        UNION ALL
+        SELECT substring(md5(CAST(s_suppkey AS VARCHAR)), 1, 8)
+                   || ':S:' || s_suppkey AS key,
+               'S' AS ks, s_name AS name FROM supplier
+    )
+    SELECT key, name FROM keyed WHERE ks = 'S'
+    """,
+    doc="S4/F8 — keyspace-restricted scan of a mixed-keyspace table: "
+    "customers and suppliers share one salted key space "
+    "(<salt8hex>:<ks>:<id>, keys.salted_key_expr — the engine's twin of "
+    "[4B salt][2B keyspace][id], keyspace/Key.scala:6-23) and the scan "
+    "keeps one keyspace — the reference's server-side FuzzyRowFilter on "
+    "bytes 5-6 (keyspace/HBaseRDDKS.scala:29-38). Stored partitioned by "
+    "keyspace, this predicate becomes partition pruning.",
+    tags=("scan", "keyspace"),
+)
+def keyspace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.keys import salted_key_expr
+
+    cust = load(spark, sf_dir, "customer").select(
+        salted_key_expr("C", "c_custkey").alias("key"),
+        F.lit("C").alias("ks"),
+        F.col("c_name").alias("name"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        salted_key_expr("S", "s_suppkey").alias("key"),
+        F.lit("S").alias("ks"),
+        F.col("s_name").alias("name"),
+    )
+    mixed = cust.unionByName(supp)
+    return mixed.where(F.col("ks") == "S").select("key", "name")
+
+
+@query(
+    "pool_count",
+    """
+    WITH pairs AS (
+        SELECT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst FROM lineitem
+    ),
+    sym AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    pool AS (SELECT key, MAX(origin) AS origin FROM (
+        SELECT DISTINCT src AS key, dst AS origin FROM sym
+        UNION ALL
+        SELECT DISTINCT src AS key, src AS origin FROM sym
+    ) GROUP BY key)
+    SELECT COUNT(*) AS n_keys,
+           SUM(CASE WHEN key = origin THEN 1 ELSE 0 END) AS n_self_max
+    FROM pool
+    """,
+    doc="A8 — pool counts: (#keys, #keys that are their own group maximum) "
+    "(AGraph.count, AGraph.scala:223-228). The pool here assigns every "
+    "vertex the max of itself and its neighbors — one superstep of max "
+    "propagation — then counts self-maximal vertices: one aggregation over "
+    "a derived layer.",
+    tags=("graph", "agg"),
+)
+def pool_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    sym = pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    neighbors = sym.select(F.col("src").alias("key"), F.col("dst").alias("origin")).distinct()
+    self_rows = sym.select(F.col("src").alias("key"), F.col("src").alias("origin")).distinct()
+    pool = neighbors.unionByName(self_rows).groupBy("key").agg(F.max("origin").alias("origin"))
+    return pool.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("key") == F.col("origin"), 1).otherwise(0)).alias("n_self_max"),
+    )
+
+
+@query(
     "mutation_upsert_merge",
     """
     WITH current AS (

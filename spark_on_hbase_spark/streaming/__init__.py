@@ -3,5 +3,6 @@ from spark_on_hbase_spark.streaming.ingest import (  # noqa: F401
     merge_stream_into_table,
     sessionized_counts,
     socket_stream,
+    stateful_running_stats,
     windowed_agg,
 )

@@ -96,6 +96,44 @@ def windowed_agg(
     )
 
 
+def stateful_running_stats(
+    stream: DataFrame,
+    key_col: str = "key",
+    value_col: str = "v",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, max) maintained across micro-batches, one updated
+    row emitted per key per batch.
+
+    This is the engine's escape hatch for stateful logic Structured
+    Streaming's built-ins can't express (the reference's incremental BSP
+    state, HGraphTable.scala:144-228, is the motivating shape): state lives
+    in the state store (checkpointed, partitioned by key — scales with
+    distinct keys, not events), and the per-batch kernel is Arrow-batched
+    pandas."""
+    import pandas as pd  # local: keep module import light
+
+    out_schema = (
+        f"{key_col} string, n_events bigint, total double, max_value double"
+    )
+    state_schema = "n bigint, s double, m double"
+
+    def update_fn(key, pdf_iter, state):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+            m = max(m, float(pdf[value_col].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total": [s], "max_value": [m]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def sessionized_counts(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -71,6 +71,33 @@ def test_windowed_agg_stream_matches_batch(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "y")] == (1, 7.0)
 
 
+def test_stateful_running_stats(spark, tmp_path):
+    rows = [
+        Row(key="a", v=1.0),
+        Row(key="a", v=5.0),
+        Row(key="b", v=2.0),
+    ]
+    src = tmp_path / "stateful_src"
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(src))
+
+    stream = ST.file_stream(spark, str(src), "key string, v double")
+    stats = ST.stateful_running_stats(stream, key_col="key", value_col="v")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("run_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "stateful_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["key"]: (r["n_events"], r["total"], r["max_value"])
+           for r in spark.sql("SELECT * FROM run_stats").collect()}
+    assert got["a"] == (2, 6.0, 5.0)
+    assert got["b"] == (1, 2.0, 2.0)
+
+
 def test_sessionized_counts_stream(spark, tmp_path):
     rows = [
         Row(ts="2024-01-01 00:00:00", user_id=1),
