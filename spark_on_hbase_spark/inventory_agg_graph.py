@@ -242,7 +242,7 @@ def two_level_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(freq) OVER () AS total
         FROM freq
     )
-    SELECT user_id, freq FROM ranked WHERE running > total * 0.05
+    SELECT user_id, freq FROM ranked WHERE running - freq >= total * 0.05
     """,
     doc="A11 — drop super-connected keys carrying the top 5% of total mass "
     "(AGraph.cutoff, AGraph.scala:98-113). The reference collects the "

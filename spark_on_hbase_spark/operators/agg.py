@@ -36,9 +36,11 @@ def cutoff(
     walks a cumulative sum and broadcasts a driver-side Set — which dies at
     scale. Here the cumulative sum is a window over the frequency table
     (tiny relative to the data: one row per distinct key), fully distributed.
-    Keys are kept while the running total stays within (1 - threshold) of the
-    grand total, ordered by descending frequency (ties broken by key for
-    determinism). Returns the surviving keys with their frequencies."""
+    A key is dropped iff its cumulative-mass interval *starts* before the
+    threshold boundary (``running - freq < total * threshold``), ordered by
+    descending frequency (ties broken by key for determinism) — so a single
+    key carrying more than the whole threshold is still dropped. Returns the
+    surviving keys with their frequencies."""
     freq = pairs.groupBy(key_col).agg(F.count("*").alias("freq"))
     w = Window.orderBy(F.col("freq").desc(), F.col(key_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -51,7 +53,7 @@ def cutoff(
         F.sum("freq").over(total).alias("__total"),
     )
     return ranked.where(
-        F.col("__running") > F.col("__total") * F.lit(threshold)
+        (F.col("__running") - F.col("freq")) >= F.col("__total") * F.lit(threshold)
     ).select(key_col, "freq")
 
 

@@ -218,9 +218,12 @@ def _upsert_latest(current: DataFrame, batch: DataFrame, key_col: str, ts_col: s
         batch.select(*cols).withColumn("__src", F.lit(1))
     )
     struct_cols = [c for c in cols if c != key_col]
+    # ordering key is (ts, src) only — data columns may be maps/arrays, which
+    # are not orderable; max_by carries the row as an opaque value
     packed = tagged.select(
         key_col,
-        F.struct(ts_col, "__src", *[c for c in struct_cols if c != ts_col]).alias("__row"),
+        F.struct(*struct_cols).alias("__row"),
+        F.struct(ts_col, "__src").alias("__ord"),
     )
-    latest = packed.groupBy(key_col).agg(F.max("__row").alias("__row"))
+    latest = packed.groupBy(key_col).agg(F.max_by("__row", "__ord").alias("__row"))
     return latest.select(key_col, *[F.col(f"__row.{c}").alias(c) for c in struct_cols])

@@ -1,0 +1,92 @@
+"""Graph operator unit tests on toy graphs with hand-computable answers:
+BSP convergence to exact connected components, expand/inner_expand, cutoff,
+dedup_edges EP-combine semantics, f1 scoring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.operators import agg as A
+from spark_on_hbase_spark.operators import graph as G
+
+
+@pytest.fixture(scope="module")
+def toy_edges(spark):
+    # two components: {a,b,c} (path) and {x,y}; flat directed pairs
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 0.5, "P1", 10),
+            ("b", "c", 0.9, "P2", 20),
+            ("x", "y", 0.1, "DT1", 30),
+        ],
+        "src string, dst string, prob double, vendor string, ts long",
+    )
+    return G.from_pairs(pairs)
+
+
+def test_from_pairs_symmetrizes(toy_edges):
+    edges = {(r["src"], r["dst"]) for r in toy_edges.collect()}
+    assert edges == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("x", "y"), ("y", "x")}
+
+
+def test_dedup_edges_ep_combine(spark):
+    dup = spark.createDataFrame(
+        [
+            ("a", "b", 0.5, "P1", 10),
+            ("a", "b", 0.9, "P2", 5),    # higher prob wins...
+            ("a", "b", 0.9, "P1", 7),    # ...ties broken by vendor code (P2=129 > P1=128)
+        ],
+        "src string, dst string, prob double, vendor string, ts long",
+    )
+    out = G.dedup_edges(dup).collect()
+    assert len(out) == 1
+    r = out[0]
+    # prob snaps to the EP 1/255 wire grid: round(0.9*255)=230 -> 230/255
+    assert r["prob"] == pytest.approx(230 / 255)
+    assert r["vendor"] == "P2"
+    assert r["ts"] == 10  # max ts across all duplicates, not the winner's
+
+
+def test_bsp_converges_to_components(spark, toy_edges):
+    state = toy_edges.select(F.col("src").alias("key")).distinct().withColumn(
+        "label", F.col("key")
+    )
+    final, iters = G.bsp_converge(toy_edges, state, max_iters=10, checkpoint_every=2)
+    labels = {r["key"]: r["label"] for r in final.collect()}
+    assert labels == {"a": "c", "b": "c", "c": "c", "x": "y", "y": "y"}
+    assert iters <= 4
+
+
+def test_expand_one_hop(spark, toy_edges):
+    pool = spark.createDataFrame([("a",)], "key string")
+    out = {r["key"]: r["origin"] for r in G.expand(toy_edges, pool).collect()}
+    assert out == {"a": "a", "b": "a"}  # a plus its neighbor
+
+
+def test_inner_expand_resolves_group_profiles(spark, toy_edges):
+    pool = spark.createDataFrame([("a",)], "key string")
+    profile = spark.createDataFrame([("b", 42)], "key string, score int")
+    out = G.inner_expand(toy_edges, pool, profile).collect()
+    # a's expanded group {a,b} contains b's profile; resolved back onto a
+    assert len(out) == 1 and out[0]["key"] == "a" and out[0]["score"] == 42
+
+
+def test_cutoff_drops_head_of_mass(spark):
+    # key h appears 80 times (80% of mass > 5% threshold head)
+    rows = [("h",)] * 80 + [(f"k{i}",) for i in range(20)]
+    pairs = spark.createDataFrame(rows, "key string")
+    kept = {r["key"] for r in A.cutoff(pairs, "key", threshold=0.05).collect()}
+    assert "h" not in kept  # super-connected head dropped
+    assert len(kept) == 20
+
+
+def test_f1_validate_exact(spark):
+    modeled = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("x", "y")], "src string, dst string"
+    )
+    validation = spark.createDataFrame(
+        [("a", "b"), ("a", "d"), ("x", "y")], "src string, dst string"
+    )
+    r = G.f1_validate(modeled, validation).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert r["precision"] == pytest.approx(2 / 3)
+    assert r["recall"] == pytest.approx(2 / 3)
