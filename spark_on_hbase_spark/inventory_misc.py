@@ -22,6 +22,33 @@ from spark_on_hbase_spark.inventory import dsum, load, query
 from spark_on_hbase_spark.table import _upsert_latest
 
 
+_SQL_API_TEXT = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query(
+    "sql_api_revenue_by_nation",
+    _SQL_API_TEXT,
+    doc="The SQL entry point: the engine's tables registered as temp views "
+    "and queried with spark.sql — identical text runs on the DuckDB oracle. "
+    "The reference has no SQL layer at all (SURVEY.md §3: 'no SQL layer, no "
+    "parser, no plan IR'); on DataFrames it comes free, including Catalyst "
+    "join reordering and AQE over the 3-table join.",
+    tags=("sql", "join", "agg"),
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_TEXT)
+
+
 @query(
     "keyspace_scan",
     """

@@ -110,7 +110,7 @@ _MH_K, _MH_BANDS = 12, 4  # 12 minhashes in 4 bands of 3
 def _minhash_sql() -> str:
     r = _MH_K // _MH_BANDS
     mh_aggs = ",\n               ".join(
-        f"CAST(min(CAST(('0x' || substring(md5('{i}:' || shingle), 1, 8)) AS UBIGINT)) AS BIGINT) AS mh{i}"
+        f"CAST(min(CAST(('0x' || substring(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS UBIGINT)) AS BIGINT) AS mh{i}"
         for i in range(_MH_K)
     )
     band_selects = "\n        UNION ALL\n        ".join(

@@ -75,11 +75,16 @@ def shingles_sql(text_sql: str, n: int = 3) -> str:
 
 
 def _mh_hash(i: int, shingle: Column) -> Column:
-    """The i-th minhash function: first 8 hex chars of md5('<i>:'||shingle)
-    as a bigint — uniform over [0, 2^32)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 8), 16, 10).cast(
-        "bigint"
-    )
+    """The i-th minhash function: an 8-hex-char slice of md5('<i//4>:'||
+    shingle) as a bigint, uniform over [0, 2^32). One md5 yields four
+    independent 32-bit hash functions (disjoint slices of the 128-bit
+    digest), so k minhashes cost ceil(k/4) digests per shingle — the
+    standard split-one-wide-hash trick, 4x less hashing in the hot loop."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i // 4}:"), shingle)), (i % 4) * 8 + 1, 8),
+        16,
+        10,
+    ).cast("bigint")
 
 
 def minhash_signatures(

@@ -59,6 +59,17 @@ def time_range(df: DataFrame, ts_col: str, min_ts, max_ts) -> DataFrame:
     return df.where((F.col(ts_col) >= F.lit(min_ts)) & (F.col(ts_col) < F.lit(max_ts)))
 
 
+def consistency(df: DataFrame, level: str = "STRONG") -> DataFrame:
+    """F6 — read-consistency selector (rdd.filter(consistency: Consistency),
+    HBaseRDDFunctions.scala:33-37). A storage-replication concern with no
+    analog on immutable columnar snapshots — every read here is strongly
+    consistent by construction — so this is an explicit, documented no-op
+    kept for API parity."""
+    if level not in ("STRONG", "TIMELINE"):
+        raise ValueError(f"unknown consistency level {level!r}")
+    return df
+
+
 def sample_deterministic(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """F7 — row sampling (rdd.sample / server-side RandomRowFilter,
     HBaseRDDFunctions.scala:48-52), made *deterministic and cross-engine

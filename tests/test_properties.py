@@ -1,0 +1,107 @@
+"""Hypothesis property tests for the pure-Python kernels: keyspace codec
+round-trips/orderings, partitioner bounds, EP codec laws — the reference's
+randomized-test style (KeySpaceTest.scala:30-60) broadened to properties."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_on_hbase_spark.functions.bytesfn import crc16_arc
+from spark_on_hbase_spark.functions.ep import EP, VENDOR_CODES, ep_combine, ep_decode, ep_encode
+from spark_on_hbase_spark.keys import (
+    RangePartitioner,
+    hex_keyspace,
+    long_keyspace,
+    long_positive_keyspace,
+    string_keyspace,
+    uuid_keyspace,
+)
+
+LONGS = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+POS_LONGS = st.integers(min_value=0, max_value=2**62 - 1)
+
+
+@given(LONGS)
+def test_long_keyspace_roundtrip(n):
+    ks = long_keyspace("L")
+    assert ks.decode(ks.encode(str(n))) == str(n)
+
+
+@given(POS_LONGS)
+def test_long_positive_keyspace_roundtrip(n):
+    ks = long_positive_keyspace("P")
+    assert ks.decode(ks.encode(str(n))) == str(n)
+
+
+@given(st.text(min_size=1, max_size=40))
+def test_string_keyspace_roundtrip(s):
+    ks = string_keyspace("S")
+    assert ks.decode(ks.encode(s)) == s
+
+
+@given(st.binary(min_size=1, max_size=32))
+def test_hex_keyspace_roundtrip(b):
+    ks = hex_keyspace("H")
+    assert ks.decode(ks.encode(b.hex())) == b.hex()
+
+
+@given(st.uuids())
+def test_uuid_keyspace_roundtrip(u):
+    ks = uuid_keyspace("U")
+    assert ks.decode(ks.encode(str(u))) == str(u)
+
+
+@given(st.binary(min_size=1, max_size=64), st.integers(min_value=1, max_value=1024))
+def test_partitioner_in_bounds(key, n):
+    p = RangePartitioner(n)
+    assert 0 <= p(key) < n
+
+
+@given(st.integers(min_value=1, max_value=512))
+def test_partitioner_covers_extremes(n):
+    p = RangePartitioner(n)
+    assert p(b"\x00" * 16) == 0
+    assert p(b"\xff" * 16) == n - 1
+
+
+@given(st.binary(min_size=0, max_size=64))
+def test_crc16_fits_java_int(b):
+    # bug-compatible with the reference's Java signed-byte CRC
+    # (ByteUtils.java:223-237): a Java int, not a uint16 (see bytesfn.py)
+    v = crc16_arc(b)
+    assert -(2**31) <= v < 2**31
+    assert crc16_arc(b) == v  # deterministic
+
+
+EPS = st.builds(
+    EP,
+    probability=st.integers(min_value=0, max_value=255).map(lambda k: k / 255.0),
+    vendor=st.sampled_from(sorted(VENDOR_CODES)),
+    ts=st.integers(min_value=0, max_value=2**40),
+)
+
+
+@given(EPS)
+@settings(max_examples=50)
+def test_ep_codec_roundtrip(ep):
+    packed, ts = ep_encode(ep.probability, ep.vendor, ep.ts)
+    back = ep_decode(packed, ts)
+    if ep.vendor != "RESERVED":  # RESERVED decodes via the vendor table too
+        assert back.vendor == ep.vendor
+    assert abs(back.probability - ep.probability) < 1 / 255 + 1e-9
+    assert back.ts == ep.ts
+
+
+@given(EPS, EPS, EPS)
+@settings(max_examples=50)
+def test_ep_combine_commutative_associative(a, b, c):
+    ab, ba = ep_combine(a, b), ep_combine(b, a)
+    assert (ab.probability, ab.vendor, ab.ts) == (ba.probability, ba.vendor, ba.ts)
+    left = ep_combine(ep_combine(a, b), c)
+    right = ep_combine(a, ep_combine(b, c))
+    assert (left.probability, left.vendor, left.ts) == (right.probability, right.vendor, right.ts)
+
+
+@given(EPS)
+def test_ep_combine_idempotent(a):
+    aa = ep_combine(a, a)
+    assert (aa.probability, aa.vendor, aa.ts) == (a.probability, a.vendor, a.ts)
