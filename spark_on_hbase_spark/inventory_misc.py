@@ -22,6 +22,38 @@ from spark_on_hbase_spark.inventory import dsum, load, query
 from spark_on_hbase_spark.table import _upsert_latest
 
 
+@query(
+    "merge_join_big_big",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 100000.0
+    GROUP BY o.o_orderpriority
+    """,
+    doc="J2 — sort-merge join of two big keyed tables (HBaseJoinRangeScan "
+    "walks sorted iterators in lockstep, HBaseRDDFunctions.scala:200-268; "
+    "Spark's SMJ is the same algorithm). The merge hint pins the strategy "
+    "for the big-big case; with both tables stored bucketed/sorted by key "
+    "the exchange is elided entirely (storage-partitioned join). Plan "
+    "asserted in tests/test_plans.py.",
+    tags=("join",),
+)
+def merge_join_big_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators.joins import merge_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000.0).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = merge_join(li, orders, on="l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 _SQL_API_TEXT = """
     SELECT n.n_name,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -93,6 +93,29 @@ def to_adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+def from_text_adjacency(
+    lines: DataFrame,
+    default_prob: float = 1.0,
+    default_vendor: str = "UNKNOWN",
+    default_ts: int = 0,
+) -> DataFrame:
+    """G4 — ingest whitespace-separated adjacency lines ``src dst1 dst2 ...``
+    into a symmetric deduplicated network (DemoGraphApp.fromTextList,
+    examples/graph/DemoGraphApp.scala:51-65): read.text -> split -> explode
+    -> symmetrize -> dedup. ``lines`` has one string column ``value``."""
+    toks = F.filter(F.split(F.col("value"), r"\s+"), lambda w: w != "")
+    pairs = (
+        lines.select(
+            F.element_at(toks, 1).alias("src"),
+            F.explode(F.slice(toks, 2, 1_000_000)).alias("dst"),
+        )
+        .withColumn("prob", F.lit(default_prob))
+        .withColumn("vendor", F.lit(default_vendor))
+        .withColumn("ts", F.lit(default_ts))
+    )
+    return from_pairs(pairs)
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Out-degree per vertex (NumEdges transformation,
     examples/graph/HGraphTable.scala:60-67)."""

@@ -79,6 +79,20 @@ def test_cutoff_drops_head_of_mass(spark):
     assert len(kept) == 20
 
 
+def test_from_text_adjacency(spark):
+    lines = spark.createDataFrame([("a b c",), ("b c",)], "value string")
+    net = G.from_text_adjacency(lines)
+    edges = {(r["src"], r["dst"]) for r in net.collect()}
+    assert edges == {
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b"),
+    }
+
+
+def test_to_adjacency_sorted(spark, toy_edges):
+    adj = {r["src"]: [e["dst"] for e in r["edges"]] for r in G.to_adjacency(toy_edges).collect()}
+    assert adj["b"] == ["a", "c"]  # adjacency list sorted by dst
+
+
 def test_f1_validate_exact(spark):
     modeled = spark.createDataFrame(
         [("a", "b"), ("a", "c"), ("x", "y")], "src string, dst string"

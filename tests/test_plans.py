@@ -52,6 +52,12 @@ def test_q1_single_aggregation_no_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_merge_join_plans_smj(spark, sf_dir):
+    df = QUERIES["merge_join_big_big"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" in plan
+
+
 def test_no_row_python_udf_anywhere(spark, sf_dir):
     for name, spec in QUERIES.items():
         df = spec.fn(spark, sf_dir)
