@@ -24,6 +24,7 @@ partial aggregation, salted keys for uniform range partitioning.
 """
 
 from spark_on_hbase_spark.session import get_spark
+from spark_on_hbase_spark.table import KeyedTable
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "KeyedTable"]
 __version__ = "0.1.0"

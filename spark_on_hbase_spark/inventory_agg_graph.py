@@ -86,12 +86,22 @@ NETWORK_SQL = f"""
 """
 
 
+_NETWORK_CACHE: dict = {}
+
+
 def network(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized (localCheckpoint) so multi-reference plans — BSP
-    supersteps, innerExpand's four joins — compute the dedup once instead of
-    inlining it per reference. On a cluster this is the persisted network
-    layer the reference also materializes (HGraphTable.loadNet)."""
-    return G.from_pairs(supplier_part_pairs(spark, sf_dir)).localCheckpoint()
+    """Materialized (localCheckpoint) AND memoized per (session, sf_dir):
+    multi-reference plans — BSP supersteps, innerExpand's four joins — and
+    the seven network-based queries compute the dedup once instead of
+    re-deriving it. On a cluster this is the persisted network layer the
+    reference also materializes (HGraphTable.loadNet)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NETWORK_CACHE:
+        _NETWORK_CACHE.clear()  # one session at a time; drop stale handles
+        _NETWORK_CACHE[key] = G.from_pairs(
+            supplier_part_pairs(spark, sf_dir)
+        ).localCheckpoint()
+    return _NETWORK_CACHE[key]
 
 
 # ===========================================================================

@@ -70,15 +70,24 @@ def _shingled_sql(n: int) -> str:
     """
 
 
+_SHINGLE_CACHE: dict = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """Materialized (localCheckpoint): the dedup pipelines reference the
-    exploded shingle relation 3-5 times (signatures, doc-freq, sizes, both
-    verify sides); checkpointing computes the explode + md5s once."""
-    return (
-        corpus(spark, sf_dir)
-        .select("doc_id", F.explode(D.shingles_expr("text", n)).alias("shingle"))
-        .localCheckpoint()
-    )
+    """Materialized (localCheckpoint) AND memoized per (session, sf_dir, n):
+    the dedup pipelines reference the exploded shingle relation 3-5 times
+    each (signatures, doc-freq, sizes, both verify sides) and minhash/simhash
+    share the n=3 relation; checkpointing computes the explode once."""
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    if key not in _SHINGLE_CACHE:
+        for stale in [k for k in _SHINGLE_CACHE if k[0] != key[0] or k[1] != key[1]]:
+            del _SHINGLE_CACHE[stale]
+        _SHINGLE_CACHE[key] = (
+            corpus(spark, sf_dir)
+            .select("doc_id", F.explode(D.shingles_expr("text", n)).alias("shingle"))
+            .localCheckpoint()
+        )
+    return _SHINGLE_CACHE[key]
 
 
 # ===========================================================================

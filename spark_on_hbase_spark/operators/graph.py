@@ -189,24 +189,46 @@ def bsp_step(edges: DataFrame, state: DataFrame) -> DataFrame:
 def bsp_converge(
     edges: DataFrame, state: DataFrame, max_iters: int = 50, checkpoint_every: int = 5
 ) -> tuple[DataFrame, int]:
-    """G2 — iterate bsp_step to a fixpoint (max-label connected components),
-    the engine's version of the reference's incremental N-step BSP
-    (HGraphTable.scala:144-228, incl. its per-superstep persist/unpersist
+    """G2 — iterate max-label propagation to a fixpoint (connected
+    components), the engine's version of the reference's incremental N-step
+    BSP (HGraphTable.scala:144-228, incl. its per-superstep persist/unpersist
     discipline at HGraphTable.scala:116-124 -> localCheckpoint here, which
-    truncates lineage so the loop survives hundreds of supersteps)."""
-    spark = edges.sparkSession
+    truncates lineage so hundreds of supersteps survive).
+
+    Runs as a **delta iteration**: only vertices whose label changed last
+    superstep (the frontier) send messages, so message volume shrinks every
+    round — on a 100 TB graph the late supersteps touch a tiny fraction of
+    edges instead of all of them. Change detection piggybacks on the merge
+    aggregation (old label = max over the state-tagged rows), so each
+    superstep is ONE shuffle aggregation plus a cheap count on the
+    materialized result — no separate convergence join.
+
+    ``checkpoint_every`` is kept for API stability; every superstep's merge
+    is materialized via localCheckpoint (it is read twice: as next state and
+    as next frontier)."""
     edges = edges.localCheckpoint()
     current = state.localCheckpoint()
+    frontier = current
     for i in range(1, max_iters + 1):
-        nxt = bsp_step(edges, current)
-        nxt = nxt.localCheckpoint() if i % checkpoint_every == 0 else nxt.persist()
-        changed = (
-            nxt.join(current.withColumnRenamed("label", "__old"), on="key", how="inner")
-            .where(F.col("label") != F.col("__old"))
-            .limit(1)
-            .count()
+        messages = edges.join(frontier, edges["src"] == frontier["key"], "inner").select(
+            F.col("dst").alias("key"), F.col("label")
         )
-        current.unpersist()
+        tagged = current.withColumn("__s", F.lit(1)).unionByName(
+            messages.withColumn("__s", F.lit(0))
+        )
+        merged = (
+            tagged.groupBy("key")
+            .agg(
+                F.max("label").alias("label"),
+                F.max(F.when(F.col("__s") == 1, F.col("label"))).alias("__old"),
+            )
+            .localCheckpoint()
+        )
+        frontier = merged.where(
+            F.col("__old").isNull() | (F.col("label") > F.col("__old"))
+        ).select("key", "label")
+        nxt = merged.select("key", "label")
+        changed = frontier.limit(1).count()
         current = nxt
         if changed == 0:
             return current, i

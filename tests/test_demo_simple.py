@@ -76,6 +76,26 @@ def test_cell_count(demo_table):
         assert v == expected[k]
 
 
+def test_sample_derive_join_back(spark, demo_table):
+    """The demo's sample -> derived column -> inner join back on key
+    pipeline (DemoSimpleApp.scala:66-106): deterministic sample, compute
+    width*height, join the small derived set back against the table."""
+    from spark_on_hbase_spark.operators.joins import lookup_join
+    from spark_on_hbase_spark.operators.scan import sample_deterministic
+
+    table, rows = demo_table
+    full = select_required(table.df(), "key", "FAM:width", "FAM:height")
+    sampled = sample_deterministic(full, "key", 0.2).withColumn(
+        "area", F.col("FAM_width") * F.col("FAM_height")
+    )
+    joined = lookup_join(table.df(), sampled.select("key", "area"), on="key")
+    n_s, n_j = sampled.count(), joined.count()
+    assert n_j == n_s  # every sampled key joins back exactly once
+    assert 0 < n_s < full.count()
+    r = joined.select("key", "area", "FAM").limit(1).collect()[0]
+    assert r["area"] == pytest.approx(r["FAM"]["width"] * r["FAM"]["height"])
+
+
 def test_update_merges_family_maps(spark, demo_table):
     table, rows = demo_table
     batch = spark.createDataFrame(
