@@ -91,6 +91,41 @@ def test_copy_roundtrip(spark, table, tmp_path):
     assert sorted(rows(dest)) == sorted(rows(table))
 
 
+def test_updates_append_deltas_not_rewrite(spark, table):
+    """LSM invariant: each mutation appends one sorted delta layer; the base
+    is untouched until compaction (O(batch) writes — HBase memstore/HFile)."""
+    layers_before = table._layers()
+    assert len(layers_before) == 1 and layers_before[0].name.startswith("base-")
+    table.update(spark.createDataFrame([Row(key="k001", ts=300, height=1, tag="d1")]))
+    table.update(spark.createDataFrame([Row(key="k002", ts=300, height=2, tag="d2")]))
+    layers = table._layers()
+    assert len(layers) == 3
+    assert layers[0] == layers_before[0]  # base unchanged
+    assert all(p.name.startswith("delta-") for p in layers[1:])
+    r = rows(table)
+    assert r["k001"]["tag"] == "d1" and r["k002"]["tag"] == "d2"
+
+
+def test_compaction_folds_layers_and_purges_tombstones(spark, table):
+    table.update(spark.createDataFrame([Row(key="x1", ts=300, height=0, tag="t")]))
+    table.delete(spark.createDataFrame([Row(key="x1")]))
+    assert len(table._layers()) == 3
+    before = rows(table)
+    table.compact()
+    assert len(table._layers()) == 1
+    assert rows(table) == before  # logical view unchanged by compaction
+    assert "x1" not in before  # tombstone purged physically and logically
+
+
+def test_auto_compaction_bounds_delta_stack(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "auto"), num_partitions=2, compact_threshold=3)
+    t.create(spark.createDataFrame([Row(key="a", ts=0, v=0)]))
+    for i in range(1, 6):
+        t.update(spark.createDataFrame([Row(key="a", ts=i, v=i)]))
+    assert len(t._layers()) <= 4  # stack bounded by threshold + fresh deltas
+    assert rows(t)["a"]["v"] == 5
+
+
 def test_write_is_sorted_within_partitions(spark, table):
     # the bulk-write layout guarantee (HFile pipeline twin): files sorted by key
     df = table.df().select("key", F.spark_partition_id().alias("pid"))
