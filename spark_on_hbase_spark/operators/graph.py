@@ -235,6 +235,59 @@ def bsp_converge(
     return current, max_iters
 
 
+def propagate_probabilities(
+    edges: DataFrame,
+    seeds: DataFrame,
+    min_prob: float = 0.01,
+    max_iters: int = 10,
+) -> tuple[DataFrame, int]:
+    """G2's flagship incremental BSP (the reference's commented-out design,
+    HGraphTable.scala:144-228): propagate seed identities through the graph
+    with probability decay — a message from a vertex that reaches origin o
+    with probability p crosses an edge of probability q carrying p*q; each
+    vertex keeps the max probability per origin; messages below ``min_prob``
+    are dropped (the reference filters the inbox against known
+    probabilities, :179-186).
+
+    Delta iteration like bsp_converge: only improved (key, origin, prob)
+    entries re-send. ``seeds``: (key, origin) — typically origin = key.
+    Returns ((key, origin, prob) state, supersteps run)."""
+    edges = edges.localCheckpoint()
+    current = (
+        seeds.select("key", "origin").withColumn("prob", F.lit(1.0)).localCheckpoint()
+    )
+    frontier = current
+    for i in range(1, max_iters + 1):
+        messages = (
+            edges.join(frontier, edges["src"] == frontier["key"], "inner")
+            .select(
+                F.col("dst").alias("key"),
+                F.col("origin"),
+                (frontier["prob"] * edges["prob"]).alias("prob"),
+            )
+            .where(F.col("prob") >= min_prob)
+        )
+        tagged = current.withColumn("__s", F.lit(1)).unionByName(
+            messages.withColumn("__s", F.lit(0))
+        )
+        merged = (
+            tagged.groupBy("key", "origin")
+            .agg(
+                F.max("prob").alias("prob"),
+                F.max(F.when(F.col("__s") == 1, F.col("prob"))).alias("__old"),
+            )
+            .localCheckpoint()
+        )
+        frontier = merged.where(
+            F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
+        ).select("key", "origin", "prob")
+        changed = frontier.limit(1).count()
+        current = merged.select("key", "origin", "prob")
+        if changed == 0:
+            return current, i
+    return current, max_iters
+
+
 def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:
     """J12 — precision/recall/F1 of a modeled edge set against a validation
     edge set (AGraph.f1, AGraph.scala:307-326: join + per-key set

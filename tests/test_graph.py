@@ -79,6 +79,27 @@ def test_cutoff_drops_head_of_mass(spark):
     assert len(kept) == 20
 
 
+def test_propagate_probabilities_decay(spark, toy_edges):
+    # seed at a: prob decays along a-(0.5)-b-(0.9)-c (quantized to 1/255 grid)
+    seeds = spark.createDataFrame([("a", "a")], "key string, origin string")
+    state, iters = G.propagate_probabilities(toy_edges, seeds, min_prob=0.01)
+    p = {r["key"]: r["prob"] for r in state.collect()}
+    pa_b = 128 / 255  # 0.5 on the EP wire grid (127.5 rounds half-up)
+    pb_c = 230 / 255  # 0.9 on the EP wire grid (0.9 in binary is just above .5 boundary)
+    assert p["a"] == pytest.approx(1.0)
+    assert p["b"] == pytest.approx(pa_b)
+    assert p["c"] == pytest.approx(pa_b * pb_c)
+    assert "x" not in p  # other component unreached
+    assert iters <= 4
+
+
+def test_propagate_probabilities_min_prob_cutoff(spark, toy_edges):
+    seeds = spark.createDataFrame([("a", "a")], "key string, origin string")
+    state, _ = G.propagate_probabilities(toy_edges, seeds, min_prob=0.6)
+    keys = {r["key"] for r in state.collect()}
+    assert keys == {"a"}  # 0.5-edge message dropped below the floor
+
+
 def test_from_text_adjacency(spark):
     lines = spark.createDataFrame([("a b c",), ("b c",)], "value string")
     net = G.from_text_adjacency(lines)
