@@ -502,6 +502,64 @@ def f1_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROP_STEP_SQL = """
+    {next} AS (
+        SELECT key, origin, MAX(prob) AS prob FROM (
+            SELECT key, origin, prob FROM {cur}
+            UNION ALL
+            SELECT n.dst AS key, s.origin, s.prob * n.prob AS prob
+            FROM network n JOIN {cur} s ON n.src = s.key
+            WHERE s.prob * n.prob >= 0.001
+        ) GROUP BY key, origin
+    )
+"""
+
+
+@query(
+    "prob_propagation_2step",
+    f"""
+    WITH {NETWORK_SQL},
+    s0 AS (
+        SELECT 's:' || s_suppkey AS key, 's:' || s_suppkey AS origin,
+               CAST(1.0 AS DOUBLE) AS prob
+        FROM supplier WHERE s_acctbal > 3000.0
+    ),
+    {_PROP_STEP_SQL.format(cur='s0', next='s1')},
+    {_PROP_STEP_SQL.format(cur='s1', next='s2')}
+    SELECT key, origin, prob FROM s2
+    """,
+    doc="G2 (bounded) — two supersteps of the reference's flagship "
+    "incremental BSP: seed identities propagate with probability decay "
+    "(message prob = sender prob x edge prob), vertices keep the max prob "
+    "per origin, messages under the floor are dropped "
+    "(HGraphTable.scala:144-228, inbox filter at :179-186). The converged "
+    "delta-iteration form is graph.propagate_probabilities (tested in "
+    "tests/test_graph.py); two steps keep the oracle SQL-expressible.",
+    tags=("graph", "bsp"),
+)
+def prob_propagation_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    net = network(spark, sf_dir)
+    state = _pool(spark, sf_dir).select(
+        F.col("key").alias("origin"), "key", F.lit(1.0).alias("prob")
+    ).select("key", "origin", "prob")
+    for _ in range(2):
+        messages = (
+            net.join(state, net["src"] == state["key"], "inner")
+            .select(
+                F.col("dst").alias("key"),
+                F.col("origin"),
+                (state["prob"] * net["prob"]).alias("prob"),
+            )
+            .where(F.col("prob") >= 0.001)
+        )
+        state = (
+            state.unionByName(messages)
+            .groupBy("key", "origin")
+            .agg(F.max("prob").alias("prob"))
+        )
+    return state
+
+
 @query(
     "max_connected",
     f"""
