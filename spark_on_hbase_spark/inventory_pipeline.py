@@ -417,6 +417,54 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.lsh_topk(emb, queries, k=10, num_planes=8, dim=64)
 
 
+_IVF_D2 = V.IVF_D2_SQL.format(a="b.v", b="c.cv")
+_IVF_COS = V.COSINE_SQL.format(
+    dot=V.dot_sql("q.qv", "a.v"), na=V.norm2_sql("q.qv"), nb=V.norm2_sql("a.v")
+)
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH {_BASE_VECS_SQL},
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base_vecs WHERE vec_id % 101 = 0),
+    assigned AS (
+        SELECT vec_id, v, cid AS centroid_id FROM (
+            SELECT b.vec_id, b.v, c.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_IVF_D2}, c.cid) AS rn
+            FROM base_vecs b CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    ivf_queries AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id
+        FROM assigned WHERE vec_id % 97 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id, {_IVF_COS} AS cosine,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_IVF_COS} DESC, a.vec_id) AS rank
+        FROM ivf_queries q
+        JOIN assigned a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM scored WHERE rank <= 10
+    """,
+    doc="IVF ANN top-k (the third ANN path beside brute force and sign-LSH): "
+    "a deterministic coarse-centroid set partitions the corpus into cells "
+    "by exact nearest-centroid assignment; each query probes only its own "
+    "cell (nprobe=1). At 100 TB the cell id is the storage partition key — "
+    "assignment is reusable across query batches and a k-means refinement "
+    "of the centroids drops in without changing the query path "
+    "(similarity.ivf_assign / ivf_topk).",
+    tags=("similarity", "embedding", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % 101 == 0)
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    return V.ivf_topk(emb, queries, centroids, k=10)
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================

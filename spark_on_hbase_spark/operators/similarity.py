@@ -200,6 +200,81 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    by exact quantized squared-L2 distance (ties broken by centroid id).
+    Centroids broadcast (there are few); one scan of the corpus. Returns
+    (id, qvec, centroid_id)."""
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(qvec_col).alias("__cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col(qvec_col), F.col("__cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        id_col, qvec_col, "__cid", d2.alias("__d2")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min_by(F.struct("__cid", qvec_col), F.struct("__d2", "__cid")).alias("__b")
+    )
+    return best.select(
+        id_col, F.col(f"__b.{qvec_col}").alias(qvec_col), F.col("__b.__cid").alias("centroid_id")
+    )
+
+
+IVF_D2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus partitioned by nearest-centroid cell; each
+    query probes only its own cell (nprobe=1). At 100 TB the cell id is the
+    storage partition key — a query touches ~|corpus| / |centroids| rows,
+    and the assignment pass is reusable across query batches. Centroids are
+    any small deterministic seed set (a k-means refinement drops in without
+    changing the query path)."""
+    from pyspark.sql import Window
+
+    cq = centroids.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
+    corpus = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
+    qs = queries.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
+    corpus_cells = ivf_assign(corpus, cq, id_col, "__v")
+    query_cells = ivf_assign(qs, cq, id_col, "__v").select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
+    )
+    scored = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "centroid_id")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            cosine_expr(
+                dot_expr(F.col("__qv"), F.col("__v")),
+                norm2_expr(F.col("__qv")),
+                norm2_expr(F.col("__v")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.98,
