@@ -1,0 +1,66 @@
+"""Training-data pipeline demo: the corpus-hygiene passes a 100 TB
+pre-training pipeline runs, end to end on the driver testdata —
+fingerprint -> exact dedup -> minhash near-dedup -> quality gate ->
+language ID -> embedding ANN.
+
+    python examples/demo_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from spark_on_hbase_spark import get_spark
+from spark_on_hbase_spark.operators import dedup as D
+from spark_on_hbase_spark.operators import similarity as V
+from spark_on_hbase_spark.operators import text as T
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("demo-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    n0 = docs.count()
+    print(f"corpus: {n0} documents")
+
+    # 1. fingerprint + exact dedup
+    fp = T.fingerprint(docs)
+    groups = D.exact_dup_groups(fp, text_col="fingerprint", id_col="doc_id")
+    print("exact-dup groups:", groups.count())
+
+    # 2. minhash near-dedup: keep the min doc_id of every near-dup pair
+    shingled = docs.select(
+        "doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle")
+    ).localCheckpoint()
+    sigs = D.minhash_signatures(shingled, "doc_id", "shingle", 12)
+    bands = D.lsh_bands(sigs, "doc_id", 12, 4)
+    pairs = D.candidate_pairs(bands, "doc_id")
+    near = D.jaccard_verify(pairs, shingled, "doc_id", "shingle", 0.7)
+    doomed = near.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = docs.join(doomed, "doc_id", "left_anti")
+    print(f"after near-dedup: {deduped.count()} (dropped {n0 - deduped.count()})")
+
+    # 3. quality gate + language ID
+    scored = T.quality_score(deduped)
+    kept = scored.where((F.col("n_tokens") >= 20) & (F.col("stop_ratio") > 0))
+    print("after quality gate:", kept.count())
+    pred = T.lang_id(kept.select("doc_id", "text", "lang"))
+    agreement = pred.where(F.col("pred_lang") == F.col("lang")).count() / max(pred.count(), 1)
+    print(f"language-ID agreement with labels: {agreement:.1%}")
+
+    # 4. embedding ANN over the vector table
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    top = V.lsh_topk(emb, queries, k=5, num_planes=8, dim=64)
+    print("ANN neighbors (LSH, first query):")
+    top.orderBy("query_id", "rank").show(5)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,8 @@ pattern — but the expression form keeps whole-stage codegen.)
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -198,6 +200,31 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_pandas_udf():
+    """Vectorized Pandas-UDF cosine kernel over two quantized int64 vector
+    columns — the Arrow-batched alternative to the expression kernel
+    (cosine_expr), for callers that prefer numpy. Bit-identical to the
+    expression path: int64 dot/norms are exact, the final ops are the same
+    IEEE doubles (asserted in tests/test_pipeline.py). Expressions remain
+    the default — they stay inside codegen; this exists as the sanctioned
+    vectorized escape hatch pattern."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            xv = np.asarray(x, dtype=np.int64)
+            yv = np.asarray(y, dtype=np.int64)
+            dot = int(np.dot(xv, yv))
+            nx = int(np.dot(xv, xv))
+            ny = int(np.dot(yv, yv))
+            out[i] = float(dot) / (np.sqrt(float(nx)) * np.sqrt(float(ny)))
+        return pd.Series(out)
+
+    return _cos
 
 
 def ivf_assign(

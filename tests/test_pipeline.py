@@ -101,6 +101,25 @@ def test_near_dups_by_bucket(vectors):
     assert (1, 100) in found
 
 
+def test_pandas_cosine_kernel_matches_expressions(vectors):
+    """The Arrow-batched numpy kernel and the JVM expression kernel must be
+    bit-identical (both compute exact int64 dot/norms + the same IEEE ops)."""
+    q = vectors.select("vec_id", V.quantize_expr("embedding").alias("v"))
+    a = q.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = q.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b")).limit(50)
+    cos_expr = V.cosine_expr(
+        V.dot_expr(F.col("va"), F.col("vb")),
+        V.norm2_expr(F.col("va")),
+        V.norm2_expr(F.col("vb")),
+    )
+    kernel = V.cosine_pandas_udf()
+    out = pairs.select(
+        cos_expr.alias("c_expr"), kernel(F.col("va"), F.col("vb")).alias("c_pd")
+    ).collect()
+    assert out and all(r["c_expr"] == r["c_pd"] for r in out)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
