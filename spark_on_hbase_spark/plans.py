@@ -72,9 +72,12 @@ def assert_no_shuffle(df: DataFrame) -> None:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of Exchange nodes. Formatted mode prints every node twice
-    (tree + details); ``Exchange (N)`` is the tree form, counted once."""
-    return formatted_plan(df).count("Exchange (")
+    """Number of SHUFFLE Exchange nodes (broadcast exchanges excluded —
+    shipping a small side is the cheap alternative to a shuffle, not one).
+    Formatted mode prints every node twice (tree + details); ``Exchange (N)``
+    is the tree form, counted once."""
+    plan = formatted_plan(df)
+    return plan.count("Exchange (") - plan.count("BroadcastExchange (")
 
 
 def assert_whole_stage_codegen(df: DataFrame) -> None:
