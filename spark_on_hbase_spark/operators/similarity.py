@@ -261,6 +261,51 @@ IVF_D2_SQL = (
 )
 
 
+def kmeans_refine(
+    vectors: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """Lloyd's k-means over quantized vectors, DataFrame-native: assign
+    (exact int L2 via ivf_assign) -> recompute centroids as element-wise
+    means (posexplode -> per-(cell, dim) avg -> rebuild array) -> repeat.
+    Empty cells keep their previous centroid. Returns (vec_id=cell id,
+    __v=centroid) ready for ivf_topk — upgrading IVF from seed centroids to
+    trained ones without changing the query path.
+
+    Per iteration: one broadcast-assign scan + one (cell, dim)-key
+    aggregation — both partial+final, no driver-side state; centroids are
+    localCheckpoint'ed so the loop's lineage stays O(1)."""
+    centroids = init_centroids.select(
+        F.col(id_col), F.col(qvec_col)
+    ).localCheckpoint()
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, centroids, id_col, qvec_col)
+        dims = assigned.select(
+            F.col("centroid_id"), F.posexplode(F.col(qvec_col)).alias("__d", "__x")
+        )
+        means = (
+            dims.groupBy("centroid_id", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__d", "__m"))),
+                    lambda s: F.round(s["__m"]).cast("bigint"),
+                ).alias(qvec_col)
+            )
+            .select(F.col("centroid_id").alias(id_col), qvec_col)
+        )
+        # empty cells: keep the old centroid
+        kept = centroids.join(
+            means.select(F.col(id_col)), id_col, "left_anti"
+        )
+        centroids = means.unionByName(kept).localCheckpoint()
+    return centroids
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,

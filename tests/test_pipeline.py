@@ -101,6 +101,26 @@ def test_near_dups_by_bucket(vectors):
     assert (1, 100) in found
 
 
+def test_kmeans_refine_separates_clusters(spark):
+    # two tight clusters around (0,0,0,0) and (10,10,10,10)
+    pts = [[0.1 * i, 0.0, 0.1, 0.0] for i in range(5)]
+    pts += [[10.0 + 0.1 * i, 10.0, 10.0, 10.1] for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "vec_id bigint, embedding array<double>"
+    ).select("vec_id", V.quantize_expr("embedding").alias("__v"))
+    # seeds: one point from each cluster
+    seeds = df.where(F.col("vec_id").isin(0, 9))
+    refined = V.kmeans_refine(df, seeds, iters=3)
+    assigned = V.ivf_assign(df, refined)
+    cells = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert len({cells[i] for i in range(5)}) == 1
+    assert len({cells[i] for i in range(5, 10)}) == 1
+    assert cells[0] != cells[9]
+    # refined centroid ~ cluster mean (quantized): first dim of cluster A = 0.2
+    c = {r["vec_id"]: r["__v"] for r in refined.collect()}
+    assert abs(c[cells[0]][0] - 200_000) < 3000
+
+
 def test_pandas_cosine_kernel_matches_expressions(vectors):
     """The Arrow-batched numpy kernel and the JVM expression kernel must be
     bit-identical (both compute exact int64 dot/norms + the same IEEE ops)."""
