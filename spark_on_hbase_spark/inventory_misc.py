@@ -55,13 +55,14 @@ def merge_join_big_big(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_API_TEXT = """
-    SELECT n.n_name,
+    SELECT r.r_name, n.n_name,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
 """
 
 
@@ -76,7 +77,7 @@ _SQL_API_TEXT = """
     tags=("sql", "join", "agg"),
 )
 def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("orders", "customer", "nation"):
+    for t in ("orders", "customer", "nation", "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_API_TEXT)
 

@@ -73,6 +73,21 @@ def fill_join(
     return out.drop(*[f"__lk_{dst}" for dst in fill_cols])
 
 
+def join_repartitioned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """J4 — join, then re-range-partition the result to the keyed-table
+    layout (rdd.join(other, partitioner), HBaseRDDFunctions.scala:72-74):
+    the shape used before writing join output back to a KeyedTable, so the
+    write needs no extra shuffle."""
+    cols = [on] if isinstance(on, str) else list(on)
+    return left.join(right, on=on, how=how).repartitionByRange(num_partitions, *cols)
+
+
 def semi_join(table: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
     """F11's ``limit`` / J11's id-restriction, as a proper left-semi join
     (the reference approximates it with inner join + project,
