@@ -84,7 +84,8 @@ def _shingled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
             del _SHINGLE_CACHE[stale]
         _SHINGLE_CACHE[key] = (
             corpus(spark, sf_dir)
-            .select("doc_id", F.explode(D.shingles_expr("text", n)).alias("shingle"))
+            .select("doc_id", T.words_expr("text").alias("__ws"))
+            .select("doc_id", F.explode(D.shingles_from_words(F.col("__ws"), n)).alias("shingle"))
             .localCheckpoint()
         )
     return _SHINGLE_CACHE[key]

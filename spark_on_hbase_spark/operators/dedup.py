@@ -51,9 +51,13 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
-def shingles_expr(text_col: str | Column = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document as an array<string>."""
-    ws = words_expr(text_col)
+def shingles_from_words(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED words
+    array column. Callers must project the words array first
+    (``df.withColumn("ws", words_expr(...))``): referencing a split()
+    expression inside the higher-order lambda would re-tokenize the document
+    once per shingle index — an O(doc_len^2) trap measured at ~7x on the
+    corpus explode."""
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
@@ -63,6 +67,13 @@ def shingles_expr(text_col: str | Column = "text", n: int = 3) -> Column:
     return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles_expr(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document as an array<string>.
+    Convenience form for small inputs; hot paths should tokenize once and
+    use shingles_from_words (see its docstring)."""
+    return shingles_from_words(words_expr(text_col), n)
 
 
 def shingles_sql(text_sql: str, n: int = 3) -> str:

@@ -59,6 +59,20 @@ def time_range(df: DataFrame, ts_col: str, min_ts, max_ts) -> DataFrame:
     return df.where((F.col(ts_col) >= F.lit(min_ts)) & (F.col(ts_col) < F.lit(max_ts)))
 
 
+def ttl_filter(df: DataFrame, ts_col: str, as_of, ttl_seconds: int) -> DataFrame:
+    """TTL expiry as a read-side filter: keep rows whose cell timestamp is
+    within ``ttl_seconds`` of ``as_of``. The reference's column families
+    carry TTLs enforced by HBase at read/compaction time
+    (HBaseAdminUtils.column ttl attr, misc/HBaseAdminUtils.scala:86-103;
+    demo families use 30-360 days, HGraphTable.scala:23-25). On immutable
+    storage the same semantics are a predicate (pushed to the scan) at read
+    time, and physical removal happens at compaction — exactly HBase's
+    model. ``as_of`` is explicit, never wall-clock: deterministic reads."""
+    return df.where(
+        F.col(ts_col) >= F.lit(as_of).cast("timestamp") - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+    )
+
+
 def consistency(df: DataFrame, level: str = "STRONG") -> DataFrame:
     """F6 — read-consistency selector (rdd.filter(consistency: Consistency),
     HBaseRDDFunctions.scala:33-37). A storage-replication concern with no

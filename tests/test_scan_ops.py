@@ -49,6 +49,14 @@ def test_select_required_plain_vs_qualified(spark):
     assert S.select_required(df, "a", "b!").count() == 1    # qualified: drop null
 
 
+def test_ttl_filter(spark):
+    df = spark.createDataFrame(
+        [Row(ts="2024-01-01 00:00:00", v=0), Row(ts="2024-01-08 00:00:00", v=1)]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = S.ttl_filter(df, "ts", "2024-01-10 00:00:00", ttl_seconds=5 * 86400)
+    assert [r["v"] for r in out.collect()] == [1]  # 9-day-old row expired
+
+
 def test_consistency_noop(spark):
     df = spark.createDataFrame([Row(a=1)])
     assert S.consistency(df, "STRONG") is df
