@@ -55,13 +55,21 @@ def query(name: str, sql: Optional[str], doc: str = "", tags: tuple = ()):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; sub-microsecond parts are zero
-        # in the testdata, so the µs conversion is lossless.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type, so
+        # surface it as long nanos and convert. The conf is set here (it is
+        # runtime-settable) rather than assumed, because the driver passes
+        # its own SparkSession whose build config we don't control.
+        # Sub-microsecond parts are zero in the testdata: µs is lossless.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # already effective via session builder, or immutable
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
 def dec2(col) -> "F.Column":
