@@ -35,6 +35,10 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure the
     # query, not session startup (the driver compares totals across rounds).
     next(iter(QUERIES.values())).fn(spark, sf_dir).count()
+    # warm the Python-worker/Arrow path too: the first mapInPandas in a
+    # session pays daemon spawn + Arrow init (~10s on local[32]), which is
+    # session overhead, not query cost.
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

@@ -97,7 +97,10 @@ def network(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference also materializes (HGraphTable.loadNet)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NETWORK_CACHE:
-        _NETWORK_CACHE.clear()  # one session at a time; drop stale handles
+        for stale_key, stale_df in _NETWORK_CACHE.items():
+            if stale_key[0] == key[0]:  # same session: release pinned blocks
+                stale_df.unpersist()
+        _NETWORK_CACHE.clear()
         _NETWORK_CACHE[key] = G.from_pairs(
             supplier_part_pairs(spark, sf_dir)
         ).localCheckpoint()

@@ -81,6 +81,8 @@ def _shingled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, n)
     if key not in _SHINGLE_CACHE:
         for stale in [k for k in _SHINGLE_CACHE if k[0] != key[0] or k[1] != key[1]]:
+            if stale[0] == key[0]:  # same session: release the pinned blocks
+                _SHINGLE_CACHE[stale].unpersist()
             del _SHINGLE_CACHE[stale]
         _SHINGLE_CACHE[key] = (
             corpus(spark, sf_dir)

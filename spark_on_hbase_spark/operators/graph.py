@@ -205,34 +205,43 @@ def bsp_converge(
 
     ``checkpoint_every`` is kept for API stability; every superstep's merge
     is materialized via localCheckpoint (it is read twice: as next state and
-    as next frontier)."""
+    as next frontier). Superseded checkpoints are unpersisted as soon as the
+    next superstep materializes (the reference's per-superstep history
+    discipline) so a long run does not pin every intermediate state in
+    executor memory."""
     edges = edges.localCheckpoint()
     current = state.localCheckpoint()
+    prev_ckpt = current
     frontier = current
-    for i in range(1, max_iters + 1):
-        messages = edges.join(frontier, edges["src"] == frontier["key"], "inner").select(
-            F.col("dst").alias("key"), F.col("label")
-        )
-        tagged = current.withColumn("__s", F.lit(1)).unionByName(
-            messages.withColumn("__s", F.lit(0))
-        )
-        merged = (
-            tagged.groupBy("key")
-            .agg(
-                F.max("label").alias("label"),
-                F.max(F.when(F.col("__s") == 1, F.col("label"))).alias("__old"),
+    try:
+        for i in range(1, max_iters + 1):
+            messages = edges.join(frontier, edges["src"] == frontier["key"], "inner").select(
+                F.col("dst").alias("key"), F.col("label")
             )
-            .localCheckpoint()
-        )
-        frontier = merged.where(
-            F.col("__old").isNull() | (F.col("label") > F.col("__old"))
-        ).select("key", "label")
-        nxt = merged.select("key", "label")
-        changed = frontier.limit(1).count()
-        current = nxt
-        if changed == 0:
-            return current, i
-    return current, max_iters
+            tagged = current.withColumn("__s", F.lit(1)).unionByName(
+                messages.withColumn("__s", F.lit(0))
+            )
+            merged = (
+                tagged.groupBy("key")
+                .agg(
+                    F.max("label").alias("label"),
+                    F.max(F.when(F.col("__s") == 1, F.col("label"))).alias("__old"),
+                )
+                .localCheckpoint()
+            )
+            prev_ckpt.unpersist()
+            prev_ckpt = merged
+            frontier = merged.where(
+                F.col("__old").isNull() | (F.col("label") > F.col("__old"))
+            ).select("key", "label")
+            nxt = merged.select("key", "label")
+            changed = frontier.limit(1).count()
+            current = nxt
+            if changed == 0:
+                return current, i
+        return current, max_iters
+    finally:
+        edges.unpersist()
 
 
 def propagate_probabilities(
@@ -256,36 +265,42 @@ def propagate_probabilities(
     current = (
         seeds.select("key", "origin").withColumn("prob", F.lit(1.0)).localCheckpoint()
     )
+    prev_ckpt = current
     frontier = current
-    for i in range(1, max_iters + 1):
-        messages = (
-            edges.join(frontier, edges["src"] == frontier["key"], "inner")
-            .select(
-                F.col("dst").alias("key"),
-                F.col("origin"),
-                (frontier["prob"] * edges["prob"]).alias("prob"),
+    try:
+        for i in range(1, max_iters + 1):
+            messages = (
+                edges.join(frontier, edges["src"] == frontier["key"], "inner")
+                .select(
+                    F.col("dst").alias("key"),
+                    F.col("origin"),
+                    (frontier["prob"] * edges["prob"]).alias("prob"),
+                )
+                .where(F.col("prob") >= min_prob)
             )
-            .where(F.col("prob") >= min_prob)
-        )
-        tagged = current.withColumn("__s", F.lit(1)).unionByName(
-            messages.withColumn("__s", F.lit(0))
-        )
-        merged = (
-            tagged.groupBy("key", "origin")
-            .agg(
-                F.max("prob").alias("prob"),
-                F.max(F.when(F.col("__s") == 1, F.col("prob"))).alias("__old"),
+            tagged = current.withColumn("__s", F.lit(1)).unionByName(
+                messages.withColumn("__s", F.lit(0))
             )
-            .localCheckpoint()
-        )
-        frontier = merged.where(
-            F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
-        ).select("key", "origin", "prob")
-        changed = frontier.limit(1).count()
-        current = merged.select("key", "origin", "prob")
-        if changed == 0:
-            return current, i
-    return current, max_iters
+            merged = (
+                tagged.groupBy("key", "origin")
+                .agg(
+                    F.max("prob").alias("prob"),
+                    F.max(F.when(F.col("__s") == 1, F.col("prob"))).alias("__old"),
+                )
+                .localCheckpoint()
+            )
+            prev_ckpt.unpersist()
+            prev_ckpt = merged
+            frontier = merged.where(
+                F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
+            ).select("key", "origin", "prob")
+            changed = frontier.limit(1).count()
+            current = merged.select("key", "origin", "prob")
+            if changed == 0:
+                return current, i
+        return current, max_iters
+    finally:
+        edges.unpersist()
 
 
 def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:

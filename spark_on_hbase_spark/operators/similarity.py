@@ -281,6 +281,7 @@ def kmeans_refine(
     centroids = init_centroids.select(
         F.col(id_col), F.col(qvec_col)
     ).localCheckpoint()
+    prev_ckpt = centroids
     for _ in range(iters):
         assigned = ivf_assign(vectors, centroids, id_col, qvec_col)
         dims = assigned.select(
@@ -303,6 +304,8 @@ def kmeans_refine(
             means.select(F.col(id_col)), id_col, "left_anti"
         )
         centroids = means.unionByName(kept).localCheckpoint()
+        prev_ckpt.unpersist()  # superseded iteration state; new one is materialized
+        prev_ckpt = centroids
     return centroids
 
 
