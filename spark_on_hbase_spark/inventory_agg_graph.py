@@ -90,7 +90,7 @@ _NETWORK_CACHE: dict = {}
 
 
 def network(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized (localCheckpoint) AND memoized per (session, sf_dir):
+    """Materialized (eager persist) AND memoized per (session, sf_dir):
     multi-reference plans — BSP supersteps, innerExpand's four joins — and
     the seven network-based queries compute the dedup once instead of
     re-deriving it. On a cluster this is the persisted network layer the
@@ -101,9 +101,9 @@ def network(spark: SparkSession, sf_dir: str) -> DataFrame:
             if stale_key[0] == key[0]:  # same session: release pinned blocks
                 stale_df.unpersist()
         _NETWORK_CACHE.clear()
-        _NETWORK_CACHE[key] = G.from_pairs(
-            supplier_part_pairs(spark, sf_dir)
-        ).localCheckpoint()
+        net = G.from_pairs(supplier_part_pairs(spark, sf_dir)).persist()
+        net.count()
+        _NETWORK_CACHE[key] = net
     return _NETWORK_CACHE[key]
 
 
@@ -423,9 +423,7 @@ def bsp_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = net.select(F.col("src").alias("key")).distinct().withColumn(
         "label", F.col("key")
     )
-    for _ in range(3):
-        state = G.bsp_step(net, state)
-    return state
+    return G.bsp_steps(net, state, 3)
 
 
 @query(
@@ -434,8 +432,8 @@ def bsp_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="G2 — max-label propagation to convergence = connected components: "
     "the reference's incremental N-step BSP (HGraphTable.scala:144-228) with "
     "its persist/unpersist history discipline (HGraphTable.scala:116-124) "
-    "mapped to localCheckpoint every k steps, which truncates lineage so "
-    "hundreds of supersteps survive. Returns (component, n_vertices) per "
+    "mapped to per-superstep eager persist + release, which keeps the plan "
+    "flat so hundreds of supersteps survive. Returns (component, n_vertices) per "
     "component, ordered.",
     tags=("graph", "bsp", "iterative"),
 )
@@ -542,24 +540,8 @@ _PROP_STEP_SQL = """
 )
 def prob_propagation_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = network(spark, sf_dir)
-    state = _pool(spark, sf_dir).select(
-        F.col("key").alias("origin"), "key", F.lit(1.0).alias("prob")
-    ).select("key", "origin", "prob")
-    for _ in range(2):
-        messages = (
-            net.join(state, net["src"] == state["key"], "inner")
-            .select(
-                F.col("dst").alias("key"),
-                F.col("origin"),
-                (state["prob"] * net["prob"]).alias("prob"),
-            )
-            .where(F.col("prob") >= 0.001)
-        )
-        state = (
-            state.unionByName(messages)
-            .groupBy("key", "origin")
-            .agg(F.max("prob").alias("prob"))
-        )
+    seeds = _pool(spark, sf_dir).select("key", F.col("key").alias("origin"))
+    state, _steps = G.propagate_probabilities(net, seeds, min_prob=0.001, max_iters=2)
     return state
 
 

@@ -131,11 +131,9 @@ def keyspace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym AS (
         SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
     ),
-    pool AS (SELECT key, MAX(origin) AS origin FROM (
-        SELECT DISTINCT src AS key, dst AS origin FROM sym
-        UNION ALL
-        SELECT DISTINCT src AS key, src AS origin FROM sym
-    ) GROUP BY key)
+    pool AS (
+        SELECT src AS key, GREATEST(src, MAX(dst)) AS origin FROM sym GROUP BY src
+    )
     SELECT COUNT(*) AS n_keys,
            SUM(CASE WHEN key = origin THEN 1 ELSE 0 END) AS n_self_max
     FROM pool
@@ -154,9 +152,13 @@ def pool_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
     )
     sym = pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    neighbors = sym.select(F.col("src").alias("key"), F.col("dst").alias("origin")).distinct()
-    self_rows = sym.select(F.col("src").alias("key"), F.col("src").alias("origin")).distinct()
-    pool = neighbors.unionByName(self_rows).groupBy("key").agg(F.max("origin").alias("origin"))
+    # max-of-self-and-neighbors folds into ONE hash aggregation: no distinct
+    # passes, no union — the shuffle carries partial maxes, not edges.
+    pool = (
+        sym.groupBy("src")
+        .agg(F.greatest(F.col("src"), F.max("dst")).alias("origin"))
+        .withColumnRenamed("src", "key")
+    )
     return pool.agg(
         F.count("*").alias("n_keys"),
         F.sum(F.when(F.col("key") == F.col("origin"), 1).otherwise(0)).alias("n_self_max"),

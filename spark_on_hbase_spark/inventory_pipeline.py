@@ -74,7 +74,7 @@ _SHINGLE_CACHE: dict = {}
 
 
 def _shingled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """Materialized (localCheckpoint) AND memoized per (session, sf_dir, n):
+    """Materialized (eager persist) AND memoized per (session, sf_dir, n):
     the dedup pipelines reference the exploded shingle relation 3-5 times
     each (signatures, doc-freq, sizes, both verify sides) and minhash/simhash
     share the n=3 relation; checkpointing computes the explode once."""
@@ -84,12 +84,14 @@ def _shingled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
             if stale[0] == key[0]:  # same session: release the pinned blocks
                 _SHINGLE_CACHE[stale].unpersist()
             del _SHINGLE_CACHE[stale]
-        _SHINGLE_CACHE[key] = (
+        sh = (
             corpus(spark, sf_dir)
             .select("doc_id", T.words_expr("text").alias("__ws"))
             .select("doc_id", F.explode(D.shingles_from_words(F.col("__ws"), n)).alias("shingle"))
-            .localCheckpoint()
+            .persist()
         )
+        sh.count()
+        _SHINGLE_CACHE[key] = sh
     return _SHINGLE_CACHE[key]
 
 
@@ -339,7 +341,7 @@ _PLANES = V.plane_matrix(8, 64)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = vec_corpus(spark, sf_dir)
     # materialize quantization+bucketing once; both self-join sides reuse it
-    v = vecs.withColumn("__bucket", V.bucket_expr(F.col("v"), _PLANES)).localCheckpoint()
+    v = vecs.withColumn("__bucket", V.bucket_expr(F.col("v"), _PLANES)).persist()
     a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"), "__bucket")
     b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"), "__bucket")
     return (

@@ -186,14 +186,35 @@ def bsp_step(edges: DataFrame, state: DataFrame) -> DataFrame:
     )
 
 
+def bsp_steps(edges: DataFrame, state: DataFrame, n: int) -> DataFrame:
+    """G1 — run exactly ``n`` BSP supersteps, materializing each one.
+
+    Without materialization the step-k state is referenced twice by step k+1
+    (as carried state and as message source), and Catalyst plans the shared
+    subtree twice — the plan doubles per superstep. An eager persist per step
+    keeps it linear (the CacheManager substitutes InMemoryRelation downstream,
+    so planning depth stays O(1) too); superseded states are released
+    immediately. persist() rather than localCheckpoint(): checkpoint blocks
+    cannot be dropped from Python, and pinned blocks starve the hash
+    aggregations of execution memory on a long-lived session."""
+    prev_state = None
+    for _ in range(n):
+        state = bsp_step(edges, state).persist()
+        state.count()  # materialize before releasing the predecessor
+        if prev_state is not None:
+            prev_state.unpersist()
+        prev_state = state
+    return state
+
+
 def bsp_converge(
     edges: DataFrame, state: DataFrame, max_iters: int = 50, checkpoint_every: int = 5
 ) -> tuple[DataFrame, int]:
     """G2 — iterate max-label propagation to a fixpoint (connected
     components), the engine's version of the reference's incremental N-step
     BSP (HGraphTable.scala:144-228, incl. its per-superstep persist/unpersist
-    discipline at HGraphTable.scala:116-124 -> localCheckpoint here, which
-    truncates lineage so hundreds of supersteps survive).
+    discipline at HGraphTable.scala:116-124 -> eager persist here, which
+    keeps the downstream plan flat so hundreds of supersteps survive).
 
     Runs as a **delta iteration**: only vertices whose label changed last
     superstep (the frontier) send messages, so message volume shrinks every
@@ -204,14 +225,15 @@ def bsp_converge(
     materialized result — no separate convergence join.
 
     ``checkpoint_every`` is kept for API stability; every superstep's merge
-    is materialized via localCheckpoint (it is read twice: as next state and
-    as next frontier). Superseded checkpoints are unpersisted as soon as the
-    next superstep materializes (the reference's per-superstep history
-    discipline) so a long run does not pin every intermediate state in
-    executor memory."""
-    edges = edges.localCheckpoint()
-    current = state.localCheckpoint()
-    prev_ckpt = current
+    is materialized via eager persist (it is read twice: as next state and
+    as next frontier; InMemoryRelation substitution keeps the downstream
+    plan flat, so hundreds of supersteps survive). Superseded states are
+    unpersisted as soon as the next superstep materializes (the reference's
+    per-superstep history discipline) so a long run does not pin every
+    intermediate state in executor memory."""
+    edges = edges.persist()
+    current = state.persist()
+    prev_state = current
     frontier = current
     try:
         for i in range(1, max_iters + 1):
@@ -227,10 +249,11 @@ def bsp_converge(
                     F.max("label").alias("label"),
                     F.max(F.when(F.col("__s") == 1, F.col("label"))).alias("__old"),
                 )
-                .localCheckpoint()
+                .persist()
             )
-            prev_ckpt.unpersist()
-            prev_ckpt = merged
+            merged.count()  # materialize before releasing the predecessor
+            prev_state.unpersist()
+            prev_state = merged
             frontier = merged.where(
                 F.col("__old").isNull() | (F.col("label") > F.col("__old"))
             ).select("key", "label")
@@ -261,11 +284,11 @@ def propagate_probabilities(
     Delta iteration like bsp_converge: only improved (key, origin, prob)
     entries re-send. ``seeds``: (key, origin) — typically origin = key.
     Returns ((key, origin, prob) state, supersteps run)."""
-    edges = edges.localCheckpoint()
+    edges = edges.persist()
     current = (
-        seeds.select("key", "origin").withColumn("prob", F.lit(1.0)).localCheckpoint()
+        seeds.select("key", "origin").withColumn("prob", F.lit(1.0)).persist()
     )
-    prev_ckpt = current
+    prev_state = current
     frontier = current
     try:
         for i in range(1, max_iters + 1):
@@ -287,10 +310,11 @@ def propagate_probabilities(
                     F.max("prob").alias("prob"),
                     F.max(F.when(F.col("__s") == 1, F.col("prob"))).alias("__old"),
                 )
-                .localCheckpoint()
+                .persist()
             )
-            prev_ckpt.unpersist()
-            prev_ckpt = merged
+            merged.count()  # materialize before releasing the predecessor
+            prev_state.unpersist()
+            prev_state = merged
             frontier = merged.where(
                 F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
             ).select("key", "origin", "prob")

@@ -277,10 +277,12 @@ def kmeans_refine(
 
     Per iteration: one broadcast-assign scan + one (cell, dim)-key
     aggregation — both partial+final, no driver-side state; centroids are
-    localCheckpoint'ed so the loop's lineage stays O(1)."""
+    eagerly persisted so the loop's plan stays O(1), and superseded
+    iterations are released immediately."""
     centroids = init_centroids.select(
         F.col(id_col), F.col(qvec_col)
-    ).localCheckpoint()
+    ).persist()
+    centroids.count()
     prev_ckpt = centroids
     for _ in range(iters):
         assigned = ivf_assign(vectors, centroids, id_col, qvec_col)
@@ -303,8 +305,9 @@ def kmeans_refine(
         kept = centroids.join(
             means.select(F.col(id_col)), id_col, "left_anti"
         )
-        centroids = means.unionByName(kept).localCheckpoint()
-        prev_ckpt.unpersist()  # superseded iteration state; new one is materialized
+        centroids = means.unionByName(kept).persist()
+        centroids.count()  # materialize before releasing the predecessor
+        prev_ckpt.unpersist()
         prev_ckpt = centroids
     return centroids
 

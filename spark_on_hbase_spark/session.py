@@ -39,7 +39,9 @@ def get_spark(app_name: str = "spark_on_hbase_spark", shuffle_partitions: int | 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 32 concurrent tasks share the unified pool; 8g left hash aggs
+        # spilling once a few layers were cached. The box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # testdata's events.parquet stores TIMESTAMP(NANOS); Spark has no
