@@ -43,8 +43,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
+        df = spec.fn(spark, sf_dir)
+        df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # iterative queries return their final persisted state; release it so
+        # later queries aren't measured under accumulated block-manager churn
+        # (no-op for the unpersisted majority; shared memo caches — network,
+        # shingles — are persisted inside the inventory and stay warm).
+        df.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -101,7 +101,11 @@ def network(spark: SparkSession, sf_dir: str) -> DataFrame:
             if stale_key[0] == key[0]:  # same session: release pinned blocks
                 stale_df.unpersist()
         _NETWORK_CACHE.clear()
-        net = G.from_pairs(supplier_part_pairs(spark, sf_dir)).persist()
+        # persist hash-partitioned by src: every non-broadcast consumer
+        # (degree aggregations, large-frontier propagation joins) reads the
+        # cached partitioning instead of re-exchanging the edge relation —
+        # the 100 TB posture is "shuffle the big side once, at build time".
+        net = G.from_pairs(supplier_part_pairs(spark, sf_dir)).repartition("src").persist()
         net.count()
         _NETWORK_CACHE[key] = net
     return _NETWORK_CACHE[key]
@@ -428,7 +432,23 @@ def bsp_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "connected_components",
-    None,  # iterative fixpoint — not SQL-expressible; driver does rows-only check
+    f"""
+    WITH RECURSIVE {NETWORK_SQL},
+    -- pruned transitive closure: a label only propagates while strictly
+    -- greater than the receiving vertex. The component maximum m satisfies
+    -- m > u for every other vertex u on any simple path out of m, so (v, m)
+    -- is still derived for every v; dominated labels die immediately.
+    reach AS (
+        SELECT DISTINCT src AS key, src AS label FROM network
+        UNION
+        SELECT n.dst AS key, r.label
+        FROM reach r JOIN network n ON n.src = r.key
+        WHERE r.label > n.dst
+    ),
+    comp AS (SELECT key, MAX(label) AS component FROM reach GROUP BY key)
+    SELECT component, COUNT(*) AS n_vertices
+    FROM comp GROUP BY component ORDER BY component
+    """,
     doc="G2 — max-label propagation to convergence = connected components: "
     "the reference's incremental N-step BSP (HGraphTable.scala:144-228) with "
     "its persist/unpersist history discipline (HGraphTable.scala:116-124) "

@@ -34,12 +34,21 @@ def vendor_code_expr(vendor_col: str = "vendor"):
 
 def reverse_edges(edges: DataFrame) -> DataFrame:
     """A6's symmetrize step (AGraph.reverse, AGraph.scala:80-82): emit the
-    mirrored edge for every edge."""
+    mirrored edge for every edge.
+
+    One explode over a 2-element array instead of a self-union: the input
+    relation is scanned ONCE. A union of two selects plans the upstream
+    subtree twice — against a 100 TB fact scan that doubles the IO."""
     rest = [c for c in edges.columns if c not in ("src", "dst")]
-    mirrored = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), *rest
-    ).select(*edges.columns)
-    return edges.unionByName(mirrored)
+    both = F.array(
+        F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+        F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+    )
+    return (
+        edges.select(F.explode(both).alias("__e"), *rest)
+        .select(F.col("__e.s").alias("src"), F.col("__e.d").alias("dst"), *rest)
+        .select(*edges.columns)
+    )
 
 
 def dedup_edges(edges: DataFrame) -> DataFrame:
@@ -80,8 +89,29 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
 
 def from_pairs(pairs: DataFrame) -> DataFrame:
     """A6 — build a symmetric deduplicated network from directed pairs
-    (AGraph.fromPairs, AGraph.scala:75-82)."""
-    return dedup_edges(reverse_edges(pairs))
+    (AGraph.fromPairs, AGraph.scala:75-82).
+
+    Equivalent to ``dedup_edges(reverse_edges(pairs))`` but aggregates on the
+    CANONICAL (unordered) pair and mirrors the combined result afterwards:
+    the combine group for (a,b) in the symmetrized relation is exactly the
+    multiset of original edges between a and b in either direction, so
+    combining once per unordered pair and emitting both directions yields
+    the same network with HALF the shuffle input. Self-loops are mirrored
+    zero times (the symmetrized group (a,a) still combines both copies but
+    must emit one row)."""
+    rest = [c for c in pairs.columns if c not in ("src", "dst")]
+    canon = pairs.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"), *rest
+    )
+    half = dedup_edges(canon)
+    out_cols = half.columns
+    mirrored = (
+        half.where(F.col("src") != F.col("dst"))
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                *[c for c in out_cols if c not in ("src", "dst")])
+        .select(*out_cols)
+    )
+    return half.unionByName(mirrored)
 
 
 def to_adjacency(edges: DataFrame) -> DataFrame:
