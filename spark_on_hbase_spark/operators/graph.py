@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_on_hbase_spark.functions.ep import VENDOR_CODES
+from spark_on_hbase_spark.plans import loop_planner
 
 
 def vendor_code_expr(vendor_col: str = "vendor"):
@@ -104,14 +105,19 @@ def from_pairs(pairs: DataFrame) -> DataFrame:
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"), *rest
     )
     half = dedup_edges(canon)
-    out_cols = half.columns
-    mirrored = (
-        half.where(F.col("src") != F.col("dst"))
-        .select(F.col("dst").alias("src"), F.col("src").alias("dst"),
-                *[c for c in out_cols if c not in ("src", "dst")])
-        .select(*out_cols)
+    # mirror via a conditional explode, NOT a self-union: a union would
+    # reference (and re-execute) the whole dedup subtree twice.
+    out_rest = [c for c in half.columns if c not in ("src", "dst")]
+    fwd = F.struct(F.col("src").alias("s"), F.col("dst").alias("d"))
+    rev = F.struct(F.col("dst").alias("s"), F.col("src").alias("d"))
+    both = F.when(F.col("src") == F.col("dst"), F.array(fwd)).otherwise(
+        F.array(fwd, rev)
     )
-    return half.unionByName(mirrored)
+    return (
+        half.select(F.explode(both).alias("__e"), *out_rest)
+        .select(F.col("__e.s").alias("src"), F.col("__e.d").alias("dst"), *out_rest)
+        .select(*half.columns)
+    )
 
 
 def to_adjacency(edges: DataFrame) -> DataFrame:
@@ -216,7 +222,9 @@ def bsp_step(edges: DataFrame, state: DataFrame) -> DataFrame:
     )
 
 
-def bsp_steps(edges: DataFrame, state: DataFrame, n: int) -> DataFrame:
+def bsp_steps(
+    edges: DataFrame, state: DataFrame, n: int, adaptive: bool = False
+) -> DataFrame:
     """G1 — run exactly ``n`` BSP supersteps, materializing each one.
 
     Without materialization the step-k state is referenced twice by step k+1
@@ -226,19 +234,25 @@ def bsp_steps(edges: DataFrame, state: DataFrame, n: int) -> DataFrame:
     so planning depth stays O(1) too); superseded states are released
     immediately. persist() rather than localCheckpoint(): checkpoint blocks
     cannot be dropped from Python, and pinned blocks starve the hash
-    aggregations of execution memory on a long-lived session."""
+    aggregations of execution memory on a long-lived session.
+    ``adaptive``: see ``plans.loop_planner``."""
     prev_state = None
-    for _ in range(n):
-        state = bsp_step(edges, state).persist()
-        state.count()  # materialize before releasing the predecessor
-        if prev_state is not None:
-            prev_state.unpersist()
-        prev_state = state
+    with loop_planner(edges, adaptive):
+        for _ in range(n):
+            state = bsp_step(edges, state).persist()
+            state.count()  # materialize before releasing the predecessor
+            if prev_state is not None:
+                prev_state.unpersist()
+            prev_state = state
     return state
 
 
 def bsp_converge(
-    edges: DataFrame, state: DataFrame, max_iters: int = 50, checkpoint_every: int = 5
+    edges: DataFrame,
+    state: DataFrame,
+    max_iters: int = 50,
+    checkpoint_every: int = 5,
+    adaptive: bool = False,
 ) -> tuple[DataFrame, int]:
     """G2 — iterate max-label propagation to a fixpoint (connected
     components), the engine's version of the reference's incremental N-step
@@ -265,36 +279,37 @@ def bsp_converge(
     current = state.persist()
     prev_state = current
     frontier = current
-    try:
-        for i in range(1, max_iters + 1):
-            messages = edges.join(frontier, edges["src"] == frontier["key"], "inner").select(
-                F.col("dst").alias("key"), F.col("label")
-            )
-            tagged = current.withColumn("__s", F.lit(1)).unionByName(
-                messages.withColumn("__s", F.lit(0))
-            )
-            merged = (
-                tagged.groupBy("key")
-                .agg(
-                    F.max("label").alias("label"),
-                    F.max(F.when(F.col("__s") == 1, F.col("label"))).alias("__old"),
+    with loop_planner(edges, adaptive):
+        try:
+            for i in range(1, max_iters + 1):
+                messages = edges.join(
+                    frontier, edges["src"] == frontier["key"], "inner"
+                ).select(F.col("dst").alias("key"), F.col("label"))
+                tagged = current.withColumn("__s", F.lit(1)).unionByName(
+                    messages.withColumn("__s", F.lit(0))
                 )
-                .persist()
-            )
-            merged.count()  # materialize before releasing the predecessor
-            prev_state.unpersist()
-            prev_state = merged
-            frontier = merged.where(
-                F.col("__old").isNull() | (F.col("label") > F.col("__old"))
-            ).select("key", "label")
-            nxt = merged.select("key", "label")
-            changed = frontier.limit(1).count()
-            current = nxt
-            if changed == 0:
-                return current, i
-        return current, max_iters
-    finally:
-        edges.unpersist()
+                merged = (
+                    tagged.groupBy("key")
+                    .agg(
+                        F.max("label").alias("label"),
+                        F.max(F.when(F.col("__s") == 1, F.col("label"))).alias("__old"),
+                    )
+                    .persist()
+                )
+                merged.count()  # materialize before releasing the predecessor
+                prev_state.unpersist()
+                prev_state = merged
+                frontier = merged.where(
+                    F.col("__old").isNull() | (F.col("label") > F.col("__old"))
+                ).select("key", "label")
+                nxt = merged.select("key", "label")
+                changed = frontier.limit(1).count()
+                current = nxt
+                if changed == 0:
+                    return current, i
+            return current, max_iters
+        finally:
+            edges.unpersist()
 
 
 def propagate_probabilities(
@@ -302,6 +317,7 @@ def propagate_probabilities(
     seeds: DataFrame,
     min_prob: float = 0.01,
     max_iters: int = 10,
+    adaptive: bool = False,
 ) -> tuple[DataFrame, int]:
     """G2's flagship incremental BSP (the reference's commented-out design,
     HGraphTable.scala:144-228): propagate seed identities through the graph
@@ -320,41 +336,42 @@ def propagate_probabilities(
     )
     prev_state = current
     frontier = current
-    try:
-        for i in range(1, max_iters + 1):
-            messages = (
-                edges.join(frontier, edges["src"] == frontier["key"], "inner")
-                .select(
-                    F.col("dst").alias("key"),
-                    F.col("origin"),
-                    (frontier["prob"] * edges["prob"]).alias("prob"),
+    with loop_planner(edges, adaptive):
+        try:
+            for i in range(1, max_iters + 1):
+                messages = (
+                    edges.join(frontier, edges["src"] == frontier["key"], "inner")
+                    .select(
+                        F.col("dst").alias("key"),
+                        F.col("origin"),
+                        (frontier["prob"] * edges["prob"]).alias("prob"),
+                    )
+                    .where(F.col("prob") >= min_prob)
                 )
-                .where(F.col("prob") >= min_prob)
-            )
-            tagged = current.withColumn("__s", F.lit(1)).unionByName(
-                messages.withColumn("__s", F.lit(0))
-            )
-            merged = (
-                tagged.groupBy("key", "origin")
-                .agg(
-                    F.max("prob").alias("prob"),
-                    F.max(F.when(F.col("__s") == 1, F.col("prob"))).alias("__old"),
+                tagged = current.withColumn("__s", F.lit(1)).unionByName(
+                    messages.withColumn("__s", F.lit(0))
                 )
-                .persist()
-            )
-            merged.count()  # materialize before releasing the predecessor
-            prev_state.unpersist()
-            prev_state = merged
-            frontier = merged.where(
-                F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
-            ).select("key", "origin", "prob")
-            changed = frontier.limit(1).count()
-            current = merged.select("key", "origin", "prob")
-            if changed == 0:
-                return current, i
-        return current, max_iters
-    finally:
-        edges.unpersist()
+                merged = (
+                    tagged.groupBy("key", "origin")
+                    .agg(
+                        F.max("prob").alias("prob"),
+                        F.max(F.when(F.col("__s") == 1, F.col("prob"))).alias("__old"),
+                    )
+                    .persist()
+                )
+                merged.count()  # materialize before releasing the predecessor
+                prev_state.unpersist()
+                prev_state = merged
+                frontier = merged.where(
+                    F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
+                ).select("key", "origin", "prob")
+                changed = frontier.limit(1).count()
+                current = merged.select("key", "origin", "prob")
+                if changed == 0:
+                    return current, i
+            return current, max_iters
+        finally:
+            edges.unpersist()
 
 
 def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_on_hbase_spark.plans import loop_planner
+
 QUANT = 1_000_000  # fixed-point scale for embedding quantization
 
 
@@ -267,6 +269,7 @@ def kmeans_refine(
     iters: int = 5,
     id_col: str = "vec_id",
     qvec_col: str = "__v",
+    adaptive: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over quantized vectors, DataFrame-native: assign
     (exact int L2 via ivf_assign) -> recompute centroids as element-wise
@@ -284,31 +287,32 @@ def kmeans_refine(
     ).persist()
     centroids.count()
     prev_ckpt = centroids
-    for _ in range(iters):
-        assigned = ivf_assign(vectors, centroids, id_col, qvec_col)
-        dims = assigned.select(
-            F.col("centroid_id"), F.posexplode(F.col(qvec_col)).alias("__d", "__x")
-        )
-        means = (
-            dims.groupBy("centroid_id", "__d")
-            .agg(F.avg("__x").alias("__m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__d", "__m"))),
-                    lambda s: F.round(s["__m"]).cast("bigint"),
-                ).alias(qvec_col)
+    with loop_planner(vectors, adaptive):
+        for _ in range(iters):
+            assigned = ivf_assign(vectors, centroids, id_col, qvec_col)
+            dims = assigned.select(
+                F.col("centroid_id"), F.posexplode(F.col(qvec_col)).alias("__d", "__x")
             )
-            .select(F.col("centroid_id").alias(id_col), qvec_col)
-        )
-        # empty cells: keep the old centroid
-        kept = centroids.join(
-            means.select(F.col(id_col)), id_col, "left_anti"
-        )
-        centroids = means.unionByName(kept).persist()
-        centroids.count()  # materialize before releasing the predecessor
-        prev_ckpt.unpersist()
-        prev_ckpt = centroids
+            means = (
+                dims.groupBy("centroid_id", "__d")
+                .agg(F.avg("__x").alias("__m"))
+                .groupBy("centroid_id")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("__d", "__m"))),
+                        lambda s: F.round(s["__m"]).cast("bigint"),
+                    ).alias(qvec_col)
+                )
+                .select(F.col("centroid_id").alias(id_col), qvec_col)
+            )
+            # empty cells: keep the old centroid
+            kept = centroids.join(
+                means.select(F.col(id_col)), id_col, "left_anti"
+            )
+            centroids = means.unionByName(kept).persist()
+            centroids.count()  # materialize before releasing the predecessor
+            prev_ckpt.unpersist()
+            prev_ckpt = centroids
     return centroids
 
 

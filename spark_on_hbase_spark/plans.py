@@ -13,6 +13,8 @@ silently costing 100× at scale.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
@@ -78,6 +80,37 @@ def count_shuffles(df: DataFrame) -> int:
     is the tree form, counted once."""
     plan = formatted_plan(df)
     return plan.count("Exchange (") - plan.count("BroadcastExchange (")
+
+
+@contextmanager
+def loop_planner(df: DataFrame, adaptive: bool):
+    """Planner mode for iterative loops (BSP, Lloyd's). With
+    ``adaptive=False`` (the loop operators' default) AQE is suspended for
+    the duration of the loop and restored after: every superstep runs over
+    eagerly-materialized cached state whose statistics the static planner
+    already has exactly, so AQE's per-stage re-planning rounds only add
+    driver latency — measured ~25% of superstep wall time on small states.
+    Pass ``adaptive=True`` on clusters where the frontier join is skewed and
+    AQE's runtime skew-join splitting pays for itself. The flag is
+    session-scoped conf: loops sharing a session with concurrently running
+    queries should keep ``adaptive=True``."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if not adaptive:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def count_scans(df: DataFrame) -> int:
+    """Number of file-scan leaves. Same formatted-mode convention as
+    ``count_shuffles``: ``Scan parquet ... (N)`` is the tree form, counted
+    once. A shared subtree referenced twice plans (and runs) its scan twice —
+    this catches accidental self-unions of expensive sources."""
+    plan = formatted_plan(df)
+    return plan.count("Scan parquet") // 2
 
 
 def assert_whole_stage_codegen(df: DataFrame) -> None:

@@ -84,3 +84,16 @@ def test_dedup_edges_single_shuffle(spark, sf_dir):
     assert plans.count_shuffles(df) == 1
     plan = plans.formatted_plan(df)
     assert plan.count("Aggregate (") >= 2  # partial + final
+
+
+def test_from_pairs_scans_source_once(spark, sf_dir):
+    from spark_on_hbase_spark.inventory_agg_graph import supplier_part_pairs
+    from spark_on_hbase_spark.operators import graph as G
+
+    df = G.from_pairs(supplier_part_pairs(spark, sf_dir))
+    plan = plans.formatted_plan(df)
+    # symmetrize is an explode, not a self-union: the fact table is scanned
+    # ONCE, and the combine groups on the canonical pair (one Exchange);
+    # the mirror stage is a projection, not another aggregation.
+    assert plans.count_scans(df) == 1
+    assert plans.count_shuffles(df) == 1
