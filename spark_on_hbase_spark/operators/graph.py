@@ -330,7 +330,10 @@ def propagate_probabilities(
     Delta iteration like bsp_converge: only improved (key, origin, prob)
     entries re-send. ``seeds``: (key, origin) — typically origin = key.
     Returns ((key, origin, prob) state, supersteps run)."""
-    edges = edges.persist()
+    # an edge with prob < min_prob can never deliver a passing message
+    # (message prob starts at 1.0 and only decays), so drop it before the
+    # loop: one filter here removes its fanout from EVERY superstep's join.
+    edges = edges.where(F.col("prob") >= min_prob).persist()
     current = (
         seeds.select("key", "origin").withColumn("prob", F.lit(1.0)).persist()
     )

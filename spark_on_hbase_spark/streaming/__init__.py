@@ -4,5 +4,6 @@ from spark_on_hbase_spark.streaming.ingest import (  # noqa: F401
     sessionized_counts,
     socket_stream,
     stateful_running_stats,
+    streaming_dedup,
     windowed_agg,
 )

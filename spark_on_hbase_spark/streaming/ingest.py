@@ -154,3 +154,31 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    delay: str = "10 minutes",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact deduplication: first-seen row per key wins, across
+    micro-batches — the streaming twin of the batch ``dedup.exact_dup_groups``
+    path and the front door of a training-data ingest pipeline (dedup by
+    content fingerprint as documents land).
+
+    Built on Structured Streaming's ``dropDuplicates`` state store: seen keys
+    live in checkpointed state partitioned by key, so memory scales with
+    distinct keys, not events. Give ``ts_col`` (event time) to bound that
+    state with a watermark — without one, an unbounded key universe grows
+    state forever, the classic 100 TB/day failure. ``within_watermark=True``
+    uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): duplicates are only
+    suppressed while inside the watermark window, which is the right
+    semantic when upstream retries land seconds apart and the key space is
+    unbounded (state is evicted at the watermark instead of kept forever)."""
+    if ts_col is not None:
+        stream = stream.withWatermark(ts_col, delay)
+        if within_watermark:
+            return stream.dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)

@@ -129,3 +129,42 @@ def test_sessionized_counts_stream(spark, tmp_path):
         (1, "2024-01-01 02:00:00", 1),
         (2, "2024-01-01 00:05:00", 1),
     ]
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    import os
+
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [Row(doc_id=1, fp="A", ts="2024-01-01 00:00:01"),
+         Row(doc_id=2, fp="B", ts="2024-01-01 00:00:02")]
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(
+        [Row(doc_id=3, fp="A", ts="2024-01-01 00:00:03"),  # cross-batch dup
+         Row(doc_id=4, fp="C", ts="2024-01-01 00:00:04")]
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    # age every file mtime so the source's mod-time ordering is stable
+    for i, f in enumerate(sorted(os.listdir(d))):
+        if f.endswith(".parquet"):
+            os.utime(d / f, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, fp string, ts string")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = ST.streaming_dedup(stream, ["fp"], ts_col="ts", delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT fp FROM dedup_sink").collect()
+    assert len(rows) == 3  # the duplicate fingerprint was suppressed
+    assert {r["fp"] for r in rows} == {"A", "B", "C"}
