@@ -397,6 +397,45 @@ def fill_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "as_of_join",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts, MAX(value) AS last_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.value AS click_value, p.last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of (point-in-time) join — for every click, the same user's "
+    "latest purchase at or before the click's event time. The operator the "
+    "reference's cell-timestamp model implies but never ships (its "
+    "time-range filter, HBaseRDDFunctions.scala:39-46, bounds a scan but "
+    "cannot pick per-probe latest state); the workhorse of "
+    "point-in-time-correct feature lookup. One window over a tagged union — "
+    "single shuffle, no range self-join (operators/joins.as_of_join); "
+    "oracle is DuckDB's native ASOF LEFT JOIN.",
+    tags=("join", "window", "pipeline"),
+)
+def as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return J.as_of_join(clicks, purchases, on="user_id").select(
+        "event_id", "user_id", "click_value", "last_purchase_value"
+    )
+
+
+@query(
     "semi_join",
     """
     SELECT c_custkey, c_name, c_acctbal
