@@ -436,6 +436,45 @@ def as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_incidents",
+    """
+    WITH errors AS (
+        SELECT event_id AS incident_id, ts AS w_start,
+               ts + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    ),
+    obs AS (
+        SELECT ts, value FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT e.incident_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(o.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM obs o JOIN errors e ON o.ts >= e.w_start AND o.ts < e.w_end
+    GROUP BY e.incident_id
+    """,
+    doc="Range (interval) join — click/view activity inside the 10-minute "
+    "window after every error event. A join class the reference lacks "
+    "(SURVEY.md §2.3 'not present'); executed as a bin-bucketed equi-join "
+    "plus residual predicate (operators/joins.range_join) instead of the "
+    "O(n*m) broadcast-nested-loop the raw inequality would plan.",
+    tags=("join", "pipeline"),
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    obs = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("ts").alias("obs_ts"), "value"
+    )
+    joined = J.range_join(obs, errors, "obs_ts", "w_start", "w_end", bin_seconds=600)
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
+
+
+@query(
     "semi_join",
     """
     SELECT c_custkey, c_name, c_acctbal

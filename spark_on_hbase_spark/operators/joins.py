@@ -173,3 +173,51 @@ def as_of_join(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns if c not in keys],
         *payload,
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join: pair every left row with every right interval
+    containing its timestamp — ``start <= ts < end``. Another operator class
+    the reference lacks entirely (SURVEY.md §2.3 "not present"), and one
+    Spark's planner would otherwise execute as a broadcast-nested-loop over
+    the raw inequality.
+
+    Scale pattern: bucketize time into fixed bins — each left row keys on
+    its bin, each interval explodes into the bins it covers — then a plain
+    equi-join on the bin plus the exact residual predicate. The O(n·m)
+    nested loop becomes a shuffle join whose fanout is bounded by
+    (interval length / bin width + 1) per interval; pick ``bin_seconds``
+    near the typical interval length so that factor stays ~2.
+
+    Intervals are half-open; empty intervals (end <= start) match nothing.
+    Left/right column names must be disjoint.
+    """
+    overlap = sorted(set(left.columns) & set(right.columns))
+    if overlap:
+        raise ValueError(f"left/right columns collide: {overlap}")
+    width = int(bin_seconds) * 1_000_000
+    l = left.withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(left_ts)) / F.lit(width)).cast("bigint")
+    )
+    r = right.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(width)).cast("bigint"),
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(width)).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        l.join(r, on="__bin", how=how)
+        .where((F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col)))
+        .drop("__bin")
+    )

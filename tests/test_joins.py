@@ -40,3 +40,28 @@ def test_as_of_join_rejects_colliding_payload(spark):
     df = spark.createDataFrame([Row(k="a", ts=1, v=1)])
     with pytest.raises(ValueError, match="collide"):
         J.as_of_join(df, df, on="k")
+
+
+def test_range_join_bins_and_boundaries(spark):
+    from datetime import datetime as dt
+
+    right = spark.createDataFrame(
+        [
+            # spans two 600s bins
+            Row(iv="w1", s=dt(2024, 1, 1, 0, 5), e=dt(2024, 1, 1, 0, 15)),
+            Row(iv="w2", s=dt(2024, 1, 1, 1, 0), e=dt(2024, 1, 1, 1, 10)),
+            Row(iv="empty", s=dt(2024, 1, 1, 2, 0), e=dt(2024, 1, 1, 2, 0)),
+        ]
+    )
+    left = spark.createDataFrame(
+        [
+            Row(ev="in_w1_bin1", ts=dt(2024, 1, 1, 0, 6)),
+            Row(ev="in_w1_bin2", ts=dt(2024, 1, 1, 0, 12)),
+            Row(ev="at_start", ts=dt(2024, 1, 1, 1, 0)),    # inclusive
+            Row(ev="at_end", ts=dt(2024, 1, 1, 0, 15)),     # exclusive
+            Row(ev="outside", ts=dt(2024, 1, 1, 3, 0)),
+        ]
+    )
+    out = J.range_join(left, right, "ts", "s", "e", bin_seconds=600)
+    pairs = {(r["ev"], r["iv"]) for r in out.collect()}
+    assert pairs == {("in_w1_bin1", "w1"), ("in_w1_bin2", "w1"), ("at_start", "w2")}

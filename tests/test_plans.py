@@ -97,3 +97,14 @@ def test_from_pairs_scans_source_once(spark, sf_dir):
     # the mirror stage is a projection, not another aggregation.
     assert plans.count_scans(df) == 1
     assert plans.count_shuffles(df) == 1
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    from spark_on_hbase_spark.inventory import QUERIES
+
+    df = QUERIES["range_join_incidents"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # the bin-bucketed rewrite turns the pure inequality join into an
+    # equi-join on the bin; a BroadcastNestedLoopJoin here means the
+    # rewrite regressed to the O(n*m) plan.
+    assert "NestedLoop" not in plan
