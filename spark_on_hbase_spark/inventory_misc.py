@@ -346,3 +346,86 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Superset of SURVEY.md §2.4 ('not present: grouping sets/cube/"
+    "rollup'): hierarchical subtotals in ONE pass — per (flag, status), per "
+    "flag, and grand total. Catalyst plans rollup as a single Expand + "
+    "aggregation (partial+final), not one scan per level.",
+    tags=("agg",),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", scale=4),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "distinct_counts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Superset of SURVEY.md §2.4 ('not present: distinct-count'): exact "
+    "multi-column distinct aggregation. Catalyst's Expand-based rewrite "
+    "computes both distincts in one shuffled pipeline; at 100 TB swap in "
+    "approx_count_distinct (HLL) where a 1-2% error buys a fixed-size "
+    "sketch instead of a distinct shuffle.",
+    tags=("agg",),
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "window_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS order_seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Superset of SURVEY.md §2.4 ('window functions: none' — the "
+    "reference computed its one cumulative threshold on a driver-side "
+    "collected array, AGraph.scala:103-107): per-customer order sequence "
+    "and running spend, fully distributed. Total order (date, orderkey) "
+    "makes the frame deterministic for the oracle.",
+    tags=("agg", "window"),
+)
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    od = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
