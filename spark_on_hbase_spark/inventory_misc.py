@@ -429,3 +429,29 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_total"),
     )
+
+
+@query(
+    "quantile_summary",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Superset of SURVEY.md §2.4 ('not present: median/percentile'): "
+    "exact interpolated quantiles per group (Spark `percentile` == ANSI "
+    "percentile_cont == DuckDB quantile_cont; quarter-quantiles over the "
+    "integer-valued quantity column are bit-exact across engines). At "
+    "100 TB swap in approx_percentile (t-digest/KLL-style sketch) — exact "
+    "percentile keeps per-group value buffers.",
+    tags=("agg",),
+)
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("median"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
