@@ -455,3 +455,56 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("median"),
         F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
     )
+
+
+@query(
+    "top_k_customers",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey LIMIT 100
+    """,
+    doc="Superset of SURVEY.md §2.5 ('no LIMIT/top-k operator exists' — the "
+    "reference's demos collect() and print): global top-k as "
+    "TakeOrderedAndProject — each partition keeps a k-row heap, the driver "
+    "merges k*partitions rows, never the full sort. Unique tiebreak "
+    "(custkey) makes the cut deterministic for the oracle.",
+    tags=("sort", "limit"),
+)
+def top_k_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spend"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "set_ops_part_flags",
+    """
+    WITH r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+    a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    SELECT
+        (SELECT COUNT(*) FROM (SELECT * FROM r INTERSECT SELECT * FROM a)) AS n_both,
+        (SELECT COUNT(*) FROM (SELECT * FROM r EXCEPT SELECT * FROM a)) AS n_r_only,
+        (SELECT COUNT(*) FROM (SELECT * FROM r UNION SELECT * FROM a)) AS n_either
+    """,
+    doc="Superset of SURVEY.md §2.6 (no named set operators in the "
+    "reference — set semantics were buried inside flatMaps and driver-side "
+    "Sets): INTERSECT / EXCEPT / UNION-distinct as first-class relational "
+    "ops. Spark plans intersect/except as semi/anti joins — distributed, "
+    "no driver sets.",
+    tags=("set",),
+)
+def set_ops_part_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey").distinct()
+    both = r.intersect(a).agg(F.count("*").alias("n_both"))
+    r_only = r.exceptAll(a).distinct().agg(F.count("*").alias("n_r_only"))
+    either = r.union(a).distinct().agg(F.count("*").alias("n_either"))
+    return both.crossJoin(r_only).crossJoin(either)
