@@ -83,3 +83,36 @@ class HttpDataFrame:
     def stop(self) -> None:
         self.server.shutdown()
         self.server.server_close()
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    on: str | list[str],
+    buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a bucketed+sorted catalog table — the engine's
+    single-stage-join layout. The reference's signature claim is joins in one
+    stage regardless of partitioners (README.md:14-16), achieved there by
+    partitioner-aware multiget against pre-split regions
+    (RegionPartitioner.scala:12-68). Spark-first, the same guarantee comes
+    from storage: two tables bucketed on the same key with the same bucket
+    count sort-merge-join with ZERO exchanges — the shuffle happened once,
+    at write time, and every subsequent join/aggregation on the key reuses
+    it (pinned in tests/test_plans.py). At 100 TB this is the difference
+    between re-shuffling the fact table per query and never shuffling it."""
+    cols = [on] if isinstance(on, str) else list(on)
+    (
+        df.write.bucketBy(buckets, *cols)
+        .sortBy(*(sort_cols or cols))
+        .mode(mode)
+        .saveAsTable(name)
+    )
+
+
+def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
+    """Read back a bucketed table with its bucket metadata (drives exchange
+    elision in joins/aggregations on the bucket key)."""
+    return spark.table(name)

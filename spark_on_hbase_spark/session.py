@@ -8,6 +8,7 @@ here the equivalents are AQE, adaptive shuffle sizing and Arrow transfer.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,15 @@ def get_spark(app_name: str = "spark_on_hbase_spark", shuffle_partitions: int | 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # bucketed tables (io.write_bucketed) go through saveAsTable; keep
+        # the warehouse out of the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark_on_hbase_warehouse"),
+            ),
+        )
         # testdata's events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type, so read as long and convert on load
         # (inventory.load converts ns -> microsecond timestamps).

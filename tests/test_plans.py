@@ -108,3 +108,34 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     # equi-join on the bin; a BroadcastNestedLoopJoin here means the
     # rewrite regressed to the O(n*m) plan.
     assert "NestedLoop" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    from spark_on_hbase_spark import io as IO
+    from spark_on_hbase_spark.inventory import load
+
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), "p_name"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key"), "l_quantity"
+    )
+    IO.write_bucketed(part, "bkt_part", "key", buckets=4)
+    IO.write_bucketed(li, "bkt_lineitem", "key", buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = IO.bucketed_table(spark, "bkt_lineitem").join(
+            IO.bucketed_table(spark, "bkt_part"), on="key"
+        )
+        # the reference's single-stage-join claim (README.md:14-16), from
+        # storage: both sides bucketed on the key -> SMJ with ZERO exchanges
+        assert plans.count_shuffles(j) == 0
+        plan = plans.formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_part")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
