@@ -105,7 +105,7 @@ def network(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (degree aggregations, large-frontier propagation joins) reads the
         # cached partitioning instead of re-exchanging the edge relation —
         # the 100 TB posture is "shuffle the big side once, at build time".
-        net = G.from_pairs(supplier_part_pairs(spark, sf_dir)).repartition("src").persist()
+        net = G.from_pairs_partitioned(supplier_part_pairs(spark, sf_dir)).persist()
         net.count()
         _NETWORK_CACHE[key] = net
     return _NETWORK_CACHE[key]

@@ -120,6 +120,24 @@ def from_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
+def from_pairs_partitioned(pairs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """``from_pairs`` variant that leaves the network hash-partitioned by
+    ``src`` with ONE exchange: symmetrize (explode), repartition by src,
+    then dedup — ``hash(src)`` is a subset of the (src, dst) clustering, so
+    the aggregation reuses the repartition exchange instead of adding its
+    own. Use when the network will be persisted and consumed by src-keyed
+    joins/aggregations (the BSP/degree workloads): one 2|E|-row shuffle
+    total, versus canonical-dedup (|E|) + repartition (2|E|) for
+    ``from_pairs(...).repartition("src")``."""
+    sym = reverse_edges(pairs)
+    sym = (
+        sym.repartition(num_partitions, "src")
+        if num_partitions
+        else sym.repartition("src")
+    )
+    return dedup_edges(sym)
+
+
 def to_adjacency(edges: DataFrame) -> DataFrame:
     """NETWORK materialization: per-vertex sorted adjacency list — the
     reference's native form (AGraph.scala:30-47; edge lists sorted by dst,

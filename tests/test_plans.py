@@ -139,3 +139,15 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_part")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_from_pairs_partitioned_single_shuffle(spark, sf_dir):
+    from spark_on_hbase_spark.inventory_agg_graph import supplier_part_pairs
+    from spark_on_hbase_spark.operators import graph as G
+
+    df = G.from_pairs_partitioned(supplier_part_pairs(spark, sf_dir))
+    # the dedup aggregation reuses the repartition("src") exchange
+    # (hash(src) ⊆ clustering(src, dst)): one scan, ONE shuffle, and the
+    # output is src-partitioned for the persisted network layer.
+    assert plans.count_scans(df) == 1
+    assert plans.count_shuffles(df) == 1
