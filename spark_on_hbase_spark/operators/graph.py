@@ -265,6 +265,24 @@ def bsp_steps(
     return state
 
 
+def _final_state(projected: DataFrame, last_step: DataFrame) -> DataFrame:
+    """Hand the caller a RELEASABLE result: the loop's last materialized
+    state carries internal columns (``__old``), so the public result is a
+    projection of it — but ``unpersist()`` on a projection is a no-op
+    against the underlying cache entry, which would leave the final
+    superstep pinned in storage memory forever (it measurably degrades
+    whatever runs next). Persist the projection itself, materialize it from
+    the cached parent (cheap — a cached-scan projection), release the
+    parent, and return the DataFrame whose ``unpersist()`` actually
+    frees the blocks."""
+    if projected is last_step:
+        return projected
+    final = projected.persist()
+    final.count()
+    last_step.unpersist()
+    return final
+
+
 def bsp_converge(
     edges: DataFrame,
     state: DataFrame,
@@ -324,8 +342,8 @@ def bsp_converge(
                 changed = frontier.limit(1).count()
                 current = nxt
                 if changed == 0:
-                    return current, i
-            return current, max_iters
+                    return _final_state(current, prev_state), i
+            return _final_state(current, prev_state), max_iters
         finally:
             edges.unpersist()
 
@@ -389,8 +407,8 @@ def propagate_probabilities(
                 changed = frontier.limit(1).count()
                 current = merged.select("key", "origin", "prob")
                 if changed == 0:
-                    return current, i
-            return current, max_iters
+                    return _final_state(current, prev_state), i
+            return _final_state(current, prev_state), max_iters
         finally:
             edges.unpersist()
 
