@@ -332,16 +332,19 @@ def bsp_converge(
                     )
                     .persist()
                 )
-                merged.count()  # materialize before releasing the predecessor
+                improved = F.col("__old").isNull() | (F.col("label") > F.col("__old"))
+                # ONE job both materializes the persisted superstep (full
+                # scan populates the cache before the predecessor is
+                # released) and returns the frontier size — no separate
+                # count + emptiness probe.
+                changed = merged.agg(
+                    F.sum(F.when(improved, 1).otherwise(0))
+                ).collect()[0][0]
                 prev_state.unpersist()
                 prev_state = merged
-                frontier = merged.where(
-                    F.col("__old").isNull() | (F.col("label") > F.col("__old"))
-                ).select("key", "label")
-                nxt = merged.select("key", "label")
-                changed = frontier.limit(1).count()
-                current = nxt
-                if changed == 0:
+                frontier = merged.where(improved).select("key", "label")
+                current = merged.select("key", "label")
+                if not changed:
                     return _final_state(current, prev_state), i
             return _final_state(current, prev_state), max_iters
         finally:
@@ -398,15 +401,16 @@ def propagate_probabilities(
                     )
                     .persist()
                 )
-                merged.count()  # materialize before releasing the predecessor
+                improved = F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
+                # one job: materialize the persisted superstep + frontier size
+                changed = merged.agg(
+                    F.sum(F.when(improved, 1).otherwise(0))
+                ).collect()[0][0]
                 prev_state.unpersist()
                 prev_state = merged
-                frontier = merged.where(
-                    F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
-                ).select("key", "origin", "prob")
-                changed = frontier.limit(1).count()
+                frontier = merged.where(improved).select("key", "origin", "prob")
                 current = merged.select("key", "origin", "prob")
-                if changed == 0:
+                if not changed:
                     return _final_state(current, prev_state), i
             return _final_state(current, prev_state), max_iters
         finally:
