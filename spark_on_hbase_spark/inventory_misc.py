@@ -508,3 +508,33 @@ def set_ops_part_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_only = r.exceptAll(a).distinct().agg(F.count("*").alias("n_r_only"))
     either = r.union(a).distinct().agg(F.count("*").alias("n_either"))
     return both.crossJoin(r_only).crossJoin(either)
+
+
+@query(
+    "cross_join_grid",
+    """
+    SELECT a.r_name AS region_a, b.r_name AS region_b,
+           n.nation_count
+    FROM region a CROSS JOIN region b
+    CROSS JOIN (SELECT COUNT(*) AS nation_count FROM nation) n
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    doc="Superset of SURVEY.md §2.3 ('not present: ... cross joins'): an "
+    "explicit cartesian pairing of two tiny dimensions plus a 1-row "
+    "aggregate — planned as broadcast nested-loop, the one place BNLJ is "
+    "the RIGHT plan (both sides bounded). Guarded use only: the engine's "
+    "range/as-of operators exist precisely so big-table temporal logic "
+    "never degenerates to this.",
+    tags=("join", "set"),
+)
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    a = region.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("region_a"))
+    b = region.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("region_b"))
+    n = load(spark, sf_dir, "nation").agg(F.count("*").alias("nation_count"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("ka") != F.col("kb"))
+        .crossJoin(n)
+        .select("region_a", "region_b", "nation_count")
+    )
