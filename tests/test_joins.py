@@ -65,3 +65,53 @@ def test_range_join_bins_and_boundaries(spark):
     out = J.range_join(left, right, "ts", "s", "e", bin_seconds=600)
     pairs = {(r["ev"], r["iv"]) for r in out.collect()}
     assert pairs == {("in_w1_bin1", "w1"), ("in_w1_bin2", "w1"), ("at_start", "w2")}
+
+
+def test_as_of_join_matches_pandas_merge_asof(spark):
+    """Randomized (seeded) differential test: Spark as_of_join vs pandas
+    merge_asof — an independent reference implementation of backward as-of
+    semantics — over hundreds of keys with colliding timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_r, n_l = 400, 600
+    right_pd = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 50, n_r),
+                "ts": rng.integers(0, 1000, n_r),
+                "state": np.arange(n_r),
+            }
+        )
+        .drop_duplicates(["k", "ts"])  # operator contract: unique (key, ts)
+        .reset_index(drop=True)
+    )
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, n_l),  # some keys have no right rows
+            "ts": rng.integers(0, 1000, n_l),
+            "ev": np.arange(n_l),
+        }
+    )
+
+    expected = pd.merge_asof(
+        left_pd.sort_values(["ts", "ev"]).reset_index(drop=True),
+        right_pd.sort_values("ts").reset_index(drop=True),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    exp = {
+        (int(r.k), int(r.ts), int(r.ev)): (None if pd.isna(r.state) else int(r.state))
+        for r in expected.itertuples()
+    }
+
+    got_rows = J.as_of_join(
+        spark.createDataFrame(left_pd), spark.createDataFrame(right_pd), on="k"
+    ).collect()
+    got = {
+        (r["k"], r["ts"], r["ev"]): r["state"] for r in got_rows
+    }
+    assert len(got) == len(exp)
+    assert got == exp
