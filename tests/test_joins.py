@@ -2,6 +2,7 @@
 cover the oracle-checked end-to-end shapes; these pin edge semantics)."""
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from spark_on_hbase_spark.operators import joins as J
 
@@ -115,3 +116,37 @@ def test_as_of_join_matches_pandas_merge_asof(spark):
     }
     assert len(got) == len(exp)
     assert got == exp
+
+
+def test_range_join_matches_naive_cross_filter(spark):
+    """Seeded differential test: bin-bucketed range_join vs the naive
+    cross-join + inequality filter it replaces, with intervals of varied
+    lengths (shorter and longer than the bin) and open/empty edge cases."""
+    from datetime import datetime as dt, timedelta as td
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = dt(2024, 1, 1)
+    right_rows = []
+    for i in range(80):
+        s = base + td(minutes=int(rng.integers(0, 5000)))
+        length = int(rng.integers(0, 90))  # 0 => empty interval
+        right_rows.append(Row(iv=i, s=s, e=s + td(minutes=length)))
+    left_rows = [
+        Row(ev=j, ts=base + td(minutes=int(rng.integers(0, 5000))))
+        for j in range(300)
+    ]
+    right = spark.createDataFrame(right_rows)
+    left = spark.createDataFrame(left_rows)
+
+    naive = (
+        left.crossJoin(right)
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .select("ev", "iv")
+    )
+    expected = {(r["ev"], r["iv"]) for r in naive.collect()}
+    got = {
+        (r["ev"], r["iv"])
+        for r in J.range_join(left, right, "ts", "s", "e", bin_seconds=1800).collect()
+    }
+    assert got == expected and len(expected) > 0
