@@ -462,7 +462,7 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = net.select(F.col("src").alias("key")).distinct().withColumn(
         "label", F.col("key")
     )
-    final, _iters = G.bsp_converge(net, state, max_iters=30, checkpoint_every=5)
+    final, _iters = G.bsp_converge(net, state, max_iters=30)
     return (
         final.groupBy(F.col("label").alias("component"))
         .agg(F.count("*").alias("n_vertices"))

@@ -287,7 +287,6 @@ def bsp_converge(
     edges: DataFrame,
     state: DataFrame,
     max_iters: int = 50,
-    checkpoint_every: int = 5,
     adaptive: bool = False,
 ) -> tuple[DataFrame, int]:
     """G2 — iterate max-label propagation to a fixpoint (connected
@@ -301,10 +300,10 @@ def bsp_converge(
     round — on a 100 TB graph the late supersteps touch a tiny fraction of
     edges instead of all of them. Change detection piggybacks on the merge
     aggregation (old label = max over the state-tagged rows), so each
-    superstep is ONE shuffle aggregation plus a cheap count on the
-    materialized result — no separate convergence join.
+    superstep is ONE shuffle aggregation whose materializing scan also
+    returns the frontier size — no separate convergence join or probe job.
 
-    ``checkpoint_every`` is kept for API stability; every superstep's merge
+    Every superstep's merge
     is materialized via eager persist (it is read twice: as next state and
     as next frontier; InMemoryRelation substitution keeps the downstream
     plan flat, so hundreds of supersteps survive). Superseded states are

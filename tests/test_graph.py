@@ -50,7 +50,7 @@ def test_bsp_converges_to_components(spark, toy_edges):
     state = toy_edges.select(F.col("src").alias("key")).distinct().withColumn(
         "label", F.col("key")
     )
-    final, iters = G.bsp_converge(toy_edges, state, max_iters=10, checkpoint_every=2)
+    final, iters = G.bsp_converge(toy_edges, state, max_iters=10)
     labels = {r["key"]: r["label"] for r in final.collect()}
     assert labels == {"a": "c", "b": "c", "c": "c", "x": "y", "y": "y"}
     assert iters <= 4
