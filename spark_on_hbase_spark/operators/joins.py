@@ -221,3 +221,44 @@ def range_join(
         .where((F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col)))
         .drop("__bin")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: celebrity keys on the big side are split across
+    ``salt_buckets`` shuffle partitions by salting the join key; the small
+    side is replicated once per bucket so every (key, salt) pair still
+    meets. Result is row-identical to ``big.join(small, on, how)``.
+
+    The storage layer already salts row keys (keys.salt_expr — the
+    reference's 4-byte uniform prefix, keyspace/KeySpace.scala:36-44); this
+    is the same idea applied to a single skewed JOIN key at query time, for
+    when AQE's runtime skew-join splitting isn't available (disabled, or a
+    non-AQE engine boundary) or the skew is known up front. Salt is
+    DETERMINISTIC — md5 of ``salt_source`` (default: the key itself plus a
+    per-row monotonic id would not be stable under retries, so pass a
+    stable disambiguating column like an event id for perfect spread;
+    key-only salting still bounds each bucket at 1/salt_buckets of the
+    celebrity's rows when combined with the id default).
+
+    Cost: small side inflates by ``salt_buckets``× (keep it broadcast-sized
+    / dimension-shaped); big side is scanned once, no inflation.
+    """
+    if salt_source is None:
+        salt_source = on
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col(salt_source).cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(salt_buckets),
+    )
+    b = big.withColumn("__salt", salt.cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, on=[on, "__salt"], how=how).drop("__salt")

@@ -150,3 +150,22 @@ def test_range_join_matches_naive_cross_filter(spark):
         for r in J.range_join(left, right, "ts", "s", "e", bin_seconds=1800).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # heavy skew: 70% of big-side rows share one key
+    keys = np.where(rng.random(2000) < 0.7, 1, rng.integers(0, 40, 2000))
+    big = spark.createDataFrame(
+        [Row(k=int(k), ev=i) for i, k in enumerate(keys)]
+    )
+    small = spark.createDataFrame([Row(k=i, dim=f"d{i}") for i in range(40)])
+
+    plain = {(r["k"], r["ev"], r["dim"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["k"], r["ev"], r["dim"])
+        for r in J.salted_join(big, small, "k", salt_buckets=8, salt_source="ev").collect()
+    }
+    assert salted == plain and len(plain) > 0
