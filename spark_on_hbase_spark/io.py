@@ -116,3 +116,39 @@ def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     """Read back a bucketed table with its bucket metadata (drives exchange
     elision in joins/aggregations on the bucket key)."""
     return spark.table(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    by: str | list[str],
+    coalesce_per_value: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned Parquet layout — the engine's partition-pruning
+    storage. The reference skips foreign keyspaces server-side with a
+    FuzzyRowFilter on the keyspace bytes (keyspace/HBaseRDDKS.scala:29-38);
+    stored ``PARTITIONED BY (ks)`` the same predicate prunes whole
+    directories before any IO (PartitionFilters, zero data read), and an
+    equi-join on the partition column gets dynamic partition pruning: the
+    filtered dimension is evaluated first and only matching fact partitions
+    are scanned (both pinned in tests/test_plans.py).
+
+    ``coalesce_per_value`` repartitions on the partition columns first, so
+    each value is written by one task (one file per value) instead of every
+    task writing a sliver of every value — (tasks x values) small files is
+    the classic partitioned-layout failure mode at 100 TB. Keep partition
+    columns low-cardinality and balanced (keyspace, date, event type); a
+    huge single value makes its one writer the straggler — split such a
+    column with a salt sub-partition, and put high-cardinality keys in
+    bucketing (write_bucketed) instead."""
+    cols = [by] if isinstance(by, str) else list(by)
+    if coalesce_per_value:
+        df = df.repartition(*[F.col(c) for c in cols])
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def partitioned_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a partitioned layout; partition columns come from directory
+    names and never cost IO to filter on."""
+    return spark.read.parquet(path)

@@ -57,6 +57,38 @@ def assert_read_schema_only(df: DataFrame, table_fragment: str, allowed: set[str
     raise AssertionError(f"no ReadSchema line found for {table_fragment}:\n{plan}")
 
 
+def assert_partition_pruning(df: DataFrame, *fragments: str) -> None:
+    """Assert every fragment appears in a PartitionFilters: [...] section of
+    a scan node — storage partition pruning, the Catalyst twin of the
+    reference's keyspace FuzzyRowFilter (keyspace/HBaseRDDKS.scala:29-38):
+    non-matching partitions are skipped from directory listings alone."""
+    plan = formatted_plan(df)
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters:" in ln and "PartitionFilters: []" not in ln
+    ]
+    joined = "\n".join(pruned)
+    assert pruned, f"no non-empty PartitionFilters section in plan:\n{plan}"
+    for frag in fragments:
+        assert frag in joined, (
+            f"partition filter {frag!r} not present; partition-filter lines:\n"
+            f"{joined}\n\nfull plan:\n{plan}"
+        )
+
+
+def assert_dynamic_partition_pruning(df: DataFrame) -> None:
+    """Assert a dynamicpruningexpression reached a scan's PartitionFilters —
+    the join-time analogue of static pruning: the filtered dimension side is
+    evaluated first (reusing its broadcast) and only fact partitions whose
+    keys survive are read. At 100 TB this is the difference between scanning
+    the whole fact table and scanning one partition of it."""
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning in plan:\n{plan}"
+    )
+
+
 def assert_broadcast_join(df: DataFrame) -> None:
     """Assert at least one broadcast join — the 'big table never moves'
     multiget intent (HBaseJoinMultiGet, HBaseRDDFunctions.scala:121-198)."""

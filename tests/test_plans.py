@@ -151,3 +151,47 @@ def test_from_pairs_partitioned_single_shuffle(spark, sf_dir):
     # output is src-partitioned for the persisted network layer.
     assert plans.count_scans(df) == 1
     assert plans.count_shuffles(df) == 1
+
+
+def test_partitioned_layout_prunes_keyspace_statically(spark, sf_dir, tmp_path):
+    from spark_on_hbase_spark import io as IO
+    from spark_on_hbase_spark.inventory import load
+    from spark_on_hbase_spark.keys import salted_key_expr
+
+    cust = load(spark, sf_dir, "customer").select(
+        salted_key_expr("C", "c_custkey").alias("key"),
+        F.lit("C").alias("ks"),
+        F.col("c_name").alias("name"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        salted_key_expr("S", "s_suppkey").alias("key"),
+        F.lit("S").alias("ks"),
+        F.col("s_name").alias("name"),
+    )
+    path = str(tmp_path / "mixed_by_ks")
+    IO.write_partitioned(cust.unionByName(supp), path, "ks")
+
+    scan = IO.partitioned_table(spark, path).where(F.col("ks") == "S")
+    # S4/F8 as storage: the keyspace predicate prunes whole directories
+    # (PartitionFilters), no data filter needed — the engine's twin of the
+    # reference's server-side FuzzyRowFilter (keyspace/HBaseRDDKS.scala:29-38)
+    plans.assert_partition_pruning(scan, "ks")
+    assert scan.count() == supp.count()
+
+
+def test_partitioned_fact_join_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    from spark_on_hbase_spark import io as IO
+    from spark_on_hbase_spark.inventory import load
+
+    path = str(tmp_path / "cust_by_nation")
+    IO.write_partitioned(load(spark, sf_dir, "customer"), path, "c_nationkey")
+    fact = IO.partitioned_table(spark, path)
+    dim = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+
+    j = fact.join(dim, fact.c_nationkey == dim.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    # the selective dim filter prunes fact partitions at runtime (reusing the
+    # dim broadcast): only nations surviving the filter are ever scanned.
+    plans.assert_dynamic_partition_pruning(j)
+    assert j.count() > 0
