@@ -263,6 +263,42 @@ IVF_D2_SQL = (
 )
 
 
+def ivf_probe(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """Multi-probe coarse quantization: each vector gets its ``nprobe``
+    nearest centroids (exact quantized L2, ties by centroid id) — one row per
+    (vector, probed cell). The recall knob of IVF: a query near a cell
+    boundary also searches the adjacent cells instead of missing neighbors
+    assigned across it. Meant for the (small) query side; the corpus keeps
+    its single-cell assignment (ivf_assign), so cost scales as
+    nprobe x |corpus|/|cells| per query. The per-vector ranking window runs
+    over |centroids| rows per vector — fine exactly because the probe side
+    is small; corpus-side assignment stays the windowless min_by
+    aggregation."""
+    from pyspark.sql import Window
+
+    c = centroids.select(F.col(id_col).alias("__cid"), F.col(qvec_col).alias("__cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col(qvec_col), F.col("__cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        id_col, qvec_col, "__cid", d2.alias("__d2")
+    )
+    w = Window.partitionBy(id_col).orderBy("__d2", "__cid")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select(id_col, qvec_col, F.col("__cid").alias("centroid_id"))
+    )
+
+
 def kmeans_refine(
     vectors: DataFrame,
     init_centroids: DataFrame,
@@ -323,20 +359,26 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF ANN top-k: corpus partitioned by nearest-centroid cell; each
-    query probes only its own cell (nprobe=1). At 100 TB the cell id is the
-    storage partition key — a query touches ~|corpus| / |centroids| rows,
-    and the assignment pass is reusable across query batches. Centroids are
-    any small deterministic seed set (a k-means refinement drops in without
-    changing the query path)."""
+    query probes its ``nprobe`` nearest cells. At 100 TB the cell id is the
+    storage partition key — a query touches ~nprobe x |corpus|/|centroids|
+    rows, and the assignment pass is reusable across query batches.
+    Centroids are any small deterministic seed set (a k-means refinement
+    drops in without changing the query path); recall tunes with nprobe
+    (boundary queries search adjacent cells too) without touching the
+    corpus layout."""
     from pyspark.sql import Window
 
     cq = centroids.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
     corpus = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
     qs = queries.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
     corpus_cells = ivf_assign(corpus, cq, id_col, "__v")
-    query_cells = ivf_assign(qs, cq, id_col, "__v").select(
+    probe = ivf_assign(qs, cq, id_col, "__v") if nprobe == 1 else ivf_probe(
+        qs, cq, nprobe, id_col, "__v"
+    )
+    query_cells = probe.select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )
     scored = (

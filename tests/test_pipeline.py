@@ -121,6 +121,48 @@ def test_kmeans_refine_separates_clusters(spark):
     assert abs(c[cells[0]][0] - 200_000) < 3000
 
 
+def test_ivf_probe_one_matches_assign(vectors):
+    q = vectors.select("vec_id", V.quantize_expr("embedding").alias("__v"))
+    centroids = q.where(F.col("vec_id").isin(2, 7, 13))
+    assign = {(r["vec_id"], r["centroid_id"]) for r in V.ivf_assign(q, centroids).collect()}
+    probe1 = {(r["vec_id"], r["centroid_id"]) for r in V.ivf_probe(q, centroids, 1).collect()}
+    assert assign == probe1
+
+
+def test_ivf_full_probe_equals_brute_force(vectors):
+    """With nprobe = |centroids| every cell is probed, so the candidate set is
+    the whole corpus and IVF must reproduce brute force exactly (same ids,
+    same ranks, identical cosines — both use the same quantized kernel and
+    the same vec_id tie-break)."""
+    queries = vectors.where(F.col("vec_id").isin(1, 5))
+    centroids = vectors.where(F.col("vec_id").isin(2, 7, 13))
+    brute = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in V.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in V.ivf_topk(vectors, queries, centroids, k=5, nprobe=3).collect()
+    }
+    assert ivf == brute
+
+
+def test_ivf_recall_monotone_in_nprobe(vectors):
+    queries = vectors.where(F.col("vec_id") == 1)
+    centroids = vectors.where(F.col("vec_id").isin(2, 7, 13))
+    brute_ids = {
+        r["vec_id"] for r in V.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    recalls = []
+    for nprobe in (1, 2, 3):
+        got = {
+            r["vec_id"]
+            for r in V.ivf_topk(vectors, queries, centroids, k=5, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & brute_ids))
+    assert recalls[0] <= recalls[1] <= recalls[2] == 5
+
+
 def test_pandas_cosine_kernel_matches_expressions(vectors):
     """The Arrow-batched numpy kernel and the JVM expression kernel must be
     bit-identical (both compute exact int64 dot/norms + the same IEEE ops)."""
