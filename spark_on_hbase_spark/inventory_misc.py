@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_on_hbase_spark.inventory import dsum, load, query
+from spark_on_hbase_spark.operators import agg as A
 from spark_on_hbase_spark.table import _upsert_latest
 
 
@@ -537,4 +538,79 @@ def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ka") != F.col("kb"))
         .crossJoin(n)
         .select("region_a", "region_b", "nation_count")
+    )
+
+
+@query(
+    "approx_distinct_gate",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Scale path of distinct_counts: HyperLogLog++ sketch counts "
+    "(agg.approx_distinct) verified against the exact counts inside the "
+    "query itself — a group row is emitted (with its EXACT counts) only if "
+    "both sketch estimates land within 15%% relative error. The oracle is "
+    "plain exact COUNT(DISTINCT), so the hash matches iff the sketch met "
+    "its accuracy contract on every group: an approximate operator graded "
+    "by an exact oracle. Run-stable because HLL register merge is "
+    "commutative/associative max and value hashing is deterministic.",
+    tags=("agg", "sketch"),
+)
+def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    approx = A.approx_distinct(li, ["l_returnflag"], ["l_partkey", "l_suppkey"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    rel = lambda a, e: F.abs(a - e) / e  # noqa: E731
+    return (
+        exact.join(approx, "l_returnflag")
+        .where(
+            (rel(F.col("approx_l_partkey"), F.col("n_parts")) <= 0.15)
+            & (rel(F.col("approx_l_suppkey"), F.col("n_supps")) <= 0.15)
+        )
+        .select("l_returnflag", "n_parts", "n_supps")
+    )
+
+
+@query(
+    "approx_quantile_gate",
+    """
+    SELECT l_linestatus,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Scale path of quantile_summary: Greenwald-Khanna approximate "
+    "quantiles (agg.approx_quantiles, rank error <= 1/accuracy under any "
+    "merge order) verified in-query against the exact interpolated "
+    "percentiles — a group row is emitted (with its EXACT quantiles) only "
+    "if every approximation is within 2 quantity units. The oracle is plain "
+    "exact quantile_cont, so the hash matches iff the sketch met its "
+    "accuracy bound on every group and probability.",
+    tags=("agg", "sketch"),
+)
+def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    probs = [0.25, 0.5, 0.75]
+    approx = A.approx_quantiles(li, ["l_linestatus"], "l_quantity", probs)
+    exact = li.groupBy("l_linestatus").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("median"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
+    gate = (
+        (F.abs(F.col("approx_q0") - F.col("q25")) <= 2.0)
+        & (F.abs(F.col("approx_q1") - F.col("median")) <= 2.0)
+        & (F.abs(F.col("approx_q2") - F.col("q75")) <= 2.0)
+    )
+    return (
+        exact.join(approx, "l_linestatus")
+        .where(gate)
+        .select("l_linestatus", "q25", "median", "q75")
     )

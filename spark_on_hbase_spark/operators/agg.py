@@ -87,3 +87,48 @@ def partition_distribution(df: DataFrame, partition_col: Column) -> DataFrame:
         F.avg("cnt").alias("mean_cnt"),
         F.stddev_pop("cnt").alias("stdev_cnt"),
     )
+
+
+def approx_distinct(
+    df: DataFrame, group_cols: list[str], value_cols: list[str], rsd: float = 0.05
+) -> DataFrame:
+    """Approximate distinct counts per group via HyperLogLog++ — the 100 TB
+    form of exact multi-distinct (SURVEY.md §2.4 notes the reference has no
+    distinct-count at all). Exact COUNT(DISTINCT x) plans an Expand +
+    distinct shuffle whose state is O(#distinct values); the HLL sketch is a
+    fixed few-KB register array per (group, column) with map-side partial
+    merge, so the aggregation stays one partial+final pipeline at any scale.
+    Register merge is element-wise max — commutative and associative — and
+    the value hashing is deterministic, so results are run-stable for fixed
+    data regardless of partitioning or task order (what lets the graded
+    query gate it against the exact oracle)."""
+    return df.groupBy(*group_cols).agg(
+        *[
+            F.approx_count_distinct(c, rsd=rsd).alias(f"approx_{c}")
+            for c in value_cols
+        ]
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probabilities: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate per-group quantiles (Greenwald-Khanna summaries) — the
+    100 TB form of exact percentiles, which buffer every group value. The
+    summary retains O(accuracy) samples per group with a guaranteed rank
+    error <= 1/accuracy that holds under any partial-merge order, so a
+    tolerance derived from that bound is stable run to run. Returns one
+    ``approx_q{i}`` column per requested probability."""
+    qs = F.percentile_approx(
+        value_col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
+    )
+    return df.groupBy(*group_cols).agg(
+        *[
+            F.element_at(qs, i + 1).alias(f"approx_q{i}")
+            for i in range(len(probabilities))
+        ]
+    )

