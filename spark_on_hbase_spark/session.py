@@ -39,6 +39,10 @@ def get_spark(app_name: str = "spark_on_hbase_spark", shuffle_partitions: int | 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # MIN/MAX/COUNT over a plain scan answer from parquet footer stats
+        # (metadata-only; Catalyst only pushes when legal). At 100 TB a
+        # COUNT(*) over a partition touches no row data at all.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # 32 concurrent tasks share the unified pool; 8g left hash aggs
         # spilling once a few layers were cached. The box has 128 GiB.
