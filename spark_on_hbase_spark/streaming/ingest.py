@@ -38,6 +38,42 @@ def socket_stream(spark: SparkSession, host: str = "localhost", port: int = 9999
     )
 
 
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """ST1 — the direct Kafka source the reference proxied through netcat
+    (KafkaProxy pipes a console consumer into ``nc -lk`` and reads it back
+    as socketTextStream, misc/KafkaProxy.scala:143-164 — losing offsets,
+    partitioning, and replay). Structured Streaming's native source keeps
+    all three: per-partition offsets are checkpointed (exactly-once with the
+    idempotent merge sink), and one Spark task consumes each Kafka
+    partition. Returns the reference's ``DStream[String]`` shape: (value:
+    string) plus the offset metadata columns.
+
+    Requires the spark-sql-kafka connector on the classpath (not bundled
+    with a plain pyspark install — pass
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>``
+    at submit time); raises the underlying missing-data-source error
+    otherwise, which tests gate on."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("ts"),
+    )
+
+
 def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet") -> DataFrame:
     """Replayable file-based stream — the testable ingest source; also the
     shape of a warehouse-landing-zone tail at scale (new files appear, each

@@ -168,3 +168,20 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     rows = spark.sql("SELECT fp FROM dedup_sink").collect()
     assert len(rows) == 3  # the duplicate fingerprint was suppressed
     assert {r["fp"] for r in rows} == {"A", "B", "C"}
+
+
+def test_kafka_stream_requires_connector_or_builds(spark):
+    """kafka_stream either builds a streaming (value, topic, partition,
+    offset, ts) frame (connector on classpath) or surfaces Spark's
+    missing-data-source error — never some unrelated failure."""
+    from spark_on_hbase_spark.streaming.ingest import kafka_stream
+
+    try:
+        df = kafka_stream(spark, "localhost:9092", "events")
+    except Exception as e:  # connector absent in this container
+        assert "kafka" in str(e).lower()
+    else:
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == [
+            "value", "topic", "partition", "offset", "ts",
+        ]
