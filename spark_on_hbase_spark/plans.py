@@ -105,13 +105,56 @@ def assert_no_shuffle(df: DataFrame) -> None:
     assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
 
 
+def _live_tree_lines(plan: str) -> list[str]:
+    """The physical-plan tree lines that will actually EXECUTE: formatted
+    mode prints, under every ``InMemoryRelation``, the full lineage that
+    originally built the cache (twice, when AQE kept initial+final plans) —
+    but a query over cached state reads blocks, it does not re-run that
+    lineage. Counting it reports shuffles/scans that never happen (a
+    30-superstep loop's final state would 'contain' 100+ exchanges). So:
+    take the tree section only (details repeat every node), and drop all
+    lines indented deeper than an ``InMemoryRelation`` node."""
+    lines = plan.splitlines()
+    tree: list[str] = []
+    in_tree = False
+    for ln in lines:
+        if ln.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if in_tree:
+            if not ln.strip():
+                break
+            tree.append(ln)
+
+    def depth(ln: str) -> int:
+        i = 0
+        while i < len(ln) and ln[i] in " +-:*=":
+            i += 1
+        return i
+
+    live: list[str] = []
+    skip_from: int | None = None
+    for ln in tree:
+        d = depth(ln)
+        if skip_from is not None:
+            # the cached plan dump starts at the SAME text column as the
+            # InMemoryRelation node; a true sibling resumes strictly left
+            if d >= skip_from:
+                continue
+            skip_from = None
+        live.append(ln)
+        if "InMemoryRelation" in ln:
+            skip_from = d
+    return live
+
+
 def count_shuffles(df: DataFrame) -> int:
-    """Number of SHUFFLE Exchange nodes (broadcast exchanges excluded —
-    shipping a small side is the cheap alternative to a shuffle, not one).
-    Formatted mode prints every node twice (tree + details); ``Exchange (N)``
-    is the tree form, counted once."""
-    plan = formatted_plan(df)
-    return plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    """Number of SHUFFLE Exchange nodes that would execute (broadcast
+    exchanges excluded — shipping a small side is the cheap alternative to a
+    shuffle, not one; cached-lineage nodes excluded — see
+    ``_live_tree_lines``)."""
+    live = "\n".join(_live_tree_lines(formatted_plan(df)))
+    return live.count("Exchange (") - live.count("BroadcastExchange (")
 
 
 @contextmanager
@@ -137,12 +180,12 @@ def loop_planner(df: DataFrame, adaptive: bool):
 
 
 def count_scans(df: DataFrame) -> int:
-    """Number of file-scan leaves. Same formatted-mode convention as
-    ``count_shuffles``: ``Scan parquet ... (N)`` is the tree form, counted
-    once. A shared subtree referenced twice plans (and runs) its scan twice —
-    this catches accidental self-unions of expensive sources."""
-    plan = formatted_plan(df)
-    return plan.count("Scan parquet") // 2
+    """Number of file-scan leaves that would execute (cached-lineage scans
+    excluded — see ``_live_tree_lines``). A shared subtree referenced twice
+    plans (and runs) its scan twice — this catches accidental self-unions of
+    expensive sources."""
+    live = "\n".join(_live_tree_lines(formatted_plan(df)))
+    return live.count("Scan parquet")
 
 
 def assert_whole_stage_codegen(df: DataFrame) -> None:
