@@ -419,21 +419,34 @@ def propagate_probabilities(
 def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:
     """J12 — precision/recall/F1 of a modeled edge set against a validation
     edge set (AGraph.f1, AGraph.scala:307-326: join + per-key set
-    intersections -> TP/FP/FN). Both inputs are flat (src, dst) frames;
-    computed with joins instead of per-row Seq.intersect, so it distributes."""
-    m = modeled.select("src", "dst").distinct()
-    v = validation.select("src", "dst").distinct()
-    tp = m.join(v, ["src", "dst"], "left_semi").groupBy("src").agg(F.count("*").alias("tp"))
-    mc = m.groupBy("src").agg(F.count("*").alias("m_cnt"))
-    vc = v.groupBy("src").agg(F.count("*").alias("v_cnt"))
+    intersections -> TP/FP/FN). Both inputs are flat (src, dst) frames.
+
+    One full-outer join on (src, dst) classifies every edge as TP (both
+    sides), FP (modeled only) or FN (validation only); a single per-src
+    aggregation then counts them, keeping only keys present in both sets
+    (the reference's inner ``modeled.join(validation)`` key scope). The
+    distincts hash-partition each side on exactly the join key, so the
+    full-outer join reuses those exchanges instead of adding its own —
+    ~half the shuffles of the semi-join + three-groupBy formulation, which
+    matters when both edge sets are fact-table-sized."""
+    m = modeled.select("src", "dst").distinct().withColumn("__m", F.lit(1))
+    v = validation.select("src", "dst").distinct().withColumn("__v", F.lit(1))
+    edges = m.join(v, ["src", "dst"], "full_outer")
     per_key = (
-        mc.join(vc, "src", "inner")
-        .join(tp, "src", "left")
+        edges.groupBy("src")
+        .agg(
+            F.sum(
+                F.when(F.col("__m").isNotNull() & F.col("__v").isNotNull(), 1).otherwise(0)
+            ).alias("tp"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0))).alias("m_cnt"),
+            F.sum(F.coalesce(F.col("__v"), F.lit(0))).alias("v_cnt"),
+        )
+        .where((F.col("m_cnt") > 0) & (F.col("v_cnt") > 0))
         .select(
             "src",
-            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
-            (F.col("m_cnt") - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
-            (F.col("v_cnt") - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+            "tp",
+            (F.col("m_cnt") - F.col("tp")).alias("fp"),
+            (F.col("v_cnt") - F.col("tp")).alias("fn"),
         )
     )
     totals = per_key.agg(
