@@ -79,20 +79,24 @@ class KeyedTable:
         layers = self._layers()
         return 1 + max((int(p.name.split("-")[1]) for p in layers), default=-1)
 
-    def _write_layer(self, df: DataFrame, kind: str) -> None:
-        """Write one sorted layer atomically (write to .tmp, rename)."""
+    def _write_layer(self, df: DataFrame, kind: str) -> int:
+        """Write one sorted layer atomically (write to .tmp, rename).
+        Returns rows written, observed inside the write job (A16 accumulator
+        parity) — the observe node sits ABOVE the range exchange, so the
+        sampling pass repartitionByRange runs to pick bounds does not
+        double-count."""
         name = f"{kind}-{self._next_seq():06d}"
         target = Path(self.path) / name
         tmp = target.with_suffix(".tmp")
         if _TOMBSTONE not in df.columns:
             df = df.withColumn(_TOMBSTONE, F.lit(False))
-        (
-            df.repartitionByRange(self.num_partitions, F.col(self.key_col))
-            .sortWithinPartitions(self.key_col)
-            .write.mode("overwrite")
-            .parquet(str(tmp))
-        )
+        out = df.repartitionByRange(
+            self.num_partitions, F.col(self.key_col)
+        ).sortWithinPartitions(self.key_col)
+        out, obs = _observed_count(out)
+        out.write.mode("overwrite").parquet(str(tmp))
         tmp.rename(target)
+        return int(obs.get["n"])
 
     def _replace_all_layers(self, df: DataFrame) -> None:
         """Materialize ``df`` as the sole base layer and drop every old
@@ -167,9 +171,9 @@ class KeyedTable:
         """Upsert whole rows by key, last-writer-wins by ``ts`` (S5,
         HBaseTable.update, HBaseTable.scala:100-122): ONE appended delta
         layer — O(batch), the table is not rewritten. Returns rows applied
-        (the reference's put accumulator, HBaseTable.scala:127)."""
-        n = batch.count()
-        self._write_layer(batch, "delta")
+        (the reference's put accumulator, HBaseTable.scala:127) — observed
+        inside the write job (see _write_layer), not a second pass."""
+        n = self._write_layer(batch, "delta")
         self._maybe_compact()
         return n
 
@@ -188,8 +192,7 @@ class KeyedTable:
         enriched = batch.join(
             current.select(self.key_col, *missing), on=self.key_col, how="left"
         ).select(*current.columns)
-        n = batch.count()
-        self._write_layer(enriched, "delta")
+        n = self._write_layer(enriched, "delta")
         self._maybe_compact()
         return n
 
@@ -206,7 +209,7 @@ class KeyedTable:
             .groupBy(self.key_col)
             .agg(F.sum(delta_col).alias("__delta"))
         )
-        n = deltas.count()
+        deltas, obs = _observed_count(deltas)
         merged = (
             self.df()
             .join(deltas, on=self.key_col, how="left")
@@ -217,7 +220,7 @@ class KeyedTable:
             .drop("__delta")
         )
         self._replace_all_layers(merged)
-        return n
+        return int(obs.get["n"])
 
     def delete(self, keys: DataFrame, columns: list[str] | None = None) -> int:
         """Row-level delete -> tombstone delta rows (HBase Delete cells);
@@ -230,14 +233,12 @@ class KeyedTable:
         # ties), so tombstones/cell-nulls carry the original ts unchanged
         if not columns:
             doomed = current.join(keys, on=self.key_col, how="left_semi")
-            n = doomed.count()
-            self._write_layer(doomed.withColumn(_TOMBSTONE, F.lit(True)), "delta")
+            n = self._write_layer(doomed.withColumn(_TOMBSTONE, F.lit(True)), "delta")
         else:
             marked = current.join(keys, on=self.key_col, how="left_semi")
-            n = marked.count()
             for c in columns:
                 marked = marked.withColumn(c, F.lit(None).cast(dict(current.dtypes)[c]))
-            self._write_layer(marked, "delta")
+            n = self._write_layer(marked, "delta")
         self._maybe_compact()
         return n
 
@@ -254,6 +255,19 @@ class KeyedTable:
         (HBase major compaction; the reference's HFile bulk pipeline shape,
         HBaseTable.scala:296-352). Tombstoned keys are physically removed."""
         self._replace_all_layers(self.df())
+
+
+def _observed_count(df: DataFrame):
+    """Attach a row-count observation to ``df`` — the engine's twin of the
+    reference's write-path accumulators (A16, HBaseTable.scala:127,137,168):
+    the count is collected DURING the write job by the observe operator, so
+    mutations report rows applied without a second pass over the batch (or,
+    for deletes, over the table). Returns (observed_df, Observation); read
+    ``obs.get["n"]`` after the write action."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
 
 
 def _merge_layers(frames: list[DataFrame], key_col: str, ts_col: str) -> DataFrame:
