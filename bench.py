@@ -34,36 +34,45 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query times measure the
     # query, not session startup (the driver compares totals across rounds).
-    next(iter(QUERIES.values())).fn(spark, sf_dir).count()
+    try:
+        next(iter(QUERIES.values())).fn(spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001 — warm-up failure must not abort
+        print(f"warm-up failed: {exc}", file=sys.stderr)
     # warm the Python-worker/Arrow path too: the first mapInPandas in a
     # session pays daemon spawn + Arrow init (~10s on local[32]), which is
     # session overhead, not query cost.
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
+    # One broken query must never zero out the round's bench signal: record
+    # an "err" entry for it and keep going (VERDICT r01: range_join aborted
+    # the whole harness and round 1 produced no timings at all).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # iterative queries return their final persisted state; release it so
-        # later queries aren't measured under accumulated block-manager churn
-        # (no-op for the unpersisted majority; shared memo caches — network,
-        # shingles — are persisted inside the inventory and stay warm).
-        df.unpersist()
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # iterative queries return their final persisted state; release
+            # it so later queries aren't measured under accumulated
+            # block-manager churn (no-op for the unpersisted majority;
+            # shared memo caches — network, shingles — stay warm).
+            df.unpersist()
+        except Exception as exc:  # noqa: BLE001 — isolate per-query faults
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "inventory_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

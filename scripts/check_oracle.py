@@ -90,6 +90,21 @@ def main():
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        # Physical-type divergence (e.g. DuckDB HUGEINT vs Spark BIGINT) can
+        # fail the driver's hasher even when Python values match — surface it.
+        duck_types = {c.lower(): str(t) for c, t in
+                      zip([d[0] for d in res.description],
+                          [d[1] for d in res.description])}
+        spark_types = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
+        _EQUIV = {
+            "HUGEINT": {"hugeint"},  # never equivalent to anything Spark has
+            "BIGINT": {"bigint"}, "INTEGER": {"int"}, "DOUBLE": {"double"},
+            "VARCHAR": {"string"}, "BOOLEAN": {"boolean"},
+        }
+        for c in duck_types:
+            dt, st = duck_types[c], spark_types.get(c, "?")
+            if dt in _EQUIV and st not in _EQUIV[dt]:
+                print(f"WARN  {name}: column {c} physical type duck={dt} spark={st}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:

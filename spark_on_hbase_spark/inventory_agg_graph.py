@@ -195,7 +195,8 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {NETWORK_SQL},
     degrees AS (SELECT src, COUNT(*) AS degree FROM network GROUP BY src)
     SELECT COUNT(*) AS n_vertices,
-           SUM(CAST(floor(1000000.0 / (1 + degree)) AS BIGINT)) AS est_groups_x1e6
+           CAST(SUM(CAST(floor(1000000.0 / (1 + degree)) AS BIGINT)) AS BIGINT)
+               AS est_groups_x1e6
     FROM degrees
     """,
     doc="A7 — (#vertices, estimated #connected groups = sum 1/(1+degree)) "
@@ -222,7 +223,7 @@ def network_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS group_sum
         FROM orders GROUP BY o_custkey
     )
-    SELECT COUNT(*) AS n_groups, SUM(members) AS n_members,
+    SELECT COUNT(*) AS n_groups, CAST(SUM(members) AS BIGINT) AS n_members,
            CAST(SUM(group_sum) AS DOUBLE) AS total
     FROM per_group
     """,
@@ -284,7 +285,8 @@ def cutoff_super_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (SELECT pid, COUNT(*) AS cnt FROM parts GROUP BY pid)
     SELECT COUNT(*) AS n_partitions,
            MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt,
-           SUM(cnt) AS total_rows, SUM(cnt * cnt) AS sum_sq
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
     FROM counts
     """,
     doc="A15/P2 — per-partition row-count distribution of md5-salted keys "
@@ -493,7 +495,8 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                v.v_cnt - COALESCE(t.tp, 0) AS fn
         FROM m JOIN v ON m.src = v.src LEFT JOIN t ON m.src = t.src
     )
-    SELECT SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn,
+    SELECT CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
+           CAST(SUM(fn) AS BIGINT) AS fn,
            CAST(SUM(tp) AS DOUBLE) / (SUM(tp) + SUM(fp)) AS precision,
            CAST(SUM(tp) AS DOUBLE) / (SUM(tp) + SUM(fn)) AS recall,
            2.0 * SUM(tp) / (2.0 * SUM(tp) + SUM(fp) + SUM(fn)) AS f1

@@ -136,7 +136,8 @@ def keyspace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src AS key, GREATEST(src, MAX(dst)) AS origin FROM sym GROUP BY src
     )
     SELECT COUNT(*) AS n_keys,
-           SUM(CASE WHEN key = origin THEN 1 ELSE 0 END) AS n_self_max
+           CAST(SUM(CASE WHEN key = origin THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_self_max
     FROM pool
     """,
     doc="A8 — pool counts: (#keys, #keys that are their own group maximum) "
@@ -215,11 +216,13 @@ def mutation_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mutation_increment_merge",
     """
     WITH deltas AS (
-        SELECT o_custkey AS key, SUM(o_orderkey % 5 - 2) AS delta
+        SELECT o_custkey AS key,
+               CAST(SUM(o_orderkey % 5 - 2) AS BIGINT) AS delta
         FROM orders GROUP BY o_custkey HAVING SUM(o_orderkey % 5 - 2) <> 0
     )
     SELECT c.c_custkey AS key,
-           CAST(c.c_acctbal AS DECIMAL(18,2)) + COALESCE(d.delta, 0) AS counter
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) + COALESCE(d.delta, 0)
+                AS DECIMAL(20,2)) AS counter
     FROM customer c LEFT JOIN deltas d ON c.c_custkey = d.key
     """,
     doc="S7 — counter increment: deltas pre-aggregate per key (map-side "
@@ -238,9 +241,9 @@ def mutation_increment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return cust.join(deltas, cust["c_custkey"] == deltas["key"], "left").select(
         F.col("c_custkey").alias("key"),
-        (F.col("c_acctbal").cast("decimal(18,2)") + F.coalesce(F.col("delta"), F.lit(0))).alias(
-            "counter"
-        ),
+        (F.col("c_acctbal").cast("decimal(18,2)") + F.coalesce(F.col("delta"), F.lit(0)))
+        .cast("decimal(20,2)")
+        .alias("counter"),
     )
 
 

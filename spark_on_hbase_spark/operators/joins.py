@@ -199,20 +199,29 @@ def range_join(
 
     Intervals are half-open; empty intervals (end <= start) match nothing.
     Left/right column names must be disjoint.
+
+    Timestamps may be TIMESTAMP or TIMESTAMP_NTZ: binning goes through
+    ``cast("timestamp")`` (a no-op for TIMESTAMP, a lossless reinterpretation
+    for NTZ) so both dtypes bin consistently — ``unix_micros`` alone rejects
+    NTZ inputs.
     """
     overlap = sorted(set(left.columns) & set(right.columns))
     if overlap:
         raise ValueError(f"left/right columns collide: {overlap}")
     width = int(bin_seconds) * 1_000_000
+
+    def _micros(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
     l = left.withColumn(
-        "__bin", F.floor(F.unix_micros(F.col(left_ts)) / F.lit(width)).cast("bigint")
+        "__bin", F.floor(_micros(left_ts) / F.lit(width)).cast("bigint")
     )
     r = right.where(F.col(end_col) > F.col(start_col)).withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / F.lit(width)).cast("bigint"),
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(width)).cast("bigint"),
+                F.floor(_micros(start_col) / F.lit(width)).cast("bigint"),
+                F.floor((_micros(end_col) - 1) / F.lit(width)).cast("bigint"),
             )
         ),
     )
