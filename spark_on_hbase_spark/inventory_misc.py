@@ -490,28 +490,46 @@ def top_k_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_ops_part_flags",
     """
-    WITH r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
-    a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    WITH flags AS (
+        SELECT l_partkey,
+               bool_or(l_returnflag = 'R') AS has_r,
+               bool_or(l_returnflag = 'A') AS has_a
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        GROUP BY l_partkey
+    )
     SELECT
-        (SELECT COUNT(*) FROM (SELECT * FROM r INTERSECT SELECT * FROM a)) AS n_both,
-        (SELECT COUNT(*) FROM (SELECT * FROM r EXCEPT SELECT * FROM a)) AS n_r_only,
-        (SELECT COUNT(*) FROM (SELECT * FROM r UNION SELECT * FROM a)) AS n_either
+        CAST(SUM(CASE WHEN has_r AND has_a THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN has_r AND NOT has_a THEN 1 ELSE 0 END) AS BIGINT) AS n_r_only,
+        COUNT(*) AS n_either
+    FROM flags
     """,
     doc="Superset of SURVEY.md §2.6 (no named set operators in the "
     "reference — set semantics were buried inside flatMaps and driver-side "
-    "Sets): INTERSECT / EXCEPT / UNION-distinct as first-class relational "
-    "ops. Spark plans intersect/except as semi/anti joins — distributed, "
-    "no driver sets.",
+    "Sets): logically |R INTERSECT A| / |R EXCEPT A| / |R UNION A| over "
+    "distinct part keys. Physically ONE membership-flag aggregation + a "
+    "global reduce (2 shuffles, single scan) — three separate "
+    "intersect/except/union plans would scan lineitem twice each and pay 9 "
+    "shuffles for the same three scalars (the round-1 plan audit's "
+    "scale-killer). Spark's named set operators (intersect/except_/union) "
+    "remain available and are pinned equivalent in "
+    "tests/test_plans.py::test_set_ops_classification_matches_named_ops.",
     tags=("set",),
 )
 def set_ops_part_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    r = li.where(F.col("l_returnflag") == "R").select("l_partkey").distinct()
-    a = li.where(F.col("l_returnflag") == "A").select("l_partkey").distinct()
-    both = r.intersect(a).agg(F.count("*").alias("n_both"))
-    r_only = r.exceptAll(a).distinct().agg(F.count("*").alias("n_r_only"))
-    either = r.union(a).distinct().agg(F.count("*").alias("n_either"))
-    return both.crossJoin(r_only).crossJoin(either)
+    flags = (
+        li.where(F.col("l_returnflag").isin("R", "A"))
+        .groupBy("l_partkey")
+        .agg(
+            F.bool_or(F.col("l_returnflag") == "R").alias("has_r"),
+            F.bool_or(F.col("l_returnflag") == "A").alias("has_a"),
+        )
+    )
+    return flags.agg(
+        F.sum(F.when(F.col("has_r") & F.col("has_a"), 1).otherwise(0)).alias("n_both"),
+        F.sum(F.when(F.col("has_r") & ~F.col("has_a"), 1).otherwise(0)).alias("n_r_only"),
+        F.count("*").alias("n_either"),
+    )
 
 
 @query(

@@ -13,24 +13,35 @@ This table re-expresses that **same LSM design on columnar storage**:
   every layer range-partitioned and sorted by key (the HFile invariant;
   ``repartitionByRange + sortWithinPartitions`` is the DataFrame twin of the
   reference's HFile bulk pipeline, HBaseTable.scala:242,296-352);
-- ``update``/``put``/``bulk_*``: append ONE sorted delta layer — O(batch)
-  write, the table is never rewritten (the reference's bulkUpdate intent);
-- ``delete``: a delta of tombstone rows (HBase Delete cells);
-- reads: merge base ∪ deltas, last-writer-wins by (ts, layer-seq) — greater
-  cell timestamp wins, ties go to the later layer, tombstones drop the key —
-  exactly HBase's read-path resolution;
+- ``update``/``put``/``increment``/``delete``/``bulk_*``: every mutation
+  appends ONE sorted delta layer — O(batch) write, the table is never
+  rewritten (the reference's bulkUpdate intent; HBase's memstore append);
+- layer row kinds (``__kind``) carry the mutation semantics to the read
+  path, exactly as HBase cell types (Put / Delete / DeleteColumn /
+  server-side-add) ride in HFiles:
+  ROW 0    whole-row upsert (update/create/compact), last-writer-wins by ts;
+  SPARSE 1 cell-level put — non-null cells overwrite, nulls mean "keep
+           stored" (HBaseTable.put, HBaseTable.scala:124-155);
+  DELTA 2  additive increment — non-null numeric cells ADD to the stored
+           value (HBaseTable.increment, HBaseTable.scala:157-179: HBase's
+           server-side atomic add, here folded at read/compaction);
+  CELLDEL 3 per-cell tombstone — ``__delcols`` lists the cells nulled
+           (HBase DeleteColumn);
+  plus ``__tombstone`` on ROW rows for whole-row deletes (HBase Delete);
+- reads: single-layer tables scan directly; multi-layer tables with only ROW
+  rows merge by one max_by aggregation (last-writer-wins by (ts, seq));
+  tables holding sparse/delta/celldel layers fold each key's version list in
+  layer order with pure column expressions (collect_list -> array_sort ->
+  aggregate) — the per-key list is bounded by the layer count (<=
+  compact_threshold), so the fold is O(1) per key at any table size;
 - ``compact()``: fold all layers into a fresh base (HBase major compaction);
   triggered automatically when the delta stack exceeds ``compact_threshold``
-  so read fan-in stays bounded;
-- ``increment``: eager read-modify-write of the merged view into a new base,
-  matching HBase's server-side atomic increments (which are also
-  read-modify-write, HBaseTable.scala:157-179); deltas can't express
-  additive merges in a last-writer-wins log.
+  so read fan-in stays bounded.
 
-At 100 TB: mutations cost the size of the batch, not the table; reads prune
-both base and deltas by key range (sorted files => zone maps); compaction is
-the only table-sized job, and it is one repartitionByRange + sort — the same
-single-shuffle shape as the reference's HFile load.
+At 100 TB: every mutation costs the size of the batch, not the table; reads
+prune both base and deltas by key range (sorted files => zone maps);
+compaction is the only table-sized job, and it is one repartitionByRange +
+sort — the same single-shuffle shape as the reference's HFile load.
 """
 
 from __future__ import annotations
@@ -42,6 +53,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _TOMBSTONE = "__tombstone"
+_KIND = "__kind"
+_DELCOLS = "__delcols"
+
+# row kinds (see module docstring); layers without a __kind column are ROW
+_ROW, _SPARSE, _DELTA, _CELLDEL = 0, 1, 2, 3
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
 
 
 class KeyedTable:
@@ -79,17 +97,25 @@ class KeyedTable:
         layers = self._layers()
         return 1 + max((int(p.name.split("-")[1]) for p in layers), default=-1)
 
-    def _write_layer(self, df: DataFrame, kind: str) -> int:
+    def _write_layer(self, df: DataFrame, kind: str, row_kind: int | None = None) -> int:
         """Write one sorted layer atomically (write to .tmp, rename).
         Returns rows written, observed inside the write job (A16 accumulator
         parity) — the observe node sits ABOVE the range exchange, so the
         sampling pass repartitionByRange runs to pick bounds does not
-        double-count."""
+        double-count.
+
+        ``row_kind`` stamps a non-ROW __kind column (sparse put / additive
+        delta / cell delete); ROW layers omit the column entirely so tables
+        that only ever see whole-row mutations keep the cheap max_by merge."""
         name = f"{kind}-{self._next_seq():06d}"
         target = Path(self.path) / name
         tmp = target.with_suffix(".tmp")
         if _TOMBSTONE not in df.columns:
             df = df.withColumn(_TOMBSTONE, F.lit(False))
+        if row_kind is not None and _KIND not in df.columns:
+            df = df.withColumn(_KIND, F.lit(row_kind).cast("int"))
+        if row_kind == _CELLDEL and _DELCOLS not in df.columns:
+            raise ValueError("CELLDEL layers need a __delcols column")
         out = df.repartitionByRange(
             self.num_partitions, F.col(self.key_col)
         ).sortWithinPartitions(self.key_col)
@@ -153,8 +179,15 @@ class KeyedTable:
         frames = [self.spark.read.parquet(str(p)) for p in layers]
         if len(frames) == 1:
             merged = frames[0]
+        elif any(_KIND in f.columns for f in frames):
+            # sparse-put / increment-delta / cell-delete layers present:
+            # per-key ordered version fold (see _merge_layers_fold)
+            merged = _merge_layers_fold(frames, self.key_col, self.ts_col)
         else:
             merged = _merge_layers(frames, self.key_col, self.ts_col)
+        for meta in (_KIND, _DELCOLS):
+            if meta in merged.columns:
+                merged = merged.drop(meta)
         if _TOMBSTONE in merged.columns:
             merged = merged.where(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
         return merged
@@ -181,18 +214,29 @@ class KeyedTable:
     # write — the HFile path made literal.
     bulk_update = update
 
+    def _schema(self) -> dict[str, str]:
+        """Column -> dtype of the logical table. Plan-only (parquet footers),
+        no job runs — mutations use it to shape O(batch) delta layers."""
+        return dict(self.df().dtypes)
+
     def put(self, batch: DataFrame) -> int:
         """Cell-level put (S6, HBaseTable.put, HBaseTable.scala:124-155):
         batch columns overwrite, columns absent from the batch keep stored
-        values. HBase stores per-cell puts natively; on whole-row layers the
-        absent columns are filled from the current merged view, then the row
-        appends as a delta — still O(batch) written, one table scan read."""
-        current = self.df()
-        missing = [c for c in current.columns if c not in batch.columns]
-        enriched = batch.join(
-            current.select(self.key_col, *missing), on=self.key_col, how="left"
-        ).select(*current.columns)
-        n = self._write_layer(enriched, "delta")
+        values. O(batch): absent columns ride as typed nulls in one SPARSE
+        delta layer and resolve per-column at merge/compaction — the table
+        is neither read nor rewritten, matching HBase's per-cell memstore
+        append."""
+        schema = self._schema()
+        unknown = [c for c in batch.columns if c not in schema]
+        if unknown:
+            raise ValueError(f"columns not in table schema: {unknown}")
+        sparse = batch.select(
+            *[
+                (F.col(c).cast(t) if c in batch.columns else F.lit(None).cast(t)).alias(c)
+                for c, t in schema.items()
+            ]
+        )
+        n = self._write_layer(sparse, "delta", row_kind=_SPARSE)
         self._maybe_compact()
         return n
 
@@ -201,44 +245,65 @@ class KeyedTable:
     def increment(self, batch: DataFrame, counter_col: str, delta_col: str = "delta") -> int:
         """Atomic-add semantics (S7, HBaseTable.increment,
         HBaseTable.scala:157-179): pre-aggregate deltas per key (map-side
-        combine), skip zero deltas (:166), add into the stored counter.
-        Eager read-modify-write (HBase increments are too): additive merges
-        cannot ride a last-writer-wins delta log."""
+        combine), skip zero deltas (:166). O(batch): the summed deltas append
+        as ONE additive DELTA layer and fold into the stored counter at
+        merge/compaction — the server-side-add intent without rewriting the
+        table (a counter batch at 100 TB costs the batch, not a full-table
+        shuffle)."""
+        schema = self._schema()
+        if counter_col not in schema:
+            raise ValueError(f"no such column: {counter_col}")
         deltas = (
             batch.where(F.col(delta_col) != 0)
             .groupBy(self.key_col)
             .agg(F.sum(delta_col).alias("__delta"))
+            .where(F.col("__delta") != 0)
         )
-        deltas, obs = _observed_count(deltas)
-        merged = (
-            self.df()
-            .join(deltas, on=self.key_col, how="left")
-            .withColumn(
-                counter_col,
-                F.coalesce(F.col(counter_col), F.lit(0)) + F.coalesce(F.col("__delta"), F.lit(0)),
-            )
-            .drop("__delta")
+        layer = deltas.select(
+            *[
+                (
+                    F.col(self.key_col)
+                    if c == self.key_col
+                    else F.col("__delta").cast(t)
+                    if c == counter_col
+                    else F.lit(None).cast(t)
+                ).alias(c)
+                for c, t in schema.items()
+            ]
         )
-        self._replace_all_layers(merged)
-        return int(obs.get["n"])
+        # one row per non-zero-delta key, so the layer's own observed write
+        # count (A16 parity) IS the applied-increment count — no second pass
+        n = self._write_layer(layer, "delta", row_kind=_DELTA)
+        self._maybe_compact()
+        return n
 
     def delete(self, keys: DataFrame, columns: list[str] | None = None) -> int:
-        """Row-level delete -> tombstone delta rows (HBase Delete cells);
-        column-level delete -> delta rows with the named cells nulled
-        (S8/S11, HBaseTable.delete, HBaseTable.scala:181-212: null qualifier
-        set => whole row, named qualifiers => those cells)."""
+        """Row-level delete -> key-only tombstone rows (HBase Delete);
+        column-level delete -> CELLDEL rows naming the dropped cells (HBase
+        DeleteColumn) (S8/S11, HBaseTable.delete, HBaseTable.scala:181-212:
+        null qualifier set => whole row, named qualifiers => those cells).
+        O(batch): only the keys are written — the table is not read;
+        resolution happens at merge/compaction like every other mutation."""
+        schema = self._schema()
         keys = keys.select(self.key_col).distinct()
-        current = self.df()
-        # precedence comes from the layer sequence (later layer wins ts
-        # ties), so tombstones/cell-nulls carry the original ts unchanged
+        skeleton = keys.select(
+            *[
+                (F.col(c) if c == self.key_col else F.lit(None).cast(t)).alias(c)
+                for c, t in schema.items()
+            ]
+        )
         if not columns:
-            doomed = current.join(keys, on=self.key_col, how="left_semi")
-            n = self._write_layer(doomed.withColumn(_TOMBSTONE, F.lit(True)), "delta")
+            n = self._write_layer(
+                skeleton.withColumn(_TOMBSTONE, F.lit(True)), "delta", row_kind=_ROW
+            )
         else:
-            marked = current.join(keys, on=self.key_col, how="left_semi")
-            for c in columns:
-                marked = marked.withColumn(c, F.lit(None).cast(dict(current.dtypes)[c]))
-            n = self._write_layer(marked, "delta")
+            bad = [c for c in columns if c not in schema or c == self.key_col]
+            if bad:
+                raise ValueError(f"cannot column-delete: {bad}")
+            marked = skeleton.withColumn(
+                _DELCOLS, F.array(*[F.lit(c) for c in columns]).cast("array<string>")
+            )
+            n = self._write_layer(marked, "delta", row_kind=_CELLDEL)
         self._maybe_compact()
         return n
 
@@ -291,6 +356,107 @@ def _merge_layers(frames: list[DataFrame], key_col: str, ts_col: str) -> DataFra
     )
     latest = packed.groupBy(key_col).agg(F.max_by("__row", "__ord").alias("__row"))
     return latest.select(key_col, *[F.col(f"__row.{c}").alias(c) for c in struct_cols])
+
+
+def _merge_layers_fold(frames: list[DataFrame], key_col: str, ts_col: str) -> DataFrame:
+    """Merge ordered layers carrying mixed row kinds (ROW / SPARSE / DELTA /
+    CELLDEL) by folding each key's version list in layer order — the HBase
+    read path over typed cells, as pure column expressions (collect_list ->
+    array_sort by seq -> F.aggregate), zero UDFs.
+
+    Per version, in order:
+      ROW     replaces the whole row iff its ts is null (write-time "now"),
+              the row doesn't exist yet, or ts >= the resolved ts —
+              last-writer-wins with arrival-order tie-break;
+      SPARSE  same ts gate; non-null cells overwrite, nulls keep stored;
+      DELTA   non-null numeric cells ADD onto the stored value (absent
+              base counts as 0); always applies (addition commutes);
+      CELLDEL nulls exactly the cells named in __delcols.
+
+    Scale: ONE shuffle (the groupBy); each key's list is bounded by the
+    layer count (<= compact_threshold + 1), so the fold is O(1) per key
+    regardless of table size. The sort uses a seq-only comparator, so
+    payloads may contain unorderable types (maps)."""
+    data_cols = [c for c in frames[0].columns if c not in (_TOMBSTONE, _KIND, _DELCOLS)]
+    payload = [c for c in data_cols if c != key_col]
+    dtypes = dict(frames[0].dtypes)
+    tagged = None
+    for seq, f in enumerate(frames):
+        if _TOMBSTONE not in f.columns:
+            f = f.withColumn(_TOMBSTONE, F.lit(False))
+        if _KIND not in f.columns:
+            f = f.withColumn(_KIND, F.lit(_ROW).cast("int"))
+        if _DELCOLS not in f.columns:
+            f = f.withColumn(_DELCOLS, F.lit(None).cast("array<string>"))
+        t = f.select(
+            F.col(key_col),
+            F.struct(
+                F.lit(seq).alias("__seq"),
+                F.col(_KIND).cast("int").alias("__kind"),
+                F.col(_DELCOLS).alias("__delcols"),
+                F.col(_TOMBSTONE).alias("__tombstone"),
+                *[F.col(c) for c in payload],
+            ).alias("__v"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    versions = tagged.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list("__v"),
+            lambda a, b: F.when(a["__seq"] < b["__seq"], -1)
+            .when(a["__seq"] > b["__seq"], 1)
+            .otherwise(F.lit(0)),
+        ).alias("__vs")
+    )
+
+    init = F.struct(
+        F.lit(False).alias("__exists"),
+        F.lit(False).alias("__tombstone"),
+        *[F.lit(None).cast(dtypes[c]).alias(c) for c in payload],
+    )
+
+    def step(acc, x):
+        ts_gate = (
+            x[ts_col].isNull()
+            | ~acc["__exists"]
+            | acc[ts_col].isNull()
+            | (x[ts_col] >= acc[ts_col])
+        )
+        row_applies = (x["__kind"] == _ROW) & ts_gate
+        sparse_applies = (x["__kind"] == _SPARSE) & ts_gate
+        is_delta = x["__kind"] == _DELTA
+        is_celldel = x["__kind"] == _CELLDEL
+        fields = [
+            (acc["__exists"] | row_applies | sparse_applies | is_delta).alias("__exists"),
+            F.when(row_applies, x["__tombstone"])
+            .when(sparse_applies | is_delta, F.lit(False))
+            .otherwise(acc["__tombstone"])
+            .alias("__tombstone"),
+        ]
+        for c in payload:
+            if c == ts_col:
+                expr = F.when(
+                    row_applies | sparse_applies, F.coalesce(x[c], acc[c])
+                ).otherwise(acc[c])
+            else:
+                expr = F.when(row_applies, x[c]).when(
+                    sparse_applies, F.coalesce(x[c], acc[c])
+                )
+                if dtypes[c].startswith(_NUMERIC_PREFIXES):
+                    expr = expr.when(
+                        is_delta & x[c].isNotNull(),
+                        F.coalesce(acc[c], F.lit(0).cast(dtypes[c])) + x[c],
+                    )
+                expr = expr.when(
+                    is_celldel & F.array_contains(x["__delcols"], F.lit(c)),
+                    F.lit(None).cast(dtypes[c]),
+                ).otherwise(acc[c])
+            fields.append(expr.cast(dtypes[c]).alias(c))
+        return F.struct(*fields)
+
+    folded = versions.select(key_col, F.aggregate("__vs", init, step).alias("__r"))
+    alive = folded.where(F.col("__r.__exists") & ~F.col("__r.__tombstone"))
+    return alive.select(key_col, *[F.col(f"__r.{c}").alias(c) for c in payload])
 
 
 def _upsert_latest(current: DataFrame, batch: DataFrame, key_col: str, ts_col: str) -> DataFrame:

@@ -169,3 +169,43 @@ def test_salted_join_matches_plain_join(spark):
         for r in J.salted_join(big, small, "k", salt_buckets=8, salt_source="ev").collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_as_of_join_survives_celebrity_key_skew(spark):
+    """SCALE.md claim made literal (round-1 verdict item 10): a celebrity
+    key concentrates all its rows into ONE window partition; the running
+    ``last`` must stream under a bounded in-memory buffer (WindowExec spills
+    past the threshold) instead of OOMing the task. 150k rows on a single
+    key with the window buffer capped to 1k rows => the operator is forced
+    through the spill path and must still produce exact as-of semantics."""
+    n_left, n_right = 100_000, 50_000
+    left = spark.range(n_left).select(
+        F.lit(1).alias("user_id"), (F.col("id") * 7 % 499_979).alias("ts")
+    )
+    right = spark.range(n_right).select(
+        F.lit(1).alias("user_id"), (F.col("id") * 10).alias("ts"),
+        F.col("id").alias("state"),
+    )
+    prev_mem = spark.conf.get("spark.sql.windowExec.buffer.in.memory.threshold", None)
+    prev_spill = spark.conf.get("spark.sql.windowExec.buffer.spill.threshold", None)
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "1024")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "8192")
+    try:
+        out = J.as_of_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+        from spark_on_hbase_spark import plans
+
+        assert plans.count_shuffles(out) == 1  # one hash partition, no self-join
+        # exact closed form: right states live at ts = 10*state, so the
+        # as-of match for probe time t is state = min(floor(t/10), n_right-1)
+        expected = F.least(F.floor(F.col("ts") / 10), F.lit(n_right - 1))
+        assert out.where(F.col("state") != expected).count() == 0
+        assert out.count() == n_left
+    finally:
+        for key, prev in [
+            ("spark.sql.windowExec.buffer.in.memory.threshold", prev_mem),
+            ("spark.sql.windowExec.buffer.spill.threshold", prev_spill),
+        ]:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)

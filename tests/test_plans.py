@@ -197,6 +197,23 @@ def test_partitioned_fact_join_gets_dynamic_partition_pruning(spark, sf_dir, tmp
     assert j.count() > 0
 
 
+def test_set_ops_classification_matches_named_ops(spark, sf_dir):
+    """set_ops_part_flags computes |R∩A| / |R∖A| / |R∪A| with ONE
+    membership-flag aggregation (2 shuffles) instead of three separate set
+    operators (9 shuffles in the round-1 plan audit). Pin both the shuffle
+    budget and value-equivalence with Spark's named set operators."""
+    df = QUERIES["set_ops_part_flags"].fn(spark, sf_dir)
+    assert plans.count_shuffles(df) <= 3
+
+    li = load(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey").distinct()
+    row = df.first()
+    assert row["n_both"] == r.intersect(a).count()
+    assert row["n_r_only"] == r.subtract(a).count()
+    assert row["n_either"] == r.union(a).distinct().count()
+
+
 def test_ivf_cells_as_storage_partitions_prune(spark, sf_dir, tmp_path):
     """The IVF docstring claim made literal: corpus written PARTITIONED BY
     its coarse cell id means a query probing one cell scans one directory —

@@ -85,6 +85,72 @@ def test_delete_rows_and_columns(spark, table):
     assert r["k011"]["tag"] == "v11"     # other rows untouched
 
 
+def test_increment_writes_only_a_delta_layer(spark, table):
+    """O(batch) invariant: an increment appends ONE additive delta layer —
+    the base is untouched (no read-modify-write of the table), matching the
+    reference's server-side-add intent (HBaseTable.scala:157-179)."""
+    base_before = table._layers()
+    assert len(base_before) == 1
+    table.increment(
+        spark.createDataFrame([Row(key="k005", delta=7)]), counter_col="height"
+    )
+    layers = table._layers()
+    assert layers[0] == base_before[0]  # base layer untouched
+    assert len(layers) == 2 and layers[1].name.startswith("delta-")
+    raw = spark.read.parquet(str(layers[1]))
+    rows_ = raw.collect()
+    # the delta layer holds ONLY the batch keys, as additive kind-2 rows
+    # with the summed delta in the counter column and nulls elsewhere
+    assert [r["key"] for r in rows_] == ["k005"]
+    assert rows_[0]["height"] == 7 and rows_[0]["tag"] is None
+    assert rows_[0]["__kind"] == 2
+
+
+def test_put_writes_sparse_delta_without_table_read(spark, table):
+    """O(batch) invariant: put appends a column-sparse delta (absent columns
+    = typed nulls meaning "keep stored"); the stored value is resolved at
+    merge-on-read, not backfilled by scanning the table at write time."""
+    base_before = table._layers()
+    table.put(spark.createDataFrame([Row(key="k004", ts=300, height=1234)]))
+    layers = table._layers()
+    assert layers[0] == base_before[0]
+    raw = spark.read.parquet(str(layers[-1])).collect()
+    assert raw[0]["tag"] is None  # NOT backfilled from the base => no read
+    assert raw[0]["__kind"] == 1
+    assert rows(table)["k004"]["tag"] == "v4"  # ...but merge-on-read resolves
+
+
+def test_delete_writes_keys_only(spark, table):
+    """O(batch) invariant: deletes write key-only tombstone / cell-delete
+    rows; the table is not scanned at write time."""
+    table.delete(spark.createDataFrame([Row(key="k008")]))
+    raw = spark.read.parquet(str(table._layers()[-1])).collect()
+    assert len(raw) == 1 and raw[0]["__tombstone"] and raw[0]["tag"] is None
+    table.delete(spark.createDataFrame([Row(key="k010")]), columns=["tag"])
+    raw = spark.read.parquet(str(table._layers()[-1])).collect()
+    assert raw[0]["__kind"] == 3 and raw[0]["__delcols"] == ["tag"]
+
+
+def test_increment_then_update_then_increment(spark, table):
+    """Interleaved kinds resolve in arrival order: +5, absolute write, +3
+    => absolute + 3 (an absolute write supersedes earlier increments, like
+    HBase read-modify-write increments)."""
+    table.increment(spark.createDataFrame([Row(key="k001", delta=5)]), counter_col="height")
+    table.update(spark.createDataFrame([Row(key="k001", ts=200, height=50, tag="abs")]))
+    table.increment(spark.createDataFrame([Row(key="k001", delta=3)]), counter_col="height")
+    assert rows(table)["k001"]["height"] == 53
+
+
+def test_put_then_delete_then_put_resurrects(spark, table):
+    """Tombstone then later put: the put recreates the row with its cells
+    (HBase: newer put cells survive a row tombstone)."""
+    table.delete(spark.createDataFrame([Row(key="k003")]))
+    assert "k003" not in rows(table)
+    table.put(spark.createDataFrame([Row(key="k003", ts=400, height=33)]))
+    r = rows(table)["k003"]
+    assert r["height"] == 33 and r["tag"] is None  # old cells stay masked
+
+
 def test_copy_roundtrip(spark, table, tmp_path):
     dest = KeyedTable(spark, str(tmp_path / "t2"), num_partitions=2)
     table.copy(dest)
