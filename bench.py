@@ -48,7 +48,15 @@ def main() -> None:
     # the whole harness and round 1 produced no timings at all).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, spec in QUERIES.items():
+    for qi, (name, spec) in enumerate(QUERIES.items()):
+        if qi and qi % 10 == 0:
+            # Spark's ContextCleaner frees shuffle files / broadcasts via
+            # weak references, so a long session with a big, GC-quiet driver
+            # heap accumulates them; measured on this suite the accumulated
+            # drag made late queries up to 10x slower. Forcing a periodic
+            # JVM GC keeps per-query timings about the query, not about
+            # session age.
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)

@@ -170,18 +170,25 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert {r["fp"] for r in rows} == {"A", "B", "C"}
 
 
-def test_kafka_stream_requires_connector_or_builds(spark):
-    """kafka_stream either builds a streaming (value, topic, partition,
-    offset, ts) frame (connector on classpath) or surfaces Spark's
-    missing-data-source error — never some unrelated failure."""
+def test_kafka_stream_plan_when_connector_present(spark):
+    """When the spark-sql-kafka connector is on the classpath, kafka_stream
+    must build a streaming (value, topic, partition, offset, ts) frame whose
+    logical plan reads the kafka source; SKIPPED (visibly) when the jar is
+    absent — this container has no network and no bundled connector, so the
+    Kafka path is a gated claim until an environment provides the jar
+    (reference parity target: misc/KafkaProxy.scala:143-164)."""
+    import pytest
+
     from spark_on_hbase_spark.streaming.ingest import kafka_stream
 
     try:
         df = kafka_stream(spark, "localhost:9092", "events")
     except Exception as e:  # connector absent in this container
-        assert "kafka" in str(e).lower()
-    else:
-        assert df.isStreaming
-        assert [f.name for f in df.schema.fields] == [
-            "value", "topic", "partition", "offset", "ts",
-        ]
+        assert "kafka" in str(e).lower(), f"unrelated failure: {e}"
+        pytest.skip("spark-sql-kafka connector jar not on classpath")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "value", "topic", "partition", "offset", "ts",
+    ]
+    # pin the source in the analyzed plan, not just the schema
+    assert "kafka" in df._jdf.queryExecution().analyzed().toString().lower()
