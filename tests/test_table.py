@@ -151,6 +151,18 @@ def test_put_then_delete_then_put_resurrects(spark, table):
     assert r["height"] == 33 and r["tag"] is None  # old cells stay masked
 
 
+def test_mixed_kind_merge_is_single_shuffle(spark, table):
+    """The version-fold read path (sparse put + increment layers present)
+    stays ONE shuffle: union of layers -> collect_list groupBy -> fold.
+    At 100 TB the merge cost is one hash partition of the live layers,
+    same as the ROW-only max_by fast path."""
+    from spark_on_hbase_spark import plans
+
+    table.put(spark.createDataFrame([Row(key="k004", ts=300, height=1)]))
+    table.increment(spark.createDataFrame([Row(key="k005", delta=2)]), counter_col="height")
+    assert plans.count_shuffles(table.df()) == 1
+
+
 def test_copy_roundtrip(spark, table, tmp_path):
     dest = KeyedTable(spark, str(tmp_path / "t2"), num_partitions=2)
     table.copy(dest)
@@ -199,3 +211,61 @@ def test_write_is_sorted_within_partitions(spark, table):
     for _, grp in pdf.groupby("pid"):
         keys = list(grp["key"])
         assert keys == sorted(keys)
+
+
+def test_mutation_sequence_matches_model(spark, tmp_path):
+    """Model-based check of the LSM fold: a seeded random sequence of
+    update/put/increment/delete batches must resolve exactly like a
+    row-by-row Python model of the documented semantics — update/put apply
+    when ts >= the stored ts (arrival order breaks ties), put overwrites
+    only its non-null cells, increment always adds, delete tombstones while
+    PRESERVING the stored ts as the masking horizon (HBase: a tombstone
+    masks older-ts writes; newer-ts writes resurrect the row)."""
+    import random
+
+    rng = random.Random(1337)
+    t = KeyedTable(spark, str(tmp_path / "m"), num_partitions=2, compact_threshold=99)
+    keys = [f"k{i}" for i in range(6)]
+    model = {k: {"deleted": False, "ts": 10, "cnt": 0, "tag": "init"} for k in keys}
+    t.create(
+        spark.createDataFrame([Row(key=k, ts=10, cnt=0, tag="init") for k in keys])
+    )
+
+    def gate(cur, ts):
+        return cur["ts"] is None or ts is None or ts >= cur["ts"]
+
+    for _ in range(12):
+        op = rng.choice(["update", "put", "increment", "delete"])
+        k = rng.choice(keys)
+        cur = model[k]
+        if op == "update":
+            ts = rng.choice([5, 10, 20, 30])
+            cnt, tag = rng.randrange(100), f"u{rng.randrange(100)}"
+            t.update(spark.createDataFrame([Row(key=k, ts=ts, cnt=cnt, tag=tag)]))
+            if gate(cur, ts):
+                model[k] = {"deleted": False, "ts": ts, "cnt": cnt, "tag": tag}
+        elif op == "put":
+            ts = rng.choice([5, 10, 20, 30])
+            cnt = rng.randrange(100)
+            t.put(spark.createDataFrame([Row(key=k, ts=ts, cnt=cnt)]))
+            if gate(cur, ts):
+                cur.update(deleted=False, ts=ts, cnt=cnt)
+        elif op == "increment":
+            d = rng.choice([-3, 1, 7])
+            t.increment(spark.createDataFrame([Row(key=k, delta=d)]), counter_col="cnt")
+            cur.update(deleted=False, cnt=(cur["cnt"] or 0) + d)
+        else:
+            t.delete(spark.createDataFrame([Row(key=k)]))
+            # tombstone: cells cleared, stored ts preserved as the horizon
+            cur.update(deleted=True, cnt=None, tag=None)
+
+    got = {r["key"]: (r["ts"], r["cnt"], r["tag"]) for r in t.df().collect()}
+    want = {
+        k: (v["ts"], v["cnt"], v["tag"]) for k, v in model.items() if not v["deleted"]
+    }
+    assert got == want
+
+    # compaction must not change the logical view, and must fold to 1 layer
+    t.compact()
+    after = {r["key"]: (r["ts"], r["cnt"], r["tag"]) for r in t.df().collect()}
+    assert after == want and len(t._layers()) == 1
