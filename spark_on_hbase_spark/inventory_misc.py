@@ -533,6 +533,43 @@ def set_ops_part_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_revenue",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="P2 at query time — the skew-proof salted equi-join (operators/"
+    "joins.salted_join): celebrity keys on the fact side split across salt "
+    "buckets, the dimension side replicates once per bucket, and the result "
+    "is row-identical to the plain join (pinned both here against the "
+    "unsalted oracle and in tests/test_joins.py::"
+    "test_salted_join_matches_plain_join under 70% single-key skew). The "
+    "storage layer already salts row keys (keys.salt_expr — the reference's "
+    "uniform prefix, keyspace/KeySpace.scala:36-44); this is the same idea "
+    "for a single skewed JOIN key when AQE skew-splitting isn't available.",
+    tags=("join", "skew"),
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import joins as J
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    salted = J.salted_join(orders, cust, on="o_custkey", salt_buckets=8)
+    return (
+        salted.join(F.broadcast(nation), salted["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
     "cross_join_grid",
     """
     SELECT a.r_name AS region_a, b.r_name AS region_b,
