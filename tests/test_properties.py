@@ -105,3 +105,56 @@ def test_ep_combine_commutative_associative(a, b, c):
 def test_ep_combine_idempotent(a):
     aa = ep_combine(a, a)
     assert (aa.probability, aa.vendor, aa.ts) == (a.probability, a.vendor, a.ts)
+
+
+# ---------------------------------------------------------------------------
+# multimodal raster codecs (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_and_full_stream_validation(w, h, seed):
+    """encode -> parse -> decode is the identity for any image, and a
+    truncated stream never parses (the text-payload misparse guard)."""
+    import numpy as np
+
+    from spark_on_hbase_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = M._encode_ppm(img)
+    frames = M._ppm_frames(payload)
+    assert frames and frames[0][:2] == (w, h)
+    assert np.array_equal(M._decode_image(payload), img)
+    # multi-frame stream: 2 concatenated frames parse as 2
+    assert len(M._ppm_frames(payload + payload)) == 2
+    # any strict prefix (cut into the pixel data) must NOT parse
+    assert M._ppm_frames(payload[:-1]) == []
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_header_and_decode_roundtrip(w, h, rgb):
+    """BMP decode (BGR order, bottom-up rows, 4-byte row padding) agrees
+    with the PPM decode of the same solid image."""
+    import numpy as np
+
+    from tests.test_pipeline import _make_bmp, _make_ppm
+    from spark_on_hbase_spark.operators import multimodal as M
+
+    bmp = M._decode_image(_make_bmp(w, h, rgb))
+    ppm = M._decode_image(_make_ppm(w, h, bytes(rgb) * (w * h)))
+    assert bmp is not None and np.array_equal(bmp, ppm)
