@@ -44,8 +44,33 @@ def lookup_join(
 
 def right_outer_lookup_join(table: DataFrame, probe: DataFrame, on: str | list[str]) -> DataFrame:
     """J5 — every probe row survives; table side null when missing
-    (rdd.rightOuterJoin, HBaseRDDFunctions.scala:86-94)."""
-    return table.join(broadcast(probe), on=on, how="right")
+    (rdd.rightOuterJoin, HBaseRDDFunctions.scala:86-94).
+
+    Spark cannot broadcast the PRESERVED side of an outer join (a
+    ``broadcast(probe)`` hint on ``table.join(probe, "right")`` is silently
+    dropped and the plan degrades to shuffling the whole table — the exact
+    failure mode J1 exists to avoid). The scalable decomposition: broadcast
+    INNER join for the matches (table streams in place), then union the
+    unmatched probe rows null-filled — found with a second key-pruned scan
+    anti-joined against the broadcast matched-key set. Two pruned scans,
+    ZERO table shuffles (pinned in tests/test_plans.py)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    inner = table.join(broadcast(probe), on=on, how="inner")
+    # anti-join build sides tolerate duplicates, so no distinct (and no
+    # exchange): the broadcast is bounded by the rows matching the probe
+    matched_keys = table.select(*keys).join(
+        broadcast(probe.select(*keys)), on=keys, how="left_semi"
+    )
+    unmatched = probe.join(broadcast(matched_keys), on=keys, how="left_anti")
+    filled = unmatched.select(
+        *unmatched.columns,
+        *[
+            F.lit(None).cast(table.schema[c].dataType).alias(c)
+            for c in table.columns
+            if c not in keys
+        ],
+    )
+    return inner.unionByName(filled)
 
 
 def fill_join(

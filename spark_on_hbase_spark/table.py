@@ -74,13 +74,29 @@ class KeyedTable:
         ts_col: str = "ts",
         num_partitions: int = 32,
         compact_threshold: int = 8,
+        ttl: int | None = None,
+        now_fn=None,
     ):
+        """``ttl``: rows whose ``ts_col`` is older than ``now - ttl`` are
+        invisible to reads and physically purged by compaction — the
+        reference's HBase column-family TTL (demo tables set TTL 90/360/30
+        days, examples/simple/HBaseTableSimple.scala:23-30,
+        examples/graph/HGraphTable.scala:23-25). ``ts_col`` must be in the
+        same unit as ``now_fn()`` (default: epoch seconds via time.time) for
+        TTL to be meaningful; ``now_fn`` is injectable so tests and replay
+        jobs are deterministic."""
         self.spark = spark
         self.path = str(path)
         self.key_col = key_col
         self.ts_col = ts_col
         self.num_partitions = num_partitions
         self.compact_threshold = compact_threshold
+        self.ttl = ttl
+        if now_fn is None:
+            import time as _time
+
+            now_fn = _time.time
+        self.now_fn = now_fn
 
     # -- layer bookkeeping -------------------------------------------------
 
@@ -168,12 +184,32 @@ class KeyedTable:
 
     # -- scan / select (S2/S3) ---------------------------------------------
 
-    def df(self) -> DataFrame:
+    def snapshot_seq(self) -> int:
+        """Current highest layer sequence — capture it before further
+        mutations to time-travel back later with ``df(as_of_layer=...)``."""
+        layers = self._layers()
+        if not layers:
+            raise FileNotFoundError(f"no table at {self.path}")
+        return max(int(p.name.split("-")[1]) for p in layers)
+
+    def df(self, as_of_layer: int | None = None) -> DataFrame:
         """Full typed scan — HBaseTable.rdd() (HBaseTable.scala:55-65): merge
         base ∪ deltas with last-writer-wins-by-(ts, layer) resolution and
         tombstone filtering — HBase's read path over HFiles. Catalyst column
-        pruning / predicate pushdown apply per layer underneath the merge."""
+        pruning / predicate pushdown apply per layer underneath the merge.
+
+        ``as_of_layer``: read only layers with seq <= the given value — the
+        LSM's free time travel (every mutation is an immutable layer, so any
+        historical state is a layer-prefix read; pair with ``snapshot_seq``).
+        Compaction folds history away, so travel reaches back to the last
+        compact — bound the horizon with ``compact_threshold``.
+
+        With ``ttl`` set, rows whose resolved ``ts_col`` is older than
+        ``now_fn() - ttl`` are filtered (and physically dropped at the next
+        compaction, which rewrites only what this scan returns)."""
         layers = self._layers()
+        if as_of_layer is not None:
+            layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
         if not layers:
             raise FileNotFoundError(f"no table at {self.path}")
         frames = [self.spark.read.parquet(str(p)) for p in layers]
@@ -190,6 +226,11 @@ class KeyedTable:
                 merged = merged.drop(meta)
         if _TOMBSTONE in merged.columns:
             merged = merged.where(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
+        if self.ttl is not None:
+            cutoff = self.now_fn() - self.ttl
+            merged = merged.where(
+                F.col(self.ts_col).isNull() | (F.col(self.ts_col) >= F.lit(cutoff))
+            )
         return merged
 
     def select(self, *columns: str) -> DataFrame:

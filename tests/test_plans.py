@@ -38,6 +38,26 @@ def test_lookup_join_broadcasts_probe(spark, sf_dir):
     plans.assert_broadcast_join(df)
 
 
+def test_right_outer_lookup_join_never_shuffles_table(spark, sf_dir):
+    """J5's scale guarantee: the probe-preserving outer lookup decomposes
+    into broadcast inner + null-filled anti-join union — the big table is
+    scanned (twice, key-pruned) but NEVER shuffled. The naive
+    table.join(probe, 'right') would silently drop the broadcast hint and
+    shuffle the whole table."""
+    from spark_on_hbase_spark.operators import joins as Jo
+
+    table = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    probe = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 100 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    df = Jo.right_outer_lookup_join(table, probe, on="o_custkey")
+    assert plans.count_shuffles(df) == 0
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
 def test_semi_join_broadcasts(spark, sf_dir):
     df = QUERIES["semi_join"].fn(spark, sf_dir)
     plan = plans.formatted_plan(df)

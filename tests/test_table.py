@@ -269,3 +269,44 @@ def test_mutation_sequence_matches_model(spark, tmp_path):
     t.compact()
     after = {r["key"]: (r["ts"], r["cnt"], r["tag"]) for r in t.df().collect()}
     assert after == want and len(t._layers()) == 1
+
+
+def test_ttl_filters_reads_and_compaction_purges(spark, tmp_path):
+    """Column-family TTL parity (reference demo tables set TTL 90/360/30d,
+    HBaseTableSimple.scala:23-30): expired rows are invisible to reads and
+    physically removed by compaction. now_fn injected for determinism."""
+    t = KeyedTable(
+        spark, str(tmp_path / "ttl"), num_partitions=2, ttl=100, now_fn=lambda: 1000
+    )
+    t.create(
+        spark.createDataFrame(
+            [
+                Row(key="fresh", ts=950, v=1),
+                Row(key="edge", ts=900, v=2),    # exactly now - ttl: kept
+                Row(key="stale", ts=899, v=3),   # expired
+            ]
+        )
+    )
+    assert {r["key"] for r in t.df().collect()} == {"fresh", "edge"}
+    t.compact()
+    raw = spark.read.parquet(str(t._layers()[0]))
+    assert {r["key"] for r in raw.collect()} == {"fresh", "edge"}  # purged
+
+
+def test_time_travel_reads_layer_prefix(spark, tmp_path):
+    """LSM time travel: any historical state is a layer-prefix read; a
+    snapshot taken before later mutations replays exactly."""
+    t = KeyedTable(spark, str(tmp_path / "tt"), num_partitions=2, compact_threshold=99)
+    t.create(spark.createDataFrame([Row(key="a", ts=10, v=1), Row(key="b", ts=10, v=2)]))
+    s0 = t.snapshot_seq()
+    t.update(spark.createDataFrame([Row(key="a", ts=20, v=100)]))
+    s1 = t.snapshot_seq()
+    t.delete(spark.createDataFrame([Row(key="b")]))
+    t.increment(spark.createDataFrame([Row(key="a", delta=5)]), counter_col="v")
+
+    now = {r["key"]: r["v"] for r in t.df().collect()}
+    assert now == {"a": 105}
+    at0 = {r["key"]: r["v"] for r in t.df(as_of_layer=s0).collect()}
+    assert at0 == {"a": 1, "b": 2}
+    at1 = {r["key"]: r["v"] for r in t.df(as_of_layer=s1).collect()}
+    assert at1 == {"a": 100, "b": 2}
