@@ -34,23 +34,46 @@ def cutoff(
 
     The reference computes the frequency histogram, collects it to the driver,
     walks a cumulative sum and broadcasts a driver-side Set — which dies at
-    scale. Here the cumulative sum is a window over the frequency table
-    (tiny relative to the data: one row per distinct key), fully distributed.
+    scale. A single ``Window.orderBy`` (no partition) would also die: Spark
+    moves the ENTIRE frequency table to one partition for a global ordered
+    window, and at 100 TB "one row per distinct key" can still be billions
+    of rows. The cumulative sum here is the classic two-phase distributed
+    prefix sum instead:
+
+    1. range-partition the frequency table by the cumulative order
+       (freq DESC, key) — partition i's rows all precede partition i+1's;
+    2. per-partition running sums (window PARTITIONED by the range-partition
+       id, so every sort is local and bounded);
+    3. per-partition totals (one row each) prefix-summed on the driver-sized
+       totals relation and broadcast back as offsets.
+
     A key is dropped iff its cumulative-mass interval *starts* before the
     threshold boundary (``running - freq < total * threshold``), ordered by
     descending frequency (ties broken by key for determinism) — so a single
     key carrying more than the whole threshold is still dropped. Returns the
     surviving keys with their frequencies."""
     freq = pairs.groupBy(key_col).agg(F.count("*").alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col(key_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    order = [F.col("freq").desc(), F.col(key_col)]
+    # pid is assigned right after the range exchange; AQE may coalesce range
+    # partitions but only ADJACENT ones, so pid stays monotone in sort order
+    part = freq.repartitionByRange(*order).withColumn("__pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    total = Window.partitionBy()
-    ranked = freq.select(
-        key_col,
-        "freq",
-        F.sum("freq").over(w).alias("__running"),
-        F.sum("freq").over(total).alias("__total"),
+    local = part.withColumn("__run_local", F.sum("freq").over(local_w))
+    totals = local.groupBy("__pid").agg(F.max("__run_local").alias("__part_total"))
+    # the totals relation has one row per partition — prefix-sum it with a
+    # window that is global but TINY, then broadcast the offsets back
+    prefix_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__part_total").over(prefix_w), F.lit(0)).alias("__offset"),
+        F.sum("__part_total").over(Window.partitionBy()).alias("__total"),
+    )
+    ranked = local.join(F.broadcast(offsets), "__pid").withColumn(
+        "__running", F.col("__run_local") + F.col("__offset")
     )
     return ranked.where(
         (F.col("__running") - F.col("freq")) >= F.col("__total") * F.lit(threshold)
