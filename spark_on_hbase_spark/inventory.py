@@ -577,6 +577,7 @@ _PIPELINE_RANK = [
     "text_quality",
     "text_token_stats",
     "text_fingerprint",
+    "text_rolling_fingerprint",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "ann_lsh_topk",

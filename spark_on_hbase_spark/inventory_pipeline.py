@@ -571,6 +571,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(docs).select("doc_id", "fingerprint")
 
 
+@query(
+    "text_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_WS_SQL},
+                       w -> CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS UBIGINT) AS BIGINT))),
+               (acc, x) -> (acc * {T.ROLLING_BASE} + x) % {T.ROLLING_MOD}) AS rolling_fp
+    FROM documents
+    """,
+    doc="Order-sensitive rolling-hash (Rabin-Karp) document fingerprint: "
+    "fold md5-derived word hashes with h = (h*31 + wh) mod 1e9+7. The "
+    "incrementally-maintainable signature streaming dedup uses (append = "
+    "one multiply-add) — complements the order-insensitive md5 fingerprint. "
+    "One codegen'd scan, zero shuffles; the oracle folds the identical "
+    "integer recurrence with list_reduce.",
+    tags=("text",),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.rolling_fingerprint(docs).select("doc_id", "rolling_fp")
+
+
 # ===========================================================================
 # Multimodal columns
 # ===========================================================================

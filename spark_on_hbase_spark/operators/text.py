@@ -100,3 +100,24 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     hash variant for shingle fingerprints lives in dedup.py as minhash.)"""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint by polynomial rolling hash
+    (Rabin–Karp): fold the md5-derived 32-bit word hashes with
+    ``h = (h * 31 + wh) mod 1e9+7``. Unlike the content-md5 fingerprint this
+    is incrementally maintainable (append = one multiply-add) and is the
+    standard chunk-level signature in streaming dedup. Pure column
+    expressions (F.aggregate over the words array — one codegen'd scan, no
+    shuffle); engine-exact twin in SQL via list_reduce."""
+    wh = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    h = F.aggregate(
+        words_expr(text_col),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * ROLLING_BASE + wh(w)) % F.lit(ROLLING_MOD),
+    )
+    return df.withColumn("rolling_fp", h)
