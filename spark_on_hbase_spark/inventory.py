@@ -578,6 +578,7 @@ _PIPELINE_RANK = [
     "text_token_stats",
     "text_fingerprint",
     "text_rolling_fingerprint",
+    "pipeline_corpus_curation",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "ann_lsh_topk",

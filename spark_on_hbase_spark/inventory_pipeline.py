@@ -572,6 +572,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_corpus_curation",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text, len({_WS_SQL}) AS n_tokens FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE n_tokens >= 20),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    )
+    SELECT k.lang, COUNT(*) AS n_docs,
+           CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
+    FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+    GROUP BY k.lang
+    """,
+    doc="End-to-end corpus curation — the composition every training-data "
+    "pipeline runs: quality gate (min token count) -> exact dedup (keep the "
+    "canonical min-id copy per content hash) -> per-language document/token "
+    "census. Exercises filter pushdown, hash dedup, semi-join and "
+    "aggregation as ONE Catalyst plan: at 100 TB the gate prunes before the "
+    "dedup shuffle, and the dedup shuffle carries 16-byte hashes + ids, "
+    "never documents.",
+    tags=("text", "dedup", "pipeline"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = docs.withColumn("n_tokens", F.size(T.words_expr("text")))
+    kept = scored.where(F.col("n_tokens") >= 20)
+    canon = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    return final.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
     "text_rolling_fingerprint",
     f"""
     SELECT doc_id,
