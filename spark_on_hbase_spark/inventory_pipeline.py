@@ -321,6 +321,8 @@ def vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLANES = V.plane_matrix(8, 64)
 
+_VEC_BUCKET_CACHE: dict = {}
+
 
 @query(
     "embedding_near_dup",
@@ -339,9 +341,21 @@ _PLANES = V.plane_matrix(8, 64)
     tags=("dedup", "embedding", "lsh"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = vec_corpus(spark, sf_dir)
-    # materialize quantization+bucketing once; both self-join sides reuse it
-    v = vecs.withColumn("__bucket", V.bucket_expr(F.col("v"), _PLANES)).persist()
+    # materialize quantization+bucketing once; both self-join sides reuse it.
+    # Memoized per (session, sf_dir) like _shingled so repeat invocations
+    # reuse the cached blocks instead of pinning a new copy each call.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VEC_BUCKET_CACHE:
+        for stale in [k for k in _VEC_BUCKET_CACHE if k != key]:
+            if stale[0] == key[0]:
+                _VEC_BUCKET_CACHE[stale].unpersist()
+            del _VEC_BUCKET_CACHE[stale]
+        _VEC_BUCKET_CACHE[key] = (
+            vec_corpus(spark, sf_dir)
+            .withColumn("__bucket", V.bucket_expr(F.col("v"), _PLANES))
+            .persist()
+        )
+    v = _VEC_BUCKET_CACHE[key]
     a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"), "__bucket")
     b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"), "__bucket")
     return (
