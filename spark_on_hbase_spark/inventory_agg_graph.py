@@ -569,6 +569,24 @@ def prob_propagation_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pagerank_5iter",
+    None,  # iterative double-sum recurrence: summation order varies across
+    # engines, so no hash-exact SQL oracle — rows-only check; exactness is
+    # pinned against a NumPy power iteration in
+    # tests/test_graph.py::test_pagerank_matches_power_iteration
+    doc="G2 superset — 5 supersteps of damped PageRank (dangling-mass "
+    "redistribution included) over the supplier-part network: the canonical "
+    "iterative-BSP workload on the same superstep machinery as the "
+    "reference's incremental BSP (HGraphTable.scala:144-228). Per superstep "
+    "one join + one aggregation over localCheckpoint-materialized state — "
+    "plan depth and planning time stay O(1) in the superstep count.",
+    tags=("graph", "bsp"),
+)
+def pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.pagerank(network(spark, sf_dir), damping=0.85, max_iters=5)
+
+
+@query(
     "max_connected",
     f"""
     WITH {NETWORK_SQL},

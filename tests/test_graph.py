@@ -149,3 +149,35 @@ def test_approx_quantiles_within_rank_bound(spark):
     assert abs(out["approx_q0"] - 2500.75) <= 2.0
     assert abs(out["approx_q1"] - 5000.5) <= 2.0
     assert abs(out["approx_q2"] - 7500.25) <= 2.0
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """PageRank (damping, dangling redistribution) against a NumPy power
+    iteration of the same recurrence on a 5-vertex graph with a dangling
+    vertex — per-vertex agreement to 1e-9 after the same iteration count."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    # vertex e is dangling (no out-edges)
+    edges = spark.createDataFrame([Row(src=s, dst=d) for s, d in E])
+    iters, d = 15, 0.85
+    out = {r["key"]: r["rank"] for r in G.pagerank(edges, d, iters).collect()}
+
+    keys = sorted({v for e in E for v in e})
+    idx = {k: i for i, k in enumerate(keys)}
+    n = len(keys)
+    M = np.zeros((n, n))
+    outdeg = {k: 0 for k in keys}
+    for s, _ in E:
+        outdeg[s] += 1
+    for s, t in E:
+        M[idx[t], idx[s]] = 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    dangling = [idx[k] for k in keys if outdeg[k] == 0]
+    for _ in range(iters):
+        dm = r[dangling].sum()
+        r = (1 - d) / n + d * (M @ r + dm / n)
+    for k in keys:
+        assert abs(out[k] - r[idx[k]]) < 1e-9, (k, out[k], r[idx[k]])
+    assert abs(sum(out.values()) - 1.0) < 1e-9
