@@ -15,6 +15,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# heap is sized at JVM-launch time by the entry point (see session.get_spark)
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS",
+    f"--driver-memory {os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')} pyspark-shell",
+)
+
 import duckdb
 
 TABLES = [

@@ -568,22 +568,89 @@ def prob_propagation_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state
 
 
+# One damped-PageRank superstep as a DuckDB CTE triple. Float discipline for
+# hash-exactness: every constant is forced DOUBLE (DuckDB parses bare 0.85 as
+# DECIMAL, whose 1-0.85 differs from IEEE 1.0-0.85 by an ulp) and the
+# expression tree mirrors the Spark operator's association order exactly
+# ((1-d)/n + (d*mass)/n) + d*incoming. Remaining sum-order noise is absorbed
+# by the quantized output (see final SELECT). Every state CTE is MATERIALIZED:
+# each step references its predecessor three times, so DuckDB's default CTE
+# inlining would re-expand the whole upstream pipeline ~3^5 times.
+_PR_STEP_SQL = """
+    {next}_in AS MATERIALIZED (
+        SELECT l.dst AS key, SUM(p.rank * l.w) AS incoming
+        FROM links l JOIN {cur} p ON l.src = p.key
+        GROUP BY l.dst
+    ),
+    {next}_dang AS MATERIALIZED (
+        SELECT COALESCE(SUM(rank), CAST(0.0 AS DOUBLE)) AS mass
+        FROM {cur} WHERE deg = 0
+    ),
+    {next} AS MATERIALIZED (
+        SELECT s.key,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                 + CAST(0.85 AS DOUBLE) * d.mass / nn.n
+                 + CAST(0.85 AS DOUBLE)
+                   * COALESCE(i.incoming, CAST(0.0 AS DOUBLE)) AS rank,
+               s.deg
+        FROM {cur} s CROSS JOIN nn CROSS JOIN {next}_dang d
+        LEFT JOIN {next}_in i ON s.key = i.key
+    )"""
+
+
 @query(
     "pagerank_5iter",
-    None,  # iterative double-sum recurrence: summation order varies across
-    # engines, so no hash-exact SQL oracle — rows-only check; exactness is
-    # pinned against a NumPy power iteration in
-    # tests/test_graph.py::test_pagerank_matches_power_iteration
+    f"""
+    WITH {NETWORK_SQL},
+    verts AS MATERIALIZED (
+        SELECT DISTINCT key FROM (
+            SELECT src AS key FROM network
+            UNION ALL
+            SELECT dst AS key FROM network
+        )
+    ),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+    degs AS MATERIALIZED (SELECT src AS key, COUNT(*) AS d FROM network GROUP BY src),
+    links AS MATERIALIZED (
+        SELECT n.src, n.dst, CAST(1.0 AS DOUBLE) / d.d AS w
+        FROM network n JOIN degs d ON n.src = d.key
+    ),
+    s0 AS MATERIALIZED (
+        SELECT v.key, CAST(1.0 AS DOUBLE) / nn.n AS rank,
+               COALESCE(d.d, 0) AS deg
+        FROM verts v CROSS JOIN nn LEFT JOIN degs d ON v.key = d.key
+    ),
+    {_PR_STEP_SQL.format(cur='s0', next='s1')},
+    {_PR_STEP_SQL.format(cur='s1', next='s2')},
+    {_PR_STEP_SQL.format(cur='s2', next='s3')},
+    {_PR_STEP_SQL.format(cur='s3', next='s4')},
+    {_PR_STEP_SQL.format(cur='s4', next='s5')}
+    SELECT key,
+           CAST(FLOOR(rank * 1000000000.0 + 0.5) AS BIGINT) AS rank_e9
+    FROM s5
+    """,
     doc="G2 superset — 5 supersteps of damped PageRank (dangling-mass "
     "redistribution included) over the supplier-part network: the canonical "
     "iterative-BSP workload on the same superstep machinery as the "
     "reference's incremental BSP (HGraphTable.scala:144-228). Per superstep "
-    "one join + one aggregation over localCheckpoint-materialized state — "
-    "plan depth and planning time stay O(1) in the superstep count.",
+    "ONE job: a join + aggregation whose materializing scan also returns the "
+    "next dangling-mass scalar (fused probe). Plan depth and planning time "
+    "stay O(1) in the superstep count via localCheckpoint. Graded output is "
+    "rank quantized to 1e-9 via floor(rank*1e9 + 0.5) — identical IEEE ops "
+    "on both engines — because a 5-deep double-sum recurrence is "
+    "reproducible only up to summation order; full-precision exactness is "
+    "separately pinned against a NumPy power iteration in "
+    "tests/test_graph.py::test_pagerank_matches_power_iteration.",
     tags=("graph", "bsp"),
 )
 def pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.pagerank(network(spark, sf_dir), damping=0.85, max_iters=5)
+    ranks = G.pagerank(network(spark, sf_dir), damping=0.85, max_iters=5)
+    return ranks.select(
+        "key",
+        F.floor(F.col("rank") * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("rank_e9"),
+    )
 
 
 @query(

@@ -478,10 +478,13 @@ def pagerank(
 
     Per superstep: each vertex sends rank/out_degree along its edges, ranks
     recombine as (1-d)/N + d*(incoming + dangling_share) — dangling
-    vertices' mass redistributes uniformly (the standard correction; its
-    per-superstep scalar comes from one aggregation collect over the
-    materialized state, the same bounded convergence-probe pattern as the
-    BSP loops). Each superstep is ONE join + ONE aggregation.
+    vertices' mass redistributes uniformly (the standard correction). The
+    dangling scalar for the NEXT superstep is read by the SAME job that
+    materializes the current state (the bsp_converge fused-probe pattern,
+    see :339-341): the state is marked ``localCheckpoint(eager=False)`` and
+    the dangling aggregation is its first action, so its full scan both
+    populates the checkpoint and returns the scalar — ONE job per
+    superstep, not a materialize job plus a probe job.
 
     State materializes per superstep via ``localCheckpoint`` (NOT the BSP
     loops' persist discipline): this loop rebuilds the next state from TWO
@@ -514,15 +517,22 @@ def pagerank(
             F.lit(1.0 / n).alias("rank"),
             F.coalesce(F.col("__deg"), F.lit(0)).alias("__deg"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+
+    def _materialize_and_probe_dangling(s: DataFrame) -> float:
+        # ONE job: the aggregation's full scan materializes the lazily
+        # marked localCheckpoint AND returns the dangling-mass scalar for
+        # the next superstep (fused probe, cf. bsp_converge above).
+        return (
+            s.where(F.col("__deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+
+    dangling = _materialize_and_probe_dangling(state)
     with loop_planner(links, adaptive):
         for _ in range(max_iters):
-            dangling = (
-                state.where(F.col("__deg") == 0)
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
-            )
             contribs = (
                 links.join(state, links["src"] == state["key"], "inner")
                 .select(
@@ -544,8 +554,9 @@ def pagerank(
                     ).alias("rank"),
                     "__deg",
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
+            dangling = _materialize_and_probe_dangling(state)
     verts.unpersist()
     links.unpersist()
     return state.select("key", "rank")

@@ -53,13 +53,19 @@ def right_outer_lookup_join(table: DataFrame, probe: DataFrame, on: str | list[s
     INNER join for the matches (table streams in place), then union the
     unmatched probe rows null-filled — found with a second key-pruned scan
     anti-joined against the broadcast matched-key set. Two pruned scans,
-    ZERO table shuffles (pinned in tests/test_plans.py)."""
+    the table itself is NEVER shuffled (pinned in tests/test_plans.py)."""
     keys = [on] if isinstance(on, str) else list(on)
     inner = table.join(broadcast(probe), on=on, how="inner")
-    # anti-join build sides tolerate duplicates, so no distinct (and no
-    # exchange): the broadcast is bounded by the rows matching the probe
-    matched_keys = table.select(*keys).join(
-        broadcast(probe.select(*keys)), on=keys, how="left_semi"
+    # The matched-key set MUST be deduplicated before broadcasting: it is
+    # derived table-side, so with duplicate join keys in the table it would
+    # otherwise grow with the table, not the probe — at 100 TB that bursts
+    # the broadcast limit. dropDuplicates costs one exchange, but of the key
+    # projection only, partially deduped map-side, so the shuffled volume
+    # and the broadcast are both bounded by |distinct probe keys|.
+    matched_keys = (
+        table.select(*keys)
+        .join(broadcast(probe.select(*keys)), on=keys, how="left_semi")
+        .dropDuplicates(keys)
     )
     unmatched = probe.join(broadcast(matched_keys), on=keys, how="left_anti")
     filled = unmatched.select(

@@ -44,9 +44,12 @@ def get_spark(app_name: str = "spark_on_hbase_spark", shuffle_partitions: int | 
         # COUNT(*) over a partition touches no row data at all.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # 32 concurrent tasks share the unified pool; 8g left hash aggs
-        # spilling once a few layers were cached. The box has 128 GiB.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # NOTE: driver/executor memory is deliberately NOT set here — builder
+        # confs cannot resize a JVM that is already up, so setting it in the
+        # session factory silently misleads on a real cluster (memory comes
+        # from spark-submit / cluster conf there). Local entry points that own
+        # the JVM launch (bench.py, tests/conftest.py) size the heap via
+        # PYSPARK_SUBMIT_ARGS before the first session is built.
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # bucketed tables (io.write_bucketed) go through saveAsTable; keep

@@ -59,7 +59,14 @@ _DELCOLS = "__delcols"
 # row kinds (see module docstring); layers without a __kind column are ROW
 _ROW, _SPARSE, _DELTA, _CELLDEL = 0, 1, 2, 3
 
-_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+_NUMERIC_TYPES = frozenset({"tinyint", "smallint", "int", "bigint", "float", "double"})
+
+
+def _is_numeric_dtype(simple: str) -> bool:
+    """Exact match against the additive types (plus parameterized decimal) —
+    a startswith('int') gate would false-match 'interval' dtypes, where the
+    delta fold's lit(0).cast can fail at analysis."""
+    return simple in _NUMERIC_TYPES or simple.startswith("decimal(")
 
 
 class KeyedTable:
@@ -104,9 +111,17 @@ class KeyedTable:
         root = Path(self.path)
         if not root.exists():
             return []
+        # numeric sort on the seq: layer seqs never reset across compactions,
+        # so a lexical sort would order 'delta-1000000' before 'delta-999999'
+        # once the {:06d} pad overflows and fold mutations out of order
+        # (base always holds the lowest surviving seq, so the seq alone is a
+        # sufficient key)
         return sorted(
-            p for p in root.iterdir()
-            if p.name.startswith(("base-", "delta-")) and not p.name.endswith(".tmp")
+            (
+                p for p in root.iterdir()
+                if p.name.startswith(("base-", "delta-")) and not p.name.endswith(".tmp")
+            ),
+            key=lambda p: int(p.name.split("-")[1]),
         )
 
     def _next_seq(self) -> int:
@@ -294,6 +309,14 @@ class KeyedTable:
         schema = self._schema()
         if counter_col not in schema:
             raise ValueError(f"no such column: {counter_col}")
+        # validate at write time: a non-numeric counter would write a DELTA
+        # layer the read-time fold silently drops (the additive branch only
+        # exists for numeric dtypes) — fail loudly here instead
+        if not _is_numeric_dtype(schema[counter_col]):
+            raise ValueError(
+                f"increment requires a numeric counter column; "
+                f"{counter_col} is {schema[counter_col]}"
+            )
         deltas = (
             batch.where(F.col(delta_col) != 0)
             .groupBy(self.key_col)
@@ -338,7 +361,11 @@ class KeyedTable:
                 skeleton.withColumn(_TOMBSTONE, F.lit(True)), "delta", row_kind=_ROW
             )
         else:
-            bad = [c for c in columns if c not in schema or c == self.key_col]
+            # ts_col is rejected alongside key_col: the fold's ts-column
+            # branch carries no CELLDEL case (the version timestamp is merge
+            # bookkeeping, not a deletable cell), so accepting it would
+            # silently ignore the delete
+            bad = [c for c in columns if c not in schema or c in (self.key_col, self.ts_col)]
             if bad:
                 raise ValueError(f"cannot column-delete: {bad}")
             marked = skeleton.withColumn(
@@ -483,7 +510,7 @@ def _merge_layers_fold(frames: list[DataFrame], key_col: str, ts_col: str) -> Da
                 expr = F.when(row_applies, x[c]).when(
                     sparse_applies, F.coalesce(x[c], acc[c])
                 )
-                if dtypes[c].startswith(_NUMERIC_PREFIXES):
+                if _is_numeric_dtype(dtypes[c]):
                     expr = expr.when(
                         is_delta & x[c].isNotNull(),
                         F.coalesce(acc[c], F.lit(0).cast(dtypes[c])) + x[c],
