@@ -15,12 +15,16 @@ incremental execution of the same logic.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_on_hbase_spark.inventory import dsum, load, query
 from spark_on_hbase_spark.operators import agg as A
-from spark_on_hbase_spark.table import _upsert_latest
+from spark_on_hbase_spark.table import KeyedTable, _upsert_latest
 
 
 @query(
@@ -249,6 +253,105 @@ def mutation_increment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("counter"),
     )
+
+
+@query(
+    "lsm_compaction_fold",
+    """
+    WITH base AS (
+        SELECT c_custkey AS key,
+               c_name AS name,
+               c_acctbal AS bal,
+               CASE WHEN c_custkey % 2 = 0 THEN 50 ELSE 100 END AS ts
+        FROM customer
+    ),
+    folded AS (
+        SELECT key,
+               CASE WHEN key % 13 = 0 THEN NULL
+                    WHEN key % 5 = 0 THEN 'put:' || key
+                    WHEN key % 7 = 0 THEN 'upd:' || key
+                    ELSE name END AS name,
+               (CASE WHEN key % 7 = 0 THEN bal + CAST(1000.0 AS DOUBLE)
+                     ELSE bal END)
+                 + (CASE WHEN key % 3 = 0 AND key % 10 <> 5
+                         THEN CAST(key % 10 - 5 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END) AS bal,
+               CAST(CASE WHEN key % 5 = 0 THEN 300
+                         WHEN key % 7 = 0 THEN 200
+                         ELSE ts END AS INTEGER) AS ts
+        FROM base
+        WHERE key % 11 <> 0
+    )
+    SELECT key, name, bal, ts FROM folded WHERE ts >= 75
+    """,
+    doc="S5+S6+S7+S8+TTL+compaction in one graded plan: builds a KeyedTable "
+    "from customer (ts 50 for even keys, 100 for odd), then stacks the full "
+    "LSM mutation alphabet — ROW upsert (keys %7: name 'upd:k', bal+1000, "
+    "ts 200), SPARSE cell put (keys %5: name 'put:k', ts 300, bal kept), "
+    "DELTA increment (keys %3: bal += k%10-5, zero deltas skipped), row "
+    "tombstones (keys %11), CELLDEL of name (keys %13) — major-compacts, "
+    "and reads the folded state under TTL 850 at now=925 (cutoff 75: even "
+    "keys never re-written are purged). This puts the hardest custom "
+    "semantics — the ordered version fold of _merge_layers_fold "
+    "(table.py) and TTL-at-compaction (reference column-family TTL, "
+    "examples/simple/HBaseTableSimple.scala:23-30) — under the DuckDB hard "
+    "signal, not just pytest. The oracle mirrors the fold as CASE algebra: "
+    "put beats upd (later layer, ts 300>=200), celldel beats both, "
+    "tombstones and TTL drop rows. O(batch) writes; the only table-sized "
+    "job is the compaction itself (one repartitionByRange + sort).",
+    tags=("mutation", "table"),
+)
+def lsm_compaction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.when(F.col("c_custkey") % 2 == 0, 50).otherwise(100).cast("int").alias("ts"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lsm_fold_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = KeyedTable(
+        spark, path, key_col="key", ts_col="ts",
+        num_partitions=8, compact_threshold=16,
+        ttl=850, now_fn=lambda: 925,
+    )
+    tbl.create(base)
+    keys = base.select("key")
+    # ROW upsert: whole-row last-writer-wins at ts 200
+    tbl.update(
+        base.where(F.col("key") % 7 == 0).select(
+            "key",
+            F.concat(F.lit("upd:"), F.col("key")).alias("name"),
+            (F.col("bal") + F.lit(1000.0)).alias("bal"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    # SPARSE cell put: name overwritten at ts 300, bal absent => kept
+    tbl.put(
+        keys.where(F.col("key") % 5 == 0).select(
+            "key",
+            F.concat(F.lit("put:"), F.col("key")).alias("name"),
+            F.lit(300).cast("int").alias("ts"),
+        )
+    )
+    # DELTA increment: additive, zero deltas skipped by increment() itself
+    tbl.increment(
+        keys.where(F.col("key") % 3 == 0).select(
+            "key", (F.col("key") % 10 - 5).cast("double").alias("delta")
+        ),
+        counter_col="bal",
+    )
+    # whole-row tombstones
+    tbl.delete(keys.where(F.col("key") % 11 == 0))
+    # per-cell tombstone on name
+    tbl.delete(keys.where(F.col("key") % 13 == 0), columns=["name"])
+    tbl.compact()
+    return tbl.df()
 
 
 @query(
