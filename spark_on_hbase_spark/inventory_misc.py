@@ -59,6 +59,81 @@ def merge_join_big_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_CACHE: dict = {}
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders+lineitem as bucketed catalog tables ONCE per
+    (session, sf_dir) — the write-time shuffle that every subsequent join
+    on the key reuses (io.write_bucketed). Names carry the sf suffix so
+    correctness (sf0.01) and bench (sf0.1) runs don't collide."""
+    from spark_on_hbase_spark import io as IO
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_CACHE:
+        o_name, l_name = f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}"
+        # the warehouse dir outlives the (per-run) catalog: clear both the
+        # catalog entry and any orphaned location from a previous session,
+        # otherwise saveAsTable refuses the "new" table name
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for name in (o_name, l_name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        IO.write_bucketed(orders, o_name, "o_orderkey", buckets=16)
+        IO.write_bucketed(li, l_name, "l_orderkey", buckets=16)
+        _BUCKETED_CACHE[key] = (o_name, l_name)
+    return _BUCKETED_CACHE[key]
+
+
+@query(
+    "bucketed_smj_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 100000.0
+    GROUP BY o.o_orderpriority
+    """,
+    doc="J2/P1 at its 100 TB shape — the single-stage-join claim "
+    "(reference README.md:14-16, partitioner-aware multiget against "
+    "pre-split regions, RegionPartitioner.scala:12-68) proven WITH DATA, "
+    "not just a toy plan test: orders and lineitem are stored bucketed+"
+    "sorted on the join key (one write-time shuffle, reused forever), then "
+    "sort-merge-joined with ZERO exchanges below the join — asserted on the "
+    "live plan every run, at sf0.1 in the bench and sf0.01 in the "
+    "correctness gate. Only the final small groupBy(o_orderpriority) "
+    "exchanges. Same result as merge_join_big_big, so the oracle also "
+    "cross-checks the bucketed read path against the plain-parquet path.",
+    tags=("join", "bucketed", "storage"),
+)
+def bucketed_smj_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark import io as IO
+    from spark_on_hbase_spark import plans
+
+    o_name, l_name = _bucketed_pair(spark, sf_dir)
+    orders = IO.bucketed_table(spark, o_name).where(F.col("o_totalprice") > 100000.0)
+    li = IO.bucketed_table(spark, l_name)
+    joined = li.hint("merge").join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    out = joined.groupBy("o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+    # the guarantee IS the query: storage bucketing must elide every
+    # exchange below the SMJ, leaving only the final tiny aggregation
+    # shuffle — fail loudly if the plan regresses
+    plan = plans.formatted_plan(out)
+    assert "SortMergeJoin" in plan, "bucketed join must sort-merge"
+    n_shuffles = plans.count_shuffles(out)
+    assert n_shuffles <= 1, f"bucketed SMJ must not re-shuffle, saw {n_shuffles}"
+    return out
+
+
 _SQL_API_TEXT = """
     SELECT r.r_name, n.n_name,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

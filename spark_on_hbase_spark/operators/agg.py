@@ -38,14 +38,19 @@ def cutoff(
     moves the ENTIRE frequency table to one partition for a global ordered
     window, and at 100 TB "one row per distinct key" can still be billions
     of rows. The cumulative sum here is the classic two-phase distributed
-    prefix sum instead:
+    prefix sum, with per-row running sums needed ONLY where the threshold
+    boundary actually falls:
 
     1. range-partition the frequency table by the cumulative order
        (freq DESC, key) — partition i's rows all precede partition i+1's;
-    2. per-partition running sums (window PARTITIONED by the range-partition
-       id, so every sort is local and bounded);
-    3. per-partition totals (one row each) prefix-summed on the driver-sized
-       totals relation and broadcast back as offsets.
+    2. per-partition mass totals (partial-agg to one row per partition, a
+       micro-exchange) prefix-summed with a tiny single-partition window and
+       broadcast back as offsets;
+    3. every partition whose mass interval lies entirely below the threshold
+       boundary drops wholesale, entirely above keeps wholesale — decided by
+       the broadcast offsets, NO per-row ordering work; exactly ONE partition
+       can straddle the boundary, and only ITS rows pay a local running-sum
+       window (an exchange of 1/Nth of the relation).
 
     A key is dropped iff its cumulative-mass interval *starts* before the
     threshold boundary (``running - freq < total * threshold``), ordered by
@@ -55,29 +60,48 @@ def cutoff(
     freq = pairs.groupBy(key_col).agg(F.count("*").alias("freq"))
     order = [F.col("freq").desc(), F.col(key_col)]
     # pid is assigned right after the range exchange; AQE may coalesce range
-    # partitions but only ADJACENT ones, so pid stays monotone in sort order
-    part = freq.repartitionByRange(*order).withColumn("__pid", F.spark_partition_id())
+    # partitions but only ADJACENT ones, so pid stays monotone in sort order.
+    # The relation is consumed three times (totals, keep/drop decisions, the
+    # boundary window) — a lazy localCheckpoint materializes the range
+    # exchange ONCE and pins a single consistent pid assignment
+    # (spark_partition_id is nondeterministic, so without the barrier each
+    # consumer would re-shuffle and could disagree on pids).
+    part = (
+        freq.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    # one row per partition after map-side partial aggregation, so this
+    # exchange moves n_partitions rows, not the relation
+    totals = part.groupBy("__pid").agg(F.sum("freq").alias("__part_total"))
+    # prefix-sum the per-partition totals with a window that is global but
+    # TINY (n_partitions rows), then broadcast the offsets back
+    prefix_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        "__part_total",
+        F.coalesce(F.sum("__part_total").over(prefix_w), F.lit(0)).alias("__offset"),
+        F.sum("__part_total").over(Window.partitionBy()).alias("__total"),
+    )
+    cut = F.col("__total") * F.lit(threshold)
+    placed = part.join(F.broadcast(offsets), "__pid")
+    # interval arithmetic per partition: [offset, offset + part_total) vs cut
+    keep_all = F.col("__offset") >= cut          # every row starts at/after cut
+    drop_all = (F.col("__offset") + F.col("__part_total")) <= cut
+    kept = placed.where(keep_all).select(key_col, "freq")
+    # the (at most one) straddling partition: per-row running sum, local sort
+    boundary = placed.where(~keep_all & ~drop_all)
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("__run_local", F.sum("freq").over(local_w))
-    totals = local.groupBy("__pid").agg(F.max("__run_local").alias("__part_total"))
-    # the totals relation has one row per partition — prefix-sum it with a
-    # window that is global but TINY, then broadcast the offsets back
-    prefix_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid",
-        F.coalesce(F.sum("__part_total").over(prefix_w), F.lit(0)).alias("__offset"),
-        F.sum("__part_total").over(Window.partitionBy()).alias("__total"),
+    survivors = (
+        boundary.withColumn("__run_local", F.sum("freq").over(local_w))
+        .where((F.col("__offset") + F.col("__run_local") - F.col("freq")) >= cut)
+        .select(key_col, "freq")
     )
-    ranked = local.join(F.broadcast(offsets), "__pid").withColumn(
-        "__running", F.col("__run_local") + F.col("__offset")
-    )
-    return ranked.where(
-        (F.col("__running") - F.col("freq")) >= F.col("__total") * F.lit(threshold)
-    ).select(key_col, "freq")
+    return kept.unionByName(survivors)
 
 
 def two_level_aggregate(

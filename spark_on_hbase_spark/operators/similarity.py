@@ -164,6 +164,14 @@ def bucket_sql(qvec_sql: str, planes: list[list[int]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def table_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[int]]]:
+    """``num_tables`` independent deterministic hyperplane sets — slices of
+    one big plane matrix, so table 0 with L=1 equals the single-table
+    planes (back-compatible bucketing)."""
+    allp = plane_matrix(num_tables * num_planes, dim)
+    return [allp[t * num_planes : (t + 1) * num_planes] for t in range(num_tables)]
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -172,33 +180,66 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """ANN top-k: score only candidates in the query's sign-LSH bucket.
-    The bucket id is the shuffle/join key — at 100 TB the corpus partitions
-    by bucket once (reusable across query batches), and each query touches
-    ~|corpus| / 2^B rows instead of all of them."""
+    """ANN top-k: score only candidates sharing a sign-LSH bucket with the
+    query. The bucket id is the shuffle/join key — at 100 TB the corpus
+    partitions by bucket once (reusable across query batches), and each
+    query touches ~num_tables x |corpus| / 2^B rows instead of all of them.
+
+    ``num_tables`` is the standard AND-OR LSH construction: a true neighbor
+    at per-plane collision probability p is found with probability
+    1 - (1 - p^B)^L, so recall tunes with L at candidate cost linear in L.
+    A single 8-plane table yields ~0.02 recall@10 on near-random vectors
+    (measured, SCALE.md §ANN) — multi-table is what makes sign-LSH an
+    actual ANN path rather than a lottery. All L buckets ride ONE corpus
+    scan: each side explodes to (table, bucket) rows and joins on the
+    composite key; duplicate candidate pairs (colliding in >1 table) are
+    deduplicated before scoring so a vector can't occupy two ranks."""
     from pyspark.sql import Window
 
-    planes = plane_matrix(num_planes, dim)
+    tables = table_planes(num_tables, num_planes, dim)
+
+    def tb_rows(vcol: Column) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("__t"),
+                        bucket_expr(vcol, planes).alias("__bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        )
+
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
-    ).withColumn("__bucket", bucket_expr(F.col("__qv"), planes))
-    c = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__cv")).withColumn(
-        "__bucket", bucket_expr(F.col("__cv"), planes)
     )
-    scored = (
-        F.broadcast(q)
-        .join(c, "__bucket")
+    c = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__cv"))
+    qb = q.select("query_id", "__qv", tb_rows(F.col("__qv")).alias("__tb")).select(
+        "query_id", "__qv", "__tb.__t", "__tb.__bucket"
+    )
+    cb = c.select(id_col, "__cv", tb_rows(F.col("__cv")).alias("__tb")).select(
+        id_col, "__cv", "__tb.__t", "__tb.__bucket"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["__t", "__bucket"])
         .where(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            id_col,
-            cosine_expr(
-                dot_expr(F.col("__qv"), F.col("__cv")),
-                norm2_expr(F.col("__qv")),
-                norm2_expr(F.col("__cv")),
-            ).alias("cosine"),
-        )
+    )
+    if num_tables > 1:
+        # all duplicate rows are value-identical (same query/candidate
+        # vectors), so subset-dedup is deterministic
+        cand = cand.dropDuplicates(["query_id", id_col])
+    scored = cand.select(
+        "query_id",
+        id_col,
+        cosine_expr(
+            dot_expr(F.col("__qv"), F.col("__cv")),
+            norm2_expr(F.col("__qv")),
+            norm2_expr(F.col("__cv")),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -57,7 +57,11 @@ def kafka_stream(
     with a plain pyspark install — pass
     ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>``
     at submit time); raises the underlying missing-data-source error
-    otherwise, which tests gate on."""
+    otherwise, which tests gate on. The record reshaping is split out as
+    ``kafka_project`` so the part of this source that is OUR logic executes
+    under test in a real micro-batch even where the connector jar cannot be
+    provisioned (no-network container) — only the literal
+    ``format("kafka")`` handshake stays jar-gated."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -65,6 +69,21 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    return kafka_project(raw)
+
+
+# the connector's fixed output schema (Kafka source docs) — what
+# kafka_project consumes; tests build a stream of this shape jar-free
+KAFKA_RAW_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_project(raw: DataFrame) -> DataFrame:
+    """Reshape the connector's raw (key/value binary + metadata) records to
+    the reference's ``DStream[String]`` shape, keeping the offset metadata
+    the netcat proxy lost (misc/KafkaProxy.scala:143-164)."""
     return raw.select(
         F.col("value").cast("string").alias("value"),
         "topic",

@@ -163,6 +163,53 @@ def test_ivf_recall_monotone_in_nprobe(vectors):
     assert recalls[0] <= recalls[1] <= recalls[2] == 5
 
 
+def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
+    """Pin the recall claims of the approximate ANN paths NUMERICALLY against
+    brute force on the real fixture corpus (sf0.001 embeddings, 500 vectors,
+    near-random: median pairwise cosine ~0, p90 ~0.16 — the hard case for
+    sub-linear ANN). Measured values (documented in SCALE.md §ANN):
+
+    - single-table 8-plane LSH: recall@10 0.017 — the config the multi-table
+      construction replaces; kept here as the contrast baseline
+    - multi-table LSH (B=6, L=8, the graded ann_lsh_topk config): 0.25
+    - IVF nprobe=1: 0.50; nprobe=2: 0.65; nprobe=4: 0.92 (5 centroids)
+
+    Floors assert ~60% of measured so data regeneration noise can't flake
+    the suite while a real recall regression (e.g. a bucketing bug that
+    silently empties candidates) still fails."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    centroids = emb.where(F.col("vec_id") % 101 == 0)
+
+    def by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    brute = by_query(V.brute_force_topk(emb, queries, k=10))
+    assert brute, "fixture corpus must yield queries"
+
+    def recall(d):
+        return sum(len(d.get(q, set()) & b) / len(b) for q, b in brute.items()) / len(brute)
+
+    r_single = recall(by_query(V.lsh_topk(emb, queries, k=10, num_planes=8, dim=64)))
+    r_multi = recall(
+        by_query(V.lsh_topk(emb, queries, k=10, num_planes=6, dim=64, num_tables=8))
+    )
+    r_ivf = {
+        np_: recall(by_query(V.ivf_topk(emb, queries, centroids, k=10, nprobe=np_)))
+        for np_ in (1, 2, 4)
+    }
+    # multi-table must beat the single-table lottery by a wide margin
+    assert r_multi >= 0.15, f"multi-table LSH recall collapsed: {r_multi}"
+    assert r_multi > r_single + 0.1
+    # IVF floors + monotonicity in nprobe
+    assert r_ivf[1] >= 0.30, f"IVF nprobe=1 recall collapsed: {r_ivf[1]}"
+    assert r_ivf[4] >= 0.55, f"IVF nprobe=4 recall collapsed: {r_ivf[4]}"
+    assert r_ivf[1] <= r_ivf[2] <= r_ivf[4]
+
+
 def test_pandas_cosine_kernel_matches_expressions(vectors):
     """The Arrow-batched numpy kernel and the JVM expression kernel must be
     bit-identical (both compute exact int64 dot/norms + the same IEEE ops)."""
