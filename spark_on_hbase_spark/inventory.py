@@ -580,6 +580,8 @@ _GRADED_R02_ROTATED_OUT = [
     # J2 stays pinned inside the window by bucketed_smj_revenue (same join +
     # aggregate, bucketed storage path)
     "merge_join_big_big",
+    "time_range_scan",
+    "fill_join",
     "sample_scan",
     "keyspace_scan",
     "sql_api_revenue_by_nation",

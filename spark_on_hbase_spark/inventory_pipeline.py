@@ -726,3 +726,104 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = M.attach_binary_payload(docs)
     return M.sample_frames(with_payload).select("doc_id", "frame_idx")
+
+
+# ===========================================================================
+# Corpus curation extras: decontamination + stratified rebalancing
+# ===========================================================================
+
+_DECON_N = 5  # word n-gram size for the overlap check
+
+
+@query(
+    "decontamination_overlap",
+    f"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= {_DECON_N}
+                      THEN list_distinct([{" || ' ' || ".join(f"ws[i + {j}]" for j in range(_DECON_N))}
+                                          for i in range(1, len(ws) - {_DECON_N} + 2)])
+                      ELSE [] END) AS shingle
+        FROM ws
+    ),
+    keyed AS (SELECT doc_id, substring(md5(shingle), 1, 16) AS sk FROM sh),
+    train AS (SELECT doc_id, sk FROM keyed WHERE doc_id % 29 <> 0),
+    test AS (SELECT doc_id AS tid, sk FROM keyed WHERE doc_id % 29 = 0),
+    hits AS (
+        SELECT t.doc_id,
+               COUNT(DISTINCT t.sk) AS n_hit_shingles,
+               COUNT(DISTINCT s.tid) AS n_test_docs
+        FROM train t JOIN test s ON t.sk = s.sk
+        GROUP BY t.doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+    SELECT h.doc_id, h.n_hit_shingles, h.n_test_docs, tt.n_shingles,
+           CAST(h.n_hit_shingles AS DOUBLE) / tt.n_shingles AS contamination
+    FROM hits h JOIN totals tt ON h.doc_id = tt.doc_id
+    """,
+    doc="Benchmark decontamination (dedup.benchmark_overlap): flag training "
+    "documents sharing word 5-grams with a held-out test split (doc_id %% 29 "
+    "— the deterministic stand-in for an eval benchmark). The overlap join "
+    "keys on a 16-hex md5 prefix of the shingle (16-byte shuffle keys, not "
+    "raw n-grams); at 100 TB the test side is tiny relative to the corpus "
+    "and broadcasts. This is the n-gram eval-contamination check every LLM "
+    "corpus runs before training (GPT-3/PaLM appendix methodology).",
+    tags=("pipeline", "dedup", "text"),
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", T.words_expr("text").alias("__ws")
+    ).select(
+        "doc_id", F.explode(D.shingles_from_words(F.col("__ws"), _DECON_N)).alias("shingle")
+    )
+    train = sh.where(F.col("doc_id") % 29 != 0)
+    test = sh.where(F.col("doc_id") % 29 == 0)
+    return D.benchmark_overlap(train, test)
+
+
+_STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125}
+# the oracle predicate is built from the SAME rate table by the shared SQL
+# twin, so Spark and DuckDB can't drift
+from spark_on_hbase_spark.operators.scan import stratified_sample_sql as _ss_sql  # noqa: E402
+
+_STRATA_PRED = _ss_sql("doc_id", "lang", _STRATA_RATES)
+
+
+@query(
+    "stratified_sample_census",
+    f"""
+    WITH kept AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {_STRATA_PRED}
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM kept GROUP BY lang
+    """,
+    doc="Stratified corpus rebalancing (scan.stratified_sample): "
+    "deterministic per-language Bernoulli sampling — keep 50%% of en, 25%% "
+    "of de, 12.5%% of fr (md5(doc_id) salt vs per-stratum cutoffs; absent "
+    "strata drop to 0) — then a per-language census of the kept rows. "
+    "Zero-shuffle scan + one aggregation; the salt discipline matches F7 "
+    "(sample_scan): stable under retries, partitioning, and engines — "
+    "quota drift on task retry is what per-task RNG sampling costs at "
+    "1000 executors.",
+    tags=("pipeline", "sampling"),
+)
+def stratified_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import scan as S
+
+    docs = load(spark, sf_dir, "documents")
+    kept = S.stratified_sample(docs, "lang", _STRATA_RATES, id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -260,3 +260,49 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(pairs, exploded, id_col, shingle_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_overlap(
+    train_shingles: DataFrame,
+    test_shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation/test set — the overlap check every serious
+    LLM training pipeline runs before a corpus ships (n-gram-level
+    contamination detection, cf. the n-gram overlap methodology of the
+    GPT-3/PaLM papers' eval-decontamination appendices).
+
+    Inputs are exploded (id, shingle) relations, shingles distinct per doc
+    (``shingles_from_words`` guarantees this). The join key is a 16-hex-char
+    md5 prefix of the shingle, so the shuffle carries 16-byte keys instead
+    of raw n-gram strings — at 100 TB the test side is orders of magnitude
+    smaller than the corpus, and Spark/AQE broadcasts it when it fits.
+
+    Returns one row per contaminated training doc:
+    (id, n_hit_shingles, n_test_docs, n_shingles, contamination) where
+    contamination = n_hit_shingles / n_shingles — exact-integer division in
+    one IEEE op, cross-engine stable."""
+    skey = F.substring(F.md5(F.col(shingle_col)), 1, 16).alias("__sk")
+    train = train_shingles.select(F.col(id_col), skey)
+    test = test_shingles.select(F.col(id_col).alias("__tid"), skey)
+    hits = train.join(test, "__sk").groupBy(id_col).agg(
+        F.countDistinct("__sk").alias("n_hit_shingles"),
+        F.countDistinct("__tid").alias("n_test_docs"),
+    )
+    totals = train.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_hit_shingles",
+        "n_test_docs",
+        "n_shingles",
+        (F.col("n_hit_shingles").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )

@@ -103,6 +103,45 @@ def sample_sql(id_sql: str, fraction: float) -> str:
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the corpus-rebalancing
+    primitive of a training-data pipeline (downsample the dominant language /
+    source, keep the rare ones): each row keeps iff its md5(id) salt falls
+    under its OWN stratum's rate. Same salt discipline as
+    ``sample_deterministic`` (F7): scan-local, zero shuffle, stable under
+    task retries and engine versions — resampling quota drift on retry is
+    exactly what a 1000-executor ingest can't afford. Strata absent from
+    ``rates`` fall back to ``default_rate``."""
+    salt_int = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    cut = F.lit(int(default_rate * 4294967296))
+    for stratum, rate in rates.items():
+        cut = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 4294967296))
+        ).otherwise(cut)
+    return df.where(salt_int < cut)
+
+
+def stratified_sample_sql(
+    id_sql: str, strata_sql: str, rates: dict[str, float], default_rate: float = 0.0
+) -> str:
+    """DuckDB twin of stratified_sample's predicate."""
+    cases = " ".join(
+        f"WHEN {strata_sql} = '{s}' THEN {int(r * 4294967296)}" for s, r in rates.items()
+    )
+    return (
+        f"CAST(('0x' || substring(md5(CAST({id_sql} AS VARCHAR)), 1, 8)) AS UBIGINT) "
+        f"< (CASE {cases} ELSE {int(default_rate * 4294967296)} END)"
+    )
+
+
 def latest_version(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak_cols: list[str] = ()) -> DataFrame:
     """F10 — maxVersions=1: keep only the newest cell per key
     (HBaseRDD.configureQuery setMaxVersions(1), HBaseRDD.scala:39-42).

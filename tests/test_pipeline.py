@@ -62,6 +62,50 @@ def test_shingles_short_doc_empty(spark):
     assert out[0]["s"] == []
 
 
+def test_benchmark_overlap_flags_contaminated_doc(spark):
+    """A train doc embedding a test doc's exact 3-gram must be flagged with
+    the right overlap counts; an unrelated train doc must not appear."""
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),  # contains test 3-gram
+            Row(doc_id=2, text="totally unrelated words here now"),
+        ]
+    )
+    test = spark.createDataFrame([Row(doc_id=90, text="beta gamma delta")])
+
+    def sh(df):
+        return df.select(
+            "doc_id",
+            F.explode(D.shingles_from_words(F.split("text", " "), 3)).alias("shingle"),
+        )
+
+    out = {r["doc_id"]: r.asDict() for r in D.benchmark_overlap(sh(train), sh(test)).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_hit_shingles"] == 1  # 'beta gamma delta'
+    assert out[1]["n_test_docs"] == 1
+    assert out[1]["n_shingles"] == 3  # doc 1 has 3 distinct 3-grams
+    assert out[1]["contamination"] == pytest.approx(1 / 3)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Per-stratum keep rates must track the requested quotas (within
+    Bernoulli noise), absent strata must drop to the default (0), and the
+    md5-salt sample must be identical across runs."""
+    from spark_on_hbase_spark.operators import scan as S
+
+    rows = [Row(doc_id=i, lang=["en", "de", "xx"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    rates = {"en": 0.5, "de": 0.1}
+    kept1 = S.stratified_sample(df, "lang", rates, id_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in kept1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "xx" not in counts  # default rate 0
+    assert 400 <= counts["en"] <= 600  # 1000 candidates @ 0.5
+    assert 60 <= counts["de"] <= 140  # 1000 candidates @ 0.1
+    ids1 = {r["doc_id"] for r in kept1.collect()}
+    ids2 = {r["doc_id"] for r in S.stratified_sample(df, "lang", rates, id_col="doc_id").collect()}
+    assert ids1 == ids2  # deterministic, not RNG
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------

@@ -293,6 +293,47 @@ def test_ttl_filters_reads_and_compaction_purges(spark, tmp_path):
     assert {r["key"] for r in raw.collect()} == {"fresh", "edge"}  # purged
 
 
+def test_increment_rejects_non_numeric_counter(spark, table):
+    """A non-numeric counter would write a DELTA layer the read fold silently
+    drops (the additive branch exists only for numeric dtypes) — increment
+    must fail loudly at write time instead (ADVICE r2)."""
+    batch = spark.createDataFrame([Row(key="k001", delta=1)])
+    with pytest.raises(ValueError, match="numeric"):
+        table.increment(batch, counter_col="tag")  # tag is string
+
+
+def test_column_delete_rejects_key_and_ts(spark, table):
+    """The fold's ts branch has no CELLDEL case (the version timestamp is
+    merge bookkeeping, not a deletable cell), so a cell delete naming ts
+    would be silently ignored — reject it like the key column (ADVICE r2)."""
+    keys = spark.createDataFrame([Row(key="k001")])
+    with pytest.raises(ValueError, match="cannot column-delete"):
+        table.delete(keys, columns=["ts"])
+    with pytest.raises(ValueError, match="cannot column-delete"):
+        table.delete(keys, columns=["key"])
+
+
+def test_layer_order_is_numeric_not_lexical(spark, tmp_path, monkeypatch):
+    """Layer seqs never reset, so past the 6-digit pad a lexical sort would
+    order delta-1000000 before delta-999999 and fold mutations out of order
+    (ADVICE r2). Force a seq past the pad and check the fold still applies
+    the later layer last."""
+    t = KeyedTable(spark, str(tmp_path / "big"), num_partitions=2, compact_threshold=99)
+    t.create(spark.createDataFrame([Row(key="a", ts=10, v=1)]))
+    # jump the sequence over the pad boundary; both updates share ts=20 so
+    # the (ts, layer-seq) tie-break alone decides the winner — under a
+    # lexical layer sort delta-1000000 would count as OLDER than
+    # delta-999999 and the stale value would win
+    monkeypatch.setattr(t, "_next_seq", lambda: 999999)
+    t.update(spark.createDataFrame([Row(key="a", ts=20, v=50)]))
+    monkeypatch.undo()
+    assert t._next_seq() == 1000000
+    t.update(spark.createDataFrame([Row(key="a", ts=20, v=99)]))
+    names = [p.name for p in t._layers()]
+    assert names[-1] == "delta-1000000" and names[-2] == "delta-999999"
+    assert {r["key"]: r["v"] for r in t.df().collect()} == {"a": 99}
+
+
 def test_time_travel_reads_layer_prefix(spark, tmp_path):
     """LSM time travel: any historical state is a layer-prefix read; a
     snapshot taken before later mutations replays exactly."""
