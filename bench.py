@@ -21,13 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # no-op once the gateway JVM exists), so the bench — which owns the launch —
 # sets it here. 32 concurrent local tasks share the unified pool; 8g left
 # hash aggs spilling once a few layers were cached. The box has 128 GiB.
-os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS",
-    f"--driver-memory {os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')} pyspark-shell",
-)
+from spark_on_hbase_spark.session import get_spark, size_driver_heap_for_launch  # noqa: E402
+
+size_driver_heap_for_launch()
 
 from spark_on_hbase_spark.inventory import QUERIES  # noqa: E402
-from spark_on_hbase_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:

@@ -15,11 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# heap is sized at JVM-launch time by the entry point (see session.get_spark)
-os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS",
-    f"--driver-memory {os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')} pyspark-shell",
-)
+# heap is sized at JVM-launch time by the entry point
+from spark_on_hbase_spark.session import size_driver_heap_for_launch  # noqa: E402
+
+size_driver_heap_for_launch()
 
 import duckdb
 

@@ -54,8 +54,11 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(exact).unionByName(drop1)
 
 
-def _shingled_sql(n: int) -> str:
-    """Exploded distinct word n-gram shingles of the corpus (DuckDB)."""
+def _shingled_sql(n: int, source: str = "corpus") -> str:
+    """Exploded distinct word n-gram shingles of ``source`` (DuckDB) — the
+    single SQL twin of words_expr + shingles_from_words; every oracle that
+    shingles (dedup family, decontamination) derives from this one builder
+    so tokenizer/distinctness semantics cannot drift between them."""
     parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
     return f"""
     shingled AS (
@@ -65,7 +68,7 @@ def _shingled_sql(n: int) -> str:
                       ELSE [] END) AS shingle
         FROM (SELECT doc_id,
                      list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
-              FROM corpus)
+              FROM {source})
     )
     """
 
@@ -738,20 +741,8 @@ _DECON_N = 5  # word n-gram size for the overlap check
 @query(
     "decontamination_overlap",
     f"""
-    WITH ws AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id,
-               unnest(CASE WHEN len(ws) >= {_DECON_N}
-                      THEN list_distinct([{" || ' ' || ".join(f"ws[i + {j}]" for j in range(_DECON_N))}
-                                          for i in range(1, len(ws) - {_DECON_N} + 2)])
-                      ELSE [] END) AS shingle
-        FROM ws
-    ),
-    keyed AS (SELECT doc_id, substring(md5(shingle), 1, 16) AS sk FROM sh),
+    WITH {_shingled_sql(_DECON_N, source="documents")},
+    keyed AS (SELECT doc_id, substring(md5(shingle), 1, 16) AS sk FROM shingled),
     train AS (SELECT doc_id, sk FROM keyed WHERE doc_id % 29 <> 0),
     test AS (SELECT doc_id AS tid, sk FROM keyed WHERE doc_id % 29 = 0),
     hits AS (
@@ -802,7 +793,8 @@ _STRATA_PRED = _ss_sql("doc_id", "lang", _STRATA_RATES)
         SELECT doc_id, lang, n_chars FROM documents
         WHERE {_STRATA_PRED}
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM kept GROUP BY lang
     """,

@@ -13,6 +13,24 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def size_driver_heap_for_launch(default_mem: str = "24g") -> None:
+    """Ensure PYSPARK_SUBMIT_ARGS carries a --driver-memory for the JVM this
+    process is about to launch. Entry points that own the launch (bench.py,
+    tests/conftest.py, scripts/*) call this BEFORE the first session — a
+    builder conf cannot resize a JVM that is already up. Appends to an
+    existing PYSPARK_SUBMIT_ARGS (e.g. a user-supplied --packages for the
+    Kafka connector) instead of silently dropping the sizing; respects a
+    --driver-memory the user already chose."""
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem)
+    existing = os.environ.get("PYSPARK_SUBMIT_ARGS")
+    if existing is None:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+    elif "--driver-memory" not in existing:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = existing.replace(
+            "pyspark-shell", f"--driver-memory {mem} pyspark-shell"
+        ) if "pyspark-shell" in existing else f"{existing} --driver-memory {mem}"
+
+
 def get_spark(app_name: str = "spark_on_hbase_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
