@@ -585,6 +585,7 @@ _GRADED_R02_ROTATED_OUT = [
     "merge_join_big_big",
     "time_range_scan",
     "fill_join",
+    "value_histogram",
     "sample_scan",
     "keyspace_scan",
     "sql_api_revenue_by_nation",

@@ -430,6 +430,68 @@ def lsm_compaction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsm_time_travel",
+    """
+    WITH base AS (
+        SELECT c_custkey AS key, c_name AS name, 100 AS ts
+        FROM customer
+    )
+    SELECT key,
+           CASE WHEN key % 4 = 0 THEN 'v2:' || key ELSE name END AS name,
+           CAST(CASE WHEN key % 4 = 0 THEN 200 ELSE 100 END AS INTEGER) AS ts
+    FROM base
+    """,
+    doc="LSM time travel graded (superset; pytest-pinned in "
+    "tests/test_table.py::test_time_travel_reads_layer_prefix): every "
+    "mutation is an immutable layer, so any historical state is a "
+    "layer-prefix read. Build base, snapshot after an upsert (keys %4 -> "
+    "'v2', ts 200), then DELETE a third of the table and upsert again — and "
+    "read back AS OF the snapshot: the oracle sees only the first "
+    "mutation; the later delete and 'v3' rewrite must be invisible. The "
+    "snapshot is a layer-seq integer (snapshot_seq), no copied data — the "
+    "LSM's free time travel; horizon bounded by compact_threshold.",
+    tags=("mutation", "table", "time-travel"),
+)
+def lsm_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lsm_tt_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = KeyedTable(
+        spark, path, key_col="key", ts_col="ts",
+        num_partitions=8, compact_threshold=16,
+    )
+    tbl.create(base)
+    keys = base.select("key")
+    tbl.update(
+        keys.where(F.col("key") % 4 == 0).select(
+            "key",
+            F.concat(F.lit("v2:"), F.col("key")).alias("name"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    snapshot = tbl.snapshot_seq()
+    # post-snapshot history the as-of read must NOT see
+    tbl.delete(keys.where(F.col("key") % 3 == 0))
+    tbl.update(
+        keys.where(F.col("key") % 4 == 0).select(
+            "key",
+            F.concat(F.lit("v3:"), F.col("key")).alias("name"),
+            F.lit(300).cast("int").alias("ts"),
+        )
+    )
+    return tbl.df(as_of_layer=snapshot)
+
+
+@query(
     "tumbling_window_agg",
     """
     SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,

@@ -418,6 +418,30 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_pipeline.py::test_ann_recall_floors_on_fixture_corpus).
 _LSH_B, _LSH_L = 6, 8
 _LSH_TABLES = V.table_planes(_LSH_L, _LSH_B, 64)
+
+_LSH_CORPUS_CACHE: dict = {}
+
+
+def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized+persisted corpus-side (table, bucket) assignment
+    (V.lsh_bucket) per (session, sf_dir) — the local stand-in for the 100 TB
+    layout where the corpus is STORED partitioned by bucket and every query
+    batch joins against it. Without the memo the composed query plan
+    re-derives the bucketed corpus in every stage that consumes it
+    (measured ~2x the whole query's cost at sf0.1)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_CORPUS_CACHE:
+        for stale in [k for k in _LSH_CORPUS_CACHE if k != key]:
+            if stale[0] == key[0]:
+                _LSH_CORPUS_CACHE[stale].unpersist()
+            del _LSH_CORPUS_CACHE[stale]
+        cb = V.lsh_bucket(
+            load(spark, sf_dir, "embeddings"),
+            num_planes=_LSH_B, dim=64, num_tables=_LSH_L,
+        ).persist()
+        cb.count()
+        _LSH_CORPUS_CACHE[key] = cb
+    return _LSH_CORPUS_CACHE[key]
 _LSH_BUCKET_CASE = "CASE t " + " ".join(
     f"WHEN {t} THEN {V.bucket_sql('v', planes)}" for t, planes in enumerate(_LSH_TABLES)
 ) + " END"
@@ -466,7 +490,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 97 == 0)
     return V.lsh_topk(
-        emb, queries, k=10, num_planes=_LSH_B, dim=64, num_tables=_LSH_L
+        emb, queries, k=10, num_planes=_LSH_B, dim=64, num_tables=_LSH_L,
+        corpus_bucketed=_lsh_corpus(spark, sf_dir),
     )
 
 

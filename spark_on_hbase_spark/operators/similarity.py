@@ -172,6 +172,42 @@ def table_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[i
     return [allp[t * num_planes : (t + 1) * num_planes] for t in range(num_tables)]
 
 
+def _table_bucket_rows(vcol: Column, tables: list[list[list[int]]]) -> Column:
+    """Explode a quantized vector to one (table, bucket) struct per hash
+    table — all tables ride one scan of the vector column."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("__t"),
+                    bucket_expr(vcol, planes).alias("__bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+    )
+
+
+def lsh_bucket(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 1,
+) -> DataFrame:
+    """Corpus-side LSH assignment: (id, quantized vector, table, bucket) —
+    one row per (vector, hash table). At 100 TB this is computed ONCE and
+    stored partitioned by (table, bucket) (the layout every query batch
+    joins against); locally, memoize/persist it and pass to ``lsh_topk`` via
+    ``corpus_bucketed`` so repeated query batches skip re-bucketing."""
+    tables = table_planes(num_tables, num_planes, dim)
+    v = vectors.select(F.col(id_col), quantize_expr(vec_col).alias("__cv"))
+    return v.select(id_col, "__cv", _table_bucket_rows(F.col("__cv"), tables).alias("__tb")).select(
+        id_col, "__cv", "__tb.__t", "__tb.__bucket"
+    )
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -181,6 +217,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 1,
+    corpus_bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: score only candidates sharing a sign-LSH bucket with the
     query. The bucket id is the shuffle/join key — at 100 TB the corpus
@@ -195,33 +232,25 @@ def lsh_topk(
     actual ANN path rather than a lottery. All L buckets ride ONE corpus
     scan: each side explodes to (table, bucket) rows and joins on the
     composite key; duplicate candidate pairs (colliding in >1 table) are
-    deduplicated before scoring so a vector can't occupy two ranks."""
+    deduplicated before scoring so a vector can't occupy two ranks.
+
+    ``corpus_bucketed``: a precomputed ``lsh_bucket(candidates, ...)``
+    relation (same plane config!) — pass the persisted/stored assignment so
+    repeated query batches reuse it instead of re-bucketing the corpus
+    inside every query plan."""
     from pyspark.sql import Window
 
     tables = table_planes(num_tables, num_planes, dim)
-
-    def tb_rows(vcol: Column) -> Column:
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("__t"),
-                        bucket_expr(vcol, planes).alias("__bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        )
-
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
     )
-    c = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__cv"))
-    qb = q.select("query_id", "__qv", tb_rows(F.col("__qv")).alias("__tb")).select(
-        "query_id", "__qv", "__tb.__t", "__tb.__bucket"
-    )
-    cb = c.select(id_col, "__cv", tb_rows(F.col("__cv")).alias("__tb")).select(
-        id_col, "__cv", "__tb.__t", "__tb.__bucket"
+    qb = q.select(
+        "query_id", "__qv", _table_bucket_rows(F.col("__qv"), tables).alias("__tb")
+    ).select("query_id", "__qv", "__tb.__t", "__tb.__bucket")
+    cb = (
+        corpus_bucketed
+        if corpus_bucketed is not None
+        else lsh_bucket(candidates, num_planes, dim, id_col, vec_col, num_tables)
     )
     cand = (
         F.broadcast(qb)

@@ -13,7 +13,7 @@ _MUST_GRADE_R03 = {
     "multimodal_decode_meta", "multimodal_frame_sample",
     "ann_lsh_topk", "ann_ivf_topk", "ann_brute_topk", "embedding_near_dup",
     "exact_dedup", "minhash_lsh_dedup", "simhash_dedup", "ngram_jaccard_dedup",
-    "lsm_compaction_fold", "bucketed_smj_revenue",
+    "lsm_compaction_fold", "lsm_time_travel", "bucketed_smj_revenue",
     "decontamination_overlap", "stratified_sample_census",
     "pagerank_5iter", "mutation_increment_merge",
 }
