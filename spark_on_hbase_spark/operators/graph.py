@@ -533,8 +533,20 @@ def pagerank(
     dangling = _materialize_and_probe_dangling(state)
     with loop_planner(links, adaptive):
         for _ in range(max_iters):
+            # SHUFFLE_HASH hint on the state side: the checkpointed state is
+            # a LogicalRDD with UNKNOWN stats, and with links cached (exact
+            # stats, often under the broadcast threshold) the static planner
+            # would otherwise pick links as the broadcast build side — i.e.
+            # re-broadcast the ENTIRE edge relation every superstep, which
+            # can never work at 100 TB (edges don't fit a broadcast) and
+            # measurably dominated superstep time locally. The hint keeps
+            # the edge relation stationary in its cached hash(src)
+            # partitioning and builds the per-partition hash table from the
+            # state — the smaller side by |V| vs |E|.
             contribs = (
-                links.join(state, links["src"] == state["key"], "inner")
+                links.join(
+                    state.hint("shuffle_hash"), links["src"] == state["key"], "inner"
+                )
                 .select(
                     F.col("dst").alias("key"),
                     (F.col("rank") * F.col("__w")).alias("__c"),
@@ -545,7 +557,7 @@ def pagerank(
             base = (1.0 - damping) / n + damping * dangling / n
             state = (
                 state.select("key", "__deg")
-                .join(contribs, on="key", how="left")
+                .join(contribs.hint("shuffle_hash"), on="key", how="left")
                 .select(
                     "key",
                     (
