@@ -583,6 +583,9 @@ _GRADED_R02_ROTATED_OUT = [
     # J2 stays pinned inside the window by bucketed_smj_revenue (same join +
     # aggregate, bucketed storage path)
     "merge_join_big_big",
+    # F3 comparison predicates appear in the WHERE clause of nearly every
+    # windowed query; r02-green
+    "filter_comparison",
     "time_range_scan",
     "fill_join",
     "value_histogram",

@@ -124,7 +124,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_K, _MH_BANDS = 12, 4  # 12 minhashes in 4 bands of 3
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(final: str = "SELECT * FROM verified") -> str:
     r = _MH_K // _MH_BANDS
     mh_aggs = ",\n               ".join(
         f"CAST(min(CAST(('0x' || substring(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS UBIGINT)) AS BIGINT) AS mh{i}"
@@ -158,13 +158,16 @@ def _minhash_sql() -> str:
         JOIN shingled sa ON sa.doc_id = c.id_a
         JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
         GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+        SELECT s.id_a, s.id_b, s.shared, na.n AS n_a, nb.n AS n_b,
+               CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) AS jaccard
+        FROM shared s
+        JOIN sizes na ON na.doc_id = s.id_a
+        JOIN sizes nb ON nb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.7
     )
-    SELECT s.id_a, s.id_b, s.shared, na.n AS n_a, nb.n AS n_b,
-           CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) AS jaccard
-    FROM shared s
-    JOIN sizes na ON na.doc_id = s.id_a
-    JOIN sizes nb ON nb.doc_id = s.id_b
-    WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.7
+    {final}
     """
 
 
@@ -180,11 +183,76 @@ def _minhash_sql() -> str:
     tags=("dedup", "lsh"),
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_verified(spark, sf_dir)
+
+
+def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark twin of ``_minhash_sql``'s ``verified`` CTE: the
+    Jaccard-verified LSH candidate pairs both dedup queries build on."""
     exploded = _shingled(spark, sf_dir, 3)
     sigs = D.minhash_signatures(exploded, "doc_id", "shingle", _MH_K)
     bands = D.lsh_bands(sigs, "doc_id", _MH_K, _MH_BANDS)
     pairs = D.candidate_pairs(bands, "doc_id")
     return D.jaccard_verify(pairs, exploded, "doc_id", "shingle", 0.7)
+
+
+@query(
+    "minhash_cluster_dedup",
+    f"""
+    WITH RECURSIVE {CORPUS_SQL}, {_shingled_sql(3)}, {_minhash_sql(final="")}
+    , edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    -- pruned min-label transitive closure (mirror of connected_components'
+    -- max variant): a label only propagates while strictly smaller than the
+    -- receiving vertex; the component minimum m satisfies m < u for every
+    -- other vertex u, so (v, m) is still derived for every v
+    reach AS (
+        SELECT DISTINCT src AS key, src AS label FROM edges
+        UNION
+        SELECT e.dst AS key, r.label
+        FROM reach r JOIN edges e ON e.src = r.key
+        WHERE r.label < e.dst
+    ),
+    comp AS (SELECT key AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY key),
+    csizes AS (
+        SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id
+    )
+    SELECT c.doc_id, c.canonical_id, s.cluster_size,
+           c.doc_id = c.canonical_id AS is_canonical
+    FROM comp c JOIN csizes s USING (canonical_id)
+    ORDER BY c.doc_id
+    """,
+    doc="Near-dup CLUSTER canonicalization — the step after pair detection "
+    "that an actual dedup pipeline ships: connected components over the "
+    "Jaccard-verified LSH pairs (min-label delta-iteration BSP on the shared "
+    "superstep machinery, graph.bsp_converge minimize=True), mapping every "
+    "near-dup document to the smallest doc id in its cluster. A~B and B~C "
+    "keep exactly one of {A,B,C} even though A and C never collided in any "
+    "LSH band. Per superstep one shuffle aggregation; frontier = relabeled "
+    "docs only; cluster diameter bounds the superstep count, so the 100 TB "
+    "cost is a handful of shrinking shuffles over the pair graph — never "
+    "the corpus.",
+    tags=("dedup", "lsh", "graph", "iterative"),
+)
+def minhash_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified = _minhash_verified(spark, sf_dir)
+    clusters = D.near_dup_clusters(verified)
+    sizes = clusters.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        clusters.join(sizes, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _simhash_sql() -> str:

@@ -263,6 +263,45 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup cluster canonicalization
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Canonicalize verified near-dup pairs into clusters: connected
+    components over the pair graph with MIN-label propagation, so every
+    document maps to the smallest doc id in its near-dup cluster — the
+    survivor a dedup pipeline keeps while dropping the rest.
+
+    Pair detection (minhash/simhash/embedding) finds EDGES; deciding which
+    documents to keep needs the transitive closure — A~B and B~C must keep
+    exactly one of {A,B,C} even when A and C never collided directly. Runs
+    on the shared delta-iteration BSP machinery (``graph.bsp_converge``,
+    ``minimize=True``): per superstep one shuffle aggregation, frontier =
+    only relabeled docs, so at 100 TB late supersteps touch a vanishing
+    fraction of the pair graph, and cluster diameter (tiny for near-dup
+    graphs) bounds the superstep count.
+
+    Returns (doc_id, canonical_id) for every document that appears in at
+    least one pair; docs absent from ``pairs`` are their own canonical and
+    are simply not listed."""
+    from spark_on_hbase_spark.operators.graph import bsp_converge, reverse_edges
+
+    edges = reverse_edges(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    )
+    verts = edges.select(F.col("src").alias("key")).distinct()
+    state = verts.withColumn("label", F.col("key"))
+    final, _iters = bsp_converge(edges, state, max_iters=max_iters, minimize=True)
+    return final.select(F.col("key").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (train/test n-gram overlap)
 # ---------------------------------------------------------------------------
 

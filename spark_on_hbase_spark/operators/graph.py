@@ -288,12 +288,20 @@ def bsp_converge(
     state: DataFrame,
     max_iters: int = 50,
     adaptive: bool = False,
+    minimize: bool = False,
 ) -> tuple[DataFrame, int]:
     """G2 — iterate max-label propagation to a fixpoint (connected
     components), the engine's version of the reference's incremental N-step
     BSP (HGraphTable.scala:144-228, incl. its per-superstep persist/unpersist
     discipline at HGraphTable.scala:116-124 -> eager persist here, which
     keeps the downstream plan flat so hundreds of supersteps survive).
+
+    ``minimize=True`` flips the label semilattice from max to min (canonical
+    representative = SMALLEST key in the component — the convention of dedup
+    cluster canonicalization, where the surviving document is the lowest id);
+    the merge aggregate and the improvement test flip together, everything
+    else (delta iteration, fused frontier probe, persist discipline) is
+    identical.
 
     Runs as a **delta iteration**: only vertices whose label changed last
     superstep (the frontier) send messages, so message volume shrinks every
@@ -310,6 +318,7 @@ def bsp_converge(
     unpersisted as soon as the next superstep materializes (the reference's
     per-superstep history discipline) so a long run does not pin every
     intermediate state in executor memory."""
+    agg_fn = F.min if minimize else F.max
     edges = edges.persist()
     current = state.persist()
     prev_state = current
@@ -326,12 +335,18 @@ def bsp_converge(
                 merged = (
                     tagged.groupBy("key")
                     .agg(
-                        F.max("label").alias("label"),
+                        agg_fn("label").alias("label"),
+                        # __old is the state-tagged row's label: exactly one
+                        # such row exists per key, so min/max both read it
                         F.max(F.when(F.col("__s") == 1, F.col("label"))).alias("__old"),
                     )
                     .persist()
                 )
-                improved = F.col("__old").isNull() | (F.col("label") > F.col("__old"))
+                improved = F.col("__old").isNull() | (
+                    (F.col("label") < F.col("__old"))
+                    if minimize
+                    else (F.col("label") > F.col("__old"))
+                )
                 # ONE job both materializes the persisted superstep (full
                 # scan populates the cache before the predecessor is
                 # released) and returns the frontier size — no separate

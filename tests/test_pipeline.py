@@ -48,6 +48,32 @@ def test_minhash_lsh_finds_near_dups(corpus):
     assert not any(4 in p or 5 in p for p in found)
 
 
+def test_near_dup_clusters_transitive_min_canonical(spark):
+    # chain 1-2, 2-3 plus disjoint pair 7-9: transitivity must place 3 with
+    # canonical 1 even though (1,3) never appears as a pair
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=7, id_b=9)]
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in D.near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_near_dup_clusters_long_chain_and_reversed_pairs(spark):
+    # worst-case diameter: a 12-node path given in descending order, so the
+    # min label must walk the whole chain; plus a self-contained triangle
+    chain = [Row(id_a=i + 1, id_b=i) for i in range(1, 12)]
+    tri = [Row(id_a=20, id_b=21), Row(id_a=21, id_b=22), Row(id_a=20, id_b=22)]
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in D.near_dup_clusters(spark.createDataFrame(chain + tri)).collect()
+    }
+    assert all(got[i] == 1 for i in range(1, 13))
+    assert all(got[i] == 20 for i in (20, 21, 22))
+
+
 def test_simhash_hamming_zero_for_clones(corpus):
     exploded = corpus.select("doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle"))
     sigs = D.simhash_signatures(exploded, "doc_id", "shingle")
