@@ -586,6 +586,9 @@ _GRADED_R02_ROTATED_OUT = [
     # F3 comparison predicates appear in the WHERE clause of nearly every
     # windowed query; r02-green
     "filter_comparison",
+    # F4 map-contains predicate also pinned by the scan-ops pytest suite;
+    # r02-green
+    "map_contains",
     "time_range_scan",
     "fill_join",
     "value_histogram",

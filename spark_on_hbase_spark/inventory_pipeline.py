@@ -675,6 +675,57 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+        FROM toks WHERE len(ws) >= 2
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                       for i in range(1, len(ws) - 1)]) AS g
+        FROM toks WHERE len(ws) >= 3
+    ),
+    bstat AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigrams_count,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigrams
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    tstat AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_trigrams
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_bigrams, b.top_bigrams_count,
+           CAST(b.top_bigrams_count AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+           CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac,
+           CAST(t.dup_trigrams AS DOUBLE) / t.n_trigrams AS dup_trigram_frac
+    FROM bstat b JOIN tstat t USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 A1.1): "
+    "per-document fraction of word n-grams occupied by the most frequent "
+    "one and by repeated ones — the filter that catches boilerplate and "
+    "keyword-stuffed text that the length/punctuation gates miss. Two "
+    "combiner-friendly hash aggregations keyed (doc, gram) then (doc); no "
+    "per-doc state wider than its gram multiset shard, so the pass scales "
+    "linearly with the corpus.",
+    tags=("text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.repetition_signals(docs)
+
+
+@query(
     "text_token_stats",
     """
     SELECT doc_id,

@@ -53,20 +53,12 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def shingles_from_words(ws: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an ALREADY-MATERIALIZED words
-    array column. Callers must project the words array first
-    (``df.withColumn("ws", words_expr(...))``): referencing a split()
-    expression inside the higher-order lambda would re-tokenize the document
-    once per shingle index — an O(doc_len^2) trap measured at ~7x on the
-    corpus explode."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    # docs shorter than n words have no shingles (matches the SQL twin, where
-    # concat over missing elements would otherwise emit partial grams)
-    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    array column (the set form of ``text.ngrams_from_words`` — see its
+    docstring for the O(doc_len^2) re-tokenization trap the materialized-
+    array contract avoids)."""
+    from spark_on_hbase_spark.operators.text import ngrams_from_words
+
+    return F.array_distinct(ngrams_from_words(ws, n))
 
 
 def shingles_expr(text_col: str | Column = "text", n: int = 3) -> Column:

@@ -32,6 +32,24 @@ def words_expr(text_col: str | Column = "text") -> Column:
     return F.filter(F.split(c, r"\s+"), lambda w: w != "")
 
 
+def ngrams_from_words(ws: Column, n: int) -> Column:
+    """ALL word n-grams (with multiplicity, in document order) from an
+    already-materialized words array column. The multiset form feeds the
+    repetition quality signals; ``dedup.shingles_from_words`` derives the
+    distinct-set form from this. Same O(doc_len) guard: callers must project
+    the words array first, never pass a split() expression (it would
+    re-tokenize once per gram index)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # docs shorter than n words have no n-grams (the transform above would
+    # emit one partial gram for them)
+    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish subword regex count
     (letter runs, digit runs, punctuation singletons — the classic
@@ -91,6 +109,58 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         mean_word_len.alias("mean_word_len"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, appendix
+    A1.1 "repetitious text" filters, public): per document the fraction of
+    word n-grams occupied by the single most frequent one and by all
+    repeated ones. Boilerplate, keyword-stuffed, and looping machine text
+    scores high and gets gated before training.
+
+    Per doc: top_bigram_frac = count(most frequent 2-gram) / count(2-grams),
+    dup_bigram_frac / dup_trigram_frac = fraction of n-gram occurrences
+    whose gram occurs more than once. Two hash aggregations keyed by
+    (doc, gram) then (doc) — fully distributed, combiner-friendly, no state
+    wider than one document's gram multiset shard; ratios are exact integer
+    counts under one IEEE division, so the DuckDB oracle twin hash-matches.
+    Documents with fewer than 3 words (no trigram) are excluded — a quality
+    gate has nothing to measure there."""
+    base = df.select(id_col, words_expr(text_col).alias("__ws"))
+
+    def _stats(n: int, prefix: str) -> DataFrame:
+        grams = base.select(
+            id_col, F.explode(ngrams_from_words(F.col("__ws"), n)).alias("__g")
+        )
+        per_gram = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+        return per_gram.groupBy(id_col).agg(
+            F.sum("__c").alias(f"n_{prefix}"),
+            F.max("__c").alias(f"top_{prefix}_count"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+                f"dup_{prefix}"
+            ),
+        )
+
+    bi, tri = _stats(2, "bigrams"), _stats(3, "trigrams")
+    return (
+        bi.join(tri, id_col)
+        .select(
+            id_col,
+            "n_bigrams",
+            "top_bigrams_count",
+            (F.col("top_bigrams_count").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+            (F.col("dup_bigrams").cast("double") / F.col("n_bigrams")).alias(
+                "dup_bigram_frac"
+            ),
+            (F.col("dup_trigrams").cast("double") / F.col("n_trigrams")).alias(
+                "dup_trigram_frac"
+            ),
+        )
     )
 
 

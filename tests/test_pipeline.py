@@ -74,6 +74,44 @@ def test_near_dup_clusters_long_chain_and_reversed_pairs(spark):
     assert all(got[i] == 20 for i in (20, 21, 22))
 
 
+def test_repetition_signals_flag_looping_text(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            # "buy now " x4: bigrams = [buy now, now buy, buy now, now buy,
+            # buy now, now buy, buy now] -> top 4/7, all 7 duplicated
+            Row(doc_id=1, text="buy now buy now buy now buy now"),
+            Row(doc_id=2, text="a perfectly ordinary sentence with no repeats"),
+            Row(doc_id=3, text="too short"),  # no trigram -> excluded
+        ]
+    )
+    rows = {r["doc_id"]: r for r in T.repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1["n_bigrams"] == 7 and r1["top_bigrams_count"] == 4
+    assert abs(r1["top_bigram_frac"] - 4 / 7) < 1e-12
+    assert r1["dup_bigram_frac"] == 1.0
+    assert r1["dup_trigram_frac"] == 1.0
+    r2 = rows[2]
+    assert r2["top_bigram_frac"] == r2["dup_bigram_frac"] == 0.0 or (
+        r2["dup_bigram_frac"] == 0.0 and r2["top_bigrams_count"] == 1
+    )
+    assert r2["dup_trigram_frac"] == 0.0
+
+
+def test_ngrams_from_words_multiplicity_and_order(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    df = spark.createDataFrame([Row(text="x y x y")]).select(
+        T.ngrams_from_words(T.words_expr("text"), 2).alias("g"),
+        T.ngrams_from_words(T.words_expr("text"), 5).alias("too_long"),
+    )
+    row = df.collect()[0]
+    assert row["g"] == ["x y", "y x", "x y"]  # order + multiplicity kept
+    assert row["too_long"] == []
+
+
 def test_simhash_hamming_zero_for_clones(corpus):
     exploded = corpus.select("doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle"))
     sigs = D.simhash_signatures(exploded, "doc_id", "shingle")
