@@ -589,6 +589,9 @@ _GRADED_R02_ROTATED_OUT = [
     # F4 map-contains predicate also pinned by the scan-ops pytest suite;
     # r02-green
     "map_contains",
+    # J1 broadcast lookup join shares its operator path with
+    # right_outer_lookup_join (r02-green) and the joins pytest suite
+    "lookup_join",
     "time_range_scan",
     "fill_join",
     "value_histogram",

@@ -725,6 +725,72 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(docs)
 
 
+# Deterministic PII injection (doc_id % 7 == 3 gets a footer with an email,
+# an IP and a phone number): the synthetic corpus carries no organic PII, so
+# the scrub pass needs planted positives to prove both the detectors and the
+# redaction actually fire — the same plant on both engines keeps the oracle
+# exact. Never reuse this corpus for the dedup queries.
+_PII_FOOTER_SQL = (
+    "CASE WHEN doc_id % 7 = 3 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || ' call +1-202-555-0188' ELSE text END"
+)
+
+
+def _pii_redact_sql(src: str) -> str:
+    out = src
+    for _kind, pat, repl in T.PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH planted AS (SELECT doc_id, {_PII_FOOTER_SQL} AS text FROM documents)
+    SELECT doc_id,
+           {", ".join(f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}s" for kind, pat, _ in T.PII_PATTERNS)},
+           md5({_pii_redact_sql("text")}) AS redacted_md5,
+           length({_pii_redact_sql("text")}) AS n_chars_redacted
+    FROM planted
+    """,
+    doc="PII scrub: detect + redact emails / phone numbers / IPv4 addresses "
+    "with typed placeholders — the corpus hygiene pass before any training "
+    "data ships. Patterns are Java-regex/RE2 common-subset (no lookaround, "
+    "ASCII classes) so Spark and the oracle agree byte-for-byte; the whole "
+    "pass is regexp column expressions in one codegen'd scan, no shuffle, "
+    "linear at 100 TB. Positives are planted deterministically (the "
+    "synthetic corpus has no organic PII) to prove detectors and redaction "
+    "fire.",
+    tags=("text", "quality"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(" call +1-202-555-0188"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = T.pii_scrub(planted)
+    return scrubbed.select(
+        "doc_id",
+        *[f"n_{kind}s" for kind, _p, _r in T.PII_PATTERNS],
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").alias("n_chars_redacted"),
+    )
+
+
 @query(
     "text_token_stats",
     """

@@ -172,6 +172,36 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(normalized))
 
 
+# PII patterns chosen for identical semantics under Java regex (Spark) and
+# RE2 (DuckDB oracle): ASCII classes, bounded quantifiers, \b word
+# boundaries — no lookarounds (RE2 has none) or Unicode classes (Java's \d
+# is ASCII-only by default, matching RE2). Redaction order matters and is
+# part of the contract: emails, then phones, then IPs — placeholders are
+# letter-only so an earlier replacement can never create a later match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrub pass a training corpus runs
+    before anything ships: count and replace email addresses, phone numbers
+    and IPv4 addresses with typed placeholders. Counts are measured on the
+    ORIGINAL text, redaction applies the patterns in ``PII_PATTERNS`` order.
+    Pure regexp column expressions (whole-stage codegen, no shuffle): the
+    pass is a single linear scan at any corpus size. Adds ``n_<kind>``
+    count columns and a ``redacted`` text column."""
+    out = df
+    for kind, pat, _repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}s", F.regexp_count(F.col(text_col), F.lit(pat)))
+    red = F.col(text_col)
+    for _kind, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn("redacted", red)
+
+
 ROLLING_MOD = 1_000_000_007
 ROLLING_BASE = 31
 

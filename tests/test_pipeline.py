@@ -112,6 +112,25 @@ def test_ngrams_from_words_multiplicity_and_order(spark):
     assert row["too_long"] == []
 
 
+def test_pii_scrub_counts_and_redacts(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b+c@sub.example.org or 192.168.1.1 now"),
+            Row(doc_id=2, text="call +1-415-555-2671 twice +44-020-794-0000"),
+            Row(doc_id=3, text="clean text with version 1.2 and pi 3.14159"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> or <IP> now"
+    assert rows[2]["n_phones"] == 2
+    assert rows[2]["redacted"] == "call <PHONE> twice <PHONE>"
+    # version/decimal numbers must NOT false-positive as IPs
+    assert rows[3]["n_ips"] == 0 and rows[3]["redacted"] == rows[3]["text"]
+
+
 def test_simhash_hamming_zero_for_clones(corpus):
     exploded = corpus.select("doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle"))
     sigs = D.simhash_signatures(exploded, "doc_id", "shingle")

@@ -16,7 +16,7 @@ _MUST_GRADE_R03 = {
     "lsm_compaction_fold", "lsm_time_travel", "bucketed_smj_revenue",
     "decontamination_overlap", "stratified_sample_census",
     "pagerank_5iter", "mutation_increment_merge",
-    "minhash_cluster_dedup", "text_repetition",
+    "minhash_cluster_dedup", "text_repetition", "text_pii_scrub",
 }
 
 
