@@ -479,6 +479,31 @@ def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:
     )
 
 
+def pagerank_contribs(links: DataFrame, state: DataFrame) -> DataFrame:
+    """One pagerank superstep's message aggregation: incoming rank mass per
+    destination. SHUFFLE_HASH hint on the state side: the checkpointed state
+    is a LogicalRDD with UNKNOWN stats, and with links cached (exact stats,
+    often under the broadcast threshold) the static planner would otherwise
+    pick links as the broadcast build side — i.e. re-broadcast the ENTIRE
+    edge relation every superstep, which can never work at 100 TB (edges
+    don't fit a broadcast) and measurably dominated superstep time locally.
+    The hint keeps the edge relation stationary in its cached hash(src)
+    partitioning (zero per-superstep exchange on the big side, pinned by
+    tests/test_plans.py) and builds the per-partition hash table from the
+    state — the smaller side by |V| vs |E|."""
+    return (
+        links.join(
+            state.hint("shuffle_hash"), links["src"] == state["key"], "inner"
+        )
+        .select(
+            F.col("dst").alias("key"),
+            (F.col("rank") * F.col("__w")).alias("__c"),
+        )
+        .groupBy("key")
+        .agg(F.sum("__c").alias("__in"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -548,27 +573,7 @@ def pagerank(
     dangling = _materialize_and_probe_dangling(state)
     with loop_planner(links, adaptive):
         for _ in range(max_iters):
-            # SHUFFLE_HASH hint on the state side: the checkpointed state is
-            # a LogicalRDD with UNKNOWN stats, and with links cached (exact
-            # stats, often under the broadcast threshold) the static planner
-            # would otherwise pick links as the broadcast build side — i.e.
-            # re-broadcast the ENTIRE edge relation every superstep, which
-            # can never work at 100 TB (edges don't fit a broadcast) and
-            # measurably dominated superstep time locally. The hint keeps
-            # the edge relation stationary in its cached hash(src)
-            # partitioning and builds the per-partition hash table from the
-            # state — the smaller side by |V| vs |E|.
-            contribs = (
-                links.join(
-                    state.hint("shuffle_hash"), links["src"] == state["key"], "inner"
-                )
-                .select(
-                    F.col("dst").alias("key"),
-                    (F.col("rank") * F.col("__w")).alias("__c"),
-                )
-                .groupBy("key")
-                .agg(F.sum("__c").alias("__in"))
-            )
+            contribs = pagerank_contribs(links, state)
             base = (1.0 - damping) / n + damping * dangling / n
             state = (
                 state.select("key", "__deg")

@@ -168,6 +168,51 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
 
+def test_pagerank_superstep_never_broadcasts_edges(spark, sf_dir):
+    """The pagerank superstep's scale guarantee: the cached links relation
+    (exact stats, possibly under the broadcast threshold) must NOT become
+    the broadcast build side against the unknown-stats checkpointed state —
+    at 100 TB the edge relation never fits a broadcast, and locally
+    re-broadcasting it every superstep dominated the loop. The plan must be
+    a shuffled-hash join whose links side reads the cache with no exchange
+    above it."""
+    from spark_on_hbase_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{(i * 7) % 50}") for i in range(400)], ["src", "dst"]
+    )
+    links = (
+        edges.repartition("src")
+        .select("src", "dst", F.lit(0.5).alias("__w"))
+        .persist()
+    )
+    try:
+        links.count()
+        state = (
+            links.select(F.col("src").alias("key"))
+            .distinct()
+            .select("key", F.lit(0.1).alias("rank"), F.lit(1).alias("__deg"))
+            .localCheckpoint(eager=False)
+        )
+        state.count()
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = plans.formatted_plan(G.pagerank_contribs(links, state))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        # the links-side cache scan must have no Exchange between it and the
+        # join: its persisted hash(src) partitioning satisfies the join's
+        # distribution requirement, so the only exchanges in the plan are
+        # the state side's and the downstream aggregation's
+        live = "\n".join(plans._live_tree_lines(plan))
+        assert live.count("Exchange (") <= 2, live
+    finally:
+        links.unpersist()
+
+
 def test_from_pairs_partitioned_single_shuffle(spark, sf_dir):
     from spark_on_hbase_spark.inventory_agg_graph import supplier_part_pairs
     from spark_on_hbase_spark.operators import graph as G
