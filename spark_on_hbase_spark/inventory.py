@@ -592,6 +592,9 @@ _GRADED_R02_ROTATED_OUT = [
     # J1 broadcast lookup join shares its operator path with
     # right_outer_lookup_join (r02-green) and the joins pytest suite
     "lookup_join",
+    # F10 latest-version hash-agg also pinned by
+    # test_latest_version_is_hash_agg_not_window_sort; r02-green
+    "latest_version_scan",
     "time_range_scan",
     "fill_join",
     "value_histogram",

@@ -725,6 +725,55 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(docs)
 
 
+@query(
+    "vocab_top_terms",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                      w -> w <> '')) AS token
+        FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    total AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM counts),
+    top AS (SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT 100)
+    SELECT t.token, t.freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY t.freq DESC, t.token) AS INTEGER) AS rank,
+           CAST(t.freq AS DOUBLE) / tt.n AS corpus_frac
+    FROM top t CROSS JOIN total tt
+    """,
+    doc="Vocabulary construction census: corpus-wide token frequencies, "
+    "top-100 by count with deterministic tie-break, each term's corpus "
+    "fraction — the first pass of building a tokenizer vocab / stopword "
+    "list. One combiner-friendly hash aggregation over the exploded tokens, "
+    "then TakeOrderedAndProject for the global top-k (no full sort of the "
+    "vocabulary) and a window over the ALREADY-LIMITED 100 rows (bounded, "
+    "never the classic global-window trap). The total-count side is a "
+    "single-row broadcast.",
+    tags=("text", "vocab"),
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.words_expr(F.lower(F.col("text")))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    total = counts.agg(F.sum("freq").cast("bigint").alias("n"))
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(100)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "freq",
+            "rank",
+            (F.col("freq").cast("double") / F.col("n")).alias("corpus_frac"),
+        )
+    )
+
+
 # Deterministic PII injection (doc_id % 7 == 3 gets a footer with an email,
 # an IP and a phone number): the synthetic corpus carries no organic PII, so
 # the scrub pass needs planted positives to prove both the detectors and the
