@@ -132,16 +132,36 @@ def _live_tree_lines(plan: str) -> list[str]:
             i += 1
         return i
 
+    def marker_depth(ln: str) -> int:
+        # column of the first '=' of an AQE section marker ("== Final Plan
+        # =="): computed WITHOUT '=' in the tree-art charset, because the
+        # section's child nodes print at this column, not past the marker
+        # text
+        i = 0
+        while i < len(ln) and ln[i] in " +-:":
+            i += 1
+        return i
+
     live: list[str] = []
     skip_from: int | None = None
     for ln in tree:
-        d = depth(ln)
+        is_marker = ln.lstrip(" +-:").startswith("== ")
+        d = marker_depth(ln) if is_marker else depth(ln)
         if skip_from is not None:
             # the cached plan dump starts at the SAME text column as the
             # InMemoryRelation node; a true sibling resumes strictly left
             if d >= skip_from:
                 continue
             skip_from = None
+        if is_marker:
+            # an AQE initial/final-plan section reached OUTSIDE an
+            # InMemoryRelation skip: formatted mode prints cached relations'
+            # AQE dumps at erratic columns (sometimes shallower than the
+            # InMemoryRelation that owns them), so the depth rule alone
+            # resumes too early. Such a section is never part of the
+            # executing top-level tree — skip it wholesale.
+            skip_from = d
+            continue
         live.append(ln)
         if "InMemoryRelation" in ln:
             skip_from = d
