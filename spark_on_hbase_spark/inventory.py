@@ -595,6 +595,9 @@ _GRADED_R02_ROTATED_OUT = [
     # F10 latest-version hash-agg also pinned by
     # test_latest_version_is_hash_agg_not_window_sort; r02-green
     "latest_version_scan",
+    # §2.6 semi join also pinned by set_ops_part_flags' classification test
+    # and the joins pytest suite; r02-green
+    "semi_join",
     "time_range_scan",
     "fill_join",
     "value_histogram",

@@ -726,6 +726,74 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_index_dedup",
+    f"""
+    WITH {CORPUS_SQL},
+    incoming AS (
+        SELECT doc_id, md5(text) AS fp FROM corpus WHERE doc_id >= 1000000
+    ),
+    idx AS (
+        SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT i.doc_id,
+           CASE WHEN x.canonical_id IS NOT NULL THEN 'dup' ELSE 'new' END AS status,
+           x.canonical_id
+    FROM incoming i LEFT JOIN idx x ON i.fp = x.fp
+    """,
+    doc="Incremental dedup against a PERSISTENT fingerprint index — the "
+    "production shape: a new batch is classified against the corpus already "
+    "ingested, not against itself. The index is a KeyedTable keyed by "
+    "content md5 (canonical id = min doc id per fingerprint, built by one "
+    "hash aggregation); the incoming batch classifies via the zero-table-"
+    "shuffle right-outer lookup (J5 decomposition: broadcast probe inner + "
+    "null-filled anti union), so at 100 TB the index NEVER moves — the "
+    "batch does, and it is orders of magnitude smaller. Composes the "
+    "reference's keyed-table semantics (S5/S13, J1/J5) with the pipeline "
+    "dedup family.",
+    tags=("dedup", "table"),
+)
+def incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_on_hbase_spark.operators import joins as Jo
+    from spark_on_hbase_spark.table import KeyedTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_df = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("canonical_id"))
+        .withColumn("ts", F.lit(0))
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"fp_index_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # rebuild per call: the query must be deterministic across re-runs
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = KeyedTable(spark, path, key_col="fp", ts_col="ts", num_partitions=8)
+    tbl.create(idx_df)
+    incoming = (
+        corpus(spark, sf_dir)
+        .where(F.col("doc_id") >= 1000000)
+        .select("doc_id", F.md5("text").alias("fp"))
+    )
+    classified = Jo.right_outer_lookup_join(
+        tbl.df().select("fp", "canonical_id"), incoming, on="fp"
+    )
+    return classified.select(
+        "doc_id",
+        F.when(F.col("canonical_id").isNotNull(), F.lit("dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        "canonical_id",
+    )
+
+
+@query(
     "vocab_top_terms",
     """
     WITH toks AS (
