@@ -598,6 +598,9 @@ _GRADED_R02_ROTATED_OUT = [
     # §2.6 semi join also pinned by set_ops_part_flags' classification test
     # and the joins pytest suite; r02-green
     "semi_join",
+    # J11 anti join shares the set-ops rewrite pinned by set_ops_part_flags;
+    # B9 word split stays pinned by the text family; r02-green
+    "anti_join_spellcheck",
     "time_range_scan",
     "fill_join",
     "value_histogram",

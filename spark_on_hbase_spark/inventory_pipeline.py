@@ -743,6 +743,127 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_curation_v2",
+    f"""
+    WITH RECURSIVE {CORPUS_SQL}, {_shingled_sql(3)}, {_minhash_sql(final="")}
+    , ctoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+        FROM corpus
+    ),
+    ctri AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                       for i in range(1, len(ws) - 1)]) AS g
+        FROM ctoks WHERE len(ws) >= 3
+    ),
+    crep AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE) AS dup_trigram_frac
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM ctri GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    gated AS (SELECT doc_id FROM crep WHERE dup_trigram_frac < 0.1),
+    gp AS (
+        SELECT v.id_a, v.id_b FROM verified v
+        JOIN gated g1 ON v.id_a = g1.doc_id
+        JOIN gated g2 ON v.id_b = g2.doc_id
+    ),
+    gedges AS (
+        SELECT id_a AS src, id_b AS dst FROM gp
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM gp
+    ),
+    greach AS (
+        SELECT DISTINCT src AS key, src AS label FROM gedges
+        UNION
+        SELECT e.dst AS key, r.label
+        FROM greach r JOIN gedges e ON e.src = r.key
+        WHERE r.label < e.dst
+    ),
+    gcomp AS (SELECT key AS doc_id, MIN(label) AS canonical_id FROM greach GROUP BY key),
+    gdropped AS (SELECT doc_id FROM gcomp WHERE doc_id <> canonical_id),
+    statused AS (
+        SELECT c.doc_id, len(t.ws) AS n_toks,
+               CASE WHEN r.doc_id IS NULL OR r.dup_trigram_frac >= 0.1
+                    THEN 'dropped_repetition'
+                    WHEN d.doc_id IS NOT NULL THEN 'dropped_dup'
+                    ELSE 'kept' END AS status
+        FROM corpus c
+        JOIN ctoks t ON t.doc_id = c.doc_id
+        LEFT JOIN crep r ON r.doc_id = c.doc_id
+        LEFT JOIN gdropped d ON d.doc_id = c.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM statused GROUP BY status ORDER BY status
+    """,
+    doc="Round-3 flagship curation pipeline: repetition gate (Gopher "
+    "dup-trigram fraction >= 0.1 drops the doc) -> near-dup CLUSTER dedup "
+    "over the gated survivors (verified LSH pairs restricted to gated docs "
+    "on both endpoints, then min-label connected components — canonical "
+    "kept, the rest dropped) -> per-outcome census (docs + tokens). The "
+    "gate runs BEFORE dedup so cluster canonicals are always docs that "
+    "passed quality — the ordering every production pipeline uses. "
+    "Everything is shared machinery: the memoized shingle and verified-pair "
+    "relations, the delta-iteration BSP, exact-integer ratios under one "
+    "IEEE division.",
+    tags=("pipeline", "dedup", "quality"),
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    base = c.select("doc_id", T.words_expr("text").alias("__ws"))
+    tri = base.select(
+        "doc_id", F.explode(T.ngrams_from_words(F.col("__ws"), 3)).alias("g")
+    )
+    crep = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("dup_trigram_frac")
+        )
+    )
+    gated = crep.where(F.col("dup_trigram_frac") < 0.1).select("doc_id")
+    pairs = _minhash_verified(spark, sf_dir).select("id_a", "id_b")
+    gp = pairs.join(
+        gated.withColumnRenamed("doc_id", "id_a"), "id_a"
+    ).join(gated.withColumnRenamed("doc_id", "id_b"), "id_b")
+    clusters = D.near_dup_clusters(gp)
+    dropped_dup = clusters.where(F.col("doc_id") != F.col("canonical_id")).select(
+        "doc_id", F.lit(1).alias("__d")
+    )
+    statused = (
+        base.select("doc_id", F.size("__ws").alias("n_toks"))
+        .join(crep, "doc_id", "left")
+        .join(dropped_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.when(
+                F.col("dup_trigram_frac").isNull()
+                | (F.col("dup_trigram_frac") >= 0.1),
+                F.lit("dropped_repetition"),
+            )
+            .when(F.col("__d") == 1, F.lit("dropped_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    return (
+        statused.groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
     "incremental_index_dedup",
     f"""
     WITH {CORPUS_SQL},
