@@ -83,6 +83,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # the registry GROWS every round (66 queries in r2): totals are
+        # only comparable across rounds normalized per query
+        "n_queries": len(timings),
         "sf": sf_val,
     }
     if errors:
