@@ -601,6 +601,9 @@ _GRADED_R02_ROTATED_OUT = [
     # J11 anti join shares the set-ops rewrite pinned by set_ops_part_flags;
     # B9 word split stays pinned by the text family; r02-green
     "anti_join_spellcheck",
+    # A3 pair frequency is one hash agg, the same shape value_histogram and
+    # degree_histogram pin; r02-green
+    "pair_frequency",
     "time_range_scan",
     "fill_join",
     "value_histogram",

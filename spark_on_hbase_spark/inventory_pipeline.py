@@ -412,14 +412,23 @@ _PLANES = V.plane_matrix(8, 64)
 _VEC_BUCKET_CACHE: dict = {}
 
 
+# shared by embedding_near_dup and embedding_cluster_dedup: the verified
+# near-dup pair relation as a CTE
+_VEC_PAIRS_SQL = f"""
+    bucketed AS (SELECT vec_id, v, {V.bucket_sql('v', _PLANES)} AS bucket FROM vecs),
+    vec_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+        FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id AND {_COS} >= 0.999
+    )"""
+
+
 @query(
     "embedding_near_dup",
     f"""
     WITH {VECS_SQL},
-    bucketed AS (SELECT vec_id, v, {V.bucket_sql('v', _PLANES)} AS bucket FROM vecs)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
-    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
-    WHERE a.vec_id < b.vec_id AND {_COS} >= 0.999
+    {_VEC_PAIRS_SQL}
+    SELECT id_a, id_b, cosine FROM vec_pairs
     """,
     doc="Embedding-cosine near-duplicate detection: sign-LSH bucket "
     "self-join (8 md5-derived ±1 hyperplanes -> 256 buckets bound the "
@@ -429,9 +438,14 @@ _VEC_BUCKET_CACHE: dict = {}
     tags=("dedup", "embedding", "lsh"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialize quantization+bucketing once; both self-join sides reuse it.
-    # Memoized per (session, sf_dir) like _shingled so repeat invocations
-    # reuse the cached blocks instead of pinning a new copy each call.
+    return _vec_near_pairs(spark, sf_dir)
+
+
+def _vec_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``vec_pairs`` CTE. Materializes quantization +
+    bucketing once (both self-join sides reuse it); memoized per
+    (session, sf_dir) like ``_shingled`` so repeat invocations reuse the
+    cached blocks instead of pinning a new copy each call."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VEC_BUCKET_CACHE:
         for stale in [k for k in _VEC_BUCKET_CACHE if k != key]:
@@ -459,6 +473,57 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.999)
+    )
+
+
+@query(
+    "embedding_cluster_dedup",
+    f"""
+    WITH RECURSIVE {VECS_SQL},
+    {_VEC_PAIRS_SQL},
+    vedges AS (
+        SELECT id_a AS src, id_b AS dst FROM vec_pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM vec_pairs
+    ),
+    vreach AS (
+        SELECT DISTINCT src AS key, src AS label FROM vedges
+        UNION
+        SELECT e.dst AS key, r.label
+        FROM vreach r JOIN vedges e ON e.src = r.key
+        WHERE r.label < e.dst
+    ),
+    vcomp AS (SELECT key AS doc_id, MIN(label) AS canonical_id FROM vreach GROUP BY key),
+    vsizes AS (
+        SELECT canonical_id, COUNT(*) AS cluster_size FROM vcomp GROUP BY canonical_id
+    )
+    SELECT c.doc_id AS vec_id, c.canonical_id, s.cluster_size,
+           c.doc_id = c.canonical_id AS is_canonical
+    FROM vcomp c JOIN vsizes s USING (canonical_id)
+    ORDER BY vec_id
+    """,
+    doc="Cluster canonicalization for the EMBEDDING near-dup family: "
+    "min-label connected components over the cosine-verified sign-LSH "
+    "pairs (same ``near_dup_clusters`` delta-iteration BSP as the minhash "
+    "variant). The constructed corpus makes transitivity real: base, exact "
+    "copy, and perturbed copy form a pairwise-similar triangle that must "
+    "collapse to ONE canonical vector. Same 100 TB shape: supersteps over "
+    "the pair graph only, count bounded by cluster diameter.",
+    tags=("dedup", "embedding", "graph", "iterative"),
+)
+def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _vec_near_pairs(spark, sf_dir)
+    clusters = D.near_dup_clusters(pairs)
+    sizes = clusters.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        clusters.join(sizes, "canonical_id")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "canonical_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
     )
 
 
