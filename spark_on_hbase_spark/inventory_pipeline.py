@@ -979,10 +979,15 @@ def incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     tbl = KeyedTable(spark, path, key_col="fp", ts_col="ts", num_partitions=8)
     tbl.create(idx_df)
+    # the probe is referenced three times by the outer-lookup decomposition
+    # (inner join, matched-keys, anti union) — materialize it once instead
+    # of re-deriving the corpus union per reference; at scale the incoming
+    # batch is a stored table and this persist is its single scan
     incoming = (
         corpus(spark, sf_dir)
         .where(F.col("doc_id") >= 1000000)
         .select("doc_id", F.md5("text").alias("fp"))
+        .persist()
     )
     classified = Jo.right_outer_lookup_join(
         tbl.df().select("fp", "canonical_id"), incoming, on="fp"
