@@ -263,7 +263,7 @@ def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 30,
+    max_iters: int = 64,
 ) -> DataFrame:
     """Canonicalize verified near-dup pairs into clusters: connected
     components over the pair graph with MIN-label propagation, so every
@@ -279,9 +279,16 @@ def near_dup_clusters(
     fraction of the pair graph, and cluster diameter (tiny for near-dup
     graphs) bounds the superstep count.
 
-    Returns (doc_id, canonical_id) for every document that appears in at
-    least one pair; docs absent from ``pairs`` are their own canonical and
-    are simply not listed."""
+    NEVER returns a partially-propagated labeling: if the superstep cap is
+    reached, one extra fixpoint probe verifies convergence and raises if any
+    label could still improve (a silently split cluster would diverge from
+    the exact recursive-CTE oracle and survive as a duplicate).
+
+    Returns a SELF-CONTAINED persisted DataFrame (doc_id, canonical_id) for
+    every document that appears in at least one pair — the internal BSP
+    state is released before returning, so ``result.unpersist()`` frees
+    everything this call pinned. Docs absent from ``pairs`` are their own
+    canonical and are simply not listed."""
     from spark_on_hbase_spark.operators.graph import bsp_converge, reverse_edges
 
     edges = reverse_edges(
@@ -289,8 +296,37 @@ def near_dup_clusters(
     )
     verts = edges.select(F.col("src").alias("key")).distinct()
     state = verts.withColumn("label", F.col("key"))
-    final, _iters = bsp_converge(edges, state, max_iters=max_iters, minimize=True)
-    return final.select(F.col("key").alias("doc_id"), F.col("label").alias("canonical_id"))
+    final, iters = bsp_converge(edges, state, max_iters=max_iters, minimize=True)
+    if iters == max_iters:
+        # the cap was hit: bsp_converge returns max_iters both when it
+        # converged exactly at the cap and when it ran out — one extra
+        # message round distinguishes them (almost never executed)
+        still = (
+            edges.join(
+                final.select(F.col("key").alias("src"), F.col("label").alias("__sl")),
+                "src",
+            )
+            .join(
+                final.select(F.col("key").alias("dst"), F.col("label").alias("__dl")),
+                "dst",
+            )
+            .where(F.col("__sl") < F.col("__dl"))
+            .limit(1)
+            .count()
+        )
+        if still:
+            raise RuntimeError(
+                f"near_dup_clusters did not converge in {max_iters} supersteps "
+                "(cluster diameter exceeds the cap); raise max_iters"
+            )
+    # self-contained persisted result: the loop's state is checkpoint-backed
+    # (blocks GC-reclaimed); this cache entry is the one handle callers can
+    # release
+    out = final.select(
+        F.col("key").alias("doc_id"), F.col("label").alias("canonical_id")
+    ).persist()
+    out.count()
+    return out
 
 
 # ---------------------------------------------------------------------------

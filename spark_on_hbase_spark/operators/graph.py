@@ -245,42 +245,22 @@ def bsp_steps(
 ) -> DataFrame:
     """G1 — run exactly ``n`` BSP supersteps, materializing each one.
 
-    Without materialization the step-k state is referenced twice by step k+1
-    (as carried state and as message source), and Catalyst plans the shared
-    subtree twice — the plan doubles per superstep. An eager persist per step
-    keeps it linear (the CacheManager substitutes InMemoryRelation downstream,
-    so planning depth stays O(1) too); superseded states are released
-    immediately. persist() rather than localCheckpoint(): checkpoint blocks
-    cannot be dropped from Python, and pinned blocks starve the hash
-    aggregations of execution memory on a long-lived session.
+    The step-k state is referenced twice by step k+1 (as carried state and
+    as message source), so without a LINEAGE cut the logical plan doubles
+    per superstep — and even under eager persist, CacheManager substitution
+    only flattens the PHYSICAL plan; the analyzer still walks the
+    exponentially-growing logical tree every superstep (measured: ~2x wall
+    time per superstep on a 12-step chain, the same result the pagerank
+    loop documents at :519-527). ``localCheckpoint`` rebases the state on
+    its materialized blocks, holding plan size and superstep time constant;
+    superseded checkpoint blocks are reclaimed by the ContextCleaner on JVM
+    GC, which the engine's session hygiene triggers periodically.
     ``adaptive``: see ``plans.loop_planner``."""
-    prev_state = None
     with loop_planner(edges, adaptive):
         for _ in range(n):
-            state = bsp_step(edges, state).persist()
-            state.count()  # materialize before releasing the predecessor
-            if prev_state is not None:
-                prev_state.unpersist()
-            prev_state = state
+            state = bsp_step(edges, state).localCheckpoint(eager=False)
+            state.count()  # ONE job: materializes the lazy checkpoint
     return state
-
-
-def _final_state(projected: DataFrame, last_step: DataFrame) -> DataFrame:
-    """Hand the caller a RELEASABLE result: the loop's last materialized
-    state carries internal columns (``__old``), so the public result is a
-    projection of it — but ``unpersist()`` on a projection is a no-op
-    against the underlying cache entry, which would leave the final
-    superstep pinned in storage memory forever (it measurably degrades
-    whatever runs next). Persist the projection itself, materialize it from
-    the cached parent (cheap — a cached-scan projection), release the
-    parent, and return the DataFrame whose ``unpersist()`` actually
-    frees the blocks."""
-    if projected is last_step:
-        return projected
-    final = projected.persist()
-    final.count()
-    last_step.unpersist()
-    return final
 
 
 def bsp_converge(
@@ -292,15 +272,14 @@ def bsp_converge(
 ) -> tuple[DataFrame, int]:
     """G2 — iterate max-label propagation to a fixpoint (connected
     components), the engine's version of the reference's incremental N-step
-    BSP (HGraphTable.scala:144-228, incl. its per-superstep persist/unpersist
-    discipline at HGraphTable.scala:116-124 -> eager persist here, which
-    keeps the downstream plan flat so hundreds of supersteps survive).
+    BSP (HGraphTable.scala:144-228; its per-superstep history discipline at
+    HGraphTable.scala:116-124 maps to the per-superstep lineage cut here).
 
     ``minimize=True`` flips the label semilattice from max to min (canonical
     representative = SMALLEST key in the component — the convention of dedup
     cluster canonicalization, where the surviving document is the lowest id);
     the merge aggregate and the improvement test flip together, everything
-    else (delta iteration, fused frontier probe, persist discipline) is
+    else (delta iteration, fused frontier probe, lineage discipline) is
     identical.
 
     Runs as a **delta iteration**: only vertices whose label changed last
@@ -311,17 +290,20 @@ def bsp_converge(
     superstep is ONE shuffle aggregation whose materializing scan also
     returns the frontier size — no separate convergence join or probe job.
 
-    Every superstep's merge
-    is materialized via eager persist (it is read twice: as next state and
-    as next frontier; InMemoryRelation substitution keeps the downstream
-    plan flat, so hundreds of supersteps survive). Superseded states are
-    unpersisted as soon as the next superstep materializes (the reference's
-    per-superstep history discipline) so a long run does not pin every
-    intermediate state in executor memory."""
+    Each superstep's merge is referenced twice downstream (next state and
+    next frontier), so its state materializes via ``localCheckpoint`` — the
+    LINEAGE cut, not just a cache: under eager persist, CacheManager
+    substitution flattens only the PHYSICAL plan while the analyzer still
+    walks the exponentially-growing logical tree, measured ~2x wall time
+    per superstep on a 12-superstep chain (the same measurement the
+    pagerank loop documents). The checkpoint rebases the logical plan on
+    the materialized blocks, holding superstep cost constant over hundreds
+    of supersteps; superseded checkpoint blocks are reclaimed by the
+    ContextCleaner on JVM GC (the engine's session hygiene triggers one
+    periodically)."""
     agg_fn = F.min if minimize else F.max
     edges = edges.persist()
-    current = state.persist()
-    prev_state = current
+    current = state.localCheckpoint(eager=False)
     frontier = current
     with loop_planner(edges, adaptive):
         try:
@@ -340,27 +322,24 @@ def bsp_converge(
                         # such row exists per key, so min/max both read it
                         F.max(F.when(F.col("__s") == 1, F.col("label"))).alias("__old"),
                     )
-                    .persist()
+                    .localCheckpoint(eager=False)
                 )
                 improved = F.col("__old").isNull() | (
                     (F.col("label") < F.col("__old"))
                     if minimize
                     else (F.col("label") > F.col("__old"))
                 )
-                # ONE job both materializes the persisted superstep (full
-                # scan populates the cache before the predecessor is
-                # released) and returns the frontier size — no separate
-                # count + emptiness probe.
+                # ONE job both materializes the lazily-marked checkpoint
+                # (its full scan populates the blocks) and returns the
+                # frontier size — no separate count + emptiness probe.
                 changed = merged.agg(
                     F.sum(F.when(improved, 1).otherwise(0))
                 ).collect()[0][0]
-                prev_state.unpersist()
-                prev_state = merged
                 frontier = merged.where(improved).select("key", "label")
                 current = merged.select("key", "label")
                 if not changed:
-                    return _final_state(current, prev_state), i
-            return _final_state(current, prev_state), max_iters
+                    return current, i
+            return current, max_iters
         finally:
             edges.unpersist()
 
@@ -381,16 +360,20 @@ def propagate_probabilities(
     probabilities, :179-186).
 
     Delta iteration like bsp_converge: only improved (key, origin, prob)
-    entries re-send. ``seeds``: (key, origin) — typically origin = key.
-    Returns ((key, origin, prob) state, supersteps run)."""
+    entries re-send, and each superstep's state materializes via the same
+    ``localCheckpoint`` lineage cut (see bsp_converge's docstring for the
+    measured exponential-analysis rationale). ``seeds``: (key, origin) —
+    typically origin = key. Returns ((key, origin, prob) state, supersteps
+    run)."""
     # an edge with prob < min_prob can never deliver a passing message
     # (message prob starts at 1.0 and only decays), so drop it before the
     # loop: one filter here removes its fanout from EVERY superstep's join.
     edges = edges.where(F.col("prob") >= min_prob).persist()
     current = (
-        seeds.select("key", "origin").withColumn("prob", F.lit(1.0)).persist()
+        seeds.select("key", "origin")
+        .withColumn("prob", F.lit(1.0))
+        .localCheckpoint(eager=False)
     )
-    prev_state = current
     frontier = current
     with loop_planner(edges, adaptive):
         try:
@@ -413,20 +396,18 @@ def propagate_probabilities(
                         F.max("prob").alias("prob"),
                         F.max(F.when(F.col("__s") == 1, F.col("prob"))).alias("__old"),
                     )
-                    .persist()
+                    .localCheckpoint(eager=False)
                 )
                 improved = F.col("__old").isNull() | (F.col("prob") > F.col("__old"))
-                # one job: materialize the persisted superstep + frontier size
+                # one job: materialize the checkpoint + frontier size
                 changed = merged.agg(
                     F.sum(F.when(improved, 1).otherwise(0))
                 ).collect()[0][0]
-                prev_state.unpersist()
-                prev_state = merged
                 frontier = merged.where(improved).select("key", "origin", "prob")
                 current = merged.select("key", "origin", "prob")
                 if not changed:
-                    return _final_state(current, prev_state), i
-            return _final_state(current, prev_state), max_iters
+                    return current, i
+            return current, max_iters
         finally:
             edges.unpersist()
 

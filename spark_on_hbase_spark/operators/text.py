@@ -112,6 +112,29 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_occurrence_stats(
+    base: DataFrame, n: int, prefix: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc n-gram occurrence census over an already-tokenized relation
+    (``base`` must carry a ``__ws`` words-array column): total occurrences,
+    the most frequent gram's count, and occurrences of repeated grams —
+    the shared kernel of ``repetition_signals`` and the curation gate, so
+    the Gopher repetition DEFINITION cannot drift between the graded signal
+    and the pipelines that gate on it. Two combiner-friendly hash
+    aggregations keyed (doc, gram) then (doc)."""
+    grams = base.select(
+        id_col, F.explode(ngrams_from_words(F.col("__ws"), n)).alias("__g")
+    )
+    per_gram = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c").alias(f"n_{prefix}"),
+        F.max("__c").alias(f"top_{prefix}_count"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+            f"dup_{prefix}"
+        ),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -130,21 +153,8 @@ def repetition_signals(
     Documents with fewer than 3 words (no trigram) are excluded — a quality
     gate has nothing to measure there."""
     base = df.select(id_col, words_expr(text_col).alias("__ws"))
-
-    def _stats(n: int, prefix: str) -> DataFrame:
-        grams = base.select(
-            id_col, F.explode(ngrams_from_words(F.col("__ws"), n)).alias("__g")
-        )
-        per_gram = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-        return per_gram.groupBy(id_col).agg(
-            F.sum("__c").alias(f"n_{prefix}"),
-            F.max("__c").alias(f"top_{prefix}_count"),
-            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
-                f"dup_{prefix}"
-            ),
-        )
-
-    bi, tri = _stats(2, "bigrams"), _stats(3, "trigrams")
+    bi = ngram_occurrence_stats(base, 2, "bigrams", id_col)
+    tri = ngram_occurrence_stats(base, 3, "trigrams", id_col)
     return (
         bi.join(tri, id_col)
         .select(

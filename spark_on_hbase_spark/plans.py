@@ -144,6 +144,7 @@ def _live_tree_lines(plan: str) -> list[str]:
 
     live: list[str] = []
     skip_from: int | None = None
+    seen_cache = False
     for ln in tree:
         is_marker = ln.lstrip(" +-:").startswith("== ")
         d = marker_depth(ln) if is_marker else depth(ln)
@@ -153,17 +154,22 @@ def _live_tree_lines(plan: str) -> list[str]:
             if d >= skip_from:
                 continue
             skip_from = None
-        if is_marker:
+        if is_marker and seen_cache:
             # an AQE initial/final-plan section reached OUTSIDE an
             # InMemoryRelation skip: formatted mode prints cached relations'
             # AQE dumps at erratic columns (sometimes shallower than the
             # InMemoryRelation that owns them), so the depth rule alone
-            # resumes too early. Such a section is never part of the
-            # executing top-level tree — skip it wholesale.
+            # resumes too early. Once any cached relation has appeared,
+            # such a section can only be cached-build lineage — skip it
+            # wholesale. (Without a cached relation above, a marker is the
+            # top-level executed plan of an already-run AQE query and must
+            # stay live.)
             skip_from = d
             continue
-        live.append(ln)
+        if not is_marker:
+            live.append(ln)
         if "InMemoryRelation" in ln:
+            seen_cache = True
             skip_from = d
     return live
 
