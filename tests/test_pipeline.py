@@ -131,6 +131,20 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert rows[3]["n_ips"] == 0 and rows[3]["redacted"] == rows[3]["text"]
 
 
+def test_near_dup_clusters_convergence_guard(spark):
+    # diameter-7 chain with a 3-superstep cap: the cap is hit with labels
+    # still propagating — the fixpoint probe must refuse to return a
+    # silently split clustering (it would diverge from the exact SQL oracle)
+    chain = spark.createDataFrame([Row(id_a=i + 1, id_b=i) for i in range(1, 8)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.near_dup_clusters(chain, max_iters=3)
+    # converging EXACTLY at the cap is fine: a 4-node chain needs 3 label
+    # supersteps + 1 confirming round = 4; the probe then verifies and passes
+    four = spark.createDataFrame([Row(id_a=i + 1, id_b=i) for i in range(1, 4)])
+    got = {r["doc_id"]: r["canonical_id"] for r in D.near_dup_clusters(four, max_iters=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
 def test_simhash_hamming_zero_for_clones(corpus):
     exploded = corpus.select("doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle"))
     sigs = D.simhash_signatures(exploded, "doc_id", "shingle")

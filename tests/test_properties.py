@@ -158,3 +158,41 @@ def test_bmp_header_and_decode_roundtrip(w, h, rgb):
     bmp = M._decode_image(_make_bmp(w, h, rgb))
     ppm = M._decode_image(_make_ppm(w, h, bytes(rgb) * (w * h)))
     assert bmp is not None and np.array_equal(bmp, ppm)
+
+
+# ---------------------------------------------------------------------------
+# PII regex cross-engine parity (text.PII_PATTERNS)
+# ---------------------------------------------------------------------------
+
+import re  # noqa: E402
+
+import duckdb  # noqa: E402
+
+from spark_on_hbase_spark.operators.text import PII_PATTERNS  # noqa: E402
+
+# alphabet biased toward the pattern vocabulary so emails/IPs/phones (and
+# tricky near-misses) actually occur in generated inputs
+_PII_ALPHABET = "ab@.+- 0123456789x"
+
+
+@settings(max_examples=200)
+@given(st.text(alphabet=_PII_ALPHABET, max_size=80))
+def test_pii_patterns_python_duckdb_parity(s):
+    """The PII patterns are chosen from the Java-regex/RE2 common subset;
+    this pins the RE2 (DuckDB oracle) side against Python's engine as an
+    independent third implementation — match COUNTS and the full redaction
+    output must agree on every generated input. (The Spark/Java side is
+    pinned by the graded text_pii_scrub oracle run.)"""
+    red_py = s
+    for _kind, pat, repl in PII_PATTERNS:
+        n_py = len(re.findall(pat, s))
+        n_dk = duckdb.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, pat]
+        ).fetchone()[0]
+        assert n_py == n_dk, (pat, s)
+        red_py = re.sub(pat, repl, red_py)
+    red_chain = "?"
+    for _kind, pat, repl in PII_PATTERNS:
+        red_chain = f"regexp_replace({red_chain}, '{pat}', '{repl}', 'g')"
+    red_dk = duckdb.execute(f"SELECT {red_chain}", [s]).fetchone()[0]
+    assert red_py == red_dk, s
