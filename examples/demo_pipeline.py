@@ -1,6 +1,7 @@
 """Training-data pipeline demo: the corpus-hygiene passes a 100 TB
 pre-training pipeline runs, end to end on the driver testdata —
-fingerprint -> exact dedup -> minhash near-dedup -> quality gate ->
+fingerprint -> exact dedup -> minhash near-dedup with CLUSTER
+canonicalization -> quality gate (length + repetition) -> PII scrub ->
 language ID -> embedding ANN.
 
     python examples/demo_pipeline.py [sf_dir]
@@ -42,14 +43,32 @@ def main() -> None:
     bands = D.lsh_bands(sigs, "doc_id", 12, 4)
     pairs = D.candidate_pairs(bands, "doc_id")
     near = D.jaccard_verify(pairs, shingled, "doc_id", "shingle", 0.7)
-    doomed = near.select(F.col("id_b").alias("doc_id")).distinct()
+    # transitive cluster canonicalization: A~B and B~C keep exactly one of
+    # {A,B,C} (dropping "the id_b of every pair" would over- or under-drop)
+    clusters = D.near_dup_clusters(near)
+    doomed = clusters.where(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
     deduped = docs.join(doomed, "doc_id", "left_anti")
     print(f"after near-dedup: {deduped.count()} (dropped {n0 - deduped.count()})")
 
-    # 3. quality gate + language ID
+    # 3. quality gate: length/stopword ratios + Gopher repetition signals
     scored = T.quality_score(deduped)
-    kept = scored.where((F.col("n_tokens") >= 20) & (F.col("stop_ratio") > 0))
+    rep = T.repetition_signals(deduped).select("doc_id", "dup_trigram_frac")
+    kept = (
+        scored.join(rep, "doc_id")
+        .where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("stop_ratio") > 0)
+            & (F.col("dup_trigram_frac") < 0.1)
+        )
+    )
     print("after quality gate:", kept.count())
+
+    # 3b. PII scrub: counts + typed-placeholder redaction
+    scrubbed = T.pii_scrub(kept)
+    n_pii = scrubbed.where(
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+    ).count()
+    print("documents containing PII (redacted):", n_pii)
     pred = T.lang_id(kept.select("doc_id", "text", "lang"))
     agreement = pred.where(F.col("pred_lang") == F.col("lang")).count() / max(pred.count(), 1)
     print(f"language-ID agreement with labels: {agreement:.1%}")
