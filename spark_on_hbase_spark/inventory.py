@@ -604,6 +604,9 @@ _GRADED_R02_ROTATED_OUT = [
     # A3 pair frequency is one hash agg, the same shape value_histogram and
     # degree_histogram pin; r02-green
     "pair_frequency",
+    # F1/F2 mandatory-column projection also pinned by
+    # test_select_required_stays_narrow and the scan-ops suite; r02-green
+    "scan_required_columns",
     "time_range_scan",
     "fill_join",
     "value_histogram",

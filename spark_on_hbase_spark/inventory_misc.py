@@ -492,6 +492,54 @@ def lsm_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    summary AS (
+        SELECT 1 AS stage, 'signup' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+        UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+    )
+    SELECT stage, step, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users AS DOUBLE)
+             / CAST(COALESCE(LAG(n_users) OVER (ORDER BY stage), n_users) AS DOUBLE)
+               AS conversion
+    FROM summary ORDER BY stage
+    """,
+    doc="Ordered multi-step funnel (signup -> view -> click -> purchase): "
+    "stage k is reached at the first event of its type strictly after "
+    "stage k-1's time. Per stage one predicate-pushed scan + join + MIN "
+    "aggregation, every shuffle keyed on the user so consecutive stages "
+    "reuse one partitioning; no per-user event array is ever collected "
+    "(the sort-events-per-user approach dies on celebrity users at 100 "
+    "TB). Conversion window runs over 4 rows — bounded.",
+    tags=("events", "agg"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return A.funnel(ev, ["signup", "view", "click", "purchase"])
+
+
+@query(
     "tumbling_window_agg",
     """
     SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,

@@ -121,6 +121,61 @@ def two_level_aggregate(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered multi-step funnel over an event stream: per user, stage k is
+    reached at the FIRST occurrence of ``steps[k]`` strictly after the time
+    stage k-1 was reached. Returns one row per stage:
+    (stage, step, n_users, conversion) with conversion = n / previous
+    stage's n (1.0 for the first stage).
+
+    Shape at 100 TB: per stage one predicate-pushed scan of the event
+    relation (only that step's type), one join + MIN aggregation — every
+    shuffle keys on the user, so consecutive stages reuse the same
+    hash partitioning (AQE/ENSURE_REQUIREMENTS elide repeats), and no
+    per-user event array is ever collected (the sessionize-then-sort
+    approach dies on celebrity users). The final conversion window runs
+    over len(steps) rows — bounded, not the global-window trap."""
+    summaries = []
+    cur: DataFrame | None = None
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        if cur is None:
+            cur = ev.groupBy(user_col).agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(cur, user_col)
+                .where(F.col("__ts") > F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min("__ts").alias("__t"))
+            )
+        summaries.append(
+            cur.agg(F.count("*").alias("n_users")).select(
+                F.lit(i + 1).alias("stage"), F.lit(step).alias("step"), "n_users"
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    w = Window.orderBy("stage")
+    return out.select(
+        "stage",
+        "step",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.coalesce(F.lag("n_users").over(w), F.col("n_users")).cast("double")
+        ).alias("conversion"),
+    ).orderBy("stage")
+
+
 def partition_distribution(df: DataFrame, partition_col: Column) -> DataFrame:
     """A15 — per-partition row counts + spread stats
     (RDDUtils.distribution/printDistribution, misc/RDDUtils.scala:27-45).

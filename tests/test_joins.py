@@ -209,3 +209,31 @@ def test_as_of_join_survives_celebrity_key_skew(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+
+def test_funnel_strict_ordering_and_conversion(spark):
+    from datetime import datetime
+
+    from spark_on_hbase_spark.operators import agg as A
+
+    def ev(u, t, typ):
+        return (u, datetime(2024, 1, 1, 0, 0, t), typ)
+
+    rows = [
+        # u1 completes the funnel in order
+        ev("u1", 1, "a"), ev("u1", 2, "b"), ev("u1", 3, "c"),
+        # u2 has b BEFORE a: the early b must not count, and no b after a
+        ev("u2", 1, "b"), ev("u2", 2, "a"),
+        # u3 reaches b but its c is BEFORE b
+        ev("u3", 1, "c"), ev("u3", 2, "a"), ev("u3", 3, "b"),
+        # u4 never does a
+        ev("u4", 1, "b"), ev("u4", 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step"]: r for r in A.funnel(df, ["a", "b", "c"]).collect()}
+    assert out["a"]["n_users"] == 3          # u1 u2 u3
+    assert out["b"]["n_users"] == 2          # u1 u3 (u2's b precedes its a)
+    assert out["c"]["n_users"] == 1          # u1 only
+    assert out["a"]["conversion"] == 1.0
+    assert abs(out["b"]["conversion"] - 2 / 3) < 1e-12
+    assert out["c"]["conversion"] == 0.5

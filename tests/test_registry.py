@@ -18,7 +18,7 @@ _MUST_GRADE_R03 = {
     "pagerank_5iter", "mutation_increment_merge",
     "minhash_cluster_dedup", "text_repetition", "text_pii_scrub",
     "vocab_top_terms", "incremental_index_dedup", "pipeline_curation_v2",
-    "embedding_cluster_dedup",
+    "embedding_cluster_dedup", "funnel_conversion",
 }
 
 
@@ -26,6 +26,10 @@ def test_rotation_list_sizes_the_window_exactly():
     assert len(_GRADED_R02_ROTATED_OUT) == len(QUERIES) - 50, (
         "rotated-out list must equal total-50: when adding a graded query, "
         "rotate one more r02-green name out (inventory.py invariant note)"
+    )
+    assert len(set(_GRADED_R02_ROTATED_OUT)) == len(_GRADED_R02_ROTATED_OUT), (
+        "duplicate name in the rotated-out list: a dup inflates the length "
+        "check while silently shrinking the tail by one"
     )
 
 
