@@ -607,6 +607,9 @@ _GRADED_R02_ROTATED_OUT = [
     # F1/F2 mandatory-column projection also pinned by
     # test_select_required_stays_narrow and the scan-ops suite; r02-green
     "scan_required_columns",
+    # J7 expand join shares its operator path with graph_inner_expand
+    # (in-window); r02-green
+    "graph_expand",
     "time_range_scan",
     "fill_join",
     "value_histogram",

@@ -540,6 +540,39 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_retention",
+    """
+    WITH ev AS (
+        SELECT user_id AS u, CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (SELECT u, MIN(day) AS cohort_day FROM ev GROUP BY u),
+    sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM first GROUP BY cohort_day),
+    active AS (
+        SELECT DISTINCT e.u, f.cohort_day,
+               CAST(FLOOR(date_diff('day', f.cohort_day, e.day) / 7.0) AS INTEGER)
+                   AS period
+        FROM ev e JOIN first f ON e.u = f.u
+    )
+    SELECT a.cohort_day, a.period,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM active a JOIN sizes s ON a.cohort_day = s.cohort_day
+    GROUP BY a.cohort_day, a.period, s.cohort_size
+    ORDER BY a.cohort_day, a.period
+    """,
+    doc="Cohort retention: users cohort by first-event DAY; period-k "
+    "retention = active users in week k after the cohort day / cohort "
+    "size. Period indices are day-truncation + integer division, NOT "
+    "engine week buckets (Spark aligns weeks to the 1970 epoch, DuckDB's "
+    "time_bucket to 2000-01-03 — they silently disagree). Two user-keyed "
+    "aggregations sharing one partitioning; cohort sizes broadcast.",
+    tags=("events", "agg"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.cohort_retention(load(spark, sf_dir, "events"))
+
+
+@query(
     "tumbling_window_agg",
     """
     SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,

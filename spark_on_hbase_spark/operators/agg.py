@@ -176,6 +176,57 @@ def funnel(
     ).orderBy("stage")
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention over an event stream: users cohort by the DAY of
+    their first event; a cohort's period-k retention is the fraction of its
+    users active in [k*period_days, (k+1)*period_days) days after the
+    cohort day. Returns (cohort_day, period, n_active, retention) ordered.
+
+    Period indices are integer day arithmetic (floor(datediff/period)) on
+    day-truncated timestamps, NOT engine week buckets — Spark's ``window``
+    aligns weeks to the 1970-01-01 epoch while DuckDB's ``time_bucket``
+    aligns them to 2000-01-03, so week buckets silently disagree across
+    engines; day truncation + integer division is bucket-origin-free and
+    exact everywhere. Shape: two user-keyed aggregations and one distinct,
+    all sharing the user partitioning; the cohort-size join broadcasts
+    (one row per cohort day)."""
+    ev = events.select(
+        F.col(user_col).alias("__u"), F.to_date(F.col(ts_col)).alias("__day")
+    )
+    first = ev.groupBy("__u").agg(F.min("__day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("__cohort_size"))
+    active = (
+        ev.join(first, "__u")
+        .select(
+            "__u",
+            "cohort_day",
+            F.floor(F.datediff("__day", "cohort_day") / period_days)
+            .cast("int")
+            .alias("period"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "period")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "period",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("__cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "period")
+    )
+
+
 def partition_distribution(df: DataFrame, partition_col: Column) -> DataFrame:
     """A15 — per-partition row counts + spread stats
     (RDDUtils.distribution/printDistribution, misc/RDDUtils.scala:27-45).

@@ -237,3 +237,27 @@ def test_funnel_strict_ordering_and_conversion(spark):
     assert out["a"]["conversion"] == 1.0
     assert abs(out["b"]["conversion"] - 2 / 3) < 1e-12
     assert out["c"]["conversion"] == 0.5
+
+
+def test_cohort_retention_periods_and_rates(spark):
+    from datetime import datetime
+
+    from spark_on_hbase_spark.operators import agg as A
+
+    rows = [
+        # cohort day 1: u1 active weeks 0 and 1; u2 only week 0
+        ("u1", datetime(2024, 1, 1, 9)), ("u1", datetime(2024, 1, 9, 9)),
+        ("u2", datetime(2024, 1, 1, 12)),
+        # cohort day 2: u3 active week 0, then day 16 -> period 2
+        ("u3", datetime(2024, 1, 2, 9)), ("u3", datetime(2024, 1, 18, 9)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (str(r["cohort_day"]), r["period"]): (r["n_active"], r["retention"])
+        for r in A.cohort_retention(df).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-02", 0)] == (1, 1.0)
+    assert got[("2024-01-02", 2)] == (1, 1.0)
+    assert ("2024-01-02", 1) not in got
