@@ -156,6 +156,11 @@ def funnel(
                 .groupBy(user_col)
                 .agg(F.min("__ts").alias("__t"))
             )
+        # each stage relation (<= one row per user) is read by the next
+        # stage AND its own summary: without a persist, stage k's plan
+        # re-derives stages 1..k-1, re-scanning the event relation
+        # O(len(steps)^2) times — measured 10 scans for a 4-step funnel
+        cur = cur.persist()
         summaries.append(
             cur.agg(F.count("*").alias("n_users")).select(
                 F.lit(i + 1).alias("stage"), F.lit(step).alias("step"), "n_users"
@@ -198,7 +203,9 @@ def cohort_retention(
     ev = events.select(
         F.col(user_col).alias("__u"), F.to_date(F.col(ts_col)).alias("__day")
     )
-    first = ev.groupBy("__u").agg(F.min("__day").alias("cohort_day"))
+    # first is read twice (cohort sizes + the activity join): persist the
+    # one-row-per-user relation instead of re-scanning events per reference
+    first = ev.groupBy("__u").agg(F.min("__day").alias("cohort_day")).persist()
     sizes = first.groupBy("cohort_day").agg(F.count("*").alias("__cohort_size"))
     active = (
         ev.join(first, "__u")
