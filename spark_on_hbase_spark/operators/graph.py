@@ -229,10 +229,18 @@ def bsp_step(edges: DataFrame, state: DataFrame) -> DataFrame:
     the max of its own label and its neighbors' labels (AGraph.bsp,
     AGraph.scala:88-93 — broadcast edge lists to neighbors, dedup-merge).
 
-    ``state``: (key, label). Returns the next (key, label)."""
-    messages = edges.join(state, edges["src"] == state["key"], "inner").select(
-        F.col("dst").alias("key"), F.col("label")
-    )
+    ``state``: (key, label). Returns the next (key, label).
+
+    SHUFFLE_HASH hint on the state side: checkpoint-backed state has
+    UNKNOWN stats, and with edges cached (exact stats, often under the
+    broadcast threshold) the static planner would otherwise re-broadcast
+    the ENTIRE edge relation every superstep — impossible at 100 TB. The
+    hint keeps edges stationary in their cached hash(src) partitioning and
+    builds the per-partition hash table from the state (see
+    pagerank_contribs, pinned by tests/test_plans.py)."""
+    messages = edges.join(
+        state.hint("shuffle_hash"), edges["src"] == state["key"], "inner"
+    ).select(F.col("dst").alias("key"), F.col("label"))
     return (
         state.unionByName(messages)
         .groupBy("key")
@@ -308,8 +316,13 @@ def bsp_converge(
     with loop_planner(edges, adaptive):
         try:
             for i in range(1, max_iters + 1):
+                # shuffle-hash hint: the checkpointed frontier has unknown
+                # stats — without it the static planner broadcasts the
+                # CACHED EDGES every superstep (see bsp_step's docstring)
                 messages = edges.join(
-                    frontier, edges["src"] == frontier["key"], "inner"
+                    frontier.hint("shuffle_hash"),
+                    edges["src"] == frontier["key"],
+                    "inner",
                 ).select(F.col("dst").alias("key"), F.col("label"))
                 tagged = current.withColumn("__s", F.lit(1)).unionByName(
                     messages.withColumn("__s", F.lit(0))
@@ -378,8 +391,14 @@ def propagate_probabilities(
     with loop_planner(edges, adaptive):
         try:
             for i in range(1, max_iters + 1):
+                # shuffle-hash hint: see bsp_step — keeps the cached edge
+                # relation stationary instead of re-broadcasting it
                 messages = (
-                    edges.join(frontier, edges["src"] == frontier["key"], "inner")
+                    edges.join(
+                        frontier.hint("shuffle_hash"),
+                        edges["src"] == frontier["key"],
+                        "inner",
+                    )
                     .select(
                         F.col("dst").alias("key"),
                         F.col("origin"),
