@@ -213,6 +213,37 @@ def test_pagerank_superstep_never_broadcasts_edges(spark, sf_dir):
         links.unpersist()
 
 
+def test_bsp_step_never_broadcasts_edges(spark, sf_dir):
+    """Same guarantee as the pagerank superstep, for the shared BSP step:
+    a checkpoint-backed state (unknown stats) must not flip the cached edge
+    relation into a per-superstep broadcast build side."""
+    from spark_on_hbase_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{(i * 3) % 40}") for i in range(300)], ["src", "dst"]
+    )
+    cached = edges.repartition("src").persist()
+    try:
+        cached.count()
+        state = (
+            cached.select(F.col("src").alias("key"))
+            .distinct()
+            .withColumn("label", F.col("key"))
+            .localCheckpoint(eager=False)
+        )
+        state.count()
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = plans.formatted_plan(G.bsp_step(cached, state))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        cached.unpersist()
+
+
 def test_from_pairs_partitioned_single_shuffle(spark, sf_dir):
     from spark_on_hbase_spark.inventory_agg_graph import supplier_part_pairs
     from spark_on_hbase_spark.operators import graph as G
