@@ -267,9 +267,10 @@ _CLUSTER_CACHE: dict = {}
 def _memo_clusters(spark: SparkSession, sf_dir: str, variant: str, pairs_fn) -> DataFrame:
     """Memoized ``near_dup_clusters`` per (session, sf_dir, variant): the
     cluster relation is consumed by its own graded query AND by pipeline
-    compositions, and each build runs a BSP loop — share one persisted
-    copy (near_dup_clusters returns a self-contained persisted relation)
-    instead of accumulating one per call."""
+    compositions, and each build runs a BSP loop — share one
+    checkpoint-backed copy instead of accumulating one per call (the
+    eviction unpersist below is a no-op for checkpoint blocks; dropping the
+    dict reference is what lets the ContextCleaner reclaim them)."""
     key = (spark.sparkContext.applicationId, sf_dir, variant)
     if key not in _CLUSTER_CACHE:
         for stale in [k for k in _CLUSTER_CACHE if k[0] != key[0] or k[1] != key[1]]:
@@ -975,10 +976,16 @@ def incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_on_hbase_spark.operators import joins as Jo
     from spark_on_hbase_spark.table import KeyedTable
 
+    import hashlib
+
+    # the path must distinguish FULL sf_dir values (the probe memo below is
+    # keyed by full path; two dirs sharing a basename must not share an
+    # index now that the build is once-per-session)
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
         tempfile.gettempdir(),
         f"fp_index_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{sf_tag}",
     )
     tbl = KeyedTable(spark, path, key_col="fp", ts_col="ts", num_partitions=8)
     # build at most once per (session, sf_dir): the index content is

@@ -284,11 +284,11 @@ def near_dup_clusters(
     label could still improve (a silently split cluster would diverge from
     the exact recursive-CTE oracle and survive as a duplicate).
 
-    Returns a SELF-CONTAINED persisted DataFrame (doc_id, canonical_id) for
-    every document that appears in at least one pair — the internal BSP
-    state is released before returning, so ``result.unpersist()`` frees
-    everything this call pinned. Docs absent from ``pairs`` are their own
-    canonical and are simply not listed."""
+    Returns (doc_id, canonical_id) for every document that appears in at
+    least one pair, backed by the final superstep's materialized checkpoint
+    blocks (re-reads are block scans, not recomputation; blocks are
+    GC-reclaimed once the DataFrame is dropped). Docs absent from ``pairs``
+    are their own canonical and are simply not listed."""
     from spark_on_hbase_spark.operators.graph import bsp_converge, reverse_edges
 
     edges = reverse_edges(
@@ -319,14 +319,13 @@ def near_dup_clusters(
                 f"near_dup_clusters did not converge in {max_iters} supersteps "
                 "(cluster diameter exceeds the cap); raise max_iters"
             )
-    # self-contained persisted result: the loop's state is checkpoint-backed
-    # (blocks GC-reclaimed); this cache entry is the one handle callers can
-    # release
-    out = final.select(
+    # a rename over the checkpoint-backed final state: re-reads scan the
+    # materialized blocks (no recomputation), and no cache entry is created
+    # that could outlive the result (a persist here would duplicate the
+    # checkpoint blocks and leak past the call)
+    return final.select(
         F.col("key").alias("doc_id"), F.col("label").alias("canonical_id")
-    ).persist()
-    out.count()
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ bytes — with a fixed version byte that is (prob, vendor_code) lexicographic ma
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -310,12 +311,24 @@ def bsp_converge(
     ContextCleaner on JVM GC (the engine's session hygiene triggers one
     periodically)."""
     agg_fn = F.min if minimize else F.max
-    edges = edges.persist()
+    # persist edges only if the CALLER hasn't: persist() on an
+    # already-cached relation returns the same plan, so the finally-block
+    # unpersist would otherwise evict the caller's shared cache entry (the
+    # memoized network relation) behind its back
+    owns_edges = edges.storageLevel == StorageLevel.NONE
+    if owns_edges:
+        edges = edges.persist()
     current = state.localCheckpoint(eager=False)
     frontier = current
     with loop_planner(edges, adaptive):
         try:
             for i in range(1, max_iters + 1):
+                if i % 16 == 0:
+                    # superseded checkpoint blocks are reclaimed by the
+                    # ContextCleaner only after a driver GC; long loops
+                    # trigger one periodically so hundreds of supersteps
+                    # don't accumulate hundreds of state copies
+                    edges.sparkSession.sparkContext._jvm.System.gc()
                 # shuffle-hash hint: the checkpointed frontier has unknown
                 # stats — without it the static planner broadcasts the
                 # CACHED EDGES every superstep (see bsp_step's docstring)
@@ -354,7 +367,8 @@ def bsp_converge(
                     return current, i
             return current, max_iters
         finally:
-            edges.unpersist()
+            if owns_edges:
+                edges.unpersist()
 
 
 def propagate_probabilities(

@@ -161,9 +161,12 @@ def _live_tree_lines(plan: str) -> list[str]:
             # InMemoryRelation that owns them), so the depth rule alone
             # resumes too early. Once any cached relation has appeared,
             # such a section can only be cached-build lineage — skip it
-            # wholesale. (Without a cached relation above, a marker is the
-            # top-level executed plan of an already-run AQE query and must
-            # stay live.)
+            # wholesale. With NO cached relation above, a marker section is
+            # the top-level plan itself (an unexecuted AQE query prints its
+            # whole tree under '== Initial Plan ==') and must stay live.
+            # CAVEAT: an already-EXECUTED cache-free AQE plan prints
+            # Initial+Final siblings and would double-count — the engine's
+            # plan assertions only ever run pre-execution.
             skip_from = d
             continue
         if not is_marker:

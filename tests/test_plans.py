@@ -245,10 +245,16 @@ def test_bsp_step_never_broadcasts_edges(spark, sf_dir):
 
 
 def test_from_pairs_partitioned_single_shuffle(spark, sf_dir):
-    from spark_on_hbase_spark.inventory_agg_graph import supplier_part_pairs
+    from spark_on_hbase_spark import inventory_agg_graph as iag
     from spark_on_hbase_spark.operators import graph as G
 
-    df = G.from_pairs_partitioned(supplier_part_pairs(spark, sf_dir))
+    # this asserts the COLD build plan; if another test already built the
+    # memoized network for this session, CacheManager would substitute the
+    # cached relation (0 scans — correct, but not what's under test here)
+    for cached_net in iag._NETWORK_CACHE.values():
+        cached_net.unpersist()
+    iag._NETWORK_CACHE.clear()
+    df = G.from_pairs_partitioned(iag.supplier_part_pairs(spark, sf_dir))
     # the dedup aggregation reuses the repartition("src") exchange
     # (hash(src) ⊆ clustering(src, dst)): one scan, ONE shuffle, and the
     # output is src-partitioned for the persisted network layer.
