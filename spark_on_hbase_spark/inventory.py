@@ -610,6 +610,9 @@ _GRADED_R02_ROTATED_OUT = [
     # J7 expand join shares its operator path with graph_inner_expand
     # (in-window); r02-green
     "graph_expand",
+    # as-of join superset also pinned by the joins pytest suite (incl. the
+    # celebrity-key stress test); r02-green
+    "as_of_join",
     "time_range_scan",
     "fill_join",
     "value_histogram",

@@ -1032,6 +1032,50 @@ def incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_keywords",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                      w -> w <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    weighted AS (
+        SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+               CAST(t.tf AS DOUBLE) * CAST(nd.n + 1 AS DOUBLE)
+                 / CAST(d.df + 1 AS DOUBLE) AS weight
+        FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, weight,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY weight DESC, term
+        ) AS rank
+        FROM weighted
+    ) WHERE rank <= 3
+    """,
+    doc="Per-document keyword extraction: tf-idf-style weight = tf * (N+1) "
+    "/ (df+1) with a RATIONAL idf — ln() differs by an ulp between libm "
+    "and the JVM, flipping value hashes, while two exact integer counts "
+    "under one division and one multiplication are bit-identical "
+    "everywhere (and log is monotone, so term ordering is unchanged). One "
+    "(doc,term) hash agg, one vocabulary-sized df agg joined on the term "
+    "key, and a per-doc window bounded by the doc's distinct terms.",
+    tags=("text", "vocab"),
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = T.tfidf_keywords(docs)
+    return out.select(
+        "doc_id", "term", "tf", "weight", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
     "vocab_top_terms",
     """
     WITH toks AS (

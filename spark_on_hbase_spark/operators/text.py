@@ -174,6 +174,51 @@ def repetition_signals(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by tf-idf-style weighting: weight =
+    tf * (N + 1) / (df_term + 1) with a RATIONAL idf instead of the
+    textbook logarithm — ln() differs by an ulp between libm (DuckDB) and
+    the JVM on some inputs, which flips value hashes; two exact integer
+    counts under one division and one multiplication are bit-identical
+    everywhere and order documents' terms the same way (log is monotone).
+
+    Shape at 100 TB: one (doc, term) hash aggregation for tf, one term
+    aggregation for document frequency (vocabulary-sized, orders of
+    magnitude smaller than the corpus — joined on the term key), and a
+    per-document window bounded by the doc's distinct terms. Returns
+    (id, term, tf, weight, rank) with rank <= top_k, ties broken by term."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.explode(words_expr(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("weight").desc(), "term")
+    return (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * (F.col("__n") + 1).cast("double")
+                / (F.col("__df") + 1).cast("double")
+            ).alias("weight"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — the exact-dedup key that survives formatting noise. (The rolling-

@@ -534,3 +534,24 @@ def test_extract_features_feed_ann(spark, sf_dir):
     # a vector's own nearest neighbor is itself (cosine 1.0)
     self_hits = [r for r in got if r["query_id"] == r["vec_id"]]
     assert all(abs(r["cos_sim"] - 1.0) < 1e-5 for r in self_hits)
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common zebra zebra zebra"),
+            Row(doc_id=2, text="common yak yak"),
+            Row(doc_id=3, text="common plain words only"),
+        ]
+    )
+    out = T.tfidf_keywords(docs, top_k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc (df=3 -> weight tf*4/4 = tf); the
+    # distinctive rare terms (df=1 -> weight tf*4/2 = 2*tf) must win:
+    # doc1 zebra 3*2=6 > common 2; doc2 yak 2*2=4 > common 1
+    assert top[1] == "zebra"
+    assert top[2] == "yak"
+    for r in out:
+        assert r["rank"] == 1
