@@ -540,6 +540,50 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_volume_anomaly",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    moments AS (
+        SELECT event_type, COUNT(*) AS m,
+               CAST(SUM(n_events) AS BIGINT) AS s,
+               SUM(CAST(n_events AS HUGEINT) * n_events) AS ss
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           CASE WHEN mo.m > 1 AND
+                     (CAST(mo.ss AS DOUBLE)
+                        - CAST(mo.s AS DOUBLE) * CAST(mo.s AS DOUBLE)
+                          / CAST(mo.m AS DOUBLE))
+                       / CAST(mo.m - 1 AS DOUBLE) > 0
+                THEN (CAST(d.n_events AS DOUBLE)
+                        - CAST(mo.s AS DOUBLE) / CAST(mo.m AS DOUBLE))
+                     / sqrt((CAST(mo.ss AS DOUBLE)
+                               - CAST(mo.s AS DOUBLE) * CAST(mo.s AS DOUBLE)
+                                 / CAST(mo.m AS DOUBLE))
+                            / CAST(mo.m - 1 AS DOUBLE))
+                ELSE 0.0 END AS z
+    FROM daily d JOIN moments mo USING (event_type)
+    ORDER BY d.event_type, d.day
+    """,
+    doc="Volume anomaly detection: per-(type, day) event count z-scored "
+    "against the type's daily distribution — WITHOUT the engines' stddev "
+    "(its sum-of-squares accumulates in partition order, differing across "
+    "engines and runs). Moments are exact integers (squared counts in "
+    "DECIMAL/HUGEINT: a daily count squared overflows BIGINT at 100 TB), "
+    "variance/z derive from a fixed IEEE expression tree, and sqrt is "
+    "correctly-rounded per IEEE-754 (unlike ln) — bit-identical z on both "
+    "engines. Two hash aggs; the one-row-per-type moment relation "
+    "broadcasts back.",
+    tags=("events", "agg"),
+)
+def event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.daily_volume_anomaly(load(spark, sf_dir, "events"))
+
+
+@query(
     "cohort_retention",
     """
     WITH ev AS (

@@ -243,6 +243,52 @@ def cohort_retention(
     )
 
 
+def daily_volume_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume anomaly detection: z-score of each (type, day) event count
+    against that type's daily distribution. Returns
+    (event_type, day, n_events, z) for every day, ordered — gate with
+    ``abs(z) >= t`` downstream.
+
+    Cross-engine exactness: never uses the engines' stddev (their
+    sum-of-squares accumulate in partition order, which differs between
+    engines and runs). Instead the per-type moments are EXACT integers —
+    count of days, sum of counts, sum of squared counts in DECIMAL(38,0)
+    (a day count squared overflows BIGINT at 100 TB volumes) — and
+    mean/variance/z are derived by a fixed expression tree of IEEE ops;
+    sqrt is correctly-rounded per IEEE-754 (unlike ln), so both engines
+    produce bit-identical z. Two hash aggregations; the per-type moment
+    relation (one row per type) broadcasts back."""
+    daily = events.groupBy(
+        type_col, F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    moments = daily.groupBy(type_col).agg(
+        F.count("*").alias("__m"),
+        F.sum("n_events").alias("__s"),
+        F.sum(F.col("n_events").cast("decimal(19,0)") * F.col("n_events")).alias(
+            "__ss"
+        ),
+    )
+    mean = F.col("__s").cast("double") / F.col("__m").cast("double")
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double")
+        / F.col("__m").cast("double")
+    ) / (F.col("__m") - F.lit(1)).cast("double")
+    z = F.when(
+        (F.col("__m") > 1) & (var > 0),
+        (F.col("n_events").cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return (
+        daily.join(F.broadcast(moments), type_col)
+        .select(type_col, "day", "n_events", z.alias("z"))
+        .orderBy(type_col, "day")
+    )
+
+
 def partition_distribution(df: DataFrame, partition_col: Column) -> DataFrame:
     """A15 — per-partition row counts + spread stats
     (RDDUtils.distribution/printDistribution, misc/RDDUtils.scala:27-45).

@@ -261,3 +261,28 @@ def test_cohort_retention_periods_and_rates(spark):
     assert got[("2024-01-02", 0)] == (1, 1.0)
     assert got[("2024-01-02", 2)] == (1, 1.0)
     assert ("2024-01-02", 1) not in got
+
+
+def test_daily_volume_anomaly_matches_numpy(spark):
+    from datetime import datetime
+
+    import numpy as np
+
+    from spark_on_hbase_spark.operators import agg as A
+
+    # type 'a': counts [3, 1, 2] over 3 days; type 'b': one day only -> z=0
+    rows = []
+    for day, n in [(1, 3), (2, 1), (3, 2)]:
+        rows += [("a", datetime(2024, 1, day, 10, m)) for m in range(n)]
+    rows += [("b", datetime(2024, 1, 1, 8))]
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {
+        (r["event_type"], str(r["day"])): (r["n_events"], r["z"])
+        for r in A.daily_volume_anomaly(df).collect()
+    }
+    counts = np.array([3.0, 1.0, 2.0])
+    expect = (counts - counts.mean()) / counts.std(ddof=1)
+    for day, e in zip(["2024-01-01", "2024-01-02", "2024-01-03"], expect):
+        n, z = got[("a", day)]
+        assert abs(z - e) < 1e-12, (day, z, e)
+    assert got[("b", "2024-01-01")] == (1, 0.0)  # single day: z defined 0

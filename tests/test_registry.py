@@ -19,7 +19,7 @@ _MUST_GRADE_R03 = {
     "minhash_cluster_dedup", "text_repetition", "text_pii_scrub",
     "vocab_top_terms", "incremental_index_dedup", "pipeline_curation_v2",
     "embedding_cluster_dedup", "funnel_conversion", "cohort_retention",
-    "tfidf_keywords",
+    "tfidf_keywords", "event_volume_anomaly",
 }
 
 
