@@ -580,6 +580,16 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 # driver-grading-window). Each pop/re-insert moves a query to the dict's
 # tail, preserving this list's order there.
 _GRADED_R02_ROTATED_OUT = [
+    # J5's zero-shuffle decomposition stays pinned by
+    # test_right_outer_lookup_join_never_shuffles_table; r02-green
+    "right_outer_lookup_join",
+    # S5 upsert merge stays pinned by the test_table LSM suite, and the
+    # harder lsm_compaction_fold / lsm_time_travel graded queries exercise
+    # the same fold path in-window; r02-green
+    "mutation_upsert_merge",
+    # the salting rewrite stays pinned by the joins pytest suite (salted
+    # stdev + equivalence tests); r02-green
+    "salted_join_revenue",
     # J2 stays pinned inside the window by bucketed_smj_revenue (same join +
     # aggregate, bucketed storage path)
     "merge_join_big_big",

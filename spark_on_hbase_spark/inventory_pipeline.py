@@ -1428,3 +1428,169 @@ def stratified_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# ===========================================================================
+# sequence assembly + mixture + budget selection (round 3 additions)
+# ===========================================================================
+
+_PACK_BUDGET, _PACK_SHARDS = 256, 16
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, len({_WS_SQL}) AS n_tokens,
+               doc_id % {_PACK_SHARDS} AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS okey
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM toks
+    )
+    SELECT shard, CAST(FLOOR(cum / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM placed GROUP BY shard, seq_id
+    """,
+    doc="Training-sequence packing (packing.pack_sequences): deterministic "
+    "md5-shuffled concatenate-and-chunk of the corpus token stream into "
+    f"{_PACK_BUDGET}-token sequences, sharded so each shard packs under its "
+    "own window (one shuffle on the shard key, per-partition sort — no "
+    "global window), then the per-sequence manifest a dataloader shards on "
+    "(packing.packing_census; the census shuffle reuses the shard "
+    "partitioning). The step between a curated corpus and the trainer; "
+    "resumable runs need exactly this retry-stable order.",
+    tags=("pipeline", "packing"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import packing as P
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(T.words_expr("text")).alias("n_tokens")
+    )
+    packed = P.pack_sequences(
+        toks, "n_tokens", budget=_PACK_BUDGET, num_shards=_PACK_SHARDS
+    )
+    return P.packing_census(packed, "n_tokens")
+
+
+@query(
+    "domain_mixture_sample",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    cuts AS (
+        SELECT source, n,
+               CAST(FLOOR(CAST((SELECT MIN(n) FROM counts) AS DOUBLE)
+                          / CAST(n AS DOUBLE) * 4294967296.0) AS BIGINT) AS cut
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.source, d.n_chars, c.n
+        FROM documents d JOIN cuts c ON d.source = c.source
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) < c.cut
+    )
+    SELECT source, MIN(n) AS n_total, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM kept GROUP BY source
+    """,
+    doc="Domain-mixture rebalancing with DATA-DERIVED rates "
+    "(scan.balanced_sample): census the per-source counts (rows = "
+    "#domains), broadcast floor(min_count/count * 2^32) cutoffs back onto "
+    "the scan, keep rows whose md5(doc_id) salt falls under their domain's "
+    "cutoff — every domain downsampled toward the smallest (the equal-"
+    "mixture case of training-data domain reweighting). Where "
+    "stratified_sample_census takes literal rates, the rates here come "
+    "from the data: one extra tiny aggregation + broadcast join, still "
+    "zero shuffle on the corpus scan and retry/engine stable.",
+    tags=("pipeline", "sampling"),
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import scan as S
+
+    docs = load(spark, sf_dir, "documents")
+    kept = S.balanced_sample(docs, "source", id_col="doc_id")
+    counts = docs.groupBy("source").agg(F.count("*").alias("__n"))
+    return (
+        kept.join(F.broadcast(counts), "source")
+        .groupBy("source")
+        .agg(
+            F.min("__n").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+
+
+_SELECT_BUDGET = 8000
+
+_STOP_RATIO_SQL = f"CAST({_hits_sql('en')} AS DOUBLE) / len({_WS_SQL})"
+
+
+@query(
+    "token_budget_selection",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, len({_WS_SQL}) AS n_tokens,
+               {_STOP_RATIO_SQL} AS stop_ratio
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY stop_ratio DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM scored
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_selected,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM placed WHERE cum < {_SELECT_BUDGET}
+    GROUP BY lang
+    """,
+    doc="Global token-budget corpus selection (agg.take_prefix_mass): walk "
+    "documents by descending stopword-ratio quality (deterministic doc_id "
+    f"tiebreak) and keep them until {_SELECT_BUDGET} cumulative tokens — "
+    "'the best docs that fit the annotation/training budget'. The oracle's "
+    "global ordered window is exactly what Spark must NOT do at 100 TB "
+    "(single-partition sort); the engine runs the shared two-phase "
+    "distributed prefix sum instead (range partition -> per-partition "
+    "totals -> broadcast offsets -> only the one straddling partition pays "
+    "a per-row window) — same kernel as cutoff_super_connected "
+    "(agg.prefix_boundary_split). stop_ratio is one IEEE division of exact "
+    "integer counts: bit-identical ordering across engines.",
+    tags=("pipeline", "sampling", "agg"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import agg as A
+
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words_expr("text")
+    sw = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n_tokens"),
+        (hits.cast("double") / F.size(ws)).alias("stop_ratio"),
+    )
+    sel = A.take_prefix_mass(
+        scored,
+        [F.col("stop_ratio").desc(), F.col("doc_id")],
+        "n_tokens",
+        _SELECT_BUDGET,
+    )
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_selected"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -26,54 +26,53 @@ def frequency(df: DataFrame, key_col: str) -> DataFrame:
     return df.groupBy(key_col).agg(F.count("*").alias("freq"))
 
 
-def cutoff(
-    pairs: DataFrame, key_col: str, threshold: float = 0.05
-) -> DataFrame:
-    """A11 — drop super-connected keys carrying the top ``threshold`` of
-    total mass (AGraph.cutoff, AGraph.scala:98-113).
+def prefix_boundary_split(
+    df: DataFrame, order: list[Column], mass_col: str, boundary
+) -> tuple[DataFrame, DataFrame]:
+    """Split a relation at a cumulative-mass boundary — the distributed
+    kernel shared by ``cutoff`` (A11) and ``take_prefix_mass``.
 
-    The reference computes the frequency histogram, collects it to the driver,
-    walks a cumulative sum and broadcasts a driver-side Set — which dies at
-    scale. A single ``Window.orderBy`` (no partition) would also die: Spark
-    moves the ENTIRE frequency table to one partition for a global ordered
-    window, and at 100 TB "one row per distinct key" can still be billions
-    of rows. The cumulative sum here is the classic two-phase distributed
-    prefix sum, with per-row running sums needed ONLY where the threshold
-    boundary actually falls:
+    Rows are ordered by ``order``; each row occupies the half-open
+    cumulative-mass interval ``[start, start + mass)``. ``boundary`` is a
+    callable ``total_mass_column -> Column`` giving the cut point; the
+    return value is ``(below, at_or_above)``: rows whose interval STARTS
+    before the cut, and the rest. Both sides are lazy — a caller consuming
+    only one pays nothing for the other.
 
-    1. range-partition the frequency table by the cumulative order
-       (freq DESC, key) — partition i's rows all precede partition i+1's;
+    A driver-collected cumulative histogram (the reference's approach,
+    AGraph.scala:103-107) dies at scale, and so would a single
+    ``Window.orderBy`` (no partition): Spark moves the ENTIRE relation to
+    one partition for a global ordered window, and at 100 TB "one row per
+    distinct key" can still be billions of rows. This is the classic
+    two-phase distributed prefix sum, with per-row running sums needed ONLY
+    where the boundary actually falls:
+
+    1. range-partition by the cumulative order — partition i's rows all
+       precede partition i+1's;
     2. per-partition mass totals (partial-agg to one row per partition, a
        micro-exchange) prefix-summed with a tiny single-partition window and
        broadcast back as offsets;
-    3. every partition whose mass interval lies entirely below the threshold
-       boundary drops wholesale, entirely above keeps wholesale — decided by
-       the broadcast offsets, NO per-row ordering work; exactly ONE partition
-       can straddle the boundary, and only ITS rows pay a local running-sum
-       window (an exchange of 1/Nth of the relation).
-
-    A key is dropped iff its cumulative-mass interval *starts* before the
-    threshold boundary (``running - freq < total * threshold``), ordered by
-    descending frequency (ties broken by key for determinism) — so a single
-    key carrying more than the whole threshold is still dropped. Returns the
-    surviving keys with their frequencies."""
-    freq = pairs.groupBy(key_col).agg(F.count("*").alias("freq"))
-    order = [F.col("freq").desc(), F.col(key_col)]
+    3. every partition whose mass interval lies entirely on one side of the
+       boundary resolves wholesale — decided by the broadcast offsets, NO
+       per-row ordering work; exactly ONE partition can straddle the
+       boundary, and only ITS rows pay a local running-sum window (an
+       exchange of 1/Nth of the relation)."""
+    out_cols = list(df.columns)
     # pid is assigned right after the range exchange; AQE may coalesce range
     # partitions but only ADJACENT ones, so pid stays monotone in sort order.
-    # The relation is consumed three times (totals, keep/drop decisions, the
+    # The relation is consumed three times (totals, wholesale decisions, the
     # boundary window) — a lazy localCheckpoint materializes the range
     # exchange ONCE and pins a single consistent pid assignment
     # (spark_partition_id is nondeterministic, so without the barrier each
     # consumer would re-shuffle and could disagree on pids).
     part = (
-        freq.repartitionByRange(*order)
+        df.repartitionByRange(*order)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     # one row per partition after map-side partial aggregation, so this
     # exchange moves n_partitions rows, not the relation
-    totals = part.groupBy("__pid").agg(F.sum("freq").alias("__part_total"))
+    totals = part.groupBy("__pid").agg(F.sum(mass_col).alias("__part_total"))
     # prefix-sum the per-partition totals with a window that is global but
     # TINY (n_partitions rows), then broadcast the offsets back
     prefix_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -83,25 +82,64 @@ def cutoff(
         F.coalesce(F.sum("__part_total").over(prefix_w), F.lit(0)).alias("__offset"),
         F.sum("__part_total").over(Window.partitionBy()).alias("__total"),
     )
-    cut = F.col("__total") * F.lit(threshold)
+    cut = boundary(F.col("__total"))
     placed = part.join(F.broadcast(offsets), "__pid")
     # interval arithmetic per partition: [offset, offset + part_total) vs cut
-    keep_all = F.col("__offset") >= cut          # every row starts at/after cut
-    drop_all = (F.col("__offset") + F.col("__part_total")) <= cut
-    kept = placed.where(keep_all).select(key_col, "freq")
+    above_whole = F.col("__offset") >= cut       # every row starts at/after cut
+    below_whole = (F.col("__offset") + F.col("__part_total")) <= cut
     # the (at most one) straddling partition: per-row running sum, local sort
-    boundary = placed.where(~keep_all & ~drop_all)
+    straddle = placed.where(~above_whole & ~below_whole)
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    survivors = (
-        boundary.withColumn("__run_local", F.sum("freq").over(local_w))
-        .where((F.col("__offset") + F.col("__run_local") - F.col("freq")) >= cut)
-        .select(key_col, "freq")
+    run = straddle.withColumn("__run_local", F.sum(mass_col).over(local_w))
+    start = F.col("__offset") + F.col("__run_local") - F.col(mass_col)
+    below = placed.where(below_whole).select(*out_cols).unionByName(
+        run.where(start < cut).select(*out_cols)
     )
-    return kept.unionByName(survivors)
+    above = placed.where(above_whole).select(*out_cols).unionByName(
+        run.where(start >= cut).select(*out_cols)
+    )
+    return below, above
+
+
+def cutoff(
+    pairs: DataFrame, key_col: str, threshold: float = 0.05
+) -> DataFrame:
+    """A11 — drop super-connected keys carrying the top ``threshold`` of
+    total mass (AGraph.cutoff, AGraph.scala:98-113).
+
+    A key is dropped iff its cumulative-mass interval *starts* before the
+    threshold boundary (``running - freq < total * threshold``), ordered by
+    descending frequency (ties broken by key for determinism) — so a single
+    key carrying more than the whole threshold is still dropped. Returns the
+    surviving keys with their frequencies. Distributed shape: see
+    ``prefix_boundary_split`` (the reference collects the histogram to the
+    driver and broadcasts a Set, which dies at scale)."""
+    freq = pairs.groupBy(key_col).agg(F.count("*").alias("freq"))
+    order = [F.col("freq").desc(), F.col(key_col)]
+    _, kept = prefix_boundary_split(
+        freq, order, "freq", lambda total: total * F.lit(threshold)
+    )
+    return kept
+
+
+def take_prefix_mass(
+    df: DataFrame, order: list[Column], mass_col: str, budget
+) -> DataFrame:
+    """Global budgeted selection: walk the relation in ``order`` and keep
+    rows until their cumulative ``mass_col`` reaches ``budget`` — the
+    corpus-selection primitive of a training pipeline ("take the
+    highest-quality documents up to N tokens"). A row is kept iff its
+    cumulative-mass interval STARTS before the budget, so the selection is
+    never empty while mass remains and a single over-budget row at the front
+    is still taken (matching ``cutoff``'s boundary convention). Fully
+    distributed via the shared two-phase prefix sum — no global window, no
+    driver-side cumsum (see ``prefix_boundary_split``)."""
+    kept, _ = prefix_boundary_split(df, order, mass_col, lambda _t: F.lit(budget))
+    return kept
 
 
 def two_level_aggregate(

@@ -129,6 +129,37 @@ def stratified_sample(
     return df.where(salt_int < cut)
 
 
+def balanced_sample(df: DataFrame, domain_col: str, id_col: str) -> DataFrame:
+    """Balanced domain-mixture sampling with DATA-DERIVED rates: every
+    domain downsamples to the size of the smallest one (the equal-mixture
+    special case of training-data domain reweighting; per-domain target
+    weights generalize by scaling the cutoffs). Where
+    ``stratified_sample`` takes literal rates, here the rates come from the
+    corpus itself: one census aggregation (rows = #domains), a broadcast of
+    the per-domain cutoffs back onto the scan, and the same deterministic
+    md5-salt keep predicate — still retry/partitioning/engine stable.
+    The cutoff is floor(min_count / count * 2^32): two IEEE double ops on
+    exact integers, bit-identical across engines, and exactly 2^32 (keep
+    everything) for the smallest domain itself."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    cuts = counts.crossJoin(F.broadcast(min_n)).select(
+        domain_col,
+        F.floor(
+            F.col("__min_n").cast("double") / F.col("__n").cast("double")
+            * F.lit(4294967296.0)
+        ).cast("bigint").alias("__cut"),
+    )
+    salt_int = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(cuts), domain_col)
+        .where(salt_int < F.col("__cut"))
+        .drop("__cut")
+    )
+
+
 def stratified_sample_sql(
     id_sql: str, strata_sql: str, rates: dict[str, float], default_rate: float = 0.0
 ) -> str:

@@ -1,0 +1,120 @@
+"""Unit tests for sequence packing, balanced mixture sampling, and the
+shared prefix-boundary kernel (token-budget selection): each operator is
+checked against a straightforward single-threaded Python reference on the
+same rows, plus determinism and edge cases."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.operators import agg as A
+from spark_on_hbase_spark.operators import packing as P
+from spark_on_hbase_spark.operators import scan as S
+
+BUDGET, SHARDS = 50, 4
+
+
+def _md5(x) -> str:
+    return hashlib.md5(str(x).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, 7 + (i * 13) % 23) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def _reference_pack(rows):
+    """Single-threaded reference: per shard, md5-order, exclusive cumsum."""
+    placed = {}
+    for shard in range(SHARDS):
+        members = sorted(
+            (r for r in rows if r[0] % SHARDS == shard),
+            key=lambda r: (_md5(r[0]), r[0]),
+        )
+        cum = 0
+        for doc_id, toks in members:
+            placed[doc_id] = (shard, cum // BUDGET, cum % BUDGET)
+            cum += toks
+    return placed
+
+
+def test_pack_sequences_matches_reference(spark, docs):
+    packed = P.pack_sequences(docs, "n_tokens", BUDGET, num_shards=SHARDS)
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["seq_offset"])
+        for r in packed.collect()
+    }
+    assert got == _reference_pack([(i, 7 + (i * 13) % 23) for i in range(200)])
+
+
+def test_packing_census_accounts_for_every_doc(spark, docs):
+    packed = P.pack_sequences(docs, "n_tokens", BUDGET, num_shards=SHARDS)
+    census = P.packing_census(packed, "n_tokens").collect()
+    assert sum(r["n_docs"] for r in census) == 200
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["seq_tokens"] for r in census) == total
+    # per shard, seq ids are contiguous from 0 (concatenate-and-chunk never
+    # skips a window: every window receives at least the straddling doc)
+    by_shard = {}
+    for r in census:
+        by_shard.setdefault(r["shard"], []).append(r["seq_id"])
+    for shard, seqs in by_shard.items():
+        assert sorted(seqs) == list(range(len(seqs))), f"shard {shard} gapped"
+
+
+def test_pack_sequences_rejects_bad_budget(spark, docs):
+    with pytest.raises(ValueError):
+        P.pack_sequences(docs, "n_tokens", 0)
+
+
+def test_take_prefix_mass_matches_reference(spark, docs):
+    order = [F.col("n_tokens").desc(), F.col("doc_id")]
+    got = {
+        r["doc_id"]
+        for r in A.take_prefix_mass(docs, order, "n_tokens", 500).collect()
+    }
+    rows = sorted(
+        [(i, 7 + (i * 13) % 23) for i in range(200)],
+        key=lambda r: (-r[1], r[0]),
+    )
+    cum, want = 0, set()
+    for doc_id, toks in rows:
+        if cum < 500:
+            want.add(doc_id)
+        cum += toks
+    assert got == want
+    # a kept-set is a prefix: strictly better-ordered rows of any kept row
+    # are kept too (catches partition-boundary off-by-ones)
+    assert len(want) > 0 and len(want) < 200
+
+
+def test_take_prefix_mass_budget_edges(spark, docs):
+    order = [F.col("n_tokens").desc(), F.col("doc_id")]
+    assert A.take_prefix_mass(docs, order, "n_tokens", 0).count() == 0
+    assert A.take_prefix_mass(docs, order, "n_tokens", 10**9).count() == 200
+    # budget smaller than the first row's mass still takes that row
+    assert A.take_prefix_mass(docs, order, "n_tokens", 1).count() == 1
+
+
+def test_cutoff_unchanged_by_kernel_refactor(spark):
+    # 'a' carries 6/12 of mass; threshold .4 must drop exactly 'a'
+    pairs = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 2 + [("d",)] * 1, "k string"
+    )
+    kept = {r["k"]: r["freq"] for r in A.cutoff(pairs, "k", 0.4).collect()}
+    assert kept == {"b": 3, "c": 2, "d": 1}
+
+
+def test_balanced_sample_keeps_smallest_domain_whole(spark):
+    rows = [(i, "big") for i in range(300)] + [(1000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = S.balanced_sample(df, "source", "doc_id")
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 20  # rate exactly 1.0 -> cutoff 2^32 keeps all
+    # big downsampled toward 20; Bernoulli, so allow slack but require a cut
+    assert 5 <= counts["big"] <= 60
+    # deterministic: same rows on a second evaluation
+    again = {r["doc_id"] for r in S.balanced_sample(df, "source", "doc_id").collect()}
+    assert again == {r["doc_id"] for r in kept.collect()}

@@ -20,6 +20,7 @@ _MUST_GRADE_R03 = {
     "vocab_top_terms", "incremental_index_dedup", "pipeline_curation_v2",
     "embedding_cluster_dedup", "funnel_conversion", "cohort_retention",
     "tfidf_keywords", "event_volume_anomaly",
+    "sequence_packing", "domain_mixture_sample", "token_budget_selection",
 }
 
 
