@@ -1518,16 +1518,11 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_on_hbase_spark.operators import scan as S
 
     docs = load(spark, sf_dir, "documents")
-    kept = S.balanced_sample(docs, "source", id_col="doc_id")
-    counts = docs.groupBy("source").agg(F.count("*").alias("__n"))
-    return (
-        kept.join(F.broadcast(counts), "source")
-        .groupBy("source")
-        .agg(
-            F.min("__n").alias("n_total"),
-            F.count("*").alias("n_kept"),
-            F.sum("n_chars").alias("chars_kept"),
-        )
+    kept = S.balanced_sample(docs, "source", id_col="doc_id", count_col="__total")
+    return kept.groupBy("source").agg(
+        F.min("__total").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
     )
 
 

@@ -129,7 +129,9 @@ def stratified_sample(
     return df.where(salt_int < cut)
 
 
-def balanced_sample(df: DataFrame, domain_col: str, id_col: str) -> DataFrame:
+def balanced_sample(
+    df: DataFrame, domain_col: str, id_col: str, count_col: str | None = None
+) -> DataFrame:
     """Balanced domain-mixture sampling with DATA-DERIVED rates: every
     domain downsamples to the size of the smallest one (the equal-mixture
     special case of training-data domain reweighting; per-domain target
@@ -140,11 +142,25 @@ def balanced_sample(df: DataFrame, domain_col: str, id_col: str) -> DataFrame:
     md5-salt keep predicate — still retry/partitioning/engine stable.
     The cutoff is floor(min_count / count * 2^32): two IEEE double ops on
     exact integers, bit-identical across engines, and exactly 2^32 (keep
-    everything) for the smallest domain itself."""
-    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    everything) for the smallest domain itself.
+
+    Exactly TWO passes over ``df`` at any scale: the census and the sampled
+    scan. The tiny census relation (one row per domain) is materialized
+    with a lazy localCheckpoint so the min-count probe and the cutoff
+    derivation read it instead of re-scanning the corpus (blocks are
+    GC-reclaimed once the result is dropped). With ``count_col`` set, each
+    output row also carries its domain's total count under that name —
+    free from the broadcast join, saving callers (e.g. a kept-vs-total
+    census) a third corpus scan."""
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("__n"))
+        .localCheckpoint(eager=False)
+    )
     min_n = counts.agg(F.min("__n").alias("__min_n"))
     cuts = counts.crossJoin(F.broadcast(min_n)).select(
         domain_col,
+        F.col("__n"),
         F.floor(
             F.col("__min_n").cast("double") / F.col("__n").cast("double")
             * F.lit(4294967296.0)
@@ -153,11 +169,10 @@ def balanced_sample(df: DataFrame, domain_col: str, id_col: str) -> DataFrame:
     salt_int = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("bigint")
-    return (
-        df.join(F.broadcast(cuts), domain_col)
-        .where(salt_int < F.col("__cut"))
-        .drop("__cut")
-    )
+    kept = df.join(F.broadcast(cuts), domain_col).where(salt_int < F.col("__cut"))
+    if count_col is not None:
+        kept = kept.withColumn(count_col, F.col("__n"))
+    return kept.drop("__cut", "__n")
 
 
 def stratified_sample_sql(
