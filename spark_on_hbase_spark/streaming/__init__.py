@@ -4,6 +4,8 @@ from spark_on_hbase_spark.streaming.ingest import (  # noqa: F401
     sessionized_counts,
     socket_stream,
     stateful_running_stats,
+    stream_enrich,
+    stream_stream_interval_join,
     streaming_dedup,
     windowed_agg,
 )

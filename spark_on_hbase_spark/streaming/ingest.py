@@ -237,3 +237,59 @@ def streaming_dedup(
         if within_watermark:
             return stream.dropDuplicatesWithinWatermark(keys)
     return stream.dropDuplicates(keys)
+
+
+def stream_enrich(stream: DataFrame, dim: DataFrame, on: str | list, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream joins
+    against the CURRENT state of a batch dimension relation — the standard
+    "attach user/document metadata as events land" step. The static side is
+    broadcast (dimension-sized, re-planned per micro-batch, so a
+    slowly-changing dimension's updates are picked up between batches
+    without restarting the query); the stream side never shuffles. No
+    watermark needed: stream-static joins are stateless."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution workhorse
+    (e.g. each purchase joined to the same user's clicks from the preceding
+    ``within`` interval). A join class entirely beyond the reference's
+    DStream proxy, and the one where Structured Streaming's state-cleanup
+    contract matters most: BOTH sides buffer in the state store, and only
+    the conjunction of (a) a watermark on each side and (b) a time-range
+    predicate tying the two event times lets Spark prove when a buffered
+    row can never match again and evict it. Omit either and state grows
+    without bound — the canonical 100 TB/day streaming failure. The range
+    predicate here is ``right_ts in [left_ts - within, left_ts]``; state
+    per side is bounded by (watermark + within) of history, partitioned by
+    the join key. ``how`` may be 'inner' or the outer variants Spark
+    supports for stream-stream joins ('leftOuter'/'rightOuter'/'fullOuter'
+    — outer rows emit only once the watermark closes their match window)."""
+    lt, rt, rk = f"__l_{left_ts}", f"__r_{right_ts}", f"__r_{on}"
+    l = left.withColumnRenamed(left_ts, lt).withWatermark(lt, watermark)
+    r = (
+        right.withColumnRenamed(right_ts, rt)
+        .withColumnRenamed(on, rk)
+        .withWatermark(rt, watermark)
+    )
+    cond = (
+        (F.col(on) == F.col(rk))
+        & (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {within}"))
+        & (F.col(rt) <= F.col(lt))
+    )
+    # outer variants: surface ONE key column regardless of which side matched
+    return (
+        l.join(r, cond, how)
+        .withColumn(on, F.coalesce(F.col(on), F.col(rk)))
+        .drop(rk)
+        .withColumnsRenamed({lt: left_ts, rt: right_ts})
+    )

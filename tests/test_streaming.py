@@ -237,3 +237,59 @@ def test_kafka_stream_contract(spark):
     ]
     # pin the source in the analyzed plan, not just the schema
     assert "kafka" in df._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_enrich_broadcasts_static_dim(spark, tmp_path):
+    src = tmp_path / "enrich_src"
+    spark.createDataFrame(
+        [Row(user_id=1, value=10.0), Row(user_id=2, value=20.0), Row(user_id=9, value=5.0)]
+    ).coalesce(1).write.parquet(str(src))
+    dim = spark.createDataFrame([Row(user_id=1, name="ann"), Row(user_id=2, name="bob")])
+
+    stream = ST.file_stream(spark, str(src), "user_id bigint, value double")
+    q = (
+        ST.stream_enrich(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["name"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {1: "ann", 2: "bob", 9: None}  # left join keeps unmatched
+
+
+def test_stream_stream_interval_join_attributes_within_window(spark, tmp_path):
+    """Purchases join the same user's clicks from the preceding 10 minutes:
+    in-window click matches, out-of-window and other-user clicks don't."""
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    spark.createDataFrame(
+        [
+            Row(ts="2024-01-01 00:00:00", user_id=1, click_id=100),  # 5 min before buy
+            Row(ts="2024-01-01 00:04:00", user_id=1, click_id=101),  # 1 min before buy
+            Row(ts="2023-12-31 23:00:00", user_id=1, click_id=102),  # too old
+            Row(ts="2024-01-01 00:10:00", user_id=1, click_id=103),  # after the buy
+            Row(ts="2024-01-01 00:03:00", user_id=2, click_id=200),  # other user
+        ]
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(str(clicks_dir))
+    spark.createDataFrame(
+        [Row(ts="2024-01-01 00:05:00", user_id=1, buy_id=900)]
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(str(buys_dir))
+
+    clicks = ST.file_stream(spark, str(clicks_dir), "ts timestamp, user_id bigint, click_id bigint")
+    buys = ST.file_stream(spark, str(buys_dir), "ts timestamp, user_id bigint, buy_id bigint")
+    joined = ST.stream_stream_interval_join(
+        buys, clicks, on="user_id", within="10 minutes", watermark="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attrib_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["buy_id"], r["click_id"]) for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == {(900, 100), (900, 101)}
