@@ -118,3 +118,43 @@ def test_balanced_sample_keeps_smallest_domain_whole(spark):
     # deterministic: same rows on a second evaluation
     again = {r["doc_id"] for r in S.balanced_sample(df, "source", "doc_id").collect()}
     assert again == {r["doc_id"] for r in kept.collect()}
+
+
+def test_pack_sequences_census_is_single_shuffle_no_global_window(spark, docs):
+    """The 100 TB pin: packing + census plan exactly ONE exchange (the shard
+    shuffle — the census agg reuses the window's partitioning) and every
+    Window node is partitioned (a partition-less global window would drag
+    the corpus to one task)."""
+    from spark_on_hbase_spark import plans
+
+    import re
+
+    packed = P.pack_sequences(docs, "n_tokens", BUDGET, num_shards=SHARDS)
+    census = P.packing_census(packed, "n_tokens")
+    assert plans.count_shuffles(census) == 1
+    plan = plans.formatted_plan(census)
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "expected the packing cumsum window in the plan"
+    # a global window's spec starts with the ORDER expression; the sharded
+    # one leads with the shard partition column
+    for s in specs:
+        assert "shard" in s.split(",")[0], f"unsharded window spec: {s}"
+
+
+def test_take_prefix_mass_has_no_global_per_row_window(spark, docs):
+    """Only the straddling partition's LOCAL window may appear: every Window
+    node in the plan must be partitioned by __pid, never global."""
+    from spark_on_hbase_spark import plans
+
+    order = [F.col("n_tokens").desc(), F.col("doc_id")]
+    sel = A.take_prefix_mass(docs, order, "n_tokens", 500)
+    plan = plans.formatted_plan(sel)
+    import re
+
+    # per-row running-sum windows must carry a partition spec (__pid); the
+    # offsets window is over the per-partition totals (tiny) and is the one
+    # allowed global window — it ranges over n_partitions rows, not data
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    per_row = [s for s in specs if "__run_local" in s or "n_tokens" in s]
+    for s in per_row:
+        assert "__pid" in s, f"unpartitioned per-row window: {s}"
