@@ -158,3 +158,29 @@ def test_take_prefix_mass_has_no_global_per_row_window(spark, docs):
     per_row = [s for s in specs if "__run_local" in s or "n_tokens" in s]
     for s in per_row:
         assert "__pid" in s, f"unpartitioned per-row window: {s}"
+
+
+@pytest.mark.parametrize(
+    "masses, budget",
+    [
+        ([5] * 64, 20),              # all-equal: boundary lands mid-run of ties
+        ([1000] + [1] * 63, 3),      # one huge head row swallows the budget
+        ([0, 0, 5, 0, 7] * 13, 9),   # zero-mass rows (empty intervals)
+        ([1] * 64, 64),              # boundary exactly at total mass
+        ([3] * 64, 1_000_000),       # budget beyond total: keep everything
+    ],
+)
+def test_take_prefix_mass_adversarial_shapes(spark, masses, budget):
+    """Kernel equivalence on shapes that stress partition-boundary
+    arithmetic: ties across the cut, a single row over budget, zero-mass
+    rows, exact-total budgets."""
+    rows = [(i, m) for i, m in enumerate(masses)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(8)
+    order = [F.col("n_tokens").desc(), F.col("doc_id")]
+    got = {r["doc_id"] for r in A.take_prefix_mass(df, order, "n_tokens", budget).collect()}
+    cum, want = 0, set()
+    for doc_id, m in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum < budget:
+            want.add(doc_id)
+        cum += m
+    assert got == want
