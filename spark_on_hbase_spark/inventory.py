@@ -595,6 +595,9 @@ _GRADED_R02_ROTATED_OUT = [
     # the salting rewrite stays pinned by the joins pytest suite (salted
     # stdev + equivalence tests); r02-green
     "salted_join_revenue",
+    # A8's single-hash-agg shape is shared with network_counts /
+    # two_level_aggregate (both in-window); r02-green
+    "pool_count",
     # J2 stays pinned inside the window by bucketed_smj_revenue (same join +
     # aggregate, bucketed storage path)
     "merge_join_big_big",

@@ -1589,3 +1589,59 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+_OOV_K = 50
+
+
+@query(
+    "vocab_oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                      w -> w <> '')) AS token
+        FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    vocab AS (SELECT token FROM counts ORDER BY freq DESC, token LIMIT {_OOV_K}),
+    per_doc AS (
+        SELECT t.doc_id, t.lang, COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE v.token IS NULL) AS oov
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(CAST(SUM(oov) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS oov_rate,
+           COUNT(*) FILTER (WHERE oov * 2 > n) AS n_high_oov_docs
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Tokenizer-coverage / OOV analysis (text.top_vocab + text.oov_stats): "
+    f"build the greedy top-{_OOV_K} token vocabulary (one hash agg + global "
+    "top-k via TakeOrderedAndProject — never a full vocab sort), broadcast "
+    "it, flag every token occurrence in-vocab/OOV on the scan, then per-doc "
+    "and per-language coverage censuses. The signal that decides whether a "
+    "vocab (or corpus slice) is trainable; per-language micro-averaged "
+    "OOV rate is exact integer sums under one IEEE division, and the "
+    "high-OOV doc gate compares integers (oov*2 > n), so the oracle hashes "
+    "exactly.",
+    tags=("text", "vocab", "pipeline"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = T.top_vocab(docs, _OOV_K)
+    per_doc = T.oov_stats(docs, vocab, carry_cols=("lang",))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_oov").alias("n_oov"),
+        (
+            F.sum("n_oov").cast("double") / F.sum("n_tokens").cast("double")
+        ).alias("oov_rate"),
+        F.sum(F.when(F.col("n_oov") * 2 > F.col("n_tokens"), 1).otherwise(0)).alias(
+            "n_high_oov_docs"
+        ),
+    )

@@ -276,3 +276,45 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, w: (acc * ROLLING_BASE + wh(w)) % F.lit(ROLLING_MOD),
     )
     return df.withColumn("rolling_fp", h)
+
+
+def top_vocab(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Corpus top-k token vocabulary (freq desc, token tiebreak) — the
+    greedy head of a tokenizer vocab. One combiner-friendly hash
+    aggregation over the exploded tokens, then TakeOrderedAndProject for
+    the global top-k (never a full vocabulary sort). Returns (token, freq);
+    k rows, always broadcastable."""
+    toks = df.select(F.explode(words_expr(F.lower(F.col(text_col)))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    return counts.orderBy(F.col("freq").desc(), "token").limit(k)
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Per-document out-of-vocabulary census against a ``vocab`` relation
+    (one ``token`` column, e.g. ``top_vocab``): token count, OOV token
+    count, and the OOV fraction — the tokenizer-coverage signal that
+    decides whether a vocab (or a corpus slice) is usable for training.
+    The vocab broadcasts (vocab-sized, never the corpus); tokens stay in
+    their scan partitions until the single per-doc aggregation; the
+    fraction is one IEEE division of exact counts (oracle-exact).
+    ``carry_cols``: doc-level attributes (language, source) carried through
+    the aggregation as extra group keys — functionally dependent on the id,
+    so they don't change the grouping, only the output columns."""
+    toks = df.select(
+        id_col, *carry_cols, F.explode(words_expr(F.lower(F.col(text_col)))).alias("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("__in"))), "token", "left"
+    )
+    return flagged.groupBy(id_col, *carry_cols).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    ).withColumn(
+        "oov_frac", F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    )

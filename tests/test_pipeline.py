@@ -555,3 +555,32 @@ def test_tfidf_keywords_ranks_distinctive_terms(spark):
     assert top[2] == "yak"
     for r in out:
         assert r["rank"] == 1
+
+
+def test_oov_stats_against_known_vocab(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "en"),
+            (2, "zz yy xx the", "en"),
+            (3, "qq ww", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("sat",)], "token string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["lang"])
+        for r in T.oov_stats(docs, vocab, carry_cols=("lang",)).collect()
+    }
+    assert got == {1: (3, 0, "en"), 2: (4, 3, "en"), 3: (2, 2, "de")}
+
+
+def test_top_vocab_orders_by_freq_then_token(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], "doc_id long, text string"
+    )
+    top = [(r["token"], r["freq"]) for r in T.top_vocab(docs, 3).collect()]
+    assert top == [("a", 3), ("b", 3), ("c", 2)]  # tie a/b broken by token
