@@ -598,6 +598,10 @@ _GRADED_R02_ROTATED_OUT = [
     # A8's single-hash-agg shape is shared with network_counts /
     # two_level_aggregate (both in-window); r02-green
     "pool_count",
+    # the text family's expression style stays pinned in-window by
+    # text_quality/text_repetition/vocab_oov_rate and the pipeline pytest
+    # suite; r02-green
+    "text_lang_id",
     # J2 stays pinned inside the window by bucketed_smj_revenue (same join +
     # aggregate, bucketed storage path)
     "merge_join_big_big",

@@ -685,3 +685,56 @@ def max_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("key"),
         F.coalesce(F.col("best_p"), F.col("src")).alias("max_connected"),
     )
+
+
+@query(
+    "triangle_count",
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM li l1 JOIN li l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    SELECT (SELECT COUNT(*) FROM (SELECT a AS k FROM e UNION SELECT b FROM e))
+               AS n_vertices,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM e e1
+            JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+    """,
+    doc="Triangle census of the part co-purchase graph (parts sharing an "
+    "order, pre-1997 shipments — the date filter sizes the GRADED graph; "
+    "the operator is unrestricted) — graph.triangle_count. The engine runs "
+    "the "
+    "degree-ordered-orientation algorithm: each edge directed toward its "
+    "(degree, id)-larger endpoint bounds out-degrees by O(sqrt(m)), so the "
+    "wedge self-join enumerates O(m^1.5) candidates where the naive "
+    "unoriented join goes quadratic on a hub vertex; each triangle closes "
+    "at exactly one wedge source, counted by a left-semi join on the "
+    "closing edge. The oracle's id-ordered 3-way self-join is the "
+    "quadratic form the orientation avoids — same count, only viable at "
+    "oracle scale.",
+    tags=("graph", "agg", "join"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+    )
+    return G.triangle_count(pairs)

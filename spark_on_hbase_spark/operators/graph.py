@@ -606,3 +606,75 @@ def pagerank(
     verts.unpersist()
     links.unpersist()
     return state.select("key", "rank")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census over an undirected edge list — returns one row
+    (n_vertices, n_edges, n_triangles). A standard graph-analytics operator
+    the reference's property-graph layer implies but never ships (its AGraph
+    stops at degree/histogram aggregates, AGraph.scala:61-70).
+
+    Scale shape: the classic degree-ordered orientation. Each undirected
+    edge is directed from its (degree, id)-smaller endpoint to the larger,
+    making the orientation acyclic with out-degrees bounded by O(sqrt(m))
+    on any graph — so the wedge self-join (the quadratic step) enumerates
+    sum(C(outdeg, 2)) = O(m^1.5) candidate wedges instead of the
+    sum(C(deg, 2)) an unoriented join pays, which a celebrity hub makes
+    quadratic. Every triangle then has exactly ONE vertex with out-edges to
+    the other two, so counting closed wedges counts each triangle once:
+    wedges (u->v, u->w) with (deg,id)(v) < (deg,id)(w) close iff the
+    oriented edge v->w exists (left-semi join on the edge key). Three
+    shuffles total: the degree aggregation, the wedge self-join keyed on
+    the wedge source (one exchange feeds both sides), and the closing
+    left-semi join keyed on the candidate edge."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        # consumed four times (degrees, both orientation joins, the counts);
+        # checkpoint materializes the dedup once, blocks GC-reclaimed after
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("k"))
+        .unionByName(e.select(F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by the (degree, id) total order; carry the destination's rank
+    # so wedge endpoints order without another degree lookup
+    oriented = (
+        e.join(deg.select(F.col("k").alias("a"), F.col("d").alias("__da")), "a")
+        .join(deg.select(F.col("k").alias("b"), F.col("d").alias("__db")), "b")
+        .select(
+            F.when(
+                F.struct("__da", "a") < F.struct("__db", "b"), F.col("a")
+            ).otherwise(F.col("b")).alias("u"),
+            F.when(
+                F.struct("__da", "a") < F.struct("__db", "b"),
+                F.struct(F.col("__db").alias("d"), F.col("b").alias("v")),
+            ).otherwise(
+                F.struct(F.col("__da").alias("d"), F.col("a").alias("v"))
+            ).alias("vk"),
+        )
+        .localCheckpoint(eager=False)  # feeds the self-join twice + closing
+    )
+    w1 = oriented.select("u", F.col("vk").alias("__x"))
+    w2 = oriented.select("u", F.col("vk").alias("__y"))
+    wedges = w1.join(w2, "u").where(F.col("__x") < F.col("__y")).select(
+        F.col("__x.v").alias("u"), F.col("__y.v").alias("w")
+    )
+    closed = wedges.join(
+        oriented.select("u", F.col("vk.v").alias("w")), ["u", "w"], "left_semi"
+    )
+    n_tri = closed.agg(F.count("*").alias("n_triangles"))
+    # vertex AND edge counts from the one degree relation (sum(deg) = 2m),
+    # saving a separate full pass over the edge list
+    counts = deg.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges"),
+    )
+    return counts.crossJoin(n_tri).select("n_vertices", "n_edges", "n_triangles")

@@ -181,3 +181,18 @@ def test_pagerank_matches_power_iteration(spark):
     for k in keys:
         assert abs(out[k] - r[idx[k]]) < 1e-9, (k, out[k], r[idx[k]])
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graphs(spark):
+    from spark_on_hbase_spark.operators import graph as G
+
+    # K4 (4 triangles) + a pendant edge + a disconnected K3 (1 triangle);
+    # duplicate and reversed edges must not change anything
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9)] + [(20, 21), (21, 22), (22, 20)] + [(1, 0), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = G.triangle_count(df).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (8, 10, 5)
+    # triangle-free: star graph
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    assert G.triangle_count(star).collect()[0]["n_triangles"] == 0
