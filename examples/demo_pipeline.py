@@ -73,7 +73,33 @@ def main() -> None:
     agreement = pred.where(F.col("pred_lang") == F.col("lang")).count() / max(pred.count(), 1)
     print(f"language-ID agreement with labels: {agreement:.1%}")
 
-    # 4. embedding ANN over the vector table
+    # 4. corpus assembly: balanced domain mixture -> token-budget selection
+    #    -> OOV check against the corpus vocab -> sequence packing
+    from spark_on_hbase_spark.operators import agg as A
+    from spark_on_hbase_spark.operators import packing as P
+    from spark_on_hbase_spark.operators import scan as S
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = S.balanced_sample(full, "lang", id_col="doc_id")
+    print("after balanced language mixture:", mixed.count(), "of", full.count())
+    with_tokens = mixed.select(
+        "doc_id", "lang", F.size(T.words_expr("text")).alias("n_tokens"),
+        F.col("text"),
+    )
+    vocab = T.top_vocab(full, 16)
+    oov = T.oov_stats(with_tokens, vocab)
+    print("mean OOV fraction vs top-16 vocab:",
+          round(oov.agg(F.avg("oov_frac")).collect()[0][0], 3))
+    selected = A.take_prefix_mass(
+        with_tokens.drop("text"),
+        [F.col("n_tokens").desc(), F.col("doc_id")], "n_tokens", 5000,
+    )
+    print("token-budget selection (5000 tokens):", selected.count(), "docs")
+    packed = P.pack_sequences(selected, "n_tokens", budget=256, num_shards=8)
+    manifest = P.packing_census(packed, "n_tokens")
+    print("packed training sequences:", manifest.count())
+
+    # 5. embedding ANN over the vector table
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 97 == 0)
     top = V.lsh_topk(emb, queries, k=5, num_planes=8, dim=64)

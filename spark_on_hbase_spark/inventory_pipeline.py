@@ -1485,30 +1485,32 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "domain_mixture_sample",
     """
     WITH counts AS (
-        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
     ),
     cuts AS (
-        SELECT source, n,
+        SELECT lang, n,
                CAST(FLOOR(CAST((SELECT MIN(n) FROM counts) AS DOUBLE)
                           / CAST(n AS DOUBLE) * 4294967296.0) AS BIGINT) AS cut
         FROM counts
     ),
     kept AS (
-        SELECT d.source, d.n_chars, c.n
-        FROM documents d JOIN cuts c ON d.source = c.source
+        SELECT d.lang, d.n_chars, c.n
+        FROM documents d JOIN cuts c ON d.lang = c.lang
         WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                    AS UBIGINT) < c.cut
     )
-    SELECT source, MIN(n) AS n_total, COUNT(*) AS n_kept,
+    SELECT lang, MIN(n) AS n_total, COUNT(*) AS n_kept,
            CAST(SUM(n_chars) AS BIGINT) AS chars_kept
-    FROM kept GROUP BY source
+    FROM kept GROUP BY lang
     """,
     doc="Domain-mixture rebalancing with DATA-DERIVED rates "
-    "(scan.balanced_sample): census the per-source counts (rows = "
+    "(scan.balanced_sample): census the per-LANGUAGE counts (rows = "
     "#domains), broadcast floor(min_count/count * 2^32) cutoffs back onto "
-    "the scan, keep rows whose md5(doc_id) salt falls under their domain's "
-    "cutoff — every domain downsampled toward the smallest (the equal-"
-    "mixture case of training-data domain reweighting). Where "
+    "the scan, keep rows whose md5(doc_id) salt falls under their language's "
+    "cutoff — the dominant language downsamples toward the rarest (the "
+    "equal-mixture case of training-data domain reweighting; the source "
+    "column is uniform by construction, the language mix is skewed 3:1). "
+    "Where "
     "stratified_sample_census takes literal rates, the rates here come "
     "from the data: one extra tiny aggregation + broadcast join, still "
     "zero shuffle on the corpus scan and retry/engine stable.",
@@ -1518,8 +1520,8 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_on_hbase_spark.operators import scan as S
 
     docs = load(spark, sf_dir, "documents")
-    kept = S.balanced_sample(docs, "source", id_col="doc_id", count_col="__total")
-    return kept.groupBy("source").agg(
+    kept = S.balanced_sample(docs, "lang", id_col="doc_id", count_col="__total")
+    return kept.groupBy("lang").agg(
         F.min("__total").alias("n_total"),
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),
@@ -1591,7 +1593,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_OOV_K = 50
+_OOV_K = 16  # the synthetic corpus has only 31 distinct tokens; 16 leaves a real OOV tail
 
 
 @query(
