@@ -598,6 +598,9 @@ _GRADED_R02_ROTATED_OUT = [
     # A8's single-hash-agg shape is shared with network_counts /
     # two_level_aggregate (both in-window); r02-green
     "pool_count",
+    # A9/A10's partial+final two-level shape is also the plan every other
+    # in-window aggregation exercises; r02-green
+    "two_level_aggregate",
     # the text family's expression style stays pinned in-window by
     # text_quality/text_repetition/vocab_oov_rate and the pipeline pytest
     # suite; r02-green

@@ -1647,3 +1647,52 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high_oov_docs"
         ),
     )
+
+
+@query(
+    "lm_likelihood_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]
+                      ELSE [] END) AS bigram
+        FROM toks
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM grams GROUP BY bigram),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS c1
+           FROM grams GROUP BY 1),
+    lm AS (
+        SELECT bigram,
+               CAST(FLOOR(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                          * {float(T.LM_QUANT)}) AS BIGINT) AS q
+        FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
+    )
+    SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(COALESCE(lm.q, 0)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * {float(T.LM_QUANT)}) AS lm_score
+    FROM grams g LEFT JOIN lm ON g.bigram = lm.bigram
+    GROUP BY g.doc_id
+    """,
+    doc="Bigram language-model likelihood scoring (text.bigram_lm + "
+    "text.lm_likelihood) — the CCNet-style LM quality filter: train "
+    "P(w2|w1) on the corpus (two hash aggregations + a first-word join; "
+    "vocabulary-squared model size), score every document by its mean "
+    "conditional bigram probability, gate low scorers. Determinism is the "
+    "design point: probabilities are integer-QUANTIZED to 2^-20 steps so "
+    "per-doc totals are exact integer sums (float sums are partition-order-"
+    "dependent and would flake the oracle hash); the final score is one "
+    "division of exact values. Model side broadcasts; the corpus is "
+    "scanned twice (train, score) — at 100 TB the model is trained once "
+    "and reused across scoring runs.",
+    tags=("text", "pipeline", "lm"),
+)
+def lm_likelihood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lm = T.bigram_lm(docs)
+    return T.lm_likelihood(docs, lm)

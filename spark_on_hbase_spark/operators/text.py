@@ -318,3 +318,72 @@ def oov_stats(
     ).withColumn(
         "oov_frac", F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
     )
+
+
+LM_QUANT = 1 << 20  # conditional probabilities quantized to 2^-20 steps
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram language model: P(w2 | w1) as integer-QUANTIZED
+    conditional probabilities ``q = floor(c(w1 w2) / c(w1 ·) * 2^20)`` —
+    the CCNet-style LM-likelihood corpus filter's model half. Quantization
+    is the determinism trick: per-token float probabilities would have to
+    be SUMMED at scoring time, and float summation order differs between
+    engines/partitionings; integer q sums are order-free and exact, and the
+    quantization error (< 2^-20 per bigram) is far below any gating
+    threshold. Two hash aggregations (bigram counts, first-word totals) and
+    one join keyed on the first word; the table is vocabulary-squared
+    bounded, orders of magnitude smaller than the corpus. Returns
+    (bigram, q)."""
+    base = df.select(words_expr(F.lower(F.col(text_col))).alias("__ws"))
+    grams = base.select(F.explode(ngrams_from_words(F.col("__ws"), 2)).alias("bigram"))
+    c2 = grams.groupBy("bigram").agg(F.count("*").alias("__c2"))
+    c1 = (
+        grams.select(F.substring_index("bigram", " ", 1).alias("__w1"))
+        .groupBy("__w1")
+        .agg(F.count("*").alias("__c1"))
+    )
+    return (
+        c2.withColumn("__w1", F.substring_index("bigram", " ", 1))
+        .join(c1, "__w1")
+        .select(
+            "bigram",
+            F.floor(
+                F.col("__c2").cast("double") / F.col("__c1").cast("double")
+                * F.lit(float(LM_QUANT))
+            ).cast("bigint").alias("q"),
+        )
+    )
+
+
+def lm_likelihood(
+    df: DataFrame, lm: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents against a ``bigram_lm`` table: per doc the mean
+    quantized conditional probability of its bigrams —
+    ``score = sum(q) / (n_bigrams * 2^20)`` in [0, 1], higher = more
+    corpus-like. The scoring half of the CCNet-style LM quality filter:
+    gibberish, shuffled, or out-of-domain text scores low and gets gated.
+    Bigrams absent from the model count as probability zero (unsmoothed;
+    smooth upstream by unioning pseudo-counts into the model if needed).
+    Shape: explode -> join keyed on the bigram (model side is
+    vocabulary-squared, broadcastable for real vocabularies) -> one per-doc
+    hash aggregation; the score is exact integer sums under one division +
+    one multiplication, so the oracle hashes exactly. Documents with fewer
+    than 2 words have no bigrams and are absent from the output."""
+    base = df.select(id_col, words_expr(F.lower(F.col(text_col))).alias("__ws"))
+    grams = base.select(
+        id_col, F.explode(ngrams_from_words(F.col("__ws"), 2)).alias("bigram")
+    )
+    scored = grams.join(F.broadcast(lm), "bigram", "left")
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.coalesce(F.col("q"), F.lit(0))).alias("__s"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        (
+            F.col("__s").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.lit(float(LM_QUANT)))
+        ).alias("lm_score"),
+    )

@@ -584,3 +584,27 @@ def test_top_vocab_orders_by_freq_then_token(spark):
     )
     top = [(r["token"], r["freq"]) for r in T.top_vocab(docs, 3).collect()]
     assert top == [("a", 3), ("b", 3), ("c", 2)]  # tie a/b broken by token
+
+
+def test_lm_likelihood_prefers_corpus_like_text(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    lm = T.bigram_lm(corpus)
+    probe = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),   # exactly corpus-like
+            (101, "mat the on sat cat the"),   # shuffled: unseen bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lm_score"] for r in T.lm_likelihood(probe, lm).collect()}
+    # corpus-like doc: 'the' branches to cat/mat (P=.5 each), other bigrams
+    # deterministic -> mean (0.5+1+1+1+0.5)/5 = 0.8 exactly (quantization of
+    # 0.5 and 1.0 is lossless at 2^20 steps)
+    assert got[100] == pytest.approx(0.8)
+    assert got[101] < 0.3   # shuffled text: unseen bigrams score zero
+    assert 0.0 <= got[101] < got[100] <= 1.0

@@ -21,7 +21,7 @@ _MUST_GRADE_R03 = {
     "embedding_cluster_dedup", "funnel_conversion", "cohort_retention",
     "tfidf_keywords", "event_volume_anomaly",
     "sequence_packing", "domain_mixture_sample", "token_budget_selection",
-    "vocab_oov_rate", "triangle_count",
+    "vocab_oov_rate", "triangle_count", "lm_likelihood_score",
 }
 
 
