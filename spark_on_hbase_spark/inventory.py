@@ -598,6 +598,13 @@ _GRADED_R02_ROTATED_OUT = [
     # A8's single-hash-agg shape is shared with network_counts /
     # two_level_aggregate (both in-window); r02-green
     "pool_count",
+    # A4/A5's bit-packed combine stays pinned by the graph pytest goldens
+    # and the in-window network consumers (degree_histogram builds the same
+    # dedup); r02-green
+    "edge_dedup",
+    # A7's counts ride the same network build as degree_histogram
+    # (in-window); r02-green
+    "network_counts",
     # A9/A10's partial+final two-level shape is also the plan every other
     # in-window aggregation exercises; r02-green
     "two_level_aggregate",

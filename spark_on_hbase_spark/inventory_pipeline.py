@@ -1696,3 +1696,76 @@ def lm_likelihood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     lm = T.bigram_lm(docs)
     return T.lm_likelihood(docs, lm)
+
+
+_CHUNK_C, _CHUNK_S = 32, 24
+
+
+@query(
+    "doc_chunking",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    shaped AS (
+        SELECT doc_id, ws,
+               1 + CAST(FLOOR((GREATEST(len(ws) - {_CHUNK_C}, 0) + {_CHUNK_S - 1})
+                              / {_CHUNK_S}) AS INTEGER) AS n_chunks
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, ws
+        FROM shaped
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           len(ws[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_C}])
+               AS n_chunk_tokens,
+           array_to_string(
+               ws[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_C}], ' ')
+               AS chunk_text
+    FROM chunks
+    """,
+    doc="Document chunking (text.chunk_documents): fixed-token windows "
+    f"({_CHUNK_C} tokens, stride {_CHUNK_S}, {_CHUNK_C - _CHUNK_S}-token "
+    "overlap) — the windowing pass that feeds embedding models and "
+    "long-document training. Pure array expressions (sequence -> slice -> "
+    "explode), ZERO shuffle: chunking 100 TB is one codegen'd scan; "
+    "boundaries are integer arithmetic only, so the oracle is exact.",
+    tags=("text", "pipeline"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, chunk_tokens=_CHUNK_C, stride=_CHUNK_S)
+
+
+_EVAL_K = 20
+
+
+@query(
+    "fixed_k_eval_sample",
+    f"""
+    SELECT doc_id, lang, n_chars, sample_rank FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= {_EVAL_K}
+    """,
+    doc="Exactly-k-per-stratum eval-set sampling (scan.fixed_size_sample): "
+    f"the first {_EVAL_K} documents of every language under the "
+    "deterministic md5(doc_id) shuffle order — holdout construction where "
+    "Bernoulli sampling only hits k in expectation. Plans as "
+    "WindowGroupLimit: per-partition top-k runs BEFORE the stratum "
+    "exchange, so the shuffle carries at most k rows per (stratum, input "
+    "partition) — never the corpus (pinned in tests/test_plans.py).",
+    tags=("pipeline", "sampling"),
+)
+def fixed_k_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import scan as S
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return S.fixed_size_sample(docs, "lang", _EVAL_K, id_col="doc_id")

@@ -200,3 +200,25 @@ def latest_version(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak_col
     packed = df.select(*key_cols, F.struct(order.alias("__v"), F.struct(*others).alias("__row")).alias("__cell"))
     latest = packed.groupBy(*key_cols).agg(F.max("__cell").alias("__cell"))
     return latest.select(*key_cols, *[F.col(f"__cell.__row.{c}").alias(c) for c in others])
+
+
+def fixed_size_sample(
+    df: DataFrame, strata_col: str, k: int, id_col: str
+) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample — eval/holdout-set
+    construction ("take 1000 docs per language"), where Bernoulli sampling
+    (``stratified_sample``) only hits k in expectation. Rows rank within
+    their stratum by md5(id) (the retry/engine-stable shuffle key; id
+    tiebreak) and the first k survive. The rank<=k filter plans as
+    WindowGroupLimit — per-partition top-k pushed before the stratum
+    shuffle, so the exchange carries at most k rows per (stratum,
+    input-partition), not the corpus. Strata smaller than k keep all their
+    rows. Adds ``sample_rank`` (1-based)."""
+    from pyspark.sql import Window
+
+    okey = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(okey, id_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

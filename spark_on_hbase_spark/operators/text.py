@@ -387,3 +387,53 @@ def lm_likelihood(
             / (F.col("n_bigrams").cast("double") * F.lit(float(LM_QUANT)))
         ).alias("lm_score"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap — the windowing
+    pass that feeds embedding models and long-document training: chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens). A document shorter
+    than one chunk yields exactly one (itself); otherwise chunks start at
+    every stride until the tail is covered (the last chunk may be short).
+    Pure array expressions (sequence -> slice -> explode), zero shuffle —
+    chunking 100 TB is one codegen'd scan. Returns (id, chunk_id,
+    n_chunk_tokens, chunk_text); deterministic boundaries from integer
+    arithmetic only, so the SQL twin is exact."""
+    if chunk_tokens <= 0 or stride <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride=}, {chunk_tokens=}"
+        )
+    ws = words_expr(text_col)
+    n = F.size(ws)
+    # n_chunks = 1 + ceil(max(n - chunk, 0) / stride), exact in integers
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        )
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("bigint").alias("chunk_id"),
+                F.slice(ws, (i * stride + 1).cast("int"), chunk_tokens).alias("__cw"),
+            ),
+        )
+    )
+    return (
+        df.select(id_col, chunk.alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.size("__c.__cw").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__c.__cw")).alias("chunk_text"),
+        )
+    )

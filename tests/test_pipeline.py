@@ -608,3 +608,43 @@ def test_lm_likelihood_prefers_corpus_like_text(spark):
     assert got[100] == pytest.approx(0.8)
     assert got[101] < 0.3   # shuffled text: unseen bigrams score zero
     assert 0.0 <= got[101] < got[100] <= 1.0
+
+
+def test_chunk_documents_matches_reference_windows(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens, C=4 S=3
+            (2, "a b"),                                  # shorter than one chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in T.chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    }
+    words = [f"w{i}" for i in range(10)]
+    want = {}
+    # n_chunks = 1 + ceil((10-4)/3) = 3 -> starts 0, 3, 6
+    for cid, start in enumerate(range(0, 9, 3)):
+        cw = words[start : start + 4]
+        want[(1, cid)] = (len(cw), " ".join(cw))
+    want[(2, 0)] = (2, "a b")
+    assert got == want
+    with pytest.raises(ValueError):
+        T.chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_fixed_size_sample_exact_k_and_small_strata(spark):
+    from spark_on_hbase_spark.operators import scan as S
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = S.fixed_size_sample(df, "lang", 10, id_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "tiny": 3}  # exactly k; small strata whole
+    # deterministic: second evaluation picks the same ids
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in S.fixed_size_sample(df, "lang", 10, "doc_id").collect()}
+    assert a == b

@@ -343,3 +343,14 @@ def test_ivf_cells_as_storage_partitions_prune(spark, sf_dir, tmp_path):
     scan = IO.partitioned_table(spark, path).where(F.col("centroid_id") == probe_cell)
     plans.assert_partition_pruning(scan, "centroid_id")
     assert scan.count() > 0
+
+
+def test_fixed_size_sample_plans_window_group_limit(spark, sf_dir):
+    """The rank<=k filter must push as WindowGroupLimit (per-partition top-k
+    BEFORE the stratum exchange) — without it the shuffle carries the whole
+    corpus to the window sort."""
+    from spark_on_hbase_spark.operators import scan as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = S.fixed_size_sample(docs, "lang", 5, id_col="doc_id")
+    assert "WindowGroupLimit" in plans.formatted_plan(kept)
