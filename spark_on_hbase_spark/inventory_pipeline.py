@@ -1442,7 +1442,8 @@ _PACK_BUDGET, _PACK_SHARDS = 256, 16
     f"""
     WITH toks AS (
         SELECT doc_id, len({_WS_SQL}) AS n_tokens,
-               doc_id % {_PACK_SHARDS} AS shard,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                    AS UBIGINT) % {_PACK_SHARDS} AS shard,
                md5(CAST(doc_id AS VARCHAR)) AS okey
         FROM documents
     ),

@@ -46,7 +46,14 @@ def pack_sequences(
     therefore counts the tokens of documents STARTING there."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    shard = (F.col(id_col) % F.lit(num_shards)).alias("shard")
+    # shard from md5 hex chars 9-16 — hash-uniform under ANY id pattern
+    # (a plain id % num_shards skews when ids stride, e.g. all-even after an
+    # upstream filter), and a DIFFERENT hex range than the order key below
+    # so shard and within-shard order stay independent
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10)
+        .cast("bigint") % F.lit(num_shards)
+    ).alias("shard")
     okey = F.md5(F.col(id_col).cast("string")).alias("__okey")
     base = df.select("*", shard, okey)
     w = (

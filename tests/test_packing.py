@@ -25,12 +25,18 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, n_tokens long")
 
 
+def _shard(x) -> int:
+    # md5 hex chars 9-16 as int, mod num_shards (hash-uniform under any id
+    # pattern; independent of the chars-1-8-prefixed order key)
+    return int(_md5(x)[8:16], 16) % SHARDS
+
+
 def _reference_pack(rows):
     """Single-threaded reference: per shard, md5-order, exclusive cumsum."""
     placed = {}
     for shard in range(SHARDS):
         members = sorted(
-            (r for r in rows if r[0] % SHARDS == shard),
+            (r for r in rows if _shard(r[0]) == shard),
             key=lambda r: (_md5(r[0]), r[0]),
         )
         cum = 0
@@ -62,6 +68,18 @@ def test_packing_census_accounts_for_every_doc(spark, docs):
         by_shard.setdefault(r["shard"], []).append(r["seq_id"])
     for shard, seqs in by_shard.items():
         assert sorted(seqs) == list(range(len(seqs))), f"shard {shard} gapped"
+
+
+def test_pack_sequences_shard_uniform_under_strided_ids(spark):
+    """All-even ids (an upstream filter artifact) must still spread across
+    shards — the md5-derived shard is id-pattern-free, where a plain
+    id %% num_shards would land everything on the even shards."""
+    rows = [(2 * i, 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = P.pack_sequences(df, "n_tokens", BUDGET, num_shards=SHARDS)
+    counts = [r["n"] for r in packed.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == SHARDS                # every shard populated
+    assert max(counts) < 2.0 * (400 / SHARDS)   # no gross skew
 
 
 def test_pack_sequences_rejects_bad_budget(spark, docs):
