@@ -1541,6 +1541,7 @@ _STOP_RATIO_SQL = f"CAST({_hits_sql('en')} AS DOUBLE) / len({_WS_SQL})"
         SELECT doc_id, lang, len({_WS_SQL}) AS n_tokens,
                {_STOP_RATIO_SQL} AS stop_ratio
         FROM documents
+        WHERE len({_WS_SQL}) > 0
     ),
     placed AS (
         SELECT doc_id, lang, n_tokens,
@@ -1574,7 +1575,10 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = T.words_expr("text")
     sw = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
     hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
-    scored = docs.select(
+    # zero-token docs are excluded BEFORE scoring: 0/0 is NULL in Spark but
+    # IEEE NaN in DuckDB, and the two engines order those opposite ways
+    # under DESC — a quality order must never depend on that divergence
+    scored = docs.where(F.size(ws) > 0).select(
         "doc_id",
         "lang",
         F.size(ws).alias("n_tokens"),

@@ -86,7 +86,14 @@ def prefix_boundary_split(
     placed = part.join(F.broadcast(offsets), "__pid")
     # interval arithmetic per partition: [offset, offset + part_total) vs cut
     above_whole = F.col("__offset") >= cut       # every row starts at/after cut
-    below_whole = (F.col("__offset") + F.col("__part_total")) <= cut
+    # STRICT <: a partition ending exactly at the cut may hold a trailing
+    # ZERO-mass row whose interval starts at the cut — the per-row rule
+    # (start < cut) puts it above, so classifying such a partition wholesale
+    # as below would make membership depend on where range-partition
+    # boundaries fell; sending it down the straddle path keeps the result
+    # partitioning-independent (cost: one extra partition pays the local
+    # window only when the boundary lands exactly on a partition edge)
+    below_whole = (F.col("__offset") + F.col("__part_total")) < cut
     # the (at most one) straddling partition: per-row running sum, local sort
     straddle = placed.where(~above_whole & ~below_whole)
     local_w = (

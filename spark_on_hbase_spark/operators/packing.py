@@ -46,6 +46,10 @@ def pack_sequences(
     therefore counts the tokens of documents STARTING there."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if num_shards <= 0:
+        # % 0 would silently yield NULL shards (one global NULL window —
+        # exactly the shape this operator exists to avoid); fail fast instead
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
     # shard from md5 hex chars 9-16 — hash-uniform under ANY id pattern
     # (a plain id % num_shards skews when ids stride, e.g. all-even after an
     # upstream filter), and a DIFFERENT hex range than the order key below

@@ -84,6 +84,18 @@ def consistency(df: DataFrame, level: str = "STRONG") -> DataFrame:
     return df
 
 
+def md5_salt(id_col: str) -> Column:
+    """The engine's ONE deterministic sampling salt: the first 4 bytes of
+    md5(id) as an unsigned 32-bit integer. Every sampler below (and the SQL
+    twins via ``sample_sql``) derives from this exact expression — widening
+    the hex window or changing the hash in one copy but not the others
+    would silently desynchronize the samplers from each other and from
+    their DuckDB oracles."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def sample_deterministic(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """F7 — row sampling (rdd.sample / server-side RandomRowFilter,
     HBaseRDDFunctions.scala:48-52), made *deterministic and cross-engine
@@ -91,8 +103,7 @@ def sample_deterministic(df: DataFrame, id_col: str, fraction: float) -> DataFra
     a row is kept iff the first 4 salt bytes of md5(id), as an integer, fall
     under fraction * 2^32. Scan-local, no shuffle, stable under retries —
     which a 1000-executor job needs (RNG sampling resamples on task retry)."""
-    salt_int = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
-    return df.where(salt_int < F.lit(int(fraction * 4294967296)))
+    return df.where(md5_salt(id_col) < F.lit(int(fraction * 4294967296)))
 
 
 def sample_sql(id_sql: str, fraction: float) -> str:
@@ -118,9 +129,7 @@ def stratified_sample(
     task retries and engine versions — resampling quota drift on retry is
     exactly what a 1000-executor ingest can't afford. Strata absent from
     ``rates`` fall back to ``default_rate``."""
-    salt_int = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    salt_int = md5_salt(id_col)
     cut = F.lit(int(default_rate * 4294967296))
     for stratum, rate in rates.items():
         cut = F.when(
@@ -166,10 +175,9 @@ def balanced_sample(
             * F.lit(4294967296.0)
         ).cast("bigint").alias("__cut"),
     )
-    salt_int = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    kept = df.join(F.broadcast(cuts), domain_col).where(salt_int < F.col("__cut"))
+    kept = df.join(F.broadcast(cuts), domain_col).where(
+        md5_salt(id_col) < F.col("__cut")
+    )
     if count_col is not None:
         kept = kept.withColumn(count_col, F.col("__n"))
     return kept.drop("__cut", "__n")

@@ -286,10 +286,14 @@ def stream_stream_interval_join(
         & (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {within}"))
         & (F.col(rt) <= F.col(lt))
     )
-    # outer variants: surface ONE key column regardless of which side matched
+    # outer variants: surface ONE key column regardless of which side
+    # matched. When both sides use the same event-time name, the right
+    # side's keeps a _right suffix — renaming both back would produce two
+    # identically-named columns and break every downstream by-name access.
+    right_ts_out = right_ts if right_ts != left_ts else f"{right_ts}_right"
     return (
         l.join(r, cond, how)
         .withColumn(on, F.coalesce(F.col(on), F.col(rk)))
         .drop(rk)
-        .withColumnsRenamed({lt: left_ts, rt: right_ts})
+        .withColumnsRenamed({lt: left_ts, rt: right_ts_out})
     )

@@ -202,3 +202,28 @@ def test_take_prefix_mass_adversarial_shapes(spark, masses, budget):
             want.add(doc_id)
         cum += m
     assert got == want
+
+
+def test_take_prefix_mass_zero_mass_row_at_exact_boundary(spark):
+    """A zero-mass row whose interval starts exactly at the budget must be
+    EXCLUDED regardless of where range-partition boundaries fall: with one
+    partition the old wholesale rule (offset+total <= cut) classified the
+    whole partition 'below' and smuggled the row in, diverging from the
+    per-row rule and from any other partitioning of the same data."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 0)], "doc_id long, n_tokens long"
+    ).repartition(1)
+    order = [F.col("n_tokens").desc(), F.col("doc_id")]
+    got = {r["doc_id"] for r in A.take_prefix_mass(df, order, "n_tokens", 10).collect()}
+    assert got == {1, 2}  # the trailing zero-mass row starts AT the cut
+    # same data, many partitions: identical membership
+    df8 = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 0)], "doc_id long, n_tokens long"
+    ).repartition(8)
+    got8 = {r["doc_id"] for r in A.take_prefix_mass(df8, order, "n_tokens", 10).collect()}
+    assert got8 == got
+
+
+def test_pack_sequences_rejects_bad_shards(spark, docs):
+    with pytest.raises(ValueError):
+        P.pack_sequences(docs, "n_tokens", 50, num_shards=0)

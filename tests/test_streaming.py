@@ -293,3 +293,31 @@ def test_stream_stream_interval_join_attributes_within_window(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["buy_id"], r["click_id"]) for r in spark.sql("SELECT * FROM attrib").collect()}
     assert got == {(900, 100), (900, 101)}
+
+
+def test_stream_stream_join_same_ts_name_yields_unique_columns(spark, tmp_path):
+    """Both sides defaulting to 'ts' must not produce two identically-named
+    output columns (that breaks any downstream by-name access)."""
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    spark.createDataFrame([Row(ts="2024-01-01 00:01:00", user_id=1, x=1)]).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(str(a_dir))
+    spark.createDataFrame([Row(ts="2024-01-01 00:00:30", user_id=1, y=2)]).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(str(b_dir))
+    left = ST.file_stream(spark, str(a_dir), "ts timestamp, user_id bigint, x bigint")
+    right = ST.file_stream(spark, str(b_dir), "ts timestamp, user_id bigint, y bigint")
+    joined = ST.stream_stream_interval_join(left, right, on="user_id")
+    assert len(joined.columns) == len(set(joined.columns))
+    assert "ts" in joined.columns and "ts_right" in joined.columns
+    # by-name access works end to end
+    q = (
+        joined.select("user_id", "ts", "ts_right", "x", "y")
+        .writeStream.format("memory").queryName("ssj_names")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_names").collect()
+    assert len(rows) == 1 and rows[0]["x"] == 1 and rows[0]["y"] == 2
