@@ -605,6 +605,10 @@ _GRADED_R02_ROTATED_OUT = [
     # A7's counts ride the same network build as degree_histogram
     # (in-window); r02-green
     "network_counts",
+    # A2's histogram shape = A1 (value_histogram, r02-green) over degrees;
+    # the shared network build stays exercised in-window by max_connected
+    # and the BSP family; r02-green
+    "degree_histogram",
     # A9/A10's partial+final two-level shape is also the plan every other
     # in-window aggregation exercises; r02-green
     "two_level_aggregate",

@@ -23,6 +23,7 @@ from spark_on_hbase_spark.inventory import load, query
 from spark_on_hbase_spark.operators import dedup as D
 from spark_on_hbase_spark.operators import multimodal as M
 from spark_on_hbase_spark.operators import similarity as V
+from spark_on_hbase_spark.operators import sketch as SK
 from spark_on_hbase_spark.operators import text as T
 
 # ---------------------------------------------------------------------------
@@ -1774,3 +1775,66 @@ def fixed_k_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return S.fixed_size_sample(docs, "lang", _EVAL_K, id_col="doc_id")
+
+
+_CMS_D, _CMS_W = 4, 8
+
+_CMS_BUCKETS_SQL = ", ".join(
+    f"{SK.cms_bucket_sql('token', i, _CMS_W)} AS b{i}" for i in range(_CMS_D)
+)
+
+
+@query(
+    "cms_token_frequency",
+    f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                      w -> w <> '')) AS token
+        FROM documents
+    ),
+    hashed AS (SELECT token, {_CMS_BUCKETS_SQL} FROM toks),
+    counters AS (
+        SELECT row, bucket, COUNT(*) AS c FROM (
+            {" UNION ALL ".join(f"SELECT {i} AS row, b{i} AS bucket FROM hashed" for i in range(_CMS_D))}
+        ) GROUP BY row, bucket
+    ),
+    truth AS (SELECT token, COUNT(*) AS true_count FROM toks GROUP BY token),
+    est AS (
+        SELECT t.token,
+               LEAST({", ".join(f"(SELECT c FROM counters WHERE row = {i} AND bucket = {SK.cms_bucket_sql('t.token', i, _CMS_W)})" for i in range(_CMS_D))})
+                   AS cms_estimate
+        FROM truth t
+    )
+    SELECT t.token, t.true_count, e.cms_estimate,
+           e.cms_estimate >= t.true_count AS never_undercounts
+    FROM truth t JOIN est e ON t.token = e.token
+    """,
+    doc="Count-min sketch frequency estimation (operators/sketch.py): "
+    f"{_CMS_D} md5 hash rows x {_CMS_W} buckets — a fixed-kilobyte counter "
+    "array estimating every token's frequency with the one-sided "
+    "estimate >= true guarantee, the sketch for frequency over unbounded "
+    "key universes where per-key exact counters cannot fit. The width is "
+    "deliberately SMALLER than the vocabulary so collisions actually "
+    "inflate estimates and the guarantee is exercised, not vacuous. "
+    "Building is one map-side-combining hash aggregation (each task "
+    "contributes at most depth*width partial rows — the definition of a "
+    "mergeable sketch); estimates are MIN over the key's counters. Unlike "
+    "HLL/GK there is no accuracy tolerance to gate: counters are exact "
+    "integer counts on an md5 hash family, so the DuckDB oracle reproduces "
+    "the ENTIRE sketch bit-for-bit.",
+    tags=("agg", "sketch", "pipeline"),
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.words_expr(F.lower(F.col("text")))).alias("token")
+    )
+    counters = SK.cms_build(toks, "token", depth=_CMS_D, width=_CMS_W)
+    truth = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    est = SK.cms_estimate(truth.select("token"), counters, "token", _CMS_D, _CMS_W)
+    return truth.join(est, "token").select(
+        "token",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_count")).alias("never_undercounts"),
+    )

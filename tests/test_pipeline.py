@@ -648,3 +648,23 @@ def test_fixed_size_sample_exact_k_and_small_strata(spark):
     a = {r["doc_id"] for r in kept.collect()}
     b = {r["doc_id"] for r in S.fixed_size_sample(df, "lang", 10, "doc_id").collect()}
     assert a == b
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    from spark_on_hbase_spark.operators import sketch as SK
+
+    rows = [("a",)] * 10 + [("b",)] * 5 + [("c",)] * 2 + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    truth = {"a": 10, "b": 5, "c": 2, "d": 1}
+    keys = spark.createDataFrame([(k,) for k in truth], "k string")
+    # narrow sketch: collisions may inflate but never undercount
+    narrow = SK.cms_build(df, "k", depth=3, width=2)
+    est = {r["k"]: r["cms_estimate"]
+           for r in SK.cms_estimate(keys, narrow, "k", 3, 2).collect()}
+    assert all(est[k] >= truth[k] for k in truth)
+    assert sum(r["c"] for r in narrow.collect()) == 3 * 18  # mass conserved/row
+    # wide sketch: 4 keys in 1024 buckets x 4 rows -> exact with near-1 prob
+    wide = SK.cms_build(df, "k", depth=4, width=1024)
+    est_w = {r["k"]: r["cms_estimate"]
+             for r in SK.cms_estimate(keys, wide, "k", 4, 1024).collect()}
+    assert est_w == truth
