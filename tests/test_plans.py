@@ -354,3 +354,38 @@ def test_fixed_size_sample_plans_window_group_limit(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = S.fixed_size_sample(docs, "lang", 5, id_col="doc_id")
     assert "WindowGroupLimit" in plans.formatted_plan(kept)
+
+
+def test_runtime_bloom_filter_reduces_fact_side(spark, sf_dir):
+    """AQE runtime filters: a selective dimension filter must inject a bloom
+    might_contain onto the FACT side before its shuffle — the runtime
+    semi-join reduction that, at 100 TB, drops most fact rows at the scan
+    instead of shuffling them. The size thresholds defaulting to 10 GB mean
+    it self-activates only at real scale; the test lowers them to prove the
+    engine's join shapes are ELIGIBLE (nothing in our plans — hints, UDFs,
+    reused exchanges — blocks the rewrite)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        dim = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(dim, li.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
