@@ -609,6 +609,10 @@ _GRADED_R02_ROTATED_OUT = [
     # the shared network build stays exercised in-window by max_connected
     # and the BSP family; r02-green
     "degree_histogram",
+    # A11's prefix-sum kernel is shared verbatim with token_budget_selection
+    # (in-window) and pinned by the adversarial-boundary pytest suite;
+    # r02-green
+    "cutoff_super_connected",
     # A9/A10's partial+final two-level shape is also the plan every other
     # in-window aggregation exercises; r02-green
     "two_level_aggregate",

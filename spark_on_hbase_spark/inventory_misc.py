@@ -1041,3 +1041,51 @@ def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(gate)
         .select("l_linestatus", "q25", "median", "q75")
     )
+
+
+@query(
+    "hll_rollup_union",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_slices,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Re-aggregable distinct rollup (agg.hll_rollup) — the hypertable "
+    "pattern the reference's cell-versioned tables gesture at but cannot "
+    "compute: per-(event_type, day) HyperLogLog SKETCHES materialized once "
+    "(kilobytes per slice at any event volume), then the whole-period "
+    "distinct-user count answered by UNIONING the daily sketches — no "
+    "event rescan, and exact distinct counts cannot do this at all "
+    "(distinct is not re-aggregable across slices). HLL union is lossless "
+    "(register-wise max: the union of daily sketches IS the sketch of the "
+    "union), so the rolled estimate equals the direct estimate — pinned in "
+    "pytest. Graded with the sketch-gate pattern: a group row is emitted "
+    "(with EXACT values) only if the unioned estimate lands within 15% of "
+    "the exact count, so the exact-SQL oracle hash-matches iff the "
+    "accuracy contract held on every group.",
+    tags=("agg", "sketch", "rollup"),
+)
+def hll_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import agg as A
+
+    ev = load(spark, sf_dir, "events")
+    _slices, rolled = A.hll_rollup(
+        ev, ["event_type"], F.to_date("ts"), "user_id"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct(F.to_date("ts")).alias("n_slices_exact"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        exact.join(rolled, "event_type")
+        .where(
+            (F.col("n_slices") == F.col("n_slices_exact"))
+            & (F.abs(F.col("approx_distinct") - F.col("n_users")) / F.col("n_users") <= 0.15)
+        )
+        .select(
+            "event_type",
+            F.col("n_slices_exact").alias("n_slices"),
+            "n_users",
+        )
+    )

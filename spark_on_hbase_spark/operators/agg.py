@@ -392,3 +392,34 @@ def approx_quantiles(
             for i in range(len(probabilities))
         ]
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    slice_col,
+    value_col: str,
+    lg_k: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-aggregable distinct-count rollup — the hypertable/cube pattern:
+    materialize one HLL SKETCH per (group, slice) (slice = day, hour,
+    partition...), then answer ANY coarser rollup by unioning sketches
+    instead of rescanning events. Exact distinct counts cannot do this
+    (distinct is not re-aggregable: yesterday's count + today's count
+    double-counts returning users); sketch union is the scale answer, and
+    HLL register-wise max union is lossless — the union of daily sketches
+    IS the sketch of the union (identical registers, identical estimate).
+
+    Returns ``(slices, rolled)``: the per-slice sketch relation (store
+    this — kilobytes per slice at any event volume) and the per-group
+    union estimate with its slice count. Both are single partial+final
+    hash aggregations."""
+    s = slice_col if not isinstance(slice_col, str) else F.col(slice_col)
+    slices = df.groupBy(*group_cols, s.alias("slice")).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+    rolled = slices.groupBy(*group_cols).agg(
+        F.count("*").alias("n_slices"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
+    )
+    return slices, rolled

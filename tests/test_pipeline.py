@@ -668,3 +668,21 @@ def test_cms_never_undercounts_and_exact_when_wide(spark):
     est_w = {r["k"]: r["cms_estimate"]
              for r in SK.cms_estimate(keys, wide, "k", 4, 1024).collect()}
     assert est_w == truth
+
+
+def test_hll_rollup_union_is_lossless(spark):
+    """HLL union is register-wise max: the union of per-slice sketches must
+    produce the IDENTICAL estimate as sketching the whole relation
+    directly — re-aggregability with zero accuracy loss."""
+    from spark_on_hbase_spark.operators import agg as A
+
+    rows = [(d, u) for d in range(5) for u in range(d * 30, d * 30 + 60)]
+    df = spark.createDataFrame(rows, "day int, user_id long")  # overlapping users
+    _slices, rolled = A.hll_rollup(df.withColumn("g", F.lit("all")), ["g"], "day", "user_id")
+    rolled_est = rolled.collect()[0]["approx_distinct"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    assert rolled_est == direct
+    exact = df.select("user_id").distinct().count()
+    assert abs(rolled_est - exact) / exact <= 0.15
