@@ -99,6 +99,19 @@ def main() -> None:
     manifest = P.packing_census(packed, "n_tokens")
     print("packed training sequences:", manifest.count())
 
+    # 4b. LM-likelihood quality scoring + CMS frequency + chunking
+    from spark_on_hbase_spark.operators import sketch as SK
+
+    lm = T.bigram_lm(full)
+    lm_scores = T.lm_likelihood(full, lm)
+    print("lowest LM-likelihood docs:",
+          [r["doc_id"] for r in lm_scores.orderBy("lm_score").limit(3).collect()])
+    toks = full.select(F.explode(T.words_expr(F.lower(F.col("text")))).alias("token"))
+    counters = SK.cms_build(toks, "token", depth=4, width=8)
+    print("CMS counters:", counters.count(), "(4 rows x 8 buckets)")
+    chunks = T.chunk_documents(full, chunk_tokens=32, stride=24)
+    print("doc chunks for embedding:", chunks.count())
+
     # 5. embedding ANN over the vector table
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 97 == 0)
