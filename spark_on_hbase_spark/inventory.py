@@ -609,6 +609,9 @@ _GRADED_R02_ROTATED_OUT = [
     # the shared network build stays exercised in-window by max_connected
     # and the BSP family; r02-green
     "degree_histogram",
+    # J10's four distributed joins stay pinned by the graph pytest suite
+    # (inner-expand group-profile resolution tests); r02-green
+    "graph_inner_expand",
     # A11's prefix-sum kernel is shared verbatim with token_budget_selection
     # (in-window) and pinned by the adversarial-boundary pytest suite;
     # r02-green

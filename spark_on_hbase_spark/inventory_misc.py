@@ -1089,3 +1089,64 @@ def hll_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type FROM ordered
+        WHERE prev_type IS NOT NULL
+    ),
+    totals AS (
+        SELECT prev_type, COUNT(*) AS n_from FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MIN(t.n_from) AS DOUBLE) AS p_next
+    FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+    GROUP BY p.prev_type, p.next_type
+    """,
+    doc="Markov transition matrix over per-user event sequences: for every "
+    "(previous event type -> next event type) adjacency, the count and the "
+    "conditional transition probability — the session-flow analysis behind "
+    "'what do users do after X'. The lag window partitions by USER (each "
+    "user's history is bounded and AQE-splittable — never a global ordered "
+    "window); transitions then feed two hash aggregations, with the "
+    "per-source totals (rows = #event types) broadcast back. p_next is one "
+    "IEEE division of exact counts; deterministic (ts, event_id) ordering "
+    "breaks same-timestamp ties identically on both engines.",
+    tags=("events", "window", "agg"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    totals = pairs.groupBy("prev_type").agg(F.count("*").alias("__n_from"))
+    return (
+        pairs.groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("__n_from").cast("double")).alias(
+                "p_next"
+            ),
+        )
+    )
