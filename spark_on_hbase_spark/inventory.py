@@ -599,11 +599,11 @@ _GRADED_R02_ROTATED_OUT = [
     # two_level_aggregate (both in-window); r02-green
     "pool_count",
     # A4/A5's bit-packed combine stays pinned by the graph pytest goldens
-    # and the in-window network consumers (degree_histogram builds the same
-    # dedup); r02-green
+    # (EP combine laws + dedup tests); r02-green
     "edge_dedup",
-    # A7's counts ride the same network build as degree_histogram
-    # (in-window); r02-green
+    # A7's counts are two scalar aggregates over the network build, which
+    # stays pinned by the graph pytest suite (symmetrize/dedup goldens)
+    # and max_connected (in-window); r02-green
     "network_counts",
     # A2's histogram shape = A1 (value_histogram, r02-green) over degrees;
     # the shared network build stays exercised in-window by max_connected
@@ -650,8 +650,9 @@ _GRADED_R02_ROTATED_OUT = [
     # F1/F2 mandatory-column projection also pinned by
     # test_select_required_stays_narrow and the scan-ops suite; r02-green
     "scan_required_columns",
-    # J7 expand join shares its operator path with graph_inner_expand
-    # (in-window); r02-green
+    # J7 expand join stays pinned by the graph pytest suite (expand /
+    # profile-resolution tests) — its in-window twin graph_inner_expand
+    # also rotated out this round; r02-green
     "graph_expand",
     # as-of join superset also pinned by the joins pytest suite (incl. the
     # celebrity-key stress test); r02-green

@@ -79,7 +79,12 @@ def cms_estimate(
     """Point-query the sketch: for every row of ``keys``, the minimum of
     its ``depth`` counters — the classic CMS estimate, ``>= true`` always.
     The counter relation is depth*width rows and broadcasts; keys explode
-    to depth lookup rows and aggregate back with one MIN."""
+    to depth lookup rows and aggregate back with one MIN. Buckets absent
+    from the counter relation are EMPTY (count 0) — the left join +
+    coalesce keeps the textbook semantics: a never-seen key whose probes
+    hit an empty bucket estimates 0 instead of silently vanishing (an
+    inner join would drop its probes and either lose the key or overstate
+    the MIN over only the colliding rows)."""
     key = F.col(key_col).cast("string")
     probes = keys.select(
         key_col,
@@ -96,7 +101,7 @@ def cms_estimate(
         ).alias("__rb"),
     ).select(key_col, F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(counters), ["row", "bucket"])
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )

@@ -686,3 +686,16 @@ def test_hll_rollup_union_is_lossless(spark):
     assert rolled_est == direct
     exact = df.select("user_id").distinct().count()
     assert abs(rolled_est - exact) / exact <= 0.15
+
+
+def test_cms_estimate_of_never_seen_key_is_zero_on_sparse_sketch(spark):
+    from spark_on_hbase_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([("a",)] * 3, "k string")
+    counters = SK.cms_build(df, "k", depth=4, width=4096)
+    probe = spark.createDataFrame([("a",), ("never-seen",)], "k string")
+    got = {r["k"]: r["cms_estimate"]
+           for r in SK.cms_estimate(probe, counters, "k", 4, 4096).collect()}
+    # sparse sketch: the unseen key's probes hit empty buckets -> estimate 0
+    # (an inner join would have dropped the key entirely)
+    assert got == {"a": 3, "never-seen": 0}
