@@ -609,6 +609,10 @@ _GRADED_R02_ROTATED_OUT = [
     # the shared network build stays exercised in-window by max_connected
     # and the BSP family; r02-green
     "degree_histogram",
+    # G1's 3-step propagation shares the BSP superstep machinery with
+    # connected_components and prob_propagation_2step (both in-window);
+    # r02-green
+    "bsp_3step",
     # J10's four distributed joins stay pinned by the graph pytest suite
     # (inner-expand group-profile resolution tests); r02-green
     "graph_inner_expand",

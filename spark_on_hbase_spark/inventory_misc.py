@@ -1150,3 +1150,50 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+from spark_on_hbase_spark.io import zorder_expr as _zexpr, zorder_sql as _zsql  # noqa: E402
+
+_Z_X_SQL = "CAST(user_id & 65535 AS INTEGER)"
+# FLOOR, not a bare cast: DuckDB CAST(double AS INTEGER) rounds
+# half-even while Spark truncates toward zero — they disagree on x.5
+_Z_Y_SQL = "CAST(CAST(FLOOR(value) AS INTEGER) & 65535 AS INTEGER)"
+
+
+@query(
+    "zorder_cluster_stats",
+    f"""
+    WITH z AS (
+        SELECT {_zsql(_Z_X_SQL, _Z_Y_SQL, 16)} AS zval FROM events
+    )
+    SELECT zval >> 10 AS cell, COUNT(*) AS n,
+           MIN(zval) AS z_min, MAX(zval) AS z_max
+    FROM z GROUP BY cell
+    """,
+    doc="Z-order (Morton) clustering key over (user_id, value) — the "
+    "multi-dimensional storage-clustering primitive behind Delta/Iceberg "
+    "Z-ORDER (io.zorder_expr / io.write_zordered): interleaving the two "
+    "dimensions' bits makes row-group min/max stats selective on BOTH "
+    "columns, so 2-D (or either-single-dimension) range scans prune files "
+    "a single-column sort never could — proven with real parquet footer "
+    "stats in tests/test_io.py::test_zorder_layout_prunes_both_dimensions. "
+    "This query pins the curve itself: per coarse z-cell occupancy "
+    "statistics, exact integer bit arithmetic on both engines.",
+    tags=("io", "layout"),
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    z = _zexpr(
+        F.col("user_id").bitwiseAND(65535).cast("int"),
+        F.floor("value").cast("int").bitwiseAND(65535).cast("int"),
+        16,
+    )
+    return (
+        ev.select(z.alias("zval"))
+        .groupBy(F.shiftright("zval", 10).alias("cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )

@@ -152,3 +152,65 @@ def partitioned_table(spark: SparkSession, path: str) -> DataFrame:
     """Read back a partitioned layout; partition columns come from directory
     names and never cost IO to filter on."""
     return spark.read.parquet(path)
+
+
+def zorder_expr(x, y, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    the multi-dimensional clustering key behind Delta/Iceberg Z-ORDER:
+    sorting by z co-locates rows that are close in BOTH dimensions, so
+    parquet row-group min/max stats prune two-dimensional range queries
+    where a single-column sort only ever prunes its own column. Pure
+    bit-shift expressions (whole-stage codegen); exact integer math, so a
+    SQL twin reproduces it bit-for-bit. Columns must fit ``bits`` bits
+    (mask upstream: ``col.bitwiseAND((1 << bits) - 1)``)."""
+    from pyspark.sql import functions as F
+
+    xc = x if not isinstance(x, str) else F.col(x)
+    yc = y if not isinstance(y, str) else F.col(y)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(yc, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i + 1
+            )
+        )
+    return z
+
+
+def zorder_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
+    """DuckDB twin of ``zorder_expr`` for SQL oracles. Every term is fully
+    parenthesized: DuckDB parses ``<<`` and ``|`` at EQUAL precedence left
+    to right, so an unparenthesized ``a << 0 | b << 1`` chain re-shifts the
+    accumulated value instead of the bit."""
+    terms = []
+    for i in range(bits):
+        # the bit must widen to BIGINT before shifting: DuckDB shifts INT32
+        # literals in INT32 and 1 << 31 overflows
+        terms.append(f"(CAST(((({x_sql}) >> {i}) & 1) AS BIGINT) << {2 * i})")
+        terms.append(f"(CAST(((({y_sql}) >> {i}) & 1) AS BIGINT) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame, path: str, x, y, num_files: int = 16, bits: int = 16
+) -> None:
+    """Write ``df`` clustered on the z-order curve of (x, y): range
+    partition + sort by the interleaved key, one sorted parquet file per
+    range. Same single-shuffle shape as every other layout writer here;
+    the payoff is at read time — row-group stats on BOTH x and y become
+    selective, so two-dimensional (or y-only!) range scans skip most files,
+    which a plain x-sorted layout cannot do (pinned with real parquet
+    footer stats in tests/test_io.py)."""
+    from pyspark.sql import functions as F
+
+    z = zorder_expr(x, y, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -38,3 +38,53 @@ def test_alter_table_add_drop_column(spark, tmp_path):
     assert row["note"] == "n/a"
     t.drop_column("note")
     assert "note" not in t.df().columns
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Real parquet-footer evidence for the Z-ORDER claim: on the same data
+    and file count, a y-range query overlaps (min/max-stats-wise) FEWER
+    files under z-order clustering than under a plain x-sorted layout —
+    single-column sort can never prune the other dimension."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_on_hbase_spark import io as IO
+
+    n, files = 40000, 16
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 65536).cast("int").alias("x"),
+        (F.col("id") * 40503 % 65536).cast("int").alias("y"),
+    )
+    xs_path, z_path = str(tmp_path / "xsort"), str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(files, "x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(xs_path)
+    )
+    IO.write_zordered(df, z_path, "x", "y", num_files=files)
+
+    def overlapping(path, col, lo, hi):
+        import glob
+
+        hit = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        total += 1
+                        st = c.statistics
+                        if st is None or st.min is None:
+                            hit += 1  # no stats: must read
+                        elif not (st.max < lo or st.min > hi):
+                            hit += 1
+        return hit, total
+
+    lo, hi = 1000, 5000  # ~6% of the y domain
+    x_hit, x_total = overlapping(xs_path, "y", lo, hi)
+    z_hit, z_total = overlapping(z_path, "y", lo, hi)
+    assert x_total >= files and z_total >= files
+    # x-sorted: every file spans the full y range -> nothing prunes
+    assert x_hit == x_total
+    # z-order: y bits participate in the clustering key -> most files prune
+    assert z_hit <= z_total // 2, f"z-order pruned only {z_total - z_hit}/{z_total}"
