@@ -16,7 +16,19 @@ hashes stable:
   and they disagree on values like 94192.85625.);
 - sampling/hashing uses md5 (identical in Spark, DuckDB, Python) rather than
   engine-specific hash functions;
-- any top-k / argmax has a full deterministic tiebreak.
+- any top-k / argmax has a full deterministic tiebreak;
+- double -> integer conversions use explicit FLOOR on both sides: DuckDB's
+  CAST(double AS INTEGER) rounds half-even while Spark's cast truncates
+  toward zero (found via zorder_cluster_stats);
+- never divide a possibly-zero denominator: Spark (non-ANSI) gives NULL,
+  DuckDB gives IEEE NaN, and the two ORDER opposite ways under DESC —
+  filter the zero rows out first (found via token_budget_selection);
+- DuckDB parses << and | at EQUAL precedence left-to-right and shifts INT32
+  literals in INT32 — parenthesize every shift term and widen to BIGINT
+  before shifting (see io.zorder_sql);
+- sums of FLOATS are partition-order-dependent and differ between engines:
+  sum exact integers (quantize first if needed — see text.bigram_lm's
+  2^-20 probability quantization) or exact decimals, never raw doubles.
 """
 
 from __future__ import annotations
