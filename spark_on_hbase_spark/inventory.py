@@ -621,6 +621,10 @@ _GRADED_R02_ROTATED_OUT = [
     # the shared network build stays exercised in-window by max_connected
     # and the BSP family; r02-green
     "degree_histogram",
+    # G2's delta-iteration convergence loop stays pinned in-window by
+    # prob_propagation_2step and pagerank_5iter (same superstep kernel) and
+    # by the NumPy-equivalence pytest; r02-green
+    "connected_components",
     # G1's 3-step propagation shares the BSP superstep machinery with
     # connected_components and prob_propagation_2step (both in-window);
     # r02-green

@@ -1838,3 +1838,39 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") >= F.col("true_count")).alias("never_undercounts"),
     )
+
+
+@query(
+    "length_bucket_histogram",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, len({_WS_SQL}) AS n_tokens FROM documents
+    )
+    SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS pow2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM toks WHERE n_tokens > 0 GROUP BY pow2_bucket
+    """,
+    doc="Power-of-two token-length histogram — the batch-length scheduling "
+    "census a dataloader uses to group similar-length documents (length "
+    "bucketing minimizes padding waste). Bucket = number of binary digits "
+    "of the token count (floor(log2)+1), computed as LENGTH(BIN(n)) — "
+    "exact integer arithmetic on both engines where floor(log2(n)) as a "
+    "float risks an ulp flip at exact powers of two. One zero-shuffle scan "
+    "+ one tiny hash aggregation.",
+    tags=("text", "pipeline", "agg"),
+)
+def length_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.size(T.words_expr("text")).alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    return toks.groupBy(
+        F.length(F.bin("n_tokens")).cast("bigint").alias("pow2_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bucket_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -24,6 +24,7 @@ _MUST_GRADE_R03 = {
     "vocab_oov_rate", "triangle_count", "lm_likelihood_score",
     "doc_chunking", "fixed_k_eval_sample", "cms_token_frequency",
     "hll_rollup_union", "event_transition_matrix", "zorder_cluster_stats",
+    "length_bucket_histogram",
 }
 
 
