@@ -1455,8 +1455,8 @@ _PACK_BUDGET, _PACK_SHARDS = 256, 16
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         FROM toks
     )
-    SELECT shard, CAST(FLOOR(cum / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+    SELECT CAST(shard AS BIGINT) AS shard, CAST(FLOOR(cum / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM placed GROUP BY shard, seq_id
     """,
@@ -1551,7 +1551,7 @@ _STOP_RATIO_SQL = f"CAST({_hits_sql('en')} AS DOUBLE) / len({_WS_SQL})"
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         FROM scored
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_selected,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM placed WHERE cum < {_SELECT_BUDGET}
     GROUP BY lang
