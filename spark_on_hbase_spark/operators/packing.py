@@ -50,6 +50,13 @@ def pack_sequences(
         # % 0 would silently yield NULL shards (one global NULL window —
         # exactly the shape this operator exists to avoid); fail fast instead
         raise ValueError(f"num_shards must be positive, got {num_shards}")
+    clash = {"shard", "seq_id", "seq_offset", "__okey", "__cum"} & set(df.columns)
+    if clash:
+        # select("*", shard, okey) would duplicate these and the shard window
+        # would fail with (or worse, silently resolve) an ambiguous reference
+        raise ValueError(
+            f"input columns collide with packing output/internal names: {sorted(clash)}"
+        )
     # shard from md5 hex chars 9-16 — hash-uniform under ANY id pattern
     # (a plain id % num_shards skews when ids stride, e.g. all-even after an
     # upstream filter), and a DIFFERENT hex range than the order key below

@@ -276,9 +276,21 @@ def stream_stream_interval_join(
     — outer rows emit only once the watermark closes their match window)."""
     lt, rt, rk = f"__l_{left_ts}", f"__r_{right_ts}", f"__r_{on}"
     l = left.withColumnRenamed(left_ts, lt).withWatermark(lt, watermark)
+    # de-collide EVERY shared payload column, not just the event time —
+    # e.g. both streams carrying 'value' would otherwise emit two
+    # identically-named output columns and break downstream by-name access
+    shared = (set(left.columns) & set(right.columns)) - {on, left_ts, right_ts}
+    renames = {c: f"{c}_right" for c in sorted(shared)}
+    taken = (set(left.columns) | set(right.columns)) - shared
+    bad = sorted(set(renames.values()) & taken)
+    if bad:
+        raise ValueError(
+            f"cannot de-collide shared columns: suffixed names {bad} already exist"
+        )
     r = (
         right.withColumnRenamed(right_ts, rt)
         .withColumnRenamed(on, rk)
+        .withColumnsRenamed(renames)
         .withWatermark(rt, watermark)
     )
     cond = (

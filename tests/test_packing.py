@@ -87,6 +87,15 @@ def test_pack_sequences_rejects_bad_budget(spark, docs):
         P.pack_sequences(docs, "n_tokens", 0)
 
 
+def test_pack_sequences_rejects_reserved_column_collision(spark, docs):
+    """Input already carrying 'shard' (or an internal name) must fail fast,
+    not silently shadow user data under the packing window."""
+    with pytest.raises(ValueError, match="collide"):
+        P.pack_sequences(docs.withColumn("shard", F.lit(0)), "n_tokens", BUDGET)
+    with pytest.raises(ValueError, match="collide"):
+        P.pack_sequences(docs.withColumn("__cum", F.lit(0)), "n_tokens", BUDGET)
+
+
 def test_take_prefix_mass_matches_reference(spark, docs):
     order = [F.col("n_tokens").desc(), F.col("doc_id")]
     got = {

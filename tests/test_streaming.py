@@ -321,3 +321,30 @@ def test_stream_stream_join_same_ts_name_yields_unique_columns(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM ssj_names").collect()
     assert len(rows) == 1 and rows[0]["x"] == 1 and rows[0]["y"] == 2
+
+
+def test_stream_stream_join_shared_payload_columns_get_right_suffix(spark, tmp_path):
+    """A payload column both streams carry (here 'value') must come out as
+    value/value_right, not two identically-named columns."""
+    a_dir, b_dir = tmp_path / "pa", tmp_path / "pb"
+    spark.createDataFrame([Row(ts="2024-01-01 00:01:00", user_id=1, value=10)]).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(str(a_dir))
+    spark.createDataFrame([Row(ts="2024-01-01 00:00:30", user_id=1, value=20)]).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(str(b_dir))
+    left = ST.file_stream(spark, str(a_dir), "ts timestamp, user_id bigint, value bigint")
+    right = ST.file_stream(spark, str(b_dir), "ts timestamp, user_id bigint, value bigint")
+    joined = ST.stream_stream_interval_join(left, right, on="user_id")
+    assert len(joined.columns) == len(set(joined.columns))
+    assert "value" in joined.columns and "value_right" in joined.columns
+    q = (
+        joined.select("user_id", "value", "value_right")
+        .writeStream.format("memory").queryName("ssj_payload")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_payload_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_payload").collect()
+    assert len(rows) == 1 and rows[0]["value"] == 10 and rows[0]["value_right"] == 20
