@@ -589,12 +589,15 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.brute_force_topk(emb, queries, k=10)
 
 
-# multi-table LSH config for the graded ANN query: 8 independent 6-plane
-# tables. Measured on the synthetic (near-random) embeddings this lifts
-# recall@10 from 0.02 (one 8-plane table) to ~0.45 at sf0.01 while each
-# query still touches ~1.3% of the corpus (SCALE.md §ANN; floors pinned in
-# tests/test_pipeline.py::test_ann_recall_floors_on_fixture_corpus).
-_LSH_B, _LSH_L = 6, 8
+# multi-table LSH config for the graded ANN query: 4 independent 8-plane
+# tables + 1-bit query-side multi-probe (each query probes its bucket and
+# the 8 single-bit flips per table). Round-4 retune from (B=6, L=8, no
+# probe): on the sf0.1 corpus this config measures HIGHER recall@10
+# (0.40 vs 0.33) at ~60% of the wall cost, with a 2x smaller stored index
+# (4 rows/vector vs 8) — probing is pure query fanout, the stored layout
+# never changes. Frontier in SCALE.md §ANN; floors pinned in
+# tests/test_pipeline.py::test_ann_recall_floors_on_fixture_corpus.
+_LSH_B, _LSH_L, _LSH_PROBE = 8, 4, 1
 _LSH_TABLES = V.table_planes(_LSH_L, _LSH_B, 64)
 
 _LSH_CORPUS_CACHE: dict = {}
@@ -634,7 +637,12 @@ _LSH_BUCKET_CASE = "CASE t " + " ".join(
         SELECT vec_id, v, t, {_LSH_BUCKET_CASE} AS bucket
         FROM base_vecs CROSS JOIN tabs
     ),
-    queries AS (SELECT vec_id, v, t, bucket FROM bucketed WHERE vec_id % 97 = 0),
+    probes AS (SELECT unnest(range({_LSH_B + 1})) AS m),
+    queries AS (
+        SELECT vec_id, v, t,
+               xor(bucket, CASE WHEN m = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << (m - 1)) END) AS bucket
+        FROM bucketed CROSS JOIN probes WHERE vec_id % 97 = 0
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS query_id, b.vec_id, a.v AS qv, b.v AS cv
         FROM queries a
@@ -653,15 +661,17 @@ _LSH_BUCKET_CASE = "CASE t " + " ".join(
     )
     SELECT query_id, vec_id, cosine, rank FROM scored WHERE rank <= 10
     """,
-    doc="Multi-table sign-LSH ANN top-k (the scale path): 8 independent "
-    "6-plane tables, candidates = union of per-(table, bucket) matches "
-    "(AND-OR LSH: recall 1-(1-p^B)^L), deduplicated, then exact-scored. "
-    "All 8 buckets ride one corpus scan (explode to (table, bucket) rows, "
-    "join on the composite key). At 100 TB the corpus partitions by "
-    "(table, bucket) once and is reused across query batches; recall tunes "
-    "with L at candidate cost linear in L — measured 0.02 -> 0.45 recall@10 "
-    "vs single-table on this corpus, touching ~1.3% of candidates per query "
-    "(SCALE.md §ANN).",
+    doc="Multi-table sign-LSH ANN top-k with 1-bit multi-probe (the scale "
+    "path): 4 independent 8-plane tables; each query probes its bucket "
+    "plus the 8 single-bit flips per table (AND-OR LSH + multi-probe, "
+    "Lv et al. VLDB'07), candidates deduplicated after scoring, then "
+    "exact-ranked. All tables ride one corpus scan (explode to "
+    "(table, bucket) rows, join on the composite key); probing is pure "
+    "query-side fanout so the stored (table, bucket)-partitioned corpus "
+    "layout serves every recall/cost point unchanged. At 100 TB the corpus "
+    "index is computed once and reused across query batches. Measured vs "
+    "the round-3 (B=6, L=8) config: recall@10 0.40 vs 0.33 at ~60% cost "
+    "and half the index size (SCALE.md §ANN).",
     tags=("similarity", "embedding", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,7 +679,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 97 == 0)
     return V.lsh_topk(
         emb, queries, k=10, num_planes=_LSH_B, dim=64, num_tables=_LSH_L,
-        corpus_bucketed=_lsh_corpus(spark, sf_dir),
+        corpus_bucketed=_lsh_corpus(spark, sf_dir), probe_bits=_LSH_PROBE,
     )
 
 

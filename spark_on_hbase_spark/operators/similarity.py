@@ -225,6 +225,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     num_tables: int = 1,
     corpus_bucketed: DataFrame | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """ANN top-k: score only candidates sharing a sign-LSH bucket with the
     query. The bucket id is the shuffle/join key — at 100 TB the corpus
@@ -238,8 +239,22 @@ def lsh_topk(
     (measured, SCALE.md §ANN) — multi-table is what makes sign-LSH an
     actual ANN path rather than a lottery. All L buckets ride ONE corpus
     scan: each side explodes to (table, bucket) rows and joins on the
-    composite key; duplicate candidate pairs (colliding in >1 table) are
-    deduplicated before scoring so a vector can't occupy two ranks.
+    composite key.
+
+    ``probe_bits=1`` adds query-side multi-probe (Lv et al., VLDB'07): each
+    query also probes every bucket at Hamming distance 1 (its B single-bit
+    sign flips) in each table — B+1 probes/table. The STORED corpus layout
+    is untouched (probing is pure query fanout), so one L-table index
+    serves many recall/cost points: with bigger B (smaller buckets) and
+    smaller L, probing reaches the recall of a larger-L index at a fraction
+    of the candidate mass AND an L-fold smaller index. Measured frontier in
+    SCALE.md §ANN.
+
+    Duplicate candidate pairs (colliding in >1 probe) are deduplicated
+    before ranking so a vector can't occupy two ranks; dedup happens AFTER
+    scoring, on (query_id, id, cosine) rows (~3 scalars), not on rows still
+    carrying both 64-dim vectors — the duplicate scores are value-identical
+    so max() is deterministic.
 
     ``corpus_bucketed``: a precomputed ``lsh_bucket(candidates, ...)``
     relation (same plane config!) — pass the persisted/stored assignment so
@@ -254,6 +269,18 @@ def lsh_topk(
     qb = q.select(
         "query_id", "__qv", _table_bucket_rows(F.col("__qv"), tables).alias("__tb")
     ).select("query_id", "__qv", "__tb.__t", "__tb.__bucket")
+    if probe_bits:
+        if probe_bits != 1:
+            raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+        # distinct XOR masks yield distinct buckets, so the explode itself
+        # never duplicates a (table, bucket) probe
+        masks = F.array(*[F.lit(m).cast("bigint") for m in [0] + [1 << b for b in range(num_planes)]])
+        qb = qb.select(
+            "query_id", "__qv", "__t", "__bucket", F.explode(masks).alias("__m")
+        ).select(
+            "query_id", "__qv", "__t",
+            F.col("__bucket").bitwiseXOR(F.col("__m")).alias("__bucket"),
+        )
     cb = (
         corpus_bucketed
         if corpus_bucketed is not None
@@ -264,10 +291,6 @@ def lsh_topk(
         .join(cb, ["__t", "__bucket"])
         .where(F.col("query_id") != F.col(id_col))
     )
-    if num_tables > 1:
-        # all duplicate rows are value-identical (same query/candidate
-        # vectors), so subset-dedup is deterministic
-        cand = cand.dropDuplicates(["query_id", id_col])
     scored = cand.select(
         "query_id",
         id_col,
@@ -277,6 +300,8 @@ def lsh_topk(
             norm2_expr(F.col("__cv")),
         ).alias("cosine"),
     )
+    if num_tables > 1 or probe_bits:
+        scored = scored.groupBy("query_id", id_col).agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

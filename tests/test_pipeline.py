@@ -312,7 +312,10 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
 
     - single-table 8-plane LSH: recall@10 0.017 — the config the multi-table
       construction replaces; kept here as the contrast baseline
-    - multi-table LSH (B=6, L=8, the graded ann_lsh_topk config): 0.25
+    - multi-table LSH (B=6, L=8, the round-3 config): 0.25
+    - multi-probe LSH (B=8, L=4, probe_bits=1 — the graded ann_lsh_topk
+      config since round 4): 0.32 here, 0.40 at sf0.1 (higher recall than
+      B=6 L=8 at ~60% cost and half the index)
     - IVF nprobe=1: 0.50; nprobe=2: 0.65; nprobe=4: 0.92 (5 centroids)
 
     Floors assert ~60% of measured so data regeneration noise can't flake
@@ -338,6 +341,13 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     r_multi = recall(
         by_query(V.lsh_topk(emb, queries, k=10, num_planes=6, dim=64, num_tables=8))
     )
+    r_probe = recall(
+        by_query(
+            V.lsh_topk(
+                emb, queries, k=10, num_planes=8, dim=64, num_tables=4, probe_bits=1
+            )
+        )
+    )
     r_ivf = {
         np_: recall(by_query(V.ivf_topk(emb, queries, centroids, k=10, nprobe=np_)))
         for np_ in (1, 2, 4)
@@ -345,6 +355,15 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     # multi-table must beat the single-table lottery by a wide margin
     assert r_multi >= 0.15, f"multi-table LSH recall collapsed: {r_multi}"
     assert r_multi > r_single + 0.1
+    # the graded multi-probe config: same floor, and probing must beat the
+    # identical index WITHOUT probes by a wide margin (probe coverage is a
+    # strict superset, so an implementation bug that drops the extra probes
+    # collapses this)
+    assert r_probe >= 0.15, f"multi-probe LSH recall collapsed: {r_probe}"
+    r_noprobe = recall(
+        by_query(V.lsh_topk(emb, queries, k=10, num_planes=8, dim=64, num_tables=4))
+    )
+    assert r_probe > r_noprobe + 0.1, f"probing gained nothing: {r_probe} vs {r_noprobe}"
     # IVF floors + monotonicity in nprobe
     assert r_ivf[1] >= 0.30, f"IVF nprobe=1 recall collapsed: {r_ivf[1]}"
     assert r_ivf[4] >= 0.55, f"IVF nprobe=4 recall collapsed: {r_ivf[4]}"
