@@ -597,6 +597,12 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 # driver-grading-window). Each pop/re-insert moves a query to the dict's
 # tail, preserving this list's order there.
 _GRADED_R02_ROTATED_OUT = [
+    # -- rotated out in round 4 (all r03-green) to make window room for the
+    # round-4 additions; each stays pinned by a pytest or an in-window twin
+    # ---------------------------------------------------------------------
+    # funnel superset: one conditional-agg pass, the shape shared with
+    # cohort_retention / event_transition_matrix; r03-green
+    "funnel_conversion",
     # J5's zero-shuffle decomposition stays pinned by
     # test_right_outer_lookup_join_never_shuffles_table; r02-green
     "right_outer_lookup_join",

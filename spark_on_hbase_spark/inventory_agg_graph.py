@@ -533,7 +533,7 @@ _PROP_STEP_SQL = """
             UNION ALL
             SELECT n.dst AS key, s.origin, s.prob * n.prob AS prob
             FROM network n JOIN {cur} s ON n.src = s.key
-            WHERE s.prob * n.prob >= 0.001
+            WHERE s.prob * n.prob >= {floor}
         ) GROUP BY key, origin
     )
 """
@@ -548,8 +548,8 @@ _PROP_STEP_SQL = """
                CAST(1.0 AS DOUBLE) AS prob
         FROM supplier WHERE s_acctbal > 3000.0
     ),
-    {_PROP_STEP_SQL.format(cur='s0', next='s1')},
-    {_PROP_STEP_SQL.format(cur='s1', next='s2')}
+    {_PROP_STEP_SQL.format(cur='s0', next='s1', floor='0.001')},
+    {_PROP_STEP_SQL.format(cur='s1', next='s2', floor='0.001')}
     SELECT key, origin, prob FROM s2
     """,
     doc="G2 (bounded) — two supersteps of the reference's flagship "
@@ -566,6 +566,138 @@ def prob_propagation_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _pool(spark, sf_dir).select("key", F.col("key").alias("origin"))
     state, _steps = G.propagate_probabilities(net, seeds, min_prob=0.001, max_iters=2)
     return state
+
+
+# One delta-iteration resume superstep as DuckDB CTEs, mirroring
+# graph.propagate_incremental exactly: messages fan out from the FRONTIER
+# only; the max-merge tags which entries were already in the delta
+# (old_prob); brand-new entries must additionally beat the STORED state
+# (the s2 lookup — the table inbox filter); the next frontier is
+# improved-existing ∪ surviving-new. MATERIALIZED for the same reason as
+# the PageRank CTEs: each step references its predecessor multiple times.
+_IBSP_STEP_SQL = """
+    msg{i} AS (
+        SELECT n.dst AS key, f.origin, f.prob * n.prob AS prob
+        FROM network n JOIN front{prev} f ON n.src = f.key
+        WHERE f.prob * n.prob >= 0.01
+    ),
+    mg{i} AS MATERIALIZED (
+        SELECT key, origin, MAX(prob) AS prob,
+               MAX(CASE WHEN s = 1 THEN prob END) AS old_prob
+        FROM (
+            SELECT key, origin, prob, 1 AS s FROM delta{prev}
+            UNION ALL
+            SELECT key, origin, prob, 0 AS s FROM msg{i}
+        ) GROUP BY key, origin
+    ),
+    new{i} AS MATERIALIZED (
+        SELECT c.key, c.origin, c.prob FROM mg{i} c
+        LEFT JOIN s2 s ON s.key = c.key AND s.origin = c.origin
+        WHERE c.old_prob IS NULL AND (s.prob IS NULL OR c.prob > s.prob)
+    ),
+    delta{i} AS MATERIALIZED (
+        SELECT key, origin, prob FROM mg{i} WHERE old_prob IS NOT NULL
+        UNION ALL
+        SELECT key, origin, prob FROM new{i}
+    ),
+    front{i} AS MATERIALIZED (
+        SELECT key, origin, prob FROM mg{i}
+        WHERE old_prob IS NOT NULL AND prob > old_prob
+        UNION ALL
+        SELECT key, origin, prob FROM new{i}
+    )"""
+
+_IBSP_DONE: dict = {}
+
+
+@query(
+    "incremental_bsp_resume",
+    f"""
+    WITH {NETWORK_SQL},
+    s0 AS (
+        SELECT 's:' || s_suppkey AS key, 's:' || s_suppkey AS origin,
+               CAST(1.0 AS DOUBLE) AS prob
+        FROM supplier WHERE s_acctbal > 3000.0
+    ),
+    {_PROP_STEP_SQL.format(cur='s0', next='s1', floor='0.01')},
+    {_PROP_STEP_SQL.format(cur='s1', next='s2', floor='0.01')},
+    b0 AS (
+        SELECT 's:' || s_suppkey AS key, 's:' || s_suppkey AS origin,
+               CAST(1.0 AS DOUBLE) AS prob
+        FROM supplier WHERE s_acctbal > 1000.0 AND s_acctbal <= 3000.0
+    ),
+    delta0 AS MATERIALIZED (
+        SELECT b.key, b.origin, b.prob FROM b0 b
+        LEFT JOIN s2 s ON s.key = b.key AND s.origin = b.origin
+        WHERE s.prob IS NULL OR b.prob > s.prob
+    ),
+    front0 AS MATERIALIZED (SELECT key, origin, prob FROM delta0),
+    {_IBSP_STEP_SQL.format(i=1, prev=0)},
+    {_IBSP_STEP_SQL.format(i=2, prev=1)}
+    SELECT key, origin, MAX(prob) AS prob FROM (
+        SELECT key, origin, prob FROM s2
+        UNION ALL
+        SELECT key, origin, prob FROM delta2
+    ) GROUP BY key, origin
+    """,
+    doc="The reference's FLAGSHIP commented-out composition "
+    "(HGraphTable.scala:144-228), graded end-to-end: a probability-"
+    "propagation state TABLE persists between runs (KeyedTable — S5/S13); "
+    "a first batch of seeds propagates 2 supersteps and is stored; a "
+    "SECOND seed batch then RESUMES against the table via "
+    "graph.propagate_incremental — stored state is looked up per touched "
+    "key (joins.fill_join, J6 — the inbox filter of ref :179-186), the "
+    "loop carries only the O(|new reach|) delta, and ONLY new-or-improved "
+    "entries are written back (KeyedTable.update, G3 result load). Graded "
+    "output is the table's post-resume contents: LSM last-writer-wins "
+    "merge of the seeded layer and the resume delta. At 100 TB the state "
+    "table never re-materializes and the resume's cost is proportional to "
+    "the new batch's reach, not the corpus.",
+    tags=("graph", "bsp", "table"),
+)
+def incremental_bsp_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from spark_on_hbase_spark.table import KeyedTable
+
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bsp_state_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{sf_tag}",
+    )
+    tbl = KeyedTable(spark, path, key_col="sid", ts_col="ts", num_partitions=8)
+    sid = F.concat_ws(" ", F.col("key"), F.col("origin")).alias("sid")
+    done_key = (spark.sparkContext.applicationId, sf_dir)
+    if done_key not in _IBSP_DONE:
+        # build-once per (session, sf_dir): the content is deterministic and
+        # re-running create+resume would append duplicate layers
+        if not tbl.exists():
+            net = network(spark, sf_dir)
+            seeds_a = _pool(spark, sf_dir).select("key", F.col("key").alias("origin"))
+            state, _ = G.propagate_probabilities(
+                net, seeds_a, min_prob=0.01, max_iters=2
+            )
+            tbl.create(
+                state.select(sid, "key", "origin", "prob", F.lit(0).alias("ts"))
+            )
+            seeds_b = (
+                load(spark, sf_dir, "supplier")
+                .where((F.col("s_acctbal") > 1000.0) & (F.col("s_acctbal") <= 3000.0))
+                .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("key"))
+                .select("key", F.col("key").alias("origin"))
+            )
+            stored = tbl.df().select("key", "origin", "prob")
+            delta, _steps = G.propagate_incremental(
+                stored, net, seeds_b, min_prob=0.01, max_iters=2
+            )
+            tbl.update(
+                delta.select(sid, "key", "origin", "prob", F.lit(1).alias("ts"))
+            )
+        _IBSP_DONE[done_key] = True
+    return tbl.df().select("key", "origin", "prob")
 
 
 # One damped-PageRank superstep as a DuckDB CTE triple. Float discipline for

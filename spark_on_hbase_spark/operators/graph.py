@@ -445,6 +445,111 @@ def propagate_probabilities(
             edges.unpersist()
 
 
+def propagate_incremental(
+    stored: DataFrame,
+    edges: DataFrame,
+    new_seeds: DataFrame,
+    min_prob: float = 0.01,
+    max_iters: int = 10,
+    adaptive: bool = False,
+) -> tuple[DataFrame, int]:
+    """Table-backed incremental BSP resume — the reference's flagship
+    commented-out composition (HGraphTable.scala:144-228): a probability-
+    propagation state TABLE persists between runs; a new seed batch resumes
+    propagation against it, looking up stored state instead of recomputing
+    it, and only NEW-OR-IMPROVED entries are computed and returned (the
+    write-back batch for ``KeyedTable.update`` — G3's result load).
+
+    ``stored``: the persisted (key, origin, prob) relation (typically
+    ``KeyedTable.df()``); never mutated here and never unioned wholesale
+    into the loop state — the inbox filter (ref :179-186, 'drop messages
+    the known probabilities already dominate') is a LOOKUP against it via
+    ``joins.fill_join`` (J6), so at 100 TB the resume touches only the
+    stored partitions the frontier actually reaches, and the delta state
+    the loop carries is O(|new reach|), not O(|table|).
+
+    Entries already in the delta need no stored recheck when they improve
+    (they entered by beating the stored value; a higher prob still beats
+    it) — only BRAND-NEW (key, origin) entries pay the lookup, once.
+
+    Returns (delta, supersteps): ``delta`` holds every entry this run
+    created or improved, at final probability. Re-running with seeds whose
+    state the table already holds yields an EMPTY delta after zero message
+    supersteps — resumption is a lookup, not a recompute (pinned in
+    tests/test_graph.py)."""
+    from spark_on_hbase_spark.operators.joins import fill_join
+
+    sid = F.concat_ws(" ", F.col("key"), F.col("origin"))
+    stored_k = stored.select(sid.alias("__sid"), F.col("prob"))
+
+    def beats_stored(cand: DataFrame) -> DataFrame:
+        """Keep rows with no stored entry or a higher prob than stored —
+        one fill_join lookup against the table relation."""
+        probe = cand.withColumn("__sid", sid).withColumn(
+            "__known", F.lit(None).cast("double")
+        )
+        filled = fill_join(stored_k, probe, on="__sid", fill_cols={"__known": "prob"})
+        return filled.where(
+            F.col("__known").isNull() | (F.col("prob") > F.col("__known"))
+        ).select("key", "origin", "prob")
+
+    edges = edges.where(F.col("prob") >= min_prob).persist()
+    seeds = (
+        new_seeds.select("key", "origin")
+        .withColumn("prob", F.lit(1.0))
+    )
+    delta = beats_stored(seeds).localCheckpoint(eager=False)
+    frontier = delta
+    with loop_planner(edges, adaptive):
+        try:
+            if frontier.limit(1).count() == 0:
+                return delta, 0
+            for i in range(1, max_iters + 1):
+                messages = (
+                    edges.join(
+                        frontier.hint("shuffle_hash"),
+                        edges["src"] == frontier["key"],
+                        "inner",
+                    )
+                    .select(
+                        F.col("dst").alias("key"),
+                        F.col("origin"),
+                        (frontier["prob"] * edges["prob"]).alias("prob"),
+                    )
+                    .where(F.col("prob") >= min_prob)
+                )
+                tagged = delta.withColumn("__s", F.lit(1)).unionByName(
+                    messages.withColumn("__s", F.lit(0))
+                )
+                merged = (
+                    tagged.groupBy("key", "origin")
+                    .agg(
+                        F.max("prob").alias("prob"),
+                        F.max(F.when(F.col("__s") == 1, F.col("prob"))).alias("__old"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                fresh = beats_stored(
+                    merged.where(F.col("__old").isNull()).select("key", "origin", "prob")
+                ).localCheckpoint(eager=False)
+                improved_existing = merged.where(
+                    F.col("__old").isNotNull() & (F.col("prob") > F.col("__old"))
+                ).select("key", "origin", "prob")
+                delta = (
+                    merged.where(F.col("__old").isNotNull())
+                    .select("key", "origin", "prob")
+                    .unionByName(fresh)
+                    .localCheckpoint(eager=False)
+                )
+                frontier = improved_existing.unionByName(fresh)
+                changed = frontier.limit(1).count()
+                if not changed:
+                    return delta, i
+            return delta, max_iters
+        finally:
+            edges.unpersist()
+
+
 def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:
     """J12 — precision/recall/F1 of a modeled edge set against a validation
     edge set (AGraph.f1, AGraph.scala:307-326: join + per-key set

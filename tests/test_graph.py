@@ -100,6 +100,63 @@ def test_propagate_probabilities_min_prob_cutoff(spark, toy_edges):
     assert keys == {"a"}  # 0.5-edge message dropped below the floor
 
 
+def test_propagate_incremental_resume_matches_delta_semantics(spark, toy_edges):
+    """Table-backed resume: stored state from seed a; a new seed x reaches
+    only its own component, and the returned delta holds ONLY new entries
+    — nothing the table already knew."""
+    seeds_a = spark.createDataFrame([("a", "a")], "key string, origin string")
+    stored, _ = G.propagate_probabilities(toy_edges, seeds_a, min_prob=0.01)
+    seeds_b = spark.createDataFrame([("x", "x")], "key string, origin string")
+    delta, steps = G.propagate_incremental(stored, toy_edges, seeds_b, min_prob=0.01)
+    got = {(r["key"], r["origin"]): r["prob"] for r in delta.collect()}
+    p_xy = 26 / 255  # 0.1 on the EP wire grid
+    assert set(got) == {("x", "x"), ("y", "x")}
+    assert got[("x", "x")] == pytest.approx(1.0)
+    assert got[("y", "x")] == pytest.approx(p_xy)
+    assert steps >= 1
+
+
+def test_propagate_incremental_second_run_is_lookup_not_recompute(spark, toy_edges):
+    """Resuming with seeds whose state the table already holds must return
+    an EMPTY delta after ZERO message supersteps: the stored state is
+    looked up (fill_join inbox filter), not recomputed."""
+    seeds = spark.createDataFrame([("a", "a")], "key string, origin string")
+    stored, _ = G.propagate_probabilities(toy_edges, seeds, min_prob=0.01)
+    delta, steps = G.propagate_incremental(stored, toy_edges, seeds, min_prob=0.01)
+    assert steps == 0
+    assert delta.count() == 0
+
+
+def test_propagate_incremental_improves_stored_entries(spark):
+    """A message that BEATS a stored probability must surface the improved
+    entry in the delta (the write-back batch); a message a stored entry
+    dominates must NOT."""
+    edges = G.from_pairs(
+        spark.createDataFrame(
+            [("o", "m", 0.9, "P1", 1), ("o", "w", 0.1, "P1", 1)],
+            "src string, dst string, prob double, vendor string, ts long",
+        )
+    )
+    # the table already knows origin o at m (weakly) and at w (strongly)
+    stored = spark.createDataFrame(
+        [("m", "o", 0.1), ("w", "o", 0.9)],
+        "key string, origin string, prob double",
+    )
+    delta, _ = G.propagate_incremental(
+        stored,
+        edges,
+        spark.createDataFrame([("o", "o")], "key string, origin string"),
+        min_prob=0.01,
+    )
+    got = {(r["key"], r["origin"]): r["prob"] for r in delta.collect()}
+    p_hi = 230 / 255  # 0.9 on the EP wire grid
+    assert got[("o", "o")] == pytest.approx(1.0)  # new seed entry
+    # 0.9-message beats the stored 0.1: improved entry IS in the delta
+    assert got[("m", "o")] == pytest.approx(p_hi)
+    # 0.1-message loses to the stored 0.9: dominated, NOT in the delta
+    assert ("w", "o") not in got
+
+
 def test_from_text_adjacency(spark):
     lines = spark.createDataFrame([("a b c",), ("b c",)], "value string")
     net = G.from_text_adjacency(lines)

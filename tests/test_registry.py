@@ -4,27 +4,17 @@ contract (see inventory._GRADED_R02_ROTATED_OUT)."""
 
 from spark_on_hbase_spark.inventory import _GRADED_R02_ROTATED_OUT, QUERIES
 
-# queries that had no green CORRECTNESS row in rounds 1-2 (positions 51+ of
-# the old ordering) plus everything added in round 3 — all MUST be graded
-# this round, i.e. sit inside the first-50 window
+# Round-4 must-grade set: queries with NO green CORRECTNESS row yet (new
+# this round), plus rows whose engine or oracle changed since their last
+# green grading (the two round-3 oracle CAST fixes and the retuned ANN
+# config) — all MUST sit inside the first-50 window this round. The round-3
+# must-grade tail is all green in CORRECTNESS_r03.json and may rotate out.
 _MUST_GRADE_R03 = {
-    "text_quality", "text_token_stats", "text_fingerprint",
-    "text_rolling_fingerprint", "pipeline_corpus_curation",
-    "multimodal_decode_meta", "multimodal_frame_sample",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_brute_topk", "embedding_near_dup",
-    "exact_dedup", "minhash_lsh_dedup", "simhash_dedup", "ngram_jaccard_dedup",
-    "lsm_compaction_fold", "lsm_time_travel", "bucketed_smj_revenue",
-    "decontamination_overlap", "stratified_sample_census",
-    "pagerank_5iter", "mutation_increment_merge",
-    "minhash_cluster_dedup", "text_repetition", "text_pii_scrub",
-    "vocab_top_terms", "incremental_index_dedup", "pipeline_curation_v2",
-    "embedding_cluster_dedup", "funnel_conversion", "cohort_retention",
-    "tfidf_keywords", "event_volume_anomaly",
-    "sequence_packing", "domain_mixture_sample", "token_budget_selection",
-    "vocab_oov_rate", "triangle_count", "lm_likelihood_score",
-    "doc_chunking", "fixed_k_eval_sample", "cms_token_frequency",
-    "hll_rollup_union", "event_transition_matrix", "zorder_cluster_stats",
-    "length_bucket_histogram",
+    # changed since their last grading
+    "sequence_packing", "token_budget_selection",  # oracle CAST fixes
+    "ann_lsh_topk",  # retuned to multi-probe B=8 L=4
+    # new in round 4
+    "incremental_bsp_resume",
 }
 
 
