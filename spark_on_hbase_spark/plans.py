@@ -208,6 +208,19 @@ def loop_planner(df: DataFrame, adaptive: bool):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def plan_budget(df: DataFrame) -> tuple[int, int, int]:
+    """(scans, shuffles, broadcasts) of the live plan — the per-query cost
+    triple PLANS.md records and tests/test_plan_budget.py gates: an edit
+    that silently adds an exchange or a re-scan fails against the
+    checked-in golden instead of shipping."""
+    live = "\n".join(_live_tree_lines(formatted_plan(df)))
+    return (
+        live.count("Scan parquet"),
+        live.count("Exchange (") - live.count("BroadcastExchange ("),
+        live.count("BroadcastExchange ("),
+    )
+
+
 def count_scans(df: DataFrame) -> int:
     """Number of file-scan leaves that would execute (cached-lineage scans
     excluded — see ``_live_tree_lines``). A shared subtree referenced twice
