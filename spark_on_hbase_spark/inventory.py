@@ -610,6 +610,9 @@ _GRADED_R02_ROTATED_OUT = [
     # volume-anomaly superset: exact integer moments, the family's shape
     # stays pinned by event_transition_matrix in-window; r03-green
     "event_volume_anomaly",
+    # HLL rollup superset: mergeable-sketch path also pinned by
+    # cms_token_frequency (in-window) and the sketch pytest suite; r03-green
+    "hll_rollup_union",
     # J5's zero-shuffle decomposition stays pinned by
     # test_right_outer_lookup_join_never_shuffles_table; r02-green
     "right_outer_lookup_join",

@@ -1913,3 +1913,76 @@ def length_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+_SPAN_T = 10  # span ("line") width in tokens; stride == width
+
+
+@query(
+    "span_dedup_census",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_WS_SQL} AS ws FROM documents
+    ),
+    shaped AS (
+        SELECT doc_id, ws,
+               1 + CAST(FLOOR((GREATEST(len(ws) - {_SPAN_T}, 0) + {_SPAN_T - 1})
+                              / {_SPAN_T}) AS INTEGER) AS n_chunks
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   ws[cid * {_SPAN_T} + 1 : cid * {_SPAN_T} + {_SPAN_T}], ' '))
+                   AS fp
+        FROM (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS cid FROM shaped)
+    ),
+    freq AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY fp
+    ),
+    per_doc AS (
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS dup_spans
+        FROM spans s JOIN freq f ON s.fp = f.fp GROUP BY s.doc_id
+    )
+    SELECT CASE WHEN 10 * dup_spans >= 3 * n_spans
+                THEN 'dropped' ELSE 'kept' END AS status,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+           CAST(SUM(dup_spans) AS BIGINT) AS total_dup_spans
+    FROM per_doc GROUP BY status
+    """,
+    doc="C4/RefinedWeb-style cross-document span ('line') dedup gate "
+    f"(dedup.span_dup_stats): non-overlapping {_SPAN_T}-token spans are "
+    "md5-fingerprinted; ONE hash aggregation counts distinct documents per "
+    "fingerprint; the per-span verdict joins back on the same key (the "
+    "join reuses the aggregation's partitioning) and one per-document "
+    "aggregation yields dup-span fractions; documents with >= 30% "
+    "cross-doc duplicated spans are dropped. No pairwise comparison "
+    "anywhere — the blow-up bound is the span-frequency table, which at "
+    "100 TB is the stored artifact reused per batch. The 30% gate "
+    "compares 10*dup >= 3*n in EXACT integers, so the census is "
+    "cross-engine exact.",
+    tags=("dedup", "pipeline", "text"),
+)
+def span_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = D.span_dup_stats(docs, span_tokens=_SPAN_T)
+    return (
+        stats.select(
+            F.when(
+                F.lit(10) * F.col("dup_spans") >= F.lit(3) * F.col("n_spans"),
+                F.lit("dropped"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "n_spans",
+            "dup_spans",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").cast("bigint").alias("total_spans"),
+            F.sum("dup_spans").cast("bigint").alias("total_dup_spans"),
+        )
+    )

@@ -372,3 +372,54 @@ def benchmark_overlap(
             "contamination"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document span (line) dedup — the C4 / RefinedWeb gate
+# ---------------------------------------------------------------------------
+
+
+def span_dup_stats(
+    df: DataFrame,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-corpus span-duplication signal — the C4/RefinedWeb
+    "line dedup" gate (C4 drops any 3-sentence span seen more than once;
+    RefinedWeb drops documents dominated by duplicated lines). The corpus
+    here carries no newlines, so 'lines' are fixed non-overlapping
+    ``span_tokens``-token windows (text.chunk_documents with
+    stride == chunk).
+
+    Shape: chunk (zero shuffle) -> md5-fingerprint each span -> ONE hash
+    aggregation keyed by fingerprint counting DISTINCT documents -> join
+    the per-span verdict back (shuffle on the fingerprint, the same key —
+    the join reuses the aggregation's partitioning) -> one per-document
+    aggregation. No pairwise comparison anywhere: the blow-up bound is the
+    span-frequency table, |spans| rows at worst. At 100 TB the frequency
+    table is the stored artifact (build once, reuse per batch like the LSH
+    corpus index).
+
+    Returns (id, n_spans, dup_spans) with dup_spans = spans whose
+    fingerprint occurs in MORE THAN ONE document (within-doc repeats are
+    repetition, not duplication — text.ngram_occurrence_stats covers
+    those). Exact integers only; thresholding is the caller's choice
+    (compare k*dup_spans >= m*n_spans in integers for cross-engine
+    exactness)."""
+    from spark_on_hbase_spark.operators.text import chunk_documents
+
+    spans = chunk_documents(
+        df, chunk_tokens=span_tokens, stride=span_tokens, text_col=text_col, id_col=id_col
+    ).select(id_col, F.md5("chunk_text").alias("__fp"))
+    freq = spans.groupBy("__fp").agg(
+        F.count_distinct(F.col(id_col)).alias("__ndocs")
+    )
+    return (
+        spans.join(freq, "__fp")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum((F.col("__ndocs") > 1).cast("bigint")).cast("bigint").alias("dup_spans"),
+        )
+    )
