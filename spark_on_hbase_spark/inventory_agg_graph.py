@@ -617,14 +617,14 @@ _IBSP_DONE: dict = {}
     s0 AS (
         SELECT 's:' || s_suppkey AS key, 's:' || s_suppkey AS origin,
                CAST(1.0 AS DOUBLE) AS prob
-        FROM supplier WHERE s_acctbal > 3000.0
+        FROM supplier WHERE s_acctbal > 5500.0
     ),
     {_PROP_STEP_SQL.format(cur='s0', next='s1', floor='0.01')},
     {_PROP_STEP_SQL.format(cur='s1', next='s2', floor='0.01')},
     b0 AS (
         SELECT 's:' || s_suppkey AS key, 's:' || s_suppkey AS origin,
                CAST(1.0 AS DOUBLE) AS prob
-        FROM supplier WHERE s_acctbal > 1000.0 AND s_acctbal <= 3000.0
+        FROM supplier WHERE s_acctbal > 4000.0 AND s_acctbal <= 5500.0
     ),
     delta0 AS MATERIALIZED (
         SELECT b.key, b.origin, b.prob FROM b0 b
@@ -676,7 +676,12 @@ def incremental_bsp_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-running create+resume would append duplicate layers
         if not tbl.exists():
             net = network(spark, sf_dir)
-            seeds_a = _pool(spark, sf_dir).select("key", F.col("key").alias("origin"))
+            seeds_a = (
+                load(spark, sf_dir, "supplier")
+                .where(F.col("s_acctbal") > 5500.0)
+                .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("key"))
+                .select("key", F.col("key").alias("origin"))
+            )
             state, _ = G.propagate_probabilities(
                 net, seeds_a, min_prob=0.01, max_iters=2
             )
@@ -685,7 +690,7 @@ def incremental_bsp_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             seeds_b = (
                 load(spark, sf_dir, "supplier")
-                .where((F.col("s_acctbal") > 1000.0) & (F.col("s_acctbal") <= 3000.0))
+                .where((F.col("s_acctbal") > 4000.0) & (F.col("s_acctbal") <= 5500.0))
                 .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("key"))
                 .select("key", F.col("key").alias("origin"))
             )

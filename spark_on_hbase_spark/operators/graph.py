@@ -480,7 +480,10 @@ def propagate_incremental(
     from spark_on_hbase_spark.operators.joins import fill_join
 
     sid = F.concat_ws(" ", F.col("key"), F.col("origin"))
-    stored_k = stored.select(sid.alias("__sid"), F.col("prob"))
+    # the lookup relation is probed once at seed time and once per
+    # superstep — persist it so each probe reads cached blocks instead of
+    # re-scanning (and re-merging) the table's layer files
+    stored_k = stored.select(sid.alias("__sid"), F.col("prob")).persist()
 
     def beats_stored(cand: DataFrame) -> DataFrame:
         """Keep rows with no stored entry or a higher prob than stored —
@@ -548,6 +551,10 @@ def propagate_incremental(
             return delta, max_iters
         finally:
             edges.unpersist()
+            # drops cached blocks only; if a partially-materialized lazy
+            # checkpoint still holds lineage through stored_k, recompute
+            # falls back to the table's layer files
+            stored_k.unpersist()
 
 
 def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:
