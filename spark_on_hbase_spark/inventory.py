@@ -613,6 +613,10 @@ _GRADED_R02_ROTATED_OUT = [
     # HLL rollup superset: mergeable-sketch path also pinned by
     # cms_token_frequency (in-window) and the sketch pytest suite; r03-green
     "hll_rollup_union",
+    # layer-prefix time travel stays pinned by
+    # test_time_travel_reads_layer_prefix, and lsm_compaction_fold
+    # (in-window) exercises the same layered fold; r03-green
+    "lsm_time_travel",
     # J5's zero-shuffle decomposition stays pinned by
     # test_right_outer_lookup_join_never_shuffles_table; r02-green
     "right_outer_lookup_join",

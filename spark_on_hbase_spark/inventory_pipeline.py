@@ -1986,3 +1986,50 @@ def span_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dup_spans").cast("bigint").alias("total_dup_spans"),
         )
     )
+
+
+@query(
+    "temperature_mixture_census",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    cuts AS (
+        SELECT lang, n,
+               CAST(FLOOR(sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE)
+                               / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT)
+                   AS cut
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.lang, d.n_chars, c.n
+        FROM documents d JOIN cuts c ON d.lang = c.lang
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) < c.cut
+    )
+    SELECT lang, MIN(n) AS n_total, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM kept GROUP BY lang
+    """,
+    doc="Temperature-reweighted domain mixture at alpha = 0.5 "
+    "(scan.temperature_mixture_sample) — the standard multilingual "
+    "rebalance: keep-rate_d = sqrt(n_min/n_d), the geometric mean between "
+    "equal mixture (domain_mixture_sample, alpha=0) and no-op (alpha=1); "
+    "the rarest language keeps everything, dominant ones downsample to "
+    "~sqrt(n_min*n_d) docs. alpha is fixed at 0.5 because sqrt is the only "
+    "non-trivial power that is correctly-rounded IEEE on both engines — "
+    "pow() carries no cross-engine bit guarantee. Census -> broadcast "
+    "cutoffs -> md5-salt predicate: two corpus passes, retry/engine "
+    "stable at any scale.",
+    tags=("pipeline", "sampling"),
+)
+def temperature_mixture_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import scan as S
+
+    docs = load(spark, sf_dir, "documents")
+    kept = S.temperature_mixture_sample(docs, "lang", id_col="doc_id", count_col="__total")
+    return kept.groupBy("lang").agg(
+        F.min("__total").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )

@@ -183,6 +183,47 @@ def balanced_sample(
     return kept.drop("__cut", "__n")
 
 
+def temperature_mixture_sample(
+    df: DataFrame, domain_col: str, id_col: str, count_col: str | None = None
+) -> DataFrame:
+    """Temperature-reweighted domain mixture at alpha = 0.5 — the standard
+    multilingual-training rebalance (sampling probability proportional to
+    n_d^alpha: rarer domains upweighted RELATIVE to their size, but not all
+    the way to equal mixture). Downsample-only closed form: keep-rate_d =
+    sqrt(n_min / n_d) — the geometric mean of equal-mixture
+    (``balanced_sample``'s n_min/n_d, alpha=0) and no-op (alpha=1); the
+    rarest domain keeps everything and the kept counts follow
+    sqrt(n_min * n_d) ~ n_d^0.5.
+
+    alpha is FIXED at 0.5 because sqrt is the only non-trivial power whose
+    result is correctly-rounded IEEE in both engines (pow(x, a) carries no
+    cross-engine bit guarantee and would flake the oracle hash); the rate
+    is sqrt of one exact-integer division, so cutoffs are bit-identical
+    everywhere. Same scale shape as balanced_sample: census (rows =
+    #domains) -> broadcast cutoffs -> deterministic md5-salt predicate on
+    the scan; exactly two corpus passes at any scale."""
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    cuts = counts.crossJoin(F.broadcast(min_n)).select(
+        domain_col,
+        F.col("__n"),
+        F.floor(
+            F.sqrt(F.col("__min_n").cast("double") / F.col("__n").cast("double"))
+            * F.lit(4294967296.0)
+        ).cast("bigint").alias("__cut"),
+    )
+    kept = df.join(F.broadcast(cuts), domain_col).where(
+        md5_salt(id_col) < F.col("__cut")
+    )
+    if count_col is not None:
+        kept = kept.withColumn(count_col, F.col("__n"))
+    return kept.drop("__cut", "__n")
+
+
 def stratified_sample_sql(
     id_sql: str, strata_sql: str, rates: dict[str, float], default_rate: float = 0.0
 ) -> str:

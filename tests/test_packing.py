@@ -147,6 +147,24 @@ def test_balanced_sample_keeps_smallest_domain_whole(spark):
     assert again == {r["doc_id"] for r in kept.collect()}
 
 
+def test_temperature_mixture_sits_between_balanced_and_noop(spark):
+    """alpha=0.5 keep-rate sqrt(n_min/n_d): the rarest domain keeps
+    everything; the dominant one keeps MORE than equal-mixture would
+    (sqrt(20/300) ~ 0.26 vs 20/300 ~ 0.067) but clearly fewer than all;
+    and the kept set is a SUPERSET of balanced_sample's (same salt, a
+    higher cutoff can only add rows)."""
+    rows = [(i, "big") for i in range(300)] + [(1000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    temp = S.temperature_mixture_sample(df, "source", "doc_id")
+    counts = {r["source"]: r["n"] for r in temp.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 20  # sqrt(1.0) -> cutoff 2^32 keeps all
+    # expectation 300*sqrt(20/300) ~ 77; wide Bernoulli slack
+    assert 40 <= counts["big"] <= 120
+    bal_ids = {r["doc_id"] for r in S.balanced_sample(df, "source", "doc_id").collect()}
+    temp_ids = {r["doc_id"] for r in temp.collect()}
+    assert bal_ids <= temp_ids
+
+
 def test_pack_sequences_census_is_single_shuffle_no_global_window(spark, docs):
     """The 100 TB pin: packing + census plan exactly ONE exchange (the shard
     shuffle — the census agg reuses the window's partitioning) and every
