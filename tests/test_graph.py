@@ -127,6 +127,28 @@ def test_propagate_incremental_second_run_is_lookup_not_recompute(spark, toy_edg
     assert delta.count() == 0
 
 
+def test_propagate_incremental_converged_base_matches_batch(spark, toy_edges):
+    """Fixpoint composition: when the stored state is itself a CONVERGED
+    propagation of seed set A, resuming with seed set B to convergence and
+    max-merging the delta over stored must equal batch propagation over
+    A ∪ B — the property that makes the table-backed resume a correct
+    substitute for full recomputation (max-decay is an idempotent
+    semiring; a fixpoint plus delta iteration reaches the joint
+    fixpoint)."""
+    seeds_a = spark.createDataFrame([("a", "a")], "key string, origin string")
+    seeds_b = spark.createDataFrame([("c", "c"), ("x", "x")], "key string, origin string")
+    stored, _ = G.propagate_probabilities(toy_edges, seeds_a, min_prob=0.01, max_iters=50)
+    delta, _ = G.propagate_incremental(stored, toy_edges, seeds_b, min_prob=0.01, max_iters=50)
+    merged = {}
+    for r in stored.collect() + delta.collect():
+        k = (r["key"], r["origin"])
+        merged[k] = max(merged.get(k, 0.0), r["prob"])
+    both = seeds_a.unionByName(seeds_b)
+    batch, _ = G.propagate_probabilities(toy_edges, both, min_prob=0.01, max_iters=50)
+    expect = {(r["key"], r["origin"]): r["prob"] for r in batch.collect()}
+    assert merged == expect
+
+
 def test_propagate_incremental_improves_stored_entries(spark):
     """A message that BEATS a stored probability must surface the improved
     entry in the delta (the write-back batch); a message a stored entry
