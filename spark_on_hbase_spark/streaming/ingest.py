@@ -303,9 +303,16 @@ def stream_stream_interval_join(
     # side's keeps a _right suffix — renaming both back would produce two
     # identically-named columns and break every downstream by-name access.
     right_ts_out = right_ts if right_ts != left_ts else f"{right_ts}_right"
-    return (
+    out = (
         l.join(r, cond, how)
         .withColumn(on, F.coalesce(F.col(on), F.col(rk)))
         .drop(rk)
         .withColumnsRenamed({lt: left_ts, rt: right_ts_out})
     )
+    # catch-all for the exotic cross-named cases the rename map can't see
+    # (e.g. a right payload column named exactly like the LEFT's event
+    # time): fail at plan time, never emit duplicate output names
+    if len(out.columns) != len(set(out.columns)):
+        dupes = sorted({c for c in out.columns if out.columns.count(c) > 1})
+        raise ValueError(f"stream-stream join output has duplicate columns: {dupes}")
+    return out
