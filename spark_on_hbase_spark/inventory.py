@@ -617,6 +617,9 @@ _GRADED_R02_ROTATED_OUT = [
     # test_time_travel_reads_layer_prefix, and lsm_compaction_fold
     # (in-window) exercises the same layered fold; r03-green
     "lsm_time_travel",
+    # Z-order clustering stays pinned by the real footer-stats pruning
+    # pytest (test_zorder_layout_prunes_both_dimensions); r03-green
+    "zorder_cluster_stats",
     # J5's zero-shuffle decomposition stays pinned by
     # test_right_outer_lookup_join_never_shuffles_table; r02-green
     "right_outer_lookup_join",

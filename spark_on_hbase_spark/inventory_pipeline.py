@@ -2033,3 +2033,106 @@ def temperature_mixture_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),
     )
+
+
+def _ivf_d2(a: str, b: str) -> str:
+    return V.IVF_D2_SQL.format(a=a, b=b)
+
+
+# One Lloyd iteration as DuckDB CTEs, mirroring similarity.kmeans_refine
+# exactly: nearest-centroid assignment (exact int L2, (d2, cid) tiebreak),
+# per-(cell, dim) exact integer sums, FLOOR-division means via the pmod
+# identity (truncating // is safe because the numerator is exactly
+# divisible), empty cells keep their previous centroid.
+_KM_STEP_SQL = """
+    a{i} AS MATERIALIZED (
+        SELECT vec_id, v, cid AS centroid_id FROM (
+            SELECT b.vec_id, b.v, c.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {d2}, c.cid) AS rn
+            FROM base_vecs b CROSS JOIN c{prev} c
+        ) WHERE rn = 1
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT centroid_id AS cid, list(fd ORDER BY d) AS cv
+        FROM (
+            SELECT centroid_id, d,
+                   (s - ((s % n) + n) % n) // n AS fd
+            FROM (
+                SELECT centroid_id, d, SUM(x) AS s, COUNT(*) AS n
+                FROM (
+                    SELECT centroid_id, unnest(v) AS x,
+                           generate_subscripts(v, 1) AS d
+                    FROM a{i}
+                ) GROUP BY centroid_id, d
+            )
+        ) GROUP BY centroid_id
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT cid, cv FROM m{i}
+        UNION ALL
+        SELECT cid, cv FROM c{prev} WHERE cid NOT IN (SELECT cid FROM m{i})
+    )"""
+
+_KM_COS = V.COSINE_SQL.format(
+    dot=V.dot_sql("q.qv", "a.v"), na=V.norm2_sql("q.qv"), nb=V.norm2_sql("a.v")
+)
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    f"""
+    WITH {_BASE_VECS_SQL},
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM base_vecs WHERE vec_id % 101 = 0),
+    {_KM_STEP_SQL.format(i=1, prev=0, d2=_ivf_d2('b.v', 'c.cv'))},
+    {_KM_STEP_SQL.format(i=2, prev=1, d2=_ivf_d2('b.v', 'c.cv'))},
+    final_assign AS MATERIALIZED (
+        SELECT vec_id, v, cid AS centroid_id FROM (
+            SELECT b.vec_id, b.v, c.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_ivf_d2('b.v', 'c.cv')}, c.cid) AS rn
+            FROM base_vecs b CROSS JOIN c2 c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS centroid_id FROM (
+            SELECT b.vec_id, b.v, c.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_ivf_d2('b.v', 'c.cv')}, c.cid) AS rn
+            FROM base_vecs b CROSS JOIN c2 c
+            WHERE b.vec_id % 97 = 0
+        ) WHERE rn <= 2
+    ),
+    km_scored AS (
+        SELECT q.query_id, a.vec_id, {_KM_COS} AS cosine,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_KM_COS} DESC, a.vec_id) AS rank
+        FROM probes q
+        JOIN final_assign a ON a.centroid_id = q.centroid_id
+                           AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM km_scored WHERE rank <= 10
+    """,
+    doc="IVF ANN with TRAINED centroids under the hard signal: 2 Lloyd "
+    "iterations (similarity.kmeans_refine) refine the deterministic seed "
+    "centroids, then the standard IVF query path probes nprobe=2 cells. "
+    "Training is bit-exact across engines — assignment is exact int L2 "
+    "with a (d2, cid) tiebreak, centroid updates are exact integer sums "
+    "with FLOOR-division means (pmod identity; a rounded double mean "
+    "would diverge per iteration: Spark rounds HALF_UP, DuckDB "
+    "half-even) — so the oracle replays the whole training loop, not "
+    "just the query. At 100 TB: per iteration one broadcast-assign scan "
+    "+ one (cell, dim) partial+final aggregation, no driver state; the "
+    "trained centroids drop into the unchanged ivf query path "
+    "(cells = storage partitions, reusable across batches).",
+    tags=("similarity", "embedding", "ivf", "kmeans"),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", V.quantize_expr("embedding").alias("__v"))
+    seeds = q.where(F.col("vec_id") % 101 == 0)
+    refined = V.kmeans_refine(q, seeds, iters=2)
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    return V.ivf_topk(
+        emb, queries, refined, k=10, nprobe=2, centroids_quantized=True
+    )

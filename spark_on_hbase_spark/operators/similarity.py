@@ -411,10 +411,18 @@ def kmeans_refine(
 ) -> DataFrame:
     """Lloyd's k-means over quantized vectors, DataFrame-native: assign
     (exact int L2 via ivf_assign) -> recompute centroids as element-wise
-    means (posexplode -> per-(cell, dim) avg -> rebuild array) -> repeat.
-    Empty cells keep their previous centroid. Returns (vec_id=cell id,
-    __v=centroid) ready for ivf_topk — upgrading IVF from seed centroids to
-    trained ones without changing the query path.
+    FLOOR-DIVISION means (posexplode -> per-(cell, dim) exact integer
+    sum/count -> floor-div -> rebuild array) -> repeat. Empty cells keep
+    their previous centroid. Returns (vec_id=cell id, __v=centroid) ready
+    for ivf_topk — upgrading IVF from seed centroids to trained ones
+    without changing the query path.
+
+    Centroid components stay EXACT INTEGERS end-to-end (sum of bigints,
+    then floor division via the pmod identity) so every iteration is
+    bit-identical across Spark, DuckDB and Python — a rounded double mean
+    would diverge (Spark rounds HALF_UP, DuckDB half-even) and a k-means
+    divergence compounds per iteration. That exactness is what lets the
+    graded query put the trained-centroid path under the oracle hash.
 
     Per iteration: one broadcast-assign scan + one (cell, dim)-key
     aggregation — both partial+final, no driver-side state; centroids are
@@ -433,12 +441,15 @@ def kmeans_refine(
             )
             means = (
                 dims.groupBy("centroid_id", "__d")
-                .agg(F.avg("__x").alias("__m"))
+                .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+                # exact floor division: (s - pmod(s, n)) is divisible by n,
+                # so the integer `div` is the mathematical floor for any sign
+                .withColumn("__m", F.expr("(__s - pmod(__s, __n)) div __n"))
                 .groupBy("centroid_id")
                 .agg(
                     F.transform(
                         F.sort_array(F.collect_list(F.struct("__d", "__m"))),
-                        lambda s: F.round(s["__m"]).cast("bigint"),
+                        lambda s: s["__m"].cast("bigint"),
                     ).alias(qvec_col)
                 )
                 .select(F.col("centroid_id").alias(id_col), qvec_col)
@@ -462,6 +473,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    centroids_quantized: bool = False,
 ) -> DataFrame:
     """IVF ANN top-k: corpus partitioned by nearest-centroid cell; each
     query probes its ``nprobe`` nearest cells. At 100 TB the cell id is the
@@ -470,10 +482,18 @@ def ivf_topk(
     Centroids are any small deterministic seed set (a k-means refinement
     drops in without changing the query path); recall tunes with nprobe
     (boundary queries search adjacent cells too) without touching the
-    corpus layout."""
+    corpus layout.
+
+    ``centroids_quantized``: pass True when ``centroids`` already carries
+    quantized ``__v`` arrays (e.g. ``kmeans_refine`` output) — quantizing
+    twice would corrupt them."""
     from pyspark.sql import Window
 
-    cq = centroids.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
+    cq = (
+        centroids.select(F.col(id_col), F.col("__v"))
+        if centroids_quantized
+        else centroids.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
+    )
     corpus = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
     qs = queries.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
     corpus_cells = ivf_assign(corpus, cq, id_col, "__v")

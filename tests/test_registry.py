@@ -15,7 +15,7 @@ _MUST_GRADE_R03 = {
     "ann_lsh_topk",  # retuned to multi-probe B=8 L=4
     # new in round 4
     "incremental_bsp_resume", "csv_export_roundtrip", "ddl_evolution_fold",
-    "span_dedup_census", "temperature_mixture_census",
+    "span_dedup_census", "temperature_mixture_census", "ann_ivf_kmeans_topk",
 }
 
 
