@@ -112,11 +112,22 @@ def main() -> None:
     chunks = T.chunk_documents(full, chunk_tokens=32, stride=24)
     print("doc chunks for embedding:", chunks.count())
 
-    # 5. embedding ANN over the vector table
+    # 4c. cross-document span (line) dedup gate + temperature mixture
+    from spark_on_hbase_spark.operators import dedup as DD
+    from spark_on_hbase_spark.operators import scan as SC
+
+    spans = DD.span_dup_stats(full, span_tokens=10)
+    gated = spans.where(10 * F.col("dup_spans") < 3 * F.col("n_spans"))
+    print("span-dedup gate keeps:", gated.count(), "of", spans.count(), "docs")
+    rebalanced = SC.temperature_mixture_sample(full, "lang", id_col="doc_id")
+    print("temperature mixture (alpha=0.5) keeps:", rebalanced.count(), "docs")
+
+    # 5. embedding ANN over the vector table (multi-probe sign-LSH: 4
+    # 8-plane tables, each query also probes its 8 single-bit bucket flips)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 97 == 0)
-    top = V.lsh_topk(emb, queries, k=5, num_planes=8, dim=64)
-    print("ANN neighbors (LSH, first query):")
+    top = V.lsh_topk(emb, queries, k=5, num_planes=8, dim=64, num_tables=4, probe_bits=1)
+    print("ANN neighbors (multi-probe LSH, first query):")
     top.orderBy("query_id", "rank").show(5)
 
 
