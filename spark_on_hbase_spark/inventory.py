@@ -28,7 +28,15 @@ hashes stable:
   before shifting (see io.zorder_sql);
 - sums of FLOATS are partition-order-dependent and differ between engines:
   sum exact integers (quantize first if needed — see text.bigram_lm's
-  2^-20 probability quantization) or exact decimals, never raw doubles.
+  2^-20 probability quantization) or exact decimals, never raw doubles;
+- round() diverges (Spark HALF_UP, DuckDB half-even) and DuckDB's `//` is
+  truncation, not floor — for integer means use the pmod floor-division
+  identity `(s - ((s % n) + n) % n) // n` on both sides (see
+  similarity.kmeans_refine, found via ann_ivf_kmeans_topk);
+- of the power functions only sqrt is guaranteed correctly-rounded IEEE on
+  both engines; pow()/ln() carry no cross-engine bit guarantee — never put
+  them in a graded value or an ordering key (see
+  scan.temperature_mixture_sample's fixed alpha=0.5).
 """
 
 from __future__ import annotations
