@@ -628,6 +628,10 @@ _GRADED_R02_ROTATED_OUT = [
     # Z-order clustering stays pinned by the real footer-stats pruning
     # pytest (test_zorder_layout_prunes_both_dimensions); r03-green
     "zorder_cluster_stats",
+    # triangle count stays pinned by the graph pytest orientation tests,
+    # and its degree/orientation machinery is shared with the in-window
+    # BSP family; r03-green
+    "triangle_count",
     # J5's zero-shuffle decomposition stays pinned by
     # test_right_outer_lookup_join_never_shuffles_table; r02-green
     "right_outer_lookup_join",

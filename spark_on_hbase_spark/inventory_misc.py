@@ -1315,3 +1315,40 @@ def ddl_evolution_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.drop_column("name")
     return tbl.df().select("key", "bal", "tier", "ts")
+
+
+@query(
+    "grouped_topk_customers",
+    """
+    SELECT n_name, c_custkey, bal, rnk FROM (
+        SELECT n.n_name, c.c_custkey, c.c_acctbal AS bal,
+               row_number() OVER (PARTITION BY n.n_name
+                                  ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    """,
+    doc="Per-GROUP top-k (top-3 customers by balance per nation) — the "
+    "grouped twin of top_k_customers' global TakeOrderedAndProject. "
+    "Spark plans the rank<=k filter as WindowGroupLimit: every partition "
+    "keeps only k rows per group BEFORE the window shuffle, so at 100 TB "
+    "the exchange carries k*|groups| rows per partition, not the fact "
+    "table — the optimization is plan-pinned in "
+    "tests/test_plans.py::test_grouped_topk_plans_window_group_limit. "
+    "Deterministic (c_custkey) tiebreak; raw double balance, no "
+    "arithmetic, so the hash is exact.",
+    tags=("sort", "limit", "window"),
+)
+def grouped_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("bal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "c_custkey", F.col("c_acctbal").alias("bal"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )

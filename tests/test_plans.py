@@ -389,3 +389,16 @@ def test_runtime_bloom_filter_reduces_fact_side(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_grouped_topk_plans_window_group_limit(spark, sf_dir):
+    """Per-group top-k must plan WindowGroupLimit (partial + final): each
+    partition keeps only k rows per group BEFORE the window exchange, so
+    the shuffle carries k*|groups| rows per partition instead of the fact
+    table — the difference between a grouped top-k that scales and one
+    that sorts everything."""
+    from spark_on_hbase_spark.inventory import QUERIES
+
+    df = QUERIES["grouped_topk_customers"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
