@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StructField,
@@ -362,3 +363,93 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+        StructField("decodable", BooleanType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual image signature — the
+    multimodal twin of the text simhash: near-duplicate images (re-encodes,
+    small edits, thumbnails) land within a few Hamming bits of each other.
+    Arrow-batched mapInPandas over the REAL decode path (BMP 24-bit /
+    PPM P6): nearest-neighbor resample to 8x8 (the same index kernel as
+    resize_images), integer grayscale per cell (r+g+b), bit j set iff
+    cell_j * 64 > total (all-integer; no float mean, so the signature is
+    bit-stable everywhere). Non-decodable payloads hash their deterministic
+    byte-fold thumbnail instead, flagged ``decodable=false`` so pipelines
+    can gate on real images. At 100 TB the signature computation is one
+    embarrassingly-parallel scan; pairing goes through ``ahash_near_pairs``
+    (prefix-bucketed, never all-pairs)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, flags = [], []
+            for payload in pdf[payload_col]:
+                img = _decode_image(payload)
+                ok = img is not None
+                if not ok:
+                    reps = 192 // max(len(payload), 1) + 1
+                    img = np.frombuffer(
+                        bytes((payload * reps)[:192]), np.uint8
+                    ).reshape(8, 8, 3)
+                h, w = img.shape[:2]
+                ys = (np.arange(8) * h // 8).clip(0, h - 1)
+                xs = (np.arange(8) * w // 8).clip(0, w - 1)
+                cells = img[ys][:, xs].astype(np.int64).sum(axis=2)  # 8x8 gray*1
+                total = int(cells.sum())
+                bits = (cells.flatten() * 64 > total).astype(np.uint64)
+                hv = np.uint64(0)
+                for j, b in enumerate(bits):
+                    hv |= b << np.uint64(j)
+                hashes.append(np.int64(hv.astype(np.uint64).view(np.int64)))
+                flags.append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "decodable": pd.Series(flags, dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AHASH_SCHEMA)
+
+
+def ahash_near_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 5,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash: bucket on the UNSIGNED top
+    ``prefix_bits`` of the 64-bit signature (bounds the self-join like
+    every other dedup family — no all-pairs anywhere), then verify with
+    exact Hamming distance via bit_count(xor). Same bucket-then-verify
+    shape as dedup.simhash_near_pairs, widened to 64-bit signatures."""
+    bucketed = signatures.select(
+        F.col(id_col),
+        F.col("ahash"),
+        F.shiftrightunsigned(F.col("ahash"), 64 - prefix_bits).alias("__bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("ahash").alias("sig_a"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("ahash").alias("sig_b"), "__bucket"
+    )
+    return (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

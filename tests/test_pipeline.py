@@ -718,3 +718,35 @@ def test_cms_estimate_of_never_seen_key_is_zero_on_sparse_sketch(spark):
     # sparse sketch: the unseen key's probes hit empty buckets -> estimate 0
     # (an inner join would have dropped the key entirely)
     assert got == {"a": 3, "never-seen": 0}
+
+
+def test_image_ahash_near_dup_detection(spark):
+    """Perceptual aHash: a one-pixel edit stays within a few Hamming bits
+    of the original; a structurally different image does not collide. A
+    non-decodable payload still hashes (deterministic fallback) but is
+    flagged decodable=false."""
+    import numpy as np
+
+    rng = [(x * 7 + y * 13) % 2 for y in range(8) for x in range(8)]
+    base = np.array(
+        [[255, 255, 255] if v else [0, 0, 0] for v in rng], dtype=np.uint8
+    ).reshape(8, 8, 3)
+    near = base.copy()
+    near[0, 0] = [200, 200, 200]  # tiny edit
+    far = 255 - base  # inverted checkerboard
+    ppm = lambda a: b"P6\n8 8\n255\n" + a.tobytes()
+    rows = [
+        Row(doc_id=1, payload=bytearray(ppm(base))),
+        Row(doc_id=2, payload=bytearray(ppm(near))),
+        Row(doc_id=3, payload=bytearray(ppm(far))),
+        Row(doc_id=4, payload=bytearray(b"not an image at all, just bytes!")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = M.image_ahash(df)
+    got = {r["doc_id"]: (r["ahash"], r["decodable"]) for r in sigs.collect()}
+    assert got[1][1] and got[2][1] and got[3][1] and not got[4][1]
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(got[1][0], got[2][0]) <= 2  # near-dup stays close
+    assert ham(got[1][0], got[3][0]) >= 30  # inverted image is far
+    pairs = M.ahash_near_pairs(sigs, max_hamming=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
