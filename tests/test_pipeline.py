@@ -750,3 +750,38 @@ def test_image_ahash_near_dup_detection(spark):
     assert ham(got[1][0], got[3][0]) >= 30  # inverted image is far
     pairs = M.ahash_near_pairs(sigs, max_hamming=5).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_video_frame_near_dup_composition(spark):
+    """Video-level near-dup via frame composition: sample_frames extracts
+    real PPM-stream frames, image_ahash signs each frame, and two videos
+    sharing a (slightly edited) frame collide; unrelated videos don't."""
+    import numpy as np
+
+    rng = [(x * 5 + y * 11) % 2 for y in range(8) for x in range(8)]
+    img1 = np.array(
+        [[255, 255, 255] if v else [0, 0, 0] for v in rng], dtype=np.uint8
+    ).reshape(8, 8, 3)
+    img1_edit = img1.copy()
+    img1_edit[3, 3] = [30, 30, 30]
+    img2 = np.roll(img1, 4, axis=1) ^ 255
+    img3 = img1.transpose(1, 0, 2) ^ 170
+    # genuinely different structure: smooth gradients (no checkerboard)
+    grad = np.arange(64, dtype=np.uint8).reshape(8, 8) * 4
+    img4 = np.stack([grad, grad.T, 255 - grad], axis=2)
+    img5 = np.stack([grad.T, 255 - grad, grad], axis=2)
+
+    frame = lambda a: b"P6\n8 8\n255\n" + a.tobytes()
+    vid = lambda *imgs: b"".join(frame(a) for a in imgs)
+    rows = [
+        Row(doc_id=1, payload=bytearray(vid(img1, img2))),
+        Row(doc_id=2, payload=bytearray(vid(img1_edit, img3))),  # shares ~img1
+        Row(doc_id=3, payload=bytearray(vid(img4, img5))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    frames = M.sample_frames(df)
+    sigs = M.image_ahash(frames, id_col="doc_id", payload_col="frame_bytes")
+    pairs = M.ahash_near_pairs(sigs, max_hamming=4)
+    vids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in vids
+    assert not any(3 in p for p in vids)
