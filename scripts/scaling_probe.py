@@ -40,6 +40,8 @@ TARGETS = [
     "pipeline_curation_v2",
     "tfidf_keywords",
     "bsp_3step",
+    "incremental_bsp_resume",
+    "minhash_lsh_dedup",
 ]
 
 # key shift per replica, chosen far above any real key range

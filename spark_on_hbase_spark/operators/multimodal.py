@@ -453,3 +453,73 @@ def ahash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_energy_hash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit energy-profile audio signature — the WAV twin of
+    ``image_ahash``: the PCM stream splits into 64 equal windows, each
+    window's energy is an exact integer sum of squared samples, and bit j
+    is set iff window_j's energy * 64 > total energy. Re-encodes and small
+    edits preserve the coarse loudness contour, so near-duplicate audio
+    lands within a few Hamming bits (pair via ``ahash_near_pairs`` — the
+    output column is ``ahash`` on purpose). All-integer end to end.
+    Non-WAV payloads hash their raw bytes as unsigned 8-bit samples,
+    flagged ``decodable=false``."""
+    import struct
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, flags = [], []
+            for payload in pdf[payload_col]:
+                wav = _wav_header(bytes(payload))
+                samples = None
+                if wav:
+                    _, bits, _ = wav
+                    # locate the data chunk again for the sample bytes
+                    b = bytes(payload)
+                    pos = 12
+                    while pos + 8 <= len(b):
+                        cid = b[pos : pos + 4]
+                        csize = struct.unpack_from("<I", b, pos + 4)[0]
+                        if cid == b"data":
+                            raw = b[pos + 8 : pos + 8 + csize]
+                            if bits == 16:
+                                samples = np.frombuffer(
+                                    raw[: len(raw) // 2 * 2], "<i2"
+                                ).astype(np.int64)
+                            else:
+                                samples = np.frombuffer(raw, np.uint8).astype(
+                                    np.int64
+                                ) - 128
+                            break
+                        pos += 8 + csize + (csize & 1)
+                ok = samples is not None and samples.size > 0
+                if not ok:
+                    samples = np.frombuffer(bytes(payload) or b"\x00", np.uint8).astype(
+                        np.int64
+                    )
+                n = samples.size
+                edges = (np.arange(65) * n) // 64
+                sq = samples * samples
+                csum = np.concatenate([[0], np.cumsum(sq)])
+                energies = csum[edges[1:]] - csum[edges[:-1]]  # exact ints
+                total = int(csum[-1])
+                hv = np.uint64(0)
+                for j, e in enumerate(energies):
+                    if int(e) * 64 > total:
+                        hv |= np.uint64(1) << np.uint64(j)
+                hashes.append(np.int64(hv.view(np.int64)))
+                flags.append(bool(ok))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "decodable": pd.Series(flags, dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AHASH_SCHEMA)

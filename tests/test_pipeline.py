@@ -785,3 +785,43 @@ def test_video_frame_near_dup_composition(spark):
     vids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in vids
     assert not any(3 in p for p in vids)
+
+
+def test_audio_energy_hash_near_dup(spark):
+    """Energy-profile audio hash: a lightly renormalized copy of a tone
+    burst pattern stays within a few Hamming bits; a different rhythm does
+    not collide; non-WAV payloads are flagged."""
+    import struct
+
+    import numpy as np
+
+    def wav(samples: np.ndarray) -> bytes:
+        raw = samples.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw)) + b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(raw)) + raw
+        return out
+
+    n = 6400
+    t = np.arange(n)
+    burst = ((t // 400) % 2 == 0).astype(np.int64)  # on/off every 400 samples
+    tone = (np.sin(t / 5.0) * 8000).astype(np.int64)
+    a = tone * burst
+    b = (tone * 0.9).astype(np.int64) * burst       # quieter copy, same rhythm
+    c = tone * (((t // 150) % 3 == 0).astype(np.int64))  # different rhythm
+    rows = [
+        Row(doc_id=1, payload=bytearray(wav(a))),
+        Row(doc_id=2, payload=bytearray(wav(b))),
+        Row(doc_id=3, payload=bytearray(wav(c))),
+        Row(doc_id=4, payload=bytearray(b"definitely not audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = M.audio_energy_hash(df)
+    got = {r["doc_id"]: (r["ahash"], r["decodable"]) for r in sigs.collect()}
+    assert got[1][1] and got[2][1] and got[3][1] and not got[4][1]
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")
+    assert ham(got[1][0], got[2][0]) <= 4
+    assert ham(got[1][0], got[3][0]) >= 10
+    pairs = M.ahash_near_pairs(sigs, max_hamming=4)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
