@@ -632,6 +632,10 @@ _GRADED_R02_ROTATED_OUT = [
     # and its degree/orientation machinery is shared with the in-window
     # BSP family; r03-green
     "triangle_count",
+    # PageRank stays pinned by the graph pytest suite and shares the
+    # superstep kernel with the in-window BSP queries (prob_propagation,
+    # incremental_bsp_resume, label_propagation); r03-green
+    "pagerank_5iter",
     # J5's zero-shuffle decomposition stays pinned by
     # test_right_outer_lookup_join_never_shuffles_table; r02-green
     "right_outer_lookup_join",

@@ -875,3 +875,59 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return G.triangle_count(pairs)
+
+
+# One synchronous label-propagation superstep as DuckDB CTEs, mirroring
+# graph.label_propagation: messages fan out along edges; each vertex adopts
+# the most frequent incoming label (ties -> smallest label), keeping its
+# own when nothing arrives. Exact integer counts + string tiebreak:
+# deterministic on both engines.
+_LPA_STEP_SQL = """
+    lmsg{i} AS (
+        SELECT n.dst AS key, l.label FROM network n JOIN lab{prev} l ON n.src = l.key
+    ),
+    lcnt{i} AS (
+        SELECT key, label, COUNT(*) AS c FROM lmsg{i} GROUP BY key, label
+    ),
+    lpick{i} AS (
+        SELECT key, label FROM (
+            SELECT key, label,
+                   row_number() OVER (PARTITION BY key ORDER BY c DESC, label) AS rn
+            FROM lcnt{i}
+        ) WHERE rn = 1
+    ),
+    lab{i} AS MATERIALIZED (
+        SELECT v.key, COALESCE(p.label, v.label) AS label
+        FROM lab{prev} v LEFT JOIN lpick{i} p ON v.key = p.key
+    )"""
+
+
+@query(
+    "label_propagation_2step",
+    f"""
+    WITH {NETWORK_SQL},
+    lab0 AS MATERIALIZED (
+        SELECT DISTINCT key, key AS label FROM (
+            SELECT src AS key FROM network
+            UNION ALL SELECT dst AS key FROM network
+        )
+    ),
+    {_LPA_STEP_SQL.format(i=1, prev=0)},
+    {_LPA_STEP_SQL.format(i=2, prev=1)}
+    SELECT label, COUNT(*) AS community_size FROM lab2 GROUP BY label
+    """,
+    doc="Two supersteps of synchronous label propagation (community "
+    "detection, graph.label_propagation) over the supplier-part network — "
+    "the third BSP merge semiring beside max-decay propagation and "
+    "min-label connected components: each vertex adopts its most frequent "
+    "neighbor label (exact integer counts, smallest-label tiebreak — the "
+    "engine's count-argmax is one min(struct) aggregation, no window "
+    "sort). Graded output is the community-size census after 2 steps. "
+    "Same per-superstep cost shape as every other loop here: one "
+    "stationary-edge join + two hash aggregations, one scalar collect.",
+    tags=("graph", "bsp"),
+)
+def label_propagation_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    net = network(spark, sf_dir)
+    labels, _steps = G.label_propagation(net, max_iters=2)
+    return labels.groupBy("label").agg(F.count("*").alias("community_size"))

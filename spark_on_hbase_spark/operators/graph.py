@@ -557,6 +557,75 @@ def propagate_incremental(
             stored_k.unpersist()
 
 
+def label_propagation(
+    edges: DataFrame,
+    max_iters: int = 10,
+    adaptive: bool = False,
+) -> tuple[DataFrame, int]:
+    """Synchronous label propagation (community detection) on the same
+    superstep machinery as the other BSP loops — the third merge semiring
+    the engine exercises (max-decay probabilities, min-label connected
+    components, and here count-argmax): every vertex starts as its own
+    label and each superstep adopts the MOST FREQUENT incoming neighbor
+    label, ties broken by the smallest label, keeping its current label
+    when it has no in-edges. Deterministic end to end: counts are exact
+    integers and the (count DESC, label ASC) argmax is one ``min(struct)``
+    aggregation, not a window sort.
+
+    Per superstep: one src-keyed join (the cached symmetric edge relation
+    stays stationary via the shuffle_hash hint), one (dst, label) hash
+    aggregation, one per-dst argmax aggregation — all partial+final, no
+    driver state; one scalar changed-count collect paces the loop. Stops
+    when no vertex changes label. Returns ((key, label), supersteps)."""
+    edges = edges.select("src", "dst").persist()
+    # src ∪ dst so pure-sink vertices of a directed input get state too
+    # (on the symmetric networks the engine builds, src alone covers all —
+    # the explode rides the same cached scan)
+    current = (
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("key")
+        )
+        .distinct()
+        .withColumn("label", F.col("key"))
+        .localCheckpoint(eager=False)
+    )
+    with loop_planner(edges, adaptive):
+        try:
+            for i in range(1, max_iters + 1):
+                msgs = edges.join(
+                    current.hint("shuffle_hash"),
+                    edges["src"] == current["key"],
+                    "inner",
+                ).select(F.col("dst").alias("key"), F.col("label"))
+                # count-argmax without a window: min over (-count, label)
+                # is (max count, then smallest label) lexicographically
+                pick = (
+                    msgs.groupBy("key", "label")
+                    .agg(F.count("*").alias("__c"))
+                    .groupBy("key")
+                    .agg(F.min(F.struct((-F.col("__c")).alias("__nc"), F.col("label"))).alias("__w"))
+                    .select("key", F.col("__w.label").alias("__new"))
+                )
+                merged = (
+                    current.join(pick, "key", "left")
+                    .select(
+                        "key",
+                        F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+                        (F.coalesce(F.col("__new"), F.col("label")) != F.col("label")).alias("__chg"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                changed = merged.agg(
+                    F.sum(F.col("__chg").cast("int"))
+                ).collect()[0][0]
+                current = merged.select("key", "label")
+                if not changed:
+                    return current, i
+            return current, max_iters
+        finally:
+            edges.unpersist()
+
+
 def f1_validate(modeled: DataFrame, validation: DataFrame) -> DataFrame:
     """J12 — precision/recall/F1 of a modeled edge set against a validation
     edge set (AGraph.f1, AGraph.scala:307-326: join + per-key set

@@ -275,3 +275,38 @@ def test_triangle_count_known_graphs(spark):
     # triangle-free: star graph
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
     assert G.triangle_count(star).collect()[0]["n_triangles"] == 0
+
+
+def test_label_propagation_finds_communities(spark):
+    """Two triangles joined by one bridge edge: after convergence each
+    triangle shares one label, and the deterministic tiebreak makes the
+    result exactly reproducible."""
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 1.0, "P1", 1), ("b", "c", 1.0, "P1", 1), ("a", "c", 1.0, "P1", 1),
+            ("x", "y", 1.0, "P1", 1), ("y", "z", 1.0, "P1", 1), ("x", "z", 1.0, "P1", 1),
+            ("c", "x", 1.0, "P1", 1),  # bridge
+        ],
+        "src string, dst string, prob double, vendor string, ts long",
+    )
+    net = G.from_pairs(pairs)
+    labels, steps = G.label_propagation(net, max_iters=10)
+    got = {r["key"]: r["label"] for r in labels.collect()}
+    # within each triangle all labels agree
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert steps <= 10
+    # deterministic: a second run reproduces the labels exactly
+    labels2, _ = G.label_propagation(net, max_iters=10)
+    assert got == {r["key"]: r["label"] for r in labels2.collect()}
+
+
+def test_label_propagation_isolated_vertex_keeps_label(spark):
+    """A vertex with no in-edges keeps its own label (the COALESCE path)."""
+    edges = spark.createDataFrame(
+        [("a", "b")], "src string, dst string"  # directed only a->b
+    )
+    labels, _ = G.label_propagation(edges, max_iters=3)
+    got = {r["key"]: r["label"] for r in labels.collect()}
+    assert got["a"] == "a"  # no messages reach a
+    assert got["b"] == "a"  # b adopts its only neighbor's label

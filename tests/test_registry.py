@@ -16,7 +16,7 @@ _MUST_GRADE_R03 = {
     # new in round 4
     "incremental_bsp_resume", "csv_export_roundtrip", "ddl_evolution_fold",
     "span_dedup_census", "temperature_mixture_census", "ann_ivf_kmeans_topk",
-    "grouped_topk_customers",
+    "grouped_topk_customers", "label_propagation_2step",
 }
 
 
