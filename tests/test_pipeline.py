@@ -825,3 +825,33 @@ def test_audio_energy_hash_near_dup(spark):
     assert ham(got[1][0], got[3][0]) >= 10
     pairs = M.ahash_near_pairs(sigs, max_hamming=4)
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_span_dup_stats_extremes(spark):
+    """Boundary properties: a corpus of mutual clones has every span
+    duplicated; a disjoint-vocabulary corpus has none; and within-doc
+    repetition alone (one doc repeating its own span) does NOT count —
+    span dedup is cross-document by definition."""
+    clones = spark.createDataFrame(
+        [Row(doc_id=i, text="one two three four five six seven eight nine ten") for i in range(3)]
+    )
+    s1 = {r["doc_id"]: r for r in D.span_dup_stats(clones, span_tokens=5).collect()}
+    assert all(r["dup_spans"] == r["n_spans"] == 2 for r in s1.values())
+
+    disjoint = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="zeta eta theta iota kappa"),
+        ]
+    )
+    s2 = {r["doc_id"]: r for r in D.span_dup_stats(disjoint, span_tokens=5).collect()}
+    assert all(r["dup_spans"] == 0 for r in s2.values())
+
+    selfrep = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aa bb cc dd ee aa bb cc dd ee"),  # repeats ITSELF
+            Row(doc_id=2, text="vv ww xx yy zz qq rr ss tt uu"),
+        ]
+    )
+    s3 = {r["doc_id"]: r for r in D.span_dup_stats(selfrep, span_tokens=5).collect()}
+    assert s3[1]["dup_spans"] == 0  # both spans live in doc 1 only
