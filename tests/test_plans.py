@@ -402,3 +402,46 @@ def test_grouped_topk_plans_window_group_limit(spark, sf_dir):
     df = QUERIES["grouped_topk_customers"].fn(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "WindowGroupLimit" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """The 100 TB shuffle-join saver Catalyst gives for free once enabled:
+    with a SELECTIVE dimension filter and no broadcast, Spark injects a
+    runtime Bloom filter (might_contain over the dim's join keys) onto the
+    FACT side, so fact rows that can't match die at the scan instead of
+    riding the exchange. Locally the size thresholds must be forced down
+    (the defaults — 10 MB creation side, 10 GB application side — are
+    tuned for real scale, where this fires without any help); the pin is
+    that the engine's session planning supports it and results are
+    unchanged. SCALE.md documents the conf recipe."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        li = load(spark, sf_dir, "lineitem")
+        od = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+        return (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+
+    baseline = {(r["l_returnflag"], r["n"]) for r in build().collect()}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = build()
+        plan = plans.formatted_plan(df)
+        assert "might_contain" in plan.lower(), "runtime bloom filter not injected"
+        assert baseline == {(r["l_returnflag"], r["n"]) for r in df.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
