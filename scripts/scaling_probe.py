@@ -1,4 +1,4 @@
-"""Scaling probe: do the top-5 most expensive graded queries scale linearly?
+"""Scaling probe: do the most expensive graded queries scale linearly?
 
 A flat sf0.1 bench can hide a driver-side or super-linear bottleneck that
 only bites at cluster scale. This probe times each target query at sf0.1
