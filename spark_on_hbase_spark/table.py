@@ -261,7 +261,21 @@ class KeyedTable:
         HBaseTable.update, HBaseTable.scala:100-122): ONE appended delta
         layer — O(batch), the table is not rewritten. Returns rows applied
         (the reference's put accumulator, HBaseTable.scala:127) — observed
-        inside the write job (see _write_layer), not a second pass."""
+        inside the write job (see _write_layer), not a second pass.
+
+        Whole-row means WHOLE row: the batch must carry exactly the
+        table's columns. A missing column would write a layer the merge
+        can no longer read (every subsequent scan fails) — fail fast
+        BEFORE writing instead; partial-row mutations are ``put``'s job."""
+        expected = set(self._schema())
+        got = set(batch.columns) - {_TOMBSTONE}
+        if got != expected:
+            missing, extra = sorted(expected - got), sorted(got - expected)
+            raise ValueError(
+                f"update() is whole-row: batch columns must match the table "
+                f"(missing {missing}, unexpected {extra}); use put() for "
+                f"partial rows"
+            )
         n = self._write_layer(batch, "delta")
         self._maybe_compact()
         return n

@@ -398,3 +398,23 @@ def test_keyed_table_range_scan_prunes_layer_files(spark, tmp_path):
     # and the engine-side scan returns exactly the range, correctly merged
     got = tbl.df().where((F.col("key") >= 1000) & (F.col("key") < 2000))
     assert got.count() == 1000
+
+
+def test_update_rejects_partial_rows_before_writing(spark, tmp_path):
+    """update() is whole-row: a batch missing a column would append a
+    layer the merge can never read again (every later scan dies on the
+    unresolvable column) — it must fail fast with nothing written, and the
+    table must stay fully readable. Partial rows are put()'s job."""
+    t = KeyedTable(spark, str(tmp_path / "wr"), key_col="key", ts_col="ts",
+                   num_partitions=2)
+    t.create(spark.createDataFrame([(1, "a", 0), (2, "b", 0)],
+                                   "key long, name string, ts int"))
+    with pytest.raises(ValueError, match="whole-row"):
+        t.update(spark.createDataFrame([(1, 5)], "key long, ts int"))
+    with pytest.raises(ValueError, match="whole-row"):
+        t.update(spark.createDataFrame([(1, "x", 5, 9)],
+                                       "key long, name string, ts int, bogus int"))
+    # nothing was written; the table still reads and put() covers partials
+    assert t.df().count() == 2
+    t.put(spark.createDataFrame([(1, 5)], "key long, ts int"))
+    assert t.df().where(F.col("key") == 1).collect()[0]["name"] == "a"
