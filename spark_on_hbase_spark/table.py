@@ -189,12 +189,27 @@ class KeyedTable:
     def add_column(self, name: str, default=None, dtype: str = "string") -> None:
         """S16 — ALTER TABLE ADD column with a default (HBaseAdminUtils.
         updateSchema, misc/HBaseAdminUtils.scala:105-143). Compacts so every
-        layer shares the new schema."""
-        self._replace_all_layers(self.df().withColumn(name, F.lit(default).cast(dtype)))
+        layer shares the new schema. ADD means ADD: a name that already
+        exists raises — withColumn would silently OVERWRITE every stored
+        value with the default."""
+        current = self.df()
+        if name in current.columns:
+            raise ValueError(
+                f"add_column: column {name!r} already exists (adding it would "
+                f"overwrite stored values with the default)"
+            )
+        self._replace_all_layers(current.withColumn(name, F.lit(default).cast(dtype)))
 
     def drop_column(self, name: str) -> None:
         """S16 — ALTER TABLE DROP column (HBaseAdminUtils.dropColumnIfExists,
-        misc/HBaseAdminUtils.scala:178-214)."""
+        misc/HBaseAdminUtils.scala:178-214): dropping a column that does not
+        exist is a no-op, per the reference's IfExists contract — but the
+        key and timestamp columns are structural and refuse to go."""
+        if name in (self.key_col, self.ts_col):
+            raise ValueError(
+                f"drop_column: {name!r} is the table's "
+                f"{'key' if name == self.key_col else 'timestamp'} column"
+            )
         self._replace_all_layers(self.df().drop(name))
 
     # -- scan / select (S2/S3) ---------------------------------------------

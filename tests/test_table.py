@@ -418,3 +418,22 @@ def test_update_rejects_partial_rows_before_writing(spark, tmp_path):
     assert t.df().count() == 2
     t.put(spark.createDataFrame([(1, 5)], "key long, ts int"))
     assert t.df().where(F.col("key") == 1).collect()[0]["name"] == "a"
+
+
+def test_ddl_guards(spark, tmp_path):
+    """ADD of an existing column refuses (withColumn would silently
+    overwrite stored values with the default); DROP of a missing column is
+    a no-op per the reference's IfExists contract; DROP of the key or ts
+    column refuses (structural)."""
+    t = KeyedTable(spark, str(tmp_path / "ddlg"), key_col="key", ts_col="ts",
+                   num_partitions=2)
+    t.create(spark.createDataFrame([(1, "a", 0)], "key long, name string, ts int"))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("name", default="X")
+    assert t.df().collect()[0]["name"] == "a"  # data untouched
+    t.drop_column("mystery")  # no-op, table still reads
+    assert t.df().count() == 1
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("key")
+    with pytest.raises(ValueError, match="timestamp column"):
+        t.drop_column("ts")
