@@ -172,7 +172,12 @@ class KeyedTable:
     def create(self, df: DataFrame) -> "KeyedTable":
         """Create the table from an initial DataFrame (pre-split into
         ``num_partitions`` sorted ranges, like the reference's pre-split
-        regions, HBaseAdminUtils.scala:118)."""
+        regions, HBaseAdminUtils.scala:118). Creating over an EXISTING
+        table raises (HBase's TableExistsException): a silent second base
+        layer would union two generations of data — use ``update`` to
+        merge or ``drop`` first to replace."""
+        if self.exists():
+            raise FileExistsError(f"table already exists at {self.path}")
         Path(self.path).mkdir(parents=True, exist_ok=True)
         self._write_layer(df, "base")
         return self

@@ -437,3 +437,17 @@ def test_ddl_guards(spark, tmp_path):
         t.drop_column("key")
     with pytest.raises(ValueError, match="timestamp column"):
         t.drop_column("ts")
+
+
+def test_create_refuses_existing_table(spark, tmp_path):
+    """HBase's TableExistsException: a second create would silently union
+    two base generations; it must raise with the original data intact."""
+    t = KeyedTable(spark, str(tmp_path / "ce"), key_col="key", ts_col="ts",
+                   num_partitions=2)
+    t.create(spark.createDataFrame([(1, "a", 0)], "key long, name string, ts int"))
+    with pytest.raises(FileExistsError):
+        t.create(spark.createDataFrame([(9, "z", 1)], "key long, name string, ts int"))
+    assert [r["key"] for r in t.df().collect()] == [1]
+    t.drop()
+    t.create(spark.createDataFrame([(9, "z", 1)], "key long, name string, ts int"))
+    assert [r["key"] for r in t.df().collect()] == [9]
