@@ -398,10 +398,9 @@ def image_ahash(
                 img = _decode_image(payload)
                 ok = img is not None
                 if not ok:
-                    reps = 192 // max(len(payload), 1) + 1
-                    img = np.frombuffer(
-                        bytes((payload * reps)[:192]), np.uint8
-                    ).reshape(8, 8, 3)
+                    src = bytes(payload) or b"\x00"  # empty payloads hash zeros
+                    reps = 192 // len(src) + 1
+                    img = np.frombuffer((src * reps)[:192], np.uint8).reshape(8, 8, 3)
                 h, w = img.shape[:2]
                 ys = (np.arange(8) * h // 8).clip(0, h - 1)
                 xs = (np.arange(8) * w // 8).clip(0, w - 1)

@@ -750,6 +750,11 @@ def test_image_ahash_near_dup_detection(spark):
     assert ham(got[1][0], got[3][0]) >= 30  # inverted image is far
     pairs = M.ahash_near_pairs(sigs, max_hamming=5).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # empty payloads must hash (deterministic zeros), not crash the kernel
+    empty = spark.createDataFrame([Row(doc_id=9, payload=bytearray(b""))],
+                                  "doc_id long, payload binary")
+    er = M.image_ahash(empty).collect()[0]
+    assert er["ahash"] == 0 and not er["decodable"]
 
 
 def test_video_frame_near_dup_composition(spark):
