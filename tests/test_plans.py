@@ -168,6 +168,31 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
 
+def test_bucketed_table_aggregates_without_shuffle(spark, sf_dir):
+    """The other half of the bucketed-storage payoff: a GROUP BY on the
+    bucket key reuses the write-time clustering — zero exchanges, the
+    aggregation runs entirely within the stored buckets. At 100 TB this is
+    the difference between re-shuffling the fact table for every keyed
+    rollup and never shuffling it."""
+    from spark_on_hbase_spark import io as IO
+    from spark_on_hbase_spark.inventory import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key"), "l_quantity"
+    )
+    IO.write_bucketed(li, "bkt_li_agg", "key", buckets=4)
+    try:
+        agg = (
+            IO.bucketed_table(spark, "bkt_li_agg")
+            .groupBy("key")
+            .agg(F.count("*").alias("n"))
+        )
+        assert plans.count_shuffles(agg) == 0
+        assert agg.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_li_agg")
+
+
 def test_pagerank_superstep_never_broadcasts_edges(spark, sf_dir):
     """The pagerank superstep's scale guarantee: the cached links relation
     (exact stats, possibly under the broadcast threshold) must NOT become
