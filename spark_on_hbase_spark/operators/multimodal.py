@@ -428,12 +428,21 @@ def ahash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 5,
     prefix_bits: int = 16,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Near-duplicate image pairs by aHash: bucket on the UNSIGNED top
     ``prefix_bits`` of the 64-bit signature (bounds the self-join like
     every other dedup family — no all-pairs anywhere), then verify with
     exact Hamming distance via bit_count(xor). Same bucket-then-verify
-    shape as dedup.simhash_near_pairs, widened to 64-bit signatures."""
+    shape as dedup.simhash_near_pairs, widened to 64-bit signatures.
+
+    ``probe_bits=1`` (default) is the same boundary fix the ANN path uses
+    (similarity.lsh_topk multi-probe): a pair whose ONE differing bit
+    falls inside the prefix never shares a bucket, so one side also
+    probes every single-bit flip of its prefix — pure probe-side fanout
+    (prefix_bits+1 probes), the stored bucketing is unchanged, and any
+    pair within Hamming 1 on the prefix is guaranteed to collide.
+    Duplicate candidate pairs are collapsed before the verify output."""
     bucketed = signatures.select(
         F.col(id_col),
         F.col("ahash"),
@@ -442,16 +451,29 @@ def ahash_near_pairs(
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("ahash").alias("sig_a"), "__bucket"
     )
+    if probe_bits:
+        if probe_bits != 1:
+            raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+        masks = F.array(
+            *[F.lit(m).cast("bigint") for m in [0] + [1 << i for i in range(prefix_bits)]]
+        )
+        a = a.select(
+            "id_a", "sig_a", "__bucket", F.explode(masks).alias("__m")
+        ).select(
+            "id_a", "sig_a",
+            F.col("__bucket").bitwiseXOR(F.col("__m")).alias("__bucket"),
+        )
     b = bucketed.select(
         F.col(id_col).alias("id_b"), F.col("ahash").alias("sig_b"), "__bucket"
     )
-    return (
+    out = (
         a.join(b, "__bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return out.dropDuplicates(["id_a", "id_b"]) if probe_bits else out
 
 
 def audio_energy_hash(

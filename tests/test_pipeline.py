@@ -860,3 +860,15 @@ def test_span_dup_stats_extremes(spark):
     )
     s3 = {r["doc_id"]: r for r in D.span_dup_stats(selfrep, span_tokens=5).collect()}
     assert s3[1]["dup_spans"] == 0  # both spans live in doc 1 only
+
+
+def test_ahash_prefix_probe_catches_boundary_pairs(spark):
+    """A pair whose single differing bit falls INSIDE the prefix never
+    shares a bucket — exactly the miss the 1-bit prefix probe fixes
+    (the same boundary fix as the ANN multi-probe)."""
+    top_bit_set = -(1 << 63)  # int64 with only the top (sign) bit set
+    sigs = spark.createDataFrame([(1, 0), (2, top_bit_set)], "doc_id long, ahash long")
+    missed = M.ahash_near_pairs(sigs, max_hamming=1, probe_bits=0).collect()
+    assert missed == []  # prefix buckets differ: pair invisible without probing
+    found = M.ahash_near_pairs(sigs, max_hamming=1, probe_bits=1).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in found] == [(1, 2, 1)]
