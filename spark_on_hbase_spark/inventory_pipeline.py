@@ -2136,3 +2136,177 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.ivf_topk(
         emb, queries, refined, k=10, nprobe=2, centroids_quantized=True
     )
+
+
+# ===========================================================================
+# Perceptual near-duplicate hashing (image aHash / video frame-hash / audio
+# energy hash) — the multimodal dedup family under the hard oracle signal.
+# The payloads are REAL codec-free media (PPM P6 / multi-frame PPM streams /
+# WAV PCM) synthesized as pure integer functions of doc_id
+# (multimodal.synth_*_payloads), so Spark runs the genuine byte-level parse
+# (+ hash kernels) while DuckDB replays the identical hash math from the
+# pixel/sample formula — the same grading trick the ANN family uses for
+# quantized vectors, extended to media bytes.
+# ===========================================================================
+
+# pixel p(i) of group g, frame f — shared with multimodal._synth_pixels
+_PX_SQL = f"(((g * {M.SYNTH_A} + ({{i}}) * {M.SYNTH_B} + ({{f}}) * {M.SYNTH_F}) % 256{{plus}}) % 256)"
+
+
+def _ahash_sql(cell_sql: str) -> str:
+    """DuckDB aHash fold: bit j set iff cell_j * 64 > total, packed into a
+    signed BIGINT via the two's-complement sum (bit 63 contributes -2^63 —
+    bit-identical to numpy's uint64 -> int64 view in image_ahash)."""
+    return f"""
+        CAST(list_sum(list_transform(range(64), j ->
+            CASE WHEN ({cell_sql}) * 64 > total THEN
+                CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT) END
+            ELSE 0 END)) AS BIGINT)
+    """
+
+
+_IMG_CELL = (
+    "list_sum(list_transform(range(3), c -> "
+    + _PX_SQL.format(i="3*j + c", f="0", plus=" + CASE WHEN j = j0 THEN d ELSE 0 END")
+    + "))"
+)
+_IMG_CELLS_SQL = f"""
+    params AS (SELECT doc_id, doc_id % 40 AS g, doc_id % 64 AS j0,
+                      (doc_id // 40) % 17 AS d
+               FROM documents),
+    totals AS (
+        SELECT doc_id, g, j0, d,
+               list_sum(list_transform(range(192), i ->
+                   {_PX_SQL.format(i="i", f="0", plus=" + CASE WHEN i // 3 = j0 THEN d ELSE 0 END")}
+               )) AS total
+        FROM params
+    ),
+    sigs AS (SELECT doc_id, {_ahash_sql(_IMG_CELL)} AS ahash FROM totals)
+"""
+
+
+@query(
+    "image_near_dup_census",
+    f"""
+    WITH {_IMG_CELLS_SQL},
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.ahash, b.ahash)) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor((a.ahash >> 48) & 65535, (b.ahash >> 48) & 65535)) <= 1
+          AND bit_count(xor(a.ahash, b.ahash)) <= 8
+    )
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY hamming
+    """,
+    doc="Image near-duplicate census over REAL decoded pixels: synthesize an "
+    "8x8 binary-PPM image per document (group-structured near-dup clusters, "
+    "multimodal.synth_image_payloads), decode + 64-bit aHash via the genuine "
+    "byte-level kernel (image_ahash: P6 parse, integer grayscale, "
+    "cell*64 > total bits), then pair with ahash_near_pairs — 16-bit prefix "
+    "bucketing + 1-bit multi-probe + exact bit_count Hamming verify, never "
+    "all-pairs. The oracle replays the hash math from the pixel formula and "
+    "the pairing SEMANTICS as an explicit popcount(prefix-xor) <= 1 "
+    "predicate, so bucketing+probing is verified against its definition. "
+    "At 100 TB: signatures are one embarrassingly-parallel scan; pairing "
+    "shuffles 8-byte signatures by 16-bit prefix (cf. reference dedup "
+    "discussion, readme/SURVEY §2 dedup family).",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def image_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    sigs = M.image_ahash(M.synth_image_payloads(docs))
+    pairs = M.ahash_near_pairs(sigs, max_hamming=8, prefix_bits=16, probe_bits=1)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+
+
+_FRAME_CELL = (
+    "list_sum(list_transform(range(3), c -> "
+    + _PX_SQL.format(i="3*j + c", f="frame_idx", plus="")
+    + "))"
+)
+
+
+@query(
+    "video_frame_phash",
+    f"""
+    WITH meta AS (SELECT doc_id, doc_id % 40 AS g, 1 + doc_id % 5 AS nf
+                  FROM documents),
+    picks AS (
+        SELECT doc_id, g,
+               CAST(unnest(list_distinct([0, nf // 2, nf - 1])) AS INT) AS frame_idx
+        FROM meta
+    ),
+    ftotals AS (
+        SELECT doc_id, g, frame_idx,
+               list_sum(list_transform(range(192), i ->
+                   {_PX_SQL.format(i="i", f="frame_idx", plus="")})) AS total
+        FROM picks
+    )
+    SELECT doc_id, frame_idx, {_ahash_sql(_FRAME_CELL)} AS ahash FROM ftotals
+    """,
+    doc="Per-frame perceptual hash of a video column: synthesize multi-frame "
+    "PPM streams (synth_video_payloads), extract first/middle/last frame "
+    "with the REAL frame parser (sample_frames re-encodes each picked frame "
+    "standalone), then aHash every extracted frame's actual pixels. Grades "
+    "the full frame-extraction -> re-encode -> decode -> hash chain "
+    "bit-exactly; the oracle recomputes each picked frame's hash from the "
+    "pixel formula. At 100 TB frame sampling bounds the per-video work to "
+    "O(picks), and the downstream near-dup pairing is the same "
+    "prefix-bucketed census as images.",
+    tags=("multimodal", "pandas-udf"),
+)
+def video_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    frames = M.sample_frames(M.synth_video_payloads(docs))
+    # hash each extracted frame: pack (doc_id, frame_idx) into one id the
+    # kernel carries through, then unpack (frame_idx < 8)
+    packed = frames.select(
+        (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame_bytes").alias("payload"),
+    )
+    hashed = M.image_ahash(packed)
+    return hashed.select(
+        F.expr("doc_id div 8").alias("doc_id"),
+        (F.col("doc_id") % 8).cast("int").alias("frame_idx"),
+        "ahash",
+    )
+
+
+@query(
+    "audio_energy_hash_census",
+    f"""
+    WITH aparams AS (SELECT doc_id, 128 + doc_id % 97 AS n FROM documents),
+    atotals AS (
+        SELECT doc_id, n,
+               list_sum(list_transform(range(n), i ->
+                   (((doc_id * {M.SYNTH_SA} + i * {M.SYNTH_SB}) % 201) - 100)
+                   * (((doc_id * {M.SYNTH_SA} + i * {M.SYNTH_SB}) % 201) - 100)
+               )) AS total
+        FROM aparams
+    )
+    SELECT doc_id,
+           {_ahash_sql(
+               "list_sum(list_transform(range((j*n)//64, ((j+1)*n)//64), i -> "
+               "(((doc_id * " + str(M.SYNTH_SA) + " + i * " + str(M.SYNTH_SB) + ") % 201) - 100)"
+               " * (((doc_id * " + str(M.SYNTH_SA) + " + i * " + str(M.SYNTH_SB) + ") % 201) - 100)))"
+           )} AS ahash,
+           TRUE AS decodable
+    FROM atotals
+    """,
+    doc="Audio perceptual signature under the hard signal: synthesize a REAL "
+    "mono 16-bit WAV per document (synth_audio_payloads), parse the RIFF "
+    "container byte-for-byte (fmt/data chunks, block_align), split the PCM "
+    "stream into 64 windows and hash the integer energy contour "
+    "(audio_energy_hash: bit j iff window_j energy * 64 > total). The "
+    "oracle replays the identical window-sum math from the sample formula "
+    "— exact int64 end to end, no float anywhere. Output feeds the same "
+    "prefix-bucketed pairing as image aHash (shared `ahash` column).",
+    tags=("multimodal", "pandas-udf"),
+)
+def audio_energy_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return M.audio_energy_hash(M.synth_audio_payloads(docs))

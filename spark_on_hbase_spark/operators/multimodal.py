@@ -208,6 +208,123 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# deterministic media synthesizers (fixtures for the graded perceptual-hash
+# queries): REAL codec-free payloads (PPM P6 / WAV PCM) whose pixel/sample
+# values are pure integer functions of doc_id — so a SQL oracle can replay
+# the downstream hash math from the formula while Spark runs the genuine
+# byte-level decode path (_ppm_frames/_wav_header -> image_ahash/
+# audio_energy_hash). The container ships no media corpus; these stand in
+# for it without stubbing any decode step.
+# ---------------------------------------------------------------------------
+
+#: pixel formula constants shared with the DuckDB oracles (inventory_pipeline)
+SYNTH_A, SYNTH_B, SYNTH_F = 2654435761, 40503, 977
+#: audio sample formula constants
+SYNTH_SA, SYNTH_SB = 1103515245, 12345
+
+_SYNTH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def _synth_pixels(group: int, frame: int = 0):
+    """192 pixel bytes of the 8x8 RGB synthetic image for ``group``:
+    p[i] = (group*SYNTH_A + i*SYNTH_B + frame*SYNTH_F) % 256."""
+    import numpy as np
+
+    i = np.arange(192, dtype=np.int64)
+    return ((group * SYNTH_A + i * SYNTH_B + frame * SYNTH_F) % 256).astype(np.uint8)
+
+
+def synth_image_payloads(df: DataFrame, groups: int = 40, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with a REAL 8x8 binary-PPM image per row. Docs in
+    the same ``doc_id % groups`` group share a base image; each doc perturbs
+    ONE cell (cell ``doc_id % 64`` gets ``(doc_id // groups) % 17`` added to
+    its 3 bytes, mod 256) — so groups form aHash near-duplicate clusters
+    with small, deterministic Hamming spreads for the pairing census."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = b"P6\n8 8\n255\n"
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                p = _synth_pixels(d % groups).copy()
+                j0, delta = d % 64, (d // groups) % 17
+                p[3 * j0 : 3 * j0 + 3] = (p[3 * j0 : 3 * j0 + 3].astype(int) + delta) % 256
+                out.append(header + p.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": out}
+            )
+
+    return df.select(id_col).mapInPandas(kernel, _SYNTH_SCHEMA)
+
+
+def synth_video_payloads(df: DataFrame, groups: int = 40, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with a REAL multi-frame PPM stream (the engine's raw
+    video container): ``1 + doc_id % 5`` concatenated 8x8 P6 frames, frame f
+    shifting every pixel by ``f*SYNTH_F`` — deterministic per-frame content
+    so frame extraction + per-frame aHash are SQL-replayable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = b"P6\n8 8\n255\n"
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n_frames = 1 + d % 5
+                out.append(
+                    b"".join(
+                        header + _synth_pixels(d % groups, f).tobytes()
+                        for f in range(n_frames)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": out}
+            )
+
+    return df.select(id_col).mapInPandas(kernel, _SYNTH_SCHEMA)
+
+
+def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with a REAL mono 16-bit PCM WAV per row:
+    ``128 + doc_id % 97`` samples, s[i] = ((doc_id*SYNTH_SA + i*SYNTH_SB)
+    % 201) - 100. Exercises the genuine RIFF parse in audio_energy_hash
+    (fmt + data chunks, block_align, little-endian int16 samples)."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 128 + d % 97
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * SYNTH_SA + i * SYNTH_SB) % 201) - 100
+                data = s.astype("<i2").tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                out.append(wav)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": out}
+            )
+
+    return df.select(id_col).mapInPandas(kernel, _SYNTH_SCHEMA)
+
+
 def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Decode media metadata with an Arrow-batched mapInPandas kernel:
     one Python hop per batch (not per row), output schema fixed up front so
