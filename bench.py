@@ -82,7 +82,11 @@ def main() -> None:
         "metric": "inventory_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # ascending by time: the driver keeps only the TAIL of stdout, and
+        # BENCH_r04 lost the first ~33 entries of this (single, long) JSON
+        # line — with slowest-LAST the surviving tail always carries the
+        # expensive queries (VERDICT r4 item 3)
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         # the registry GROWS every round (66 queries in r2): totals are
         # only comparable across rounds normalized per query
         "n_queries": len(timings),
@@ -90,6 +94,25 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # truncation-proof full copy: checked into the repo as
+    # BENCH_local_r{N}.json for scripts/bench_compare.py (N = next round
+    # number inferred from existing driver artifacts, overridable).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        import re as _re
+
+        prior = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := _re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f))
+        ]
+        rnd = str(max(prior, default=0) + 1)
+    try:
+        with open(os.path.join(here, f"BENCH_local_r{int(rnd):02d}.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=False)
+    except OSError as exc:
+        print(f"could not write BENCH_local file: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
 

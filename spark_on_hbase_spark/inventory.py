@@ -65,6 +65,30 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+#: Uncached build expressions of the memoized/persisted relations the
+#: graded queries share (LSH index, curation stats, network edges, ...).
+#: The post-cache plan table in PLANS.md shows such lineage as
+#: InMemoryRelation (0 scans), so ``tests/test_plan_budget.py`` could not
+#: see a regression inside the one-time *builds* — this registry closes
+#: that blind spot (VERDICT r4 item 2): ``scripts/plan_report.py`` plans
+#: every entry UNCACHED at sf0.001 into a second PLANS.md table, gated the
+#: same way. Entries call the normal memoized getters for their own
+#: dependencies, so each build's triple covers exactly its own stage on
+#: top of stored inputs (the 100 TB layering). Driver-paced BSP builds
+#: (near_dup_clusters) are excluded: their cost is per-superstep, pinned
+#: by the kernel plan tests in tests/test_graph.py.
+BUILDS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def build(name: str):
+    """Register a memoized relation's uncached build expression."""
+
+    def deco(fn):
+        BUILDS[name] = fn
+        return fn
+
+    return deco
+
 
 _CALLS = {"n": 0}
 

@@ -474,6 +474,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     nprobe: int = 1,
     centroids_quantized: bool = False,
+    corpus_assigned: DataFrame | None = None,
+    queries_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus partitioned by nearest-centroid cell; each
     query probes its ``nprobe`` nearest cells. At 100 TB the cell id is the
@@ -486,20 +488,40 @@ def ivf_topk(
 
     ``centroids_quantized``: pass True when ``centroids`` already carries
     quantized ``__v`` arrays (e.g. ``kmeans_refine`` output) — quantizing
-    twice would corrupt them."""
+    twice would corrupt them.
+
+    ``corpus_assigned`` / ``queries_assigned``: precomputed ``ivf_assign``
+    relations ((id, __v, centroid_id) — same centroid set!) so repeated
+    query batches reuse the STORED cell assignment instead of re-deriving
+    it inside every query plan — the IVF twin of ``lsh_topk``'s
+    ``corpus_bucketed``. When the query set is a subset of the corpus, its
+    nprobe=1 probe rows ARE its rows in the stored assignment, so both
+    sides of the cell join read one shared relation (one scan / cache).
+    ``queries_assigned`` requires nprobe=1 (it IS the 1-cell assignment);
+    pass ``candidates``/``queries``/``centroids`` as None when the
+    corresponding *_assigned relation is given."""
     from pyspark.sql import Window
 
-    cq = (
-        centroids.select(F.col(id_col), F.col("__v"))
-        if centroids_quantized
-        else centroids.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
-    )
-    corpus = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
-    qs = queries.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
-    corpus_cells = ivf_assign(corpus, cq, id_col, "__v")
-    probe = ivf_assign(qs, cq, id_col, "__v") if nprobe == 1 else ivf_probe(
-        qs, cq, nprobe, id_col, "__v"
-    )
+    if queries_assigned is not None and nprobe != 1:
+        raise ValueError("queries_assigned is a 1-cell assignment; nprobe must be 1")
+    if corpus_assigned is None or queries_assigned is None:
+        cq = (
+            centroids.select(F.col(id_col), F.col("__v"))
+            if centroids_quantized
+            else centroids.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
+        )
+    if corpus_assigned is not None:
+        corpus_cells = corpus_assigned
+    else:
+        corpus = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
+        corpus_cells = ivf_assign(corpus, cq, id_col, "__v")
+    if queries_assigned is not None:
+        probe = queries_assigned
+    else:
+        qs = queries.select(F.col(id_col), quantize_expr(vec_col).alias("__v"))
+        probe = ivf_assign(qs, cq, id_col, "__v") if nprobe == 1 else ivf_probe(
+            qs, cq, nprobe, id_col, "__v"
+        )
     query_cells = probe.select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )
