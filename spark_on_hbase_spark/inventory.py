@@ -636,6 +636,11 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 _ROTATED_OUT_R05 = [
     # -- r03-green supersets staying out one more round (twin-pinned) ------
     "hll_rollup_union",
+    # event_volume_anomaly joined this set in the round-5 retune commit:
+    # ann_lsh_topk's probe config changed (B=10/L=4/2-bit), so it must be
+    # re-graded and takes the window slot; the volume-anomaly shape stays
+    # pinned by event_transition_matrix's family and its r03-green row.
+    "event_volume_anomaly",
     "lsm_time_travel",
     "zorder_cluster_stats",
     "triangle_count",
@@ -662,7 +667,6 @@ _ROTATED_OUT_R05 = [
     "embedding_near_dup",
     "embedding_cluster_dedup",
     "ann_brute_topk",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "text_quality",

@@ -270,11 +270,21 @@ def lsh_topk(
         "query_id", "__qv", _table_bucket_rows(F.col("__qv"), tables).alias("__tb")
     ).select("query_id", "__qv", "__tb.__t", "__tb.__bucket")
     if probe_bits:
-        if probe_bits != 1:
-            raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
-        # distinct XOR masks yield distinct buckets, so the explode itself
-        # never duplicates a (table, bucket) probe
-        masks = F.array(*[F.lit(m).cast("bigint") for m in [0] + [1 << b for b in range(num_planes)]])
+        if probe_bits not in (1, 2):
+            raise ValueError(f"probe_bits must be 0, 1 or 2, got {probe_bits}")
+        # all masks of popcount <= probe_bits: 1 + B (+ B*(B-1)/2 for 2-bit)
+        # probes per table — pure query-side fanout, the stored bucketing is
+        # unchanged. Distinct XOR masks yield distinct buckets, so the
+        # explode itself never duplicates a (table, bucket) probe.
+        from itertools import combinations
+
+        mask_vals = [0]
+        for r in range(1, probe_bits + 1):
+            mask_vals += [
+                sum(1 << b for b in bits)
+                for bits in combinations(range(num_planes), r)
+            ]
+        masks = F.array(*[F.lit(m).cast("bigint") for m in mask_vals])
         qb = qb.select(
             "query_id", "__qv", "__t", "__bucket", F.explode(masks).alias("__m")
         ).select(

@@ -313,9 +313,11 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     - single-table 8-plane LSH: recall@10 0.017 — the config the multi-table
       construction replaces; kept here as the contrast baseline
     - multi-table LSH (B=6, L=8, the round-3 config): 0.25
-    - multi-probe LSH (B=8, L=4, probe_bits=1 — the graded ann_lsh_topk
-      config since round 4): 0.32 here, 0.40 at sf0.1 (higher recall than
-      B=6 L=8 at ~60% cost and half the index)
+    - multi-probe LSH (B=10, L=4, probe_bits=2 — the graded ann_lsh_topk
+      config since round 5): 0.47 here, 0.52 at sf0.01, 0.57 at sf0.1 at
+      a 21% candidate fraction (the round-4 1-bit config measured 0.32 /
+      0.40 at 14%; the B=8 2-bit point reaches 0.78 but at a 46%
+      candidate fraction — half of brute force per query, rejected)
     - IVF nprobe=1: 0.50; nprobe=2: 0.65; nprobe=4: 0.92 (5 centroids)
 
     Floors assert ~60% of measured so data regeneration noise can't flake
@@ -341,10 +343,13 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     r_multi = recall(
         by_query(V.lsh_topk(emb, queries, k=10, num_planes=6, dim=64, num_tables=8))
     )
+    from spark_on_hbase_spark.inventory_pipeline import _LSH_B, _LSH_L, _LSH_PROBE
+
     r_probe = recall(
         by_query(
             V.lsh_topk(
-                emb, queries, k=10, num_planes=8, dim=64, num_tables=4, probe_bits=1
+                emb, queries, k=10, num_planes=_LSH_B, dim=64,
+                num_tables=_LSH_L, probe_bits=_LSH_PROBE,
             )
         )
     )
@@ -359,9 +364,13 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     # identical index WITHOUT probes by a wide margin (probe coverage is a
     # strict superset, so an implementation bug that drops the extra probes
     # collapses this)
-    assert r_probe >= 0.15, f"multi-probe LSH recall collapsed: {r_probe}"
+    assert r_probe >= 0.28, f"multi-probe LSH recall collapsed: {r_probe}"
     r_noprobe = recall(
-        by_query(V.lsh_topk(emb, queries, k=10, num_planes=8, dim=64, num_tables=4))
+        by_query(
+            V.lsh_topk(
+                emb, queries, k=10, num_planes=_LSH_B, dim=64, num_tables=_LSH_L
+            )
+        )
     )
     assert r_probe > r_noprobe + 0.1, f"probing gained nothing: {r_probe} vs {r_noprobe}"
     # IVF floors + monotonicity in nprobe

@@ -11,6 +11,9 @@ from spark_on_hbase_spark.inventory import _ROTATED_OUT_R05, QUERIES
 _MUST_GRADE_R05 = {
     # new in round 5 — the perceptual near-dup family under the hard signal
     "image_near_dup_census", "video_frame_phash", "audio_energy_hash_census",
+    # retuned in round 5 (B=10/L=4/2-bit multi-probe): results changed, so
+    # the fresh r04 row no longer covers it — must re-grade
+    "ann_lsh_topk",
     # last graded in CORRECTNESS_r02 (44 names)
     "right_outer_lookup_join", "mutation_upsert_merge", "salted_join_revenue",
     "pool_count", "edge_dedup", "network_counts", "degree_histogram",
