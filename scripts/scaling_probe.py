@@ -42,7 +42,47 @@ TARGETS = [
     "bsp_3step",
     "incremental_bsp_resume",
     "minhash_lsh_dedup",
+    # round-5 additions (VERDICT r4 item 5): multimodal decode, the
+    # perceptual-hash pairing census, and the LSM mutation storm below
+    "multimodal_decode_meta",
+    "image_near_dup_census",
+    "lsm_mutation_storm",
 ]
+
+
+def _lsm_mutation_storm(spark, sf: str) -> int:
+    """Custom probe target: an LSM mutation STORM — create a documents-keyed
+    table, apply 12 update batches + 2 tombstone batches (auto-compaction at
+    the default threshold folds the stack mid-storm), then read the merged
+    view. Catches super-linear layer-fold cost as layer count grows: the
+    fold must stay O(layers) per key with layers bounded by
+    compact_threshold, so time growth tracks DATA growth, not
+    layers x data."""
+    import hashlib
+
+    from spark_on_hbase_spark.table import KeyedTable
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.col("doc_id").alias("k"), "text")
+        .withColumn("ts", F.lit(0))
+    )
+    path = f"/tmp/lsm_storm_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    tbl = KeyedTable(spark, path, key_col="k", ts_col="ts", num_partitions=8)
+    tbl.drop()
+    tbl.create(docs)
+    for i in range(1, 13):
+        batch = docs.where(F.col("k") % 17 == i % 17).withColumn("ts", F.lit(i))
+        tbl.update(batch)
+    for i in (3, 9):
+        tbl.delete(docs.where(F.col("k") % 29 == i).select("k"))
+    n = tbl.df().count()
+    tbl.drop()
+    return n
+
+
+# custom (non-registry) probe bodies: called instead of QUERIES[name]
+CUSTOM = {"lsm_mutation_storm": _lsm_mutation_storm}
 
 # key shift per replica, chosen far above any real key range
 _SHIFT = 10_000_000
@@ -96,11 +136,17 @@ def main() -> None:
         for name in TARGETS:
             # cold includes building the memoized relations at this scale;
             # warm is the steady-state kernel
+            def run():
+                if name in CUSTOM:
+                    CUSTOM[name](spark, sf)
+                else:
+                    QUERIES[name].fn(spark, sf).count()
+
             t0 = time.time()
-            QUERIES[name].fn(spark, sf).count()
+            run()
             cold = time.time() - t0
             t0 = time.time()
-            QUERIES[name].fn(spark, sf).count()
+            run()
             warm = time.time() - t0
             results[name][f"{label}_cold"] = cold
             results[name][f"{label}_warm"] = warm

@@ -924,20 +924,30 @@ _CURATION_STATS_CACHE: dict = {}
 
 @build("curation_stats")
 def _curation_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncached per-doc curation-stats build (one corpus scan -> token count
-    + dup-trigram fraction) — build-gate entry."""
+    """Uncached per-doc curation-stats build — build-gate entry. ONE pass:
+    n_toks rides the trigram explode (explode_outer keeps docs with <3
+    words as a NULL-gram row, whose 0/0 division yields the same NULL the
+    old build's left join produced), so the corpus union is scanned once
+    instead of twice — round-5 trim: 6 scans / 2 shuffles + broadcast ->
+    3 scans / 2 shuffles, gated in PLANS.md."""
     base = corpus(spark, sf_dir).select(
         "doc_id", T.words_expr("text").alias("__ws")
     )
-    crep = T.ngram_occurrence_stats(base, 3, "trigrams").select(
+    grams = base.select(
         "doc_id",
-        (
-            F.col("dup_trigrams").cast("double")
-            / F.col("n_trigrams").cast("double")
-        ).alias("dup_trigram_frac"),
+        F.size("__ws").alias("__nt"),
+        F.explode_outer(T.ngrams_from_words(F.col("__ws"), 3)).alias("__g"),
     )
-    return base.select("doc_id", F.size("__ws").alias("n_toks")).join(
-        crep, "doc_id", "left"
+    per_gram = grams.groupBy("doc_id", "__g").agg(
+        F.count("*").alias("__c"), F.max("__nt").alias("__nt")
+    )
+    real = F.col("__g").isNotNull()
+    return per_gram.groupBy("doc_id").agg(
+        F.max("__nt").alias("n_toks"),
+        (
+            F.sum(F.when(real & (F.col("__c") > 1), F.col("__c")).otherwise(0)).cast("double")
+            / F.sum(F.when(real, F.col("__c")).otherwise(0)).cast("double")
+        ).alias("dup_trigram_frac"),
     )
 
 
@@ -2240,7 +2250,17 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 # pixel p(i) of group g, frame f — shared with multimodal._synth_pixels
+# (video frames; per-doc hashing only, so the mod-256 periodicity in g is
+# harmless there)
 _PX_SQL = f"(((g * {M.SYNTH_A} + ({{i}}) * {M.SYNTH_B} + ({{f}}) * {M.SYNTH_F}) % 256{{plus}}) % 256)"
+
+# image pixel p(i) of group g — md5-seeded (multimodal._synth_image_pixels):
+# hex digit (i % 32) of md5(str(g)), full 128-bit per-group entropy so
+# distinct groups never alias onto identical images at any corpus size
+_IMG_PX_SQL = (
+    "(((strpos('0123456789abcdef', substring(md5(CAST(g AS VARCHAR)), (({i}) % 32) + 1, 1)) - 1)"
+    " * 16 + ({i}) * 13) % 256{plus}) % 256"
+)
 
 
 def _ahash_sql(cell_sql: str) -> str:
@@ -2258,22 +2278,51 @@ def _ahash_sql(cell_sql: str) -> str:
 
 _IMG_CELL = (
     "list_sum(list_transform(range(3), c -> "
-    + _PX_SQL.format(i="3*j + c", f="0", plus=" + CASE WHEN j = j0 THEN d ELSE 0 END")
+    + _IMG_PX_SQL.format(i="3*j + c", plus=" + CASE WHEN j = j0 THEN d ELSE 0 END")
     + "))"
 )
 _IMG_CELLS_SQL = f"""
-    params AS (SELECT doc_id, doc_id % 40 AS g, doc_id % 64 AS j0,
-                      (doc_id // 40) % 17 AS d
+    params AS (SELECT doc_id, doc_id // 13 AS g, doc_id % 64 AS j0,
+                      doc_id % 17 AS d
                FROM documents),
     totals AS (
         SELECT doc_id, g, j0, d,
                list_sum(list_transform(range(192), i ->
-                   {_PX_SQL.format(i="i", f="0", plus=" + CASE WHEN i // 3 = j0 THEN d ELSE 0 END")}
+                   {_IMG_PX_SQL.format(i="i", plus=" + CASE WHEN i // 3 = j0 THEN d ELSE 0 END")}
                )) AS total
         FROM params
     ),
     sigs AS (SELECT doc_id, {_ahash_sql(_IMG_CELL)} AS ahash FROM totals)
 """
+
+
+_AHASH_SIG_CACHE: dict = {}
+
+
+@build("ahash_signatures")
+def _ahash_sig_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached perceptual-signature build (synthesize PPM payloads ->
+    real decode -> aHash; one Arrow-batched scan) — build-gate entry. At
+    100 TB this is the stored per-image signature table every near-dup
+    pairing batch reads."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return M.image_ahash(M.synth_image_payloads(docs))
+
+
+def _ahash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized+persisted (session, sf_dir) image signatures — both block
+    explode sides of the pairing read ONE cached relation instead of
+    running the decode+hash kernel twice (cf. _lsh_corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AHASH_SIG_CACHE:
+        for stale in [k for k in _AHASH_SIG_CACHE if k != key]:
+            if stale[0] == key[0]:
+                _AHASH_SIG_CACHE[stale].unpersist()
+            del _AHASH_SIG_CACHE[stale]
+        sigs = _ahash_sig_build(spark, sf_dir).persist()
+        sigs.count()
+        _AHASH_SIG_CACHE[key] = sigs
+    return _AHASH_SIG_CACHE[key]
 
 
 @query(
@@ -2284,30 +2333,33 @@ _IMG_CELLS_SQL = f"""
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.ahash, b.ahash)) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor((a.ahash >> 48) & 65535, (b.ahash >> 48) & 65535)) <= 1
+        WHERE (((a.ahash >> 48) & 65535) = ((b.ahash >> 48) & 65535)
+            OR ((a.ahash >> 32) & 65535) = ((b.ahash >> 32) & 65535)
+            OR ((a.ahash >> 16) & 65535) = ((b.ahash >> 16) & 65535)
+            OR (a.ahash & 65535) = (b.ahash & 65535))
           AND bit_count(xor(a.ahash, b.ahash)) <= 8
     )
     SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM pairs GROUP BY hamming
     """,
     doc="Image near-duplicate census over REAL decoded pixels: synthesize an "
-    "8x8 binary-PPM image per document (group-structured near-dup clusters, "
-    "multimodal.synth_image_payloads), decode + 64-bit aHash via the genuine "
-    "byte-level kernel (image_ahash: P6 parse, integer grayscale, "
-    "cell*64 > total bits), then pair with ahash_near_pairs — 16-bit prefix "
-    "bucketing + 1-bit multi-probe + exact bit_count Hamming verify, never "
-    "all-pairs. The oracle replays the hash math from the pixel formula and "
-    "the pairing SEMANTICS as an explicit popcount(prefix-xor) <= 1 "
-    "predicate, so bucketing+probing is verified against its definition. "
-    "At 100 TB: signatures are one embarrassingly-parallel scan; pairing "
-    "shuffles 8-byte signatures by 16-bit prefix (cf. reference dedup "
-    "discussion, readme/SURVEY §2 dedup family).",
+    "8x8 binary-PPM image per document (constant-size near-dup clusters via "
+    "doc_id // 13 grouping — cluster COUNT scales with the corpus, not "
+    "cluster size; multimodal.synth_image_payloads), decode + 64-bit aHash "
+    "via the genuine byte-level kernel (image_ahash: P6 parse, integer "
+    "grayscale, cell*64 > total bits), then pair with ahash_near_pairs — "
+    "Manku-style (WWW'07) 4x16-bit block bucketing + exact bit_count "
+    "Hamming verify, never all-pairs; Hamming < 4 collision is pigeonhole-"
+    "GUARANTEED. The oracle replays the hash math from the pixel formula "
+    "and the pairing semantics as the explicit any-block-equal predicate, "
+    "so the bucketing is verified against its definition. Signatures are "
+    "memoized (the stored signature table at scale); both block-explode "
+    "sides read the one cached relation.",
     tags=("multimodal", "dedup", "pandas-udf"),
 )
 def image_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    sigs = M.image_ahash(M.synth_image_payloads(docs))
-    pairs = M.ahash_near_pairs(sigs, max_hamming=8, prefix_bits=16, probe_bits=1)
+    sigs = _ahash_sigs(spark, sf_dir)
+    pairs = M.ahash_near_pairs(sigs, max_hamming=8)
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
@@ -2346,7 +2398,7 @@ _FRAME_CELL = (
     "bit-exactly; the oracle recomputes each picked frame's hash from the "
     "pixel formula. At 100 TB frame sampling bounds the per-video work to "
     "O(picks), and the downstream near-dup pairing is the same "
-    "prefix-bucketed census as images.",
+    "block-bucketed census as images.",
     tags=("multimodal", "pandas-udf"),
 )
 def video_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2394,7 +2446,7 @@ def video_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(audio_energy_hash: bit j iff window_j energy * 64 > total). The "
     "oracle replays the identical window-sum math from the sample formula "
     "— exact int64 end to end, no float anywhere. Output feeds the same "
-    "prefix-bucketed pairing as image aHash (shared `ahash` column).",
+    "block-bucketed pairing as image aHash (shared `ahash` column).",
     tags=("multimodal", "pandas-udf"),
 )
 def audio_energy_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:

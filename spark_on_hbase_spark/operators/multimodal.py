@@ -237,12 +237,36 @@ def _synth_pixels(group: int, frame: int = 0):
     return ((group * SYNTH_A + i * SYNTH_B + frame * SYNTH_F) % 256).astype(np.uint8)
 
 
-def synth_image_payloads(df: DataFrame, groups: int = 40, id_col: str = "doc_id") -> DataFrame:
+def _synth_image_pixels(group: int):
+    """192 pixel bytes of the 8x8 RGB synthetic image for ``group``, seeded
+    by md5 so distinct groups get genuinely distinct images (a pure linear
+    congruence mod 256 has at most 256 distinct images — at probe scale
+    thousands of groups aliased onto them and cross-cluster identical
+    hashes grew quadratically): p[i] = (hex_digit(md5(str(group)))[i % 32]
+    * 16 + i * 13) % 256. The md5 is over the DECIMAL string of the group
+    id, so the DuckDB oracle replays it verbatim."""
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(str(group).encode()).hexdigest()
+    hd = np.array([int(c, 16) for c in hx], dtype=np.int64)
+    i = np.arange(192, dtype=np.int64)
+    return ((hd[i % 32] * 16 + i * 13) % 256).astype(np.uint8)
+
+
+def synth_image_payloads(df: DataFrame, group_size: int = 13, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, payload) with a REAL 8x8 binary-PPM image per row. Docs in
-    the same ``doc_id % groups`` group share a base image; each doc perturbs
-    ONE cell (cell ``doc_id % 64`` gets ``(doc_id // groups) % 17`` added to
-    its 3 bytes, mod 256) — so groups form aHash near-duplicate clusters
-    with small, deterministic Hamming spreads for the pairing census."""
+    the same ``doc_id // group_size`` group share a base image; each doc
+    perturbs ONE cell (cell ``doc_id % 64`` gets ``doc_id % 17`` added to
+    its 3 bytes, mod 256) — so consecutive-id runs form aHash
+    near-duplicate clusters with small, deterministic Hamming spreads for
+    the pairing census. Grouping by FLOOR DIVISION is deliberate: cluster
+    SIZE stays constant as the corpus grows (cluster COUNT scales), so a
+    bigger corpus means more clusters, not denser ones — the
+    structure-preserving property the 10x scaling probe requires (a
+    modulus grouping collapses key-shifted replicas into the same few
+    clusters and grows candidate pairs quadratically)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         header = b"P6\n8 8\n255\n"
@@ -250,8 +274,8 @@ def synth_image_payloads(df: DataFrame, groups: int = 40, id_col: str = "doc_id"
             out = []
             for d in pdf[id_col]:
                 d = int(d)
-                p = _synth_pixels(d % groups).copy()
-                j0, delta = d % 64, (d // groups) % 17
+                p = _synth_image_pixels(d // group_size)
+                j0, delta = d % 64, d % 17
                 p[3 * j0 : 3 * j0 + 3] = (p[3 * j0 : 3 * j0 + 3].astype(int) + delta) % 256
                 out.append(header + p.tobytes())
             yield pd.DataFrame(
@@ -505,7 +529,7 @@ def image_ahash(
     byte-fold thumbnail instead, flagged ``decodable=false`` so pipelines
     can gate on real images. At 100 TB the signature computation is one
     embarrassingly-parallel scan; pairing goes through ``ahash_near_pairs``
-    (prefix-bucketed, never all-pairs)."""
+    (block-bucketed, never all-pairs)."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -544,53 +568,57 @@ def ahash_near_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 5,
-    prefix_bits: int = 16,
-    probe_bits: int = 1,
+    blocks: int = 4,
 ) -> DataFrame:
-    """Near-duplicate image pairs by aHash: bucket on the UNSIGNED top
-    ``prefix_bits`` of the 64-bit signature (bounds the self-join like
-    every other dedup family — no all-pairs anywhere), then verify with
-    exact Hamming distance via bit_count(xor). Same bucket-then-verify
-    shape as dedup.simhash_near_pairs, widened to 64-bit signatures.
+    """Near-duplicate pairs by 64-bit perceptual hash, Manku-style
+    multi-block bucketing (Manku, Jain & Das Sarma, WWW'07 — the standard
+    simhash dedup layout): split each signature into ``blocks`` equal bit
+    blocks and bucket on (block index, block value); any pair within
+    Hamming distance < ``blocks`` shares at least one flip-free block
+    (pigeonhole), so collision is GUARANTEED there and overwhelmingly
+    likely up to ``max_hamming`` for clustered near-dups. Candidates are
+    verified with exact Hamming distance via bit_count(xor) and pairs
+    colliding in several blocks are collapsed before output.
 
-    ``probe_bits=1`` (default) is the same boundary fix the ANN path uses
-    (similarity.lsh_topk multi-probe): a pair whose ONE differing bit
-    falls inside the prefix never shares a bucket, so one side also
-    probes every single-bit flip of its prefix — pure probe-side fanout
-    (prefix_bits+1 probes), the stored bucketing is unchanged, and any
-    pair within Hamming 1 on the prefix is guaranteed to collide.
-    Duplicate candidate pairs are collapsed before the verify output."""
-    bucketed = signatures.select(
-        F.col(id_col),
-        F.col("ahash"),
-        F.shiftrightunsigned(F.col("ahash"), 64 - prefix_bits).alias("__bucket"),
-    )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("ahash").alias("sig_a"), "__bucket"
-    )
-    if probe_bits:
-        if probe_bits != 1:
-            raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
-        masks = F.array(
-            *[F.lit(m).cast("bigint") for m in [0] + [1 << i for i in range(prefix_bits)]]
+    This replaces the round-4 prefix+probe scheme: no probe fanout
+    (``blocks`` rows per side instead of prefix_bits+1 probes), ~4x fewer
+    random cross-cluster collisions at equal bucket width, and a
+    deterministic floor (the probe scheme missed any pair with 2+ flips
+    inside the prefix). Random-pair candidate mass is
+    n^2 * blocks / 2^(64/blocks) — at corpus scale widen blocks' keys by
+    pairing block values (Manku's table construction) rather than
+    shrinking them; the stored layout is one (block, value)-partitioned
+    relation per block index, all riding ONE signature scan via explode."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    blk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("__bi"),
+                    F.shiftrightunsigned(F.col("ahash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("__bv"),
+                )
+                for i in range(blocks)
+            ]
         )
-        a = a.select(
-            "id_a", "sig_a", "__bucket", F.explode(masks).alias("__m")
-        ).select(
-            "id_a", "sig_a",
-            F.col("__bucket").bitwiseXOR(F.col("__m")).alias("__bucket"),
-        )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col("ahash").alias("sig_b"), "__bucket"
-    )
-    out = (
-        a.join(b, "__bucket")
+    ).alias("__b")
+    base = signatures.select(F.col(id_col), F.col("ahash"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("ahash").alias("sig_a"), blk
+    ).select("id_a", "sig_a", "__b.__bi", "__b.__bv")
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("ahash").alias("sig_b"), blk
+    ).select("id_b", "sig_b", "__b.__bi", "__b.__bv")
+    return (
+        a.join(b, ["__bi", "__bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return out.dropDuplicates(["id_a", "id_b"]) if probe_bits else out
 
 
 def audio_energy_hash(

@@ -310,3 +310,68 @@ def test_label_propagation_isolated_vertex_keeps_label(spark):
     got = {r["key"]: r["label"] for r in labels.collect()}
     assert got["a"] == "a"  # no messages reach a
     assert got["b"] == "a"  # b adopts its only neighbor's label
+
+
+def test_propagate_incremental_multi_batch_lifecycle(spark, toy_edges, tmp_path):
+    """The production resume loop end-to-end THROUGH the state table
+    (VERDICT r4 item 6): seed -> write-back -> compact -> resume, three
+    batches. Pins (a) a no-op batch yields an empty delta after zero
+    message supersteps, (b) the layer stack stays bounded by
+    compact_threshold across write-backs, (c) each batch's delta touches
+    only its own reach (O(new-reach), never O(table)), and (d) the final
+    table max-merge equals batch propagation over the union of all seed
+    sets — the fixpoint property surviving the full table round-trip."""
+    from spark_on_hbase_spark.table import KeyedTable
+
+    tbl = KeyedTable(
+        spark,
+        str(tmp_path / "prop_state"),
+        key_col="sid",
+        ts_col="ts",
+        num_partitions=2,
+        compact_threshold=1,
+    )
+
+    def write_back(delta, ts):
+        batch = delta.select(
+            F.concat_ws(" ", "key", "origin").alias("sid"),
+            "key",
+            "origin",
+            "prob",
+        ).withColumn("ts", F.lit(ts))
+        if tbl.exists():
+            tbl.update(batch)
+        else:
+            tbl.create(batch)
+
+    def stored():
+        if not tbl.exists():
+            return spark.createDataFrame(
+                [], "key string, origin string, prob double"
+            )
+        return tbl.df().select("key", "origin", "prob")
+
+    seeds_a = spark.createDataFrame([("a", "a")], "key string, origin string")
+    seeds_x = spark.createDataFrame([("x", "x")], "key string, origin string")
+
+    # batch 1: fresh table, component {a,b,c}
+    d1, s1 = G.propagate_incremental(stored(), toy_edges, seeds_a, min_prob=0.01, max_iters=20)
+    assert s1 >= 1
+    write_back(d1, 1)
+    # batch 2: resumes against the STORED state; reaches only {x,y}
+    d2, s2 = G.propagate_incremental(stored(), toy_edges, seeds_x, min_prob=0.01, max_iters=20)
+    rows2 = d2.collect()
+    assert rows2 and {r["key"] for r in rows2} <= {"x", "y"}  # (c) own reach only
+    write_back(d2, 2)
+    # batch 3: a no-op batch (same seeds as batch 1) — lookup, not recompute
+    d3, s3 = G.propagate_incremental(stored(), toy_edges, seeds_a, min_prob=0.01, max_iters=20)
+    assert s3 == 0 and d3.count() == 0  # (a)
+    # (b) compaction bounded the stack: base + at most threshold deltas
+    assert len(tbl._layers()) <= tbl.compact_threshold + 1
+    # (d) table state == batch propagation over the union of seed sets
+    batch, _ = G.propagate_probabilities(
+        toy_edges, seeds_a.unionByName(seeds_x), min_prob=0.01, max_iters=20
+    )
+    expect = {(r["key"], r["origin"]): r["prob"] for r in batch.collect()}
+    got = {(r["key"], r["origin"]): r["prob"] for r in stored().collect()}
+    assert got == expect

@@ -871,13 +871,31 @@ def test_span_dup_stats_extremes(spark):
     assert s3[1]["dup_spans"] == 0  # both spans live in doc 1 only
 
 
-def test_ahash_prefix_probe_catches_boundary_pairs(spark):
-    """A pair whose single differing bit falls INSIDE the prefix never
-    shares a bucket — exactly the miss the 1-bit prefix probe fixes
-    (the same boundary fix as the ANN multi-probe)."""
-    top_bit_set = -(1 << 63)  # int64 with only the top (sign) bit set
-    sigs = spark.createDataFrame([(1, 0), (2, top_bit_set)], "doc_id long, ahash long")
-    missed = M.ahash_near_pairs(sigs, max_hamming=1, probe_bits=0).collect()
-    assert missed == []  # prefix buckets differ: pair invisible without probing
-    found = M.ahash_near_pairs(sigs, max_hamming=1, probe_bits=1).collect()
-    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in found] == [(1, 2, 1)]
+def test_ahash_block_pairing_pigeonhole_guarantee(spark):
+    """Manku multi-block bucketing: with 4 blocks, ANY pair within Hamming
+    distance < 4 shares a flip-free block and MUST collide — including the
+    boundary cases the old prefix scheme missed (flips in the top bits,
+    the sign bit among them). A pair differing in every block must not."""
+    top_bit = -(1 << 63)  # int64 with only the top (sign) bit set
+    # 3 flips spread across 3 DIFFERENT blocks: block 2 is flip-free
+    three = (1 << 0) | (1 << 20) | (1 << 55)
+    # one flip in every block: no shared block, legitimately invisible
+    allblk = (1 << 0) | (1 << 20) | (1 << 40) | (1 << 60)
+    sigs = spark.createDataFrame(
+        [(1, 0), (2, top_bit), (3, three), (4, allblk)],
+        "doc_id long, ahash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.ahash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 1  # sign-bit flip: guaranteed collision now
+    assert got[(1, 3)] == 3  # 3 flips < 4 blocks: pigeonhole guarantee
+    assert (1, 4) not in got  # all 4 blocks touched AND... ham 4 > max 3
+    # widen max_hamming: (1,4) collides in no block, stays invisible —
+    # the documented (and oracle-matched) semantics of block bucketing
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in M.ahash_near_pairs(sigs, max_hamming=10).collect()
+    }
+    assert (1, 4) not in wide
