@@ -636,6 +636,12 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 _ROTATED_OUT_R05 = [
     # -- r03-green supersets staying out one more round (twin-pinned) ------
     "hll_rollup_union",
+    # cohort_retention joined this set when simhash_dedup's round-5
+    # upgrade (64-bit signatures + Manku block pairing) changed its graded
+    # results: simhash must re-grade and takes the window slot; cohort's
+    # conditional-agg shape stays pinned by event_transition_matrix
+    # (r04-green) and its own r03-green row.
+    "cohort_retention",
     # event_volume_anomaly joined this set in the round-5 retune commit:
     # ann_lsh_topk's probe config changed (B=10/L=4/2-bit), so it must be
     # re-graded and takes the window slot; the volume-anomaly shape stays
@@ -662,7 +668,6 @@ _ROTATED_OUT_R05 = [
     "exact_dedup",
     "minhash_lsh_dedup",
     "minhash_cluster_dedup",
-    "simhash_dedup",
     "ngram_jaccard_dedup",
     "embedding_near_dup",
     "embedding_cluster_dedup",

@@ -168,56 +168,96 @@ def jaccard_verify(
 # simhash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
 def word_hash_expr(word_col: Column) -> Column:
-    """32-bit md5-derived word hash (shared by Spark and the SQL oracle)."""
+    """32-bit md5-derived word hash (shared by Spark and the SQL oracle) —
+    the LOW half of the 64-bit simhash vote source (md5 hex chars 1-8)."""
     return F.conv(F.substring(F.md5(word_col), 1, 8), 16, 10).cast("bigint")
 
 
+def word_hash2_expr(word_col: Column) -> Column:
+    """Second independent 32-bit word hash (md5 hex chars 9-16) — the HIGH
+    half of the 64-bit simhash vote source. Two 32-bit halves avoid ever
+    materializing an unsigned 64-bit word hash (sign-safe in both Spark
+    and DuckDB)."""
+    return F.conv(F.substring(F.md5(word_col), 9, 8), 16, 10).cast("bigint")
+
+
 def simhash_signatures(exploded: DataFrame, id_col: str, word_col: str) -> DataFrame:
-    """Per-document simhash over exploded (id, word) rows: each occurrence
-    votes +1/-1 on every bit of its 32-bit hash; the signature sets bit j iff
-    the vote sum is positive. One hash aggregation computes all 32 bit-votes
-    (32 SUM expressions), then the signature is assembled bit-wise — no
-    per-bit explode, no UDF."""
-    h = word_hash_expr(F.col(word_col))
+    """Per-document 64-bit simhash over exploded (id, word) rows: each
+    occurrence votes +1/-1 on every bit of its 64-bit hash (two independent
+    md5-derived 32-bit halves); the signature sets bit j iff the vote sum
+    is positive. One hash aggregation computes all 64 bit-votes (64 SUM
+    expressions), then the signature is assembled bit-wise into a SIGNED
+    int64 (bit 63 contributes -2^63 — the two's-complement sum, matching
+    the perceptual-hash kernels) — no per-bit explode, no UDF. Widened
+    from 32 bits in round 5: 64-bit signatures are what make Manku-style
+    block bucketing selective (16-bit blocks instead of 8) — the Manku et
+    al. WWW'07 deployment used 64-bit fingerprints for exactly this
+    reason."""
+    h1 = word_hash_expr(F.col(word_col))
+    h2 = word_hash2_expr(F.col(word_col))
     votes = [
-        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        F.sum(
+            F.shiftright(h1 if j < 32 else h2, j if j < 32 else j - 32)
+            .bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{j}")
         for j in range(SIMHASH_BITS)
     ]
     voted = exploded.groupBy(id_col).agg(*votes)
     sig = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        contrib = 2**j if j < 63 else -(2**63)
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(contrib).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sig = bit if sig is None else sig + bit
     return voted.select(id_col, sig.alias("simhash"))
 
 
 def simhash_near_pairs(
-    signatures: DataFrame, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+    signatures: DataFrame, id_col: str, max_hamming: int = 3, blocks: int = 4
 ) -> DataFrame:
-    """Near-dup pairs by simhash: bucket on the top ``prefix_bits`` of the
-    signature (the LSH step bounding the self-join), verify with exact
-    Hamming distance <= max_hamming via bit_count(xor)."""
-    bucketed = signatures.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.shiftright(F.col("simhash"), SIMHASH_BITS - prefix_bits).alias("__bucket"),
-    )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "__bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "__bucket"
-    )
+    """Near-dup pairs by simhash, Manku-style multi-block bucketing (Manku,
+    Jain & Das Sarma, WWW'07): split the 64-bit signature into ``blocks``
+    equal bit blocks, bucket on (block index, block value), verify with
+    exact Hamming distance via bit_count(xor), collapse pairs colliding in
+    several blocks. Any pair within Hamming < ``blocks`` shares a
+    flip-free block (pigeonhole), so with the default (max_hamming=3,
+    blocks=4) EVERY qualifying pair is found — the round-4 prefix scheme
+    silently missed any pair with a flip in the top 16 bits, and its
+    random-pair candidate mass was 4x higher at equal bucket width."""
+    width = SIMHASH_BITS // blocks
+    mask = (1 << width) - 1
+    blk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("__bi"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("__bv"),
+                )
+                for i in range(blocks)
+            ]
+        )
+    ).alias("__b")
+    base = signatures.select(F.col(id_col), F.col("simhash"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), blk
+    ).select("id_a", "sig_a", "__b.__bi", "__b.__bv")
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), blk
+    ).select("id_b", "sig_b", "__b.__bi", "__b.__bv")
     return (
-        a.join(b, "__bucket")
+        a.join(b, ["__bi", "__bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "sig_a", "sig_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

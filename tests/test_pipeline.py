@@ -148,7 +148,7 @@ def test_near_dup_clusters_convergence_guard(spark):
 def test_simhash_hamming_zero_for_clones(corpus):
     exploded = corpus.select("doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle"))
     sigs = D.simhash_signatures(exploded, "doc_id", "shingle")
-    pairs = D.simhash_near_pairs(sigs, "doc_id", max_hamming=6, prefix_bits=8)
+    pairs = D.simhash_near_pairs(sigs, "doc_id", max_hamming=6)
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert found[(1, 2)] == 0
 

@@ -14,6 +14,9 @@ _MUST_GRADE_R05 = {
     # retuned in round 5 (B=10/L=4/2-bit multi-probe): results changed, so
     # the fresh r04 row no longer covers it — must re-grade
     "ann_lsh_topk",
+    # upgraded in round 5 (64-bit signatures + Manku block pairing):
+    # results changed — must re-grade
+    "simhash_dedup",
     # last graded in CORRECTNESS_r02 (44 names)
     "right_outer_lookup_join", "mutation_upsert_merge", "salted_join_revenue",
     "pool_count", "edge_dedup", "network_counts", "degree_histogram",
