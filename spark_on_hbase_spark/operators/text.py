@@ -146,31 +146,62 @@ def repetition_signals(
 
     Per doc: top_bigram_frac = count(most frequent 2-gram) / count(2-grams),
     dup_bigram_frac / dup_trigram_frac = fraction of n-gram occurrences
-    whose gram occurs more than once. Two hash aggregations keyed by
-    (doc, gram) then (doc) — fully distributed, combiner-friendly, no state
-    wider than one document's gram multiset shard; ratios are exact integer
-    counts under one IEEE division, so the DuckDB oracle twin hash-matches.
-    Documents with fewer than 3 words (no trigram) are excluded — a quality
-    gate has nothing to measure there."""
-    base = df.select(id_col, words_expr(text_col).alias("__ws"))
-    bi = ngram_occurrence_stats(base, 2, "bigrams", id_col)
-    tri = ngram_occurrence_stats(base, 3, "trigrams", id_col)
-    return (
-        bi.join(tri, id_col)
-        .select(
-            id_col,
-            "n_bigrams",
-            "top_bigrams_count",
-            (F.col("top_bigrams_count").cast("double") / F.col("n_bigrams")).alias(
-                "top_bigram_frac"
-            ),
-            (F.col("dup_bigrams").cast("double") / F.col("n_bigrams")).alias(
-                "dup_bigram_frac"
-            ),
-            (F.col("dup_trigrams").cast("double") / F.col("n_trigrams")).alias(
-                "dup_trigram_frac"
-            ),
+    whose gram occurs more than once. ONE pass: bigrams and trigrams ride
+    a single explode tagged by n, one hash aggregation keyed
+    (doc, n, gram), one keyed (doc, n), and a conditional-agg widening to
+    per-doc columns — round-5 trim from two independent
+    ngram_occurrence_stats derivations + a join (2 corpus scans, 4
+    shuffles, broadcast) to 1 scan / 3 shuffles, values bit-identical.
+    Fully distributed, combiner-friendly, no state wider than one
+    document's gram multiset shard; ratios are exact integer counts under
+    one IEEE division, so the DuckDB oracle twin hash-matches. Documents
+    with fewer than 3 words (no trigram) are excluded — a quality gate
+    has nothing to measure there."""
+    ws = words_expr(text_col)
+
+    def _tag(n):
+        # single-argument lambda on purpose: a two-arg transform lambda
+        # receives (element, array_index) and the index would silently
+        # shadow n
+        return F.transform(
+            ngrams_from_words(ws, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
         )
+
+    tagged = F.concat(_tag(2), _tag(3))
+    grams = df.select(id_col, F.explode(tagged).alias("__t")).select(
+        id_col, F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g")
+    )
+    per_gram = grams.groupBy(id_col, "__n", "__g").agg(F.count("*").alias("__c"))
+    per_doc = per_gram.groupBy(id_col, "__n").agg(
+        F.sum("__c").alias("__total"),
+        F.max("__c").alias("__top"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias("__dup"),
+    )
+
+    def pick(n, col):
+        return F.max(F.when(F.col("__n") == n, F.col(col)))
+
+    wide = per_doc.groupBy(id_col).agg(
+        pick(2, "__total").alias("n_bigrams"),
+        pick(2, "__top").alias("top_bigrams_count"),
+        pick(2, "__dup").alias("dup_bigrams"),
+        pick(3, "__total").alias("n_trigrams"),
+        pick(3, "__dup").alias("dup_trigrams"),
+    )
+    return wide.where(F.col("n_trigrams").isNotNull()).select(
+        id_col,
+        "n_bigrams",
+        "top_bigrams_count",
+        (F.col("top_bigrams_count").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+        (F.col("dup_bigrams").cast("double") / F.col("n_bigrams")).alias(
+            "dup_bigram_frac"
+        ),
+        (F.col("dup_trigrams").cast("double") / F.col("n_trigrams")).alias(
+            "dup_trigram_frac"
+        ),
     )
 
 
@@ -187,11 +218,15 @@ def tfidf_keywords(
     counts under one division and one multiplication are bit-identical
     everywhere and order documents' terms the same way (log is monotone).
 
-    Shape at 100 TB: one (doc, term) hash aggregation for tf, one term
-    aggregation for document frequency (vocabulary-sized, orders of
-    magnitude smaller than the corpus — joined on the term key), and a
-    per-document window bounded by the doc's distinct terms. Returns
-    (id, term, tf, weight, rank) with rank <= top_k, ties broken by term."""
+    Shape at 100 TB: ONE (doc, term) hash aggregation for tf; document
+    frequency rides a count window over that same relation once it is
+    shuffled by term — a separate df aggregation would re-derive the whole
+    (doc, term) pass (Catalyst does not share subtrees), doubling the
+    corpus cost (round-5 trim: 3 scans / 6 shuffles -> 2 / 4, values
+    bit-identical). n_docs is one narrow count-distinct over the id
+    column; the final per-document ranking window is bounded by the doc's
+    distinct terms. Returns (id, term, tf, weight, rank) with
+    rank <= top_k, ties broken by term."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -199,10 +234,9 @@ def tfidf_keywords(
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n_docs = df.select(F.countDistinct(id_col).alias("__n"))
-    doc_freq = tf.groupBy("term").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("weight").desc(), "term")
     return (
-        tf.join(doc_freq, "term")
+        tf.withColumn("__df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
