@@ -443,7 +443,7 @@ def span_dup_stats(
 
     Returns (id, n_spans, dup_spans) with dup_spans = spans whose
     fingerprint occurs in MORE THAN ONE document (within-doc repeats are
-    repetition, not duplication — text.ngram_occurrence_stats covers
+    repetition, not duplication — text.repetition_signals covers
     those). Exact integers only; thresholding is the caller's choice
     (compare k*dup_spans >= m*n_spans in integers for cross-engine
     exactness)."""

@@ -112,29 +112,6 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def ngram_occurrence_stats(
-    base: DataFrame, n: int, prefix: str, id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-doc n-gram occurrence census over an already-tokenized relation
-    (``base`` must carry a ``__ws`` words-array column): total occurrences,
-    the most frequent gram's count, and occurrences of repeated grams —
-    the shared kernel of ``repetition_signals`` and the curation gate, so
-    the Gopher repetition DEFINITION cannot drift between the graded signal
-    and the pipelines that gate on it. Two combiner-friendly hash
-    aggregations keyed (doc, gram) then (doc)."""
-    grams = base.select(
-        id_col, F.explode(ngrams_from_words(F.col("__ws"), n)).alias("__g")
-    )
-    per_gram = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-    return per_gram.groupBy(id_col).agg(
-        F.sum("__c").alias(f"n_{prefix}"),
-        F.max("__c").alias(f"top_{prefix}_count"),
-        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
-            f"dup_{prefix}"
-        ),
-    )
-
-
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -150,7 +127,7 @@ def repetition_signals(
     a single explode tagged by n, one hash aggregation keyed
     (doc, n, gram), one keyed (doc, n), and a conditional-agg widening to
     per-doc columns — round-5 trim from two independent
-    ngram_occurrence_stats derivations + a join (2 corpus scans, 4
+    per-n explode+aggregate derivations + a join (2 corpus scans, 4
     shuffles, broadcast) to 1 scan / 3 shuffles, values bit-identical.
     Fully distributed, combiner-friendly, no state wider than one
     document's gram multiset shard; ratios are exact integer counts under
