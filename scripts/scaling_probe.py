@@ -47,6 +47,8 @@ TARGETS = [
     "multimodal_decode_meta",
     "image_near_dup_census",
     "lsm_mutation_storm",
+    # text Hamming family (round-5: 64-bit signatures + Manku block pairing)
+    "simhash_dedup",
 ]
 
 
