@@ -899,3 +899,87 @@ def test_ahash_block_pairing_pigeonhole_guarantee(spark):
         for r in M.ahash_near_pairs(sigs, max_hamming=10).collect()
     }
     assert (1, 4) not in wide
+
+
+def test_block_pairing_matches_python_reference_on_random_sigs(spark):
+    """Differential pin for the Manku block pairing: on 300 seeded-random
+    64-bit signatures (plus planted near-dups), the operator's output must
+    EXACTLY equal a Python replay of the documented semantics — a pair
+    (a, b) appears iff some 16-bit block matches AND Hamming <= max. This
+    is the same contract the DuckDB oracle checks on the graded census,
+    pinned here on adversarial random inputs (sign bits, all-blocks-equal,
+    zero distances) rather than the structured fixture."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    sigs = {}
+    for i in range(300):
+        sigs[i] = rng.getrandbits(64)
+    # planted near-dups: clones and 1-5 bit flips of earlier signatures
+    for i in range(300, 360):
+        base = sigs[rng.randrange(300)]
+        for _ in range(rng.randrange(6)):
+            base ^= 1 << rng.randrange(64)
+        sigs[i] = base
+
+    def to_i64(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = [(i, to_i64(u)) for i, u in sigs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, ahash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.ahash_near_pairs(df, max_hamming=5).collect()
+    }
+    expect = {}
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sigs[ids[x]], sigs[ids[y]]
+            ham = bin(a ^ b).count("1")
+            if ham <= 5 and any(
+                ((a >> (16 * k)) & 0xFFFF) == ((b >> (16 * k)) & 0xFFFF)
+                for k in range(4)
+            ):
+                expect[(ids[x], ids[y])] = ham
+    assert got == expect
+    assert expect, "fixture must plant at least one near pair"
+
+
+def test_simhash_block_pairing_matches_python_reference(spark):
+    """Same differential pin for the text-simhash pairing (shares the Manku
+    layout but its own implementation): operator output == Python replay
+    of any-block-equal AND Hamming <= max over random 64-bit signatures."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    sigs = {i: rng.getrandbits(64) for i in range(200)}
+    for i in range(200, 240):
+        base = sigs[rng.randrange(200)]
+        for _ in range(rng.randrange(4)):
+            base ^= 1 << rng.randrange(64)
+        sigs[i] = base
+
+    def to_i64(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    df = spark.createDataFrame(
+        [(i, to_i64(u)) for i, u in sigs.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    expect = {}
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sigs[ids[x]], sigs[ids[y]]
+            ham = bin(a ^ b).count("1")
+            if ham <= 3 and any(
+                ((a >> (16 * k)) & 0xFFFF) == ((b >> (16 * k)) & 0xFFFF)
+                for k in range(4)
+            ):
+                expect[(ids[x], ids[y])] = ham
+    assert got == expect
+    assert expect, "fixture must plant at least one near pair"
