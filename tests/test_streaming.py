@@ -348,3 +348,58 @@ def test_stream_stream_join_shared_payload_columns_get_right_suffix(spark, tmp_p
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM ssj_payload").collect()
     assert len(rows) == 1 and rows[0]["value"] == 10 and rows[0]["value_right"] == 20
+
+
+def test_stream_restart_resumes_state_and_offsets(spark, tmp_path):
+    """Checkpoint recovery, the production property a 100 TB pipeline lives
+    on: stop a stateful stream, add data, restart against the SAME
+    checkpoint into a FILE sink (the memory sink is explicitly
+    non-recoverable; the parquet sink's commit log is the exactly-once
+    path). The restarted query must (a) recover the dedup state store — a
+    fingerprint first seen BEFORE the restart still suppresses its
+    post-restart duplicate — and (b) resume from the committed source
+    offsets — re-processing a pre-restart file would double rows A/B in
+    the sink."""
+    d = tmp_path / "docs"
+    ckpt = str(tmp_path / "restart_ckpt")
+    sink = str(tmp_path / "restart_out")
+    spark.createDataFrame(
+        [Row(doc_id=1, fp="A", ts="2024-01-01 00:00:01"),
+         Row(doc_id=2, fp="B", ts="2024-01-01 00:00:02")]
+    ).coalesce(1).write.mode("append").parquet(str(d))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, fp string, ts string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        deduped = ST.streaming_dedup(stream, ["fp"], ts_col="ts", delay="1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {r["fp"] for r in spark.read.parquet(sink).collect()} == {"A", "B"}
+
+    spark.createDataFrame(
+        [Row(doc_id=3, fp="A", ts="2024-01-01 00:00:03"),   # dup of pre-restart state
+         Row(doc_id=4, fp="D", ts="2024-01-01 00:00:04")]
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    # NOTE: no mtime aging here (unlike the cross-microbatch test): the
+    # file source's maxFileAge horizon is relative to the newest mtime the
+    # CHECKPOINT has seen — back-dating the new file past that horizon
+    # makes the restarted stream silently ignore it.
+
+    run()
+    got = sorted(r["fp"] for r in spark.read.parquet(sink).collect())
+    # exactly once: A suppressed by RECOVERED state (not re-emitted, not
+    # duplicated), B not reprocessed, D appended — 3 rows total
+    assert got == ["A", "B", "D"]
