@@ -1,5 +1,6 @@
 from spark_on_hbase_spark.streaming.ingest import (  # noqa: F401
     file_stream,
+    idempotent_upsert,
     merge_stream_into_table,
     sessionized_counts,
     socket_stream,

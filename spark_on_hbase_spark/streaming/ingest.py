@@ -100,22 +100,45 @@ def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet") ->
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
+def idempotent_upsert(table: KeyedTable):
+    """The foreachBatch body for ``merge_stream_into_table``, exposed for
+    direct testing: applies a micro-batch as one last-writer-wins keyed
+    merge, guarded by an applied-batch marker under the table directory so
+    a REPLAYED batch id is a strict no-op. The last-writer-wins fold is
+    already semantically idempotent (replaying identical rows converges to
+    the same values), so the marker is storage hygiene for update — it
+    stops replays appending duplicate delta layers — but it is the
+    CORRECTNESS gate any non-idempotent sink variant (e.g. a streaming
+    counter built on KeyedTable.increment, which double-counts on replay)
+    must reuse. Marker write happens AFTER the merge: a crash between the
+    two replays the batch, which the idempotent merge absorbs —
+    at-least-once marking, exactly-once table effect."""
+    import os
+
+    marker_dir = os.path.join(table.path, "_applied_batches")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        if not batch_df.isEmpty():
+            table.update(batch_df)
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return upsert
+
+
 def merge_stream_into_table(
     stream: DataFrame, table: KeyedTable, checkpoint_dir: str, available_now: bool = False
 ):
     """Stream mutations into a KeyedTable: every micro-batch applies one
-    last-writer-wins keyed merge (KeyedTable.update). Because the merge is
-    deterministic and keyed, replaying a micro-batch after failure converges
-    to the same table — the foreachBatch idempotency pattern.
+    last-writer-wins keyed merge (KeyedTable.update) through the
+    ``idempotent_upsert`` guard, so a micro-batch replayed after failure
+    neither changes table state nor appends a duplicate delta layer.
 
     Returns the StreamingQuery (caller awaits/stops)."""
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        table.update(batch_df)
-
-    writer = stream.writeStream.foreachBatch(upsert).option(
+    writer = stream.writeStream.foreachBatch(idempotent_upsert(table)).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

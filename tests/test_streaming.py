@@ -403,3 +403,29 @@ def test_stream_restart_resumes_state_and_offsets(spark, tmp_path):
     # exactly once: A suppressed by RECOVERED state (not re-emitted, not
     # duplicated), B not reprocessed, D appended — 3 rows total
     assert got == ["A", "B", "D"]
+
+
+def test_replayed_micro_batch_is_a_strict_noop(spark, tmp_path):
+    """foreachBatch replay guard: re-invoking the upsert body with an
+    already-applied batch id must change NOTHING — same table values AND
+    same layer count (without the marker, a replay appends a duplicate
+    delta layer; with a non-idempotent sink it would corrupt values)."""
+    tbl = KeyedTable(
+        spark, str(tmp_path / "replay_tbl"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(spark.createDataFrame([Row(key="a", ts=1, v=10)]))
+    upsert = ST.idempotent_upsert(tbl)
+
+    batch = spark.createDataFrame([Row(key="a", ts=2, v=99), Row(key="b", ts=1, v=7)])
+    upsert(batch, 7)
+    layers = len(tbl._layers())
+    state = {r["key"]: (r["ts"], r["v"]) for r in tbl.df().collect()}
+    assert state == {"a": (2, 99), "b": (1, 7)}
+
+    upsert(batch, 7)  # replay: strict no-op
+    assert len(tbl._layers()) == layers
+    assert {r["key"]: (r["ts"], r["v"]) for r in tbl.df().collect()} == state
+
+    upsert(spark.createDataFrame([Row(key="c", ts=1, v=1)]), 8)  # new id applies
+    assert len(tbl._layers()) == layers + 1
+    assert tbl.df().count() == 3
