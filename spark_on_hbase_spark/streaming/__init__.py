@@ -1,6 +1,8 @@
 from spark_on_hbase_spark.streaming.ingest import (  # noqa: F401
     file_stream,
+    guarded_increment,
     idempotent_upsert,
+    increment_stream_into_table,
     merge_stream_into_table,
     sessionized_counts,
     socket_stream,

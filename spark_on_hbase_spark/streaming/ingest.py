@@ -129,6 +129,57 @@ def idempotent_upsert(table: KeyedTable):
     return upsert
 
 
+def guarded_increment(table: KeyedTable, counter_col: str, delta_col: str = "delta"):
+    """The foreachBatch body for ``increment_stream_into_table``, exposed
+    for direct testing (cf. ``idempotent_upsert``): applies a micro-batch
+    of additive deltas guarded by the applied-batch marker — for a
+    NON-idempotent increment the marker is the exactly-once gate."""
+    import os
+
+    marker_dir = os.path.join(table.path, "_applied_batches")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        if not batch_df.isEmpty():
+            table.increment(batch_df, counter_col, delta_col=delta_col)
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return apply
+
+
+def increment_stream_into_table(
+    stream: DataFrame,
+    table: KeyedTable,
+    checkpoint_dir: str,
+    counter_col: str,
+    delta_col: str = "delta",
+    available_now: bool = False,
+):
+    """Stream additive counter deltas into a KeyedTable (the streaming face
+    of S7, HBaseTable.increment): every micro-batch pre-aggregates per key
+    and appends ONE additive delta layer. Unlike the last-writer-wins
+    merge, increment is NOT idempotent — a replayed micro-batch would
+    double-count — so here the applied-batch marker is the CORRECTNESS
+    gate, not storage hygiene. Marker ordering is the same
+    at-least-once-marking scheme as ``idempotent_upsert``; the crash
+    window between increment and marker is the documented residual (a
+    transactional sink would need a commit log the storage layer doesn't
+    model), and it only reopens on a failure at exactly that point —
+    normal replays (restart, retrigger, speculative re-run of a committed
+    batch) are fully absorbed.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    writer = stream.writeStream.foreachBatch(
+        guarded_increment(table, counter_col, delta_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def merge_stream_into_table(
     stream: DataFrame, table: KeyedTable, checkpoint_dir: str, available_now: bool = False
 ):

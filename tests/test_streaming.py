@@ -429,3 +429,42 @@ def test_replayed_micro_batch_is_a_strict_noop(spark, tmp_path):
     upsert(spark.createDataFrame([Row(key="c", ts=1, v=1)]), 8)  # new id applies
     assert len(tbl._layers()) == layers + 1
     assert tbl.df().count() == 3
+
+
+def test_streaming_counter_exactly_once_under_replay(spark, tmp_path):
+    """Streaming counters (S7's streaming face): a real file-stream of
+    deltas increments the table exactly once end-to-end, and a replayed
+    micro-batch id must NOT double-count — increment is non-idempotent, so
+    the applied-batch marker is correctness here, not hygiene."""
+    d = tmp_path / "deltas"
+    tbl = KeyedTable(
+        spark, str(tmp_path / "counter_tbl"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(spark.createDataFrame([Row(key="a", ts=0, hits=100), Row(key="b", ts=0, hits=5)]))
+    spark.createDataFrame(
+        [Row(key="a", delta=3), Row(key="a", delta=2), Row(key="b", delta=-5)]
+    ).coalesce(1).write.mode("append").parquet(str(d))
+
+    q = ST.increment_stream_into_table(
+        ST.file_stream(spark, str(d), "key string, delta bigint"),
+        tbl,
+        str(tmp_path / "cnt_ckpt"),
+        counter_col="hits",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r["hits"] for r in tbl.df().collect()}
+    assert got == {"a": 105, "b": 0}
+
+    # replay a committed batch id through the REAL sink body: no movement
+    import os
+    applied = sorted(os.listdir(os.path.join(tbl.path, "_applied_batches")))
+    assert applied, "stream must have recorded its batch ids"
+    layers = len(tbl._layers())
+    replay = spark.createDataFrame([Row(key="a", delta=3)])
+    ST.guarded_increment(tbl, "hits")(replay, int(applied[0]))
+    assert {r["key"]: r["hits"] for r in tbl.df().collect()} == got
+    assert len(tbl._layers()) == layers
+    # a FRESH batch id through the same body does count
+    ST.guarded_increment(tbl, "hits")(replay, 10_000)
+    assert {r["key"]: r["hits"] for r in tbl.df().collect()}["a"] == 108
