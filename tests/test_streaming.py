@@ -468,3 +468,30 @@ def test_streaming_counter_exactly_once_under_replay(spark, tmp_path):
     # a FRESH batch id through the same body does count
     ST.guarded_increment(tbl, "hits")(replay, 10_000)
     assert {r["key"]: r["hits"] for r in tbl.df().collect()}["a"] == 108
+
+
+def test_upsert_crash_window_degrades_to_value_idempotence(spark, tmp_path):
+    """The documented residual of marker-after-merge ordering: a crash
+    BETWEEN the merge and the marker write replays the batch un-marked.
+    For the last-writer-wins merge that replay must converge to identical
+    table values (one redundant delta layer is the accepted storage cost,
+    folded away by the next compaction)."""
+    tbl = KeyedTable(
+        spark, str(tmp_path / "crash_tbl"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(spark.createDataFrame([Row(key="a", ts=1, v=10)]))
+    batch = spark.createDataFrame([Row(key="a", ts=2, v=99), Row(key="b", ts=1, v=7)])
+    # simulate the crash window: the merge landed but no marker was written
+    tbl.update(batch)
+    state = {r["key"]: (r["ts"], r["v"]) for r in tbl.df().collect()}
+    layers = len(tbl._layers())
+    # restart replays the batch through the guard (marker absent -> applies)
+    ST.idempotent_upsert(tbl)(batch, 3)
+    assert {r["key"]: (r["ts"], r["v"]) for r in tbl.df().collect()} == state
+    assert len(tbl._layers()) == layers + 1  # the accepted redundant layer
+    tbl.compact()
+    assert {r["key"]: (r["ts"], r["v"]) for r in tbl.df().collect()} == state
+    # and the marker now exists, so any FURTHER replay is a strict no-op
+    n = len(tbl._layers())
+    ST.idempotent_upsert(tbl)(batch, 3)
+    assert len(tbl._layers()) == n
