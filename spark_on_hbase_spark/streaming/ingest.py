@@ -100,6 +100,28 @@ def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet") ->
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
+def _applied_batch_guard(table: KeyedTable, body):
+    """Shared foreachBatch replay guard: skip batch ids already marked
+    under <table>/_applied_batches, apply ``body`` otherwise, mark AFTER
+    applying (at-least-once marking; the crash window between the two
+    replays the batch — see the factories below for what each sink's
+    semantics make of that)."""
+    import os
+
+    marker_dir = os.path.join(table.path, "_applied_batches")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        if not batch_df.isEmpty():
+            body(batch_df)
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return apply
+
+
 def idempotent_upsert(table: KeyedTable):
     """The foreachBatch body for ``merge_stream_into_table``, exposed for
     direct testing: applies a micro-batch as one last-writer-wins keyed
@@ -113,20 +135,7 @@ def idempotent_upsert(table: KeyedTable):
     must reuse. Marker write happens AFTER the merge: a crash between the
     two replays the batch, which the idempotent merge absorbs —
     at-least-once marking, exactly-once table effect."""
-    import os
-
-    marker_dir = os.path.join(table.path, "_applied_batches")
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):
-            return
-        if not batch_df.isEmpty():
-            table.update(batch_df)
-        os.makedirs(marker_dir, exist_ok=True)
-        open(marker, "w").close()
-
-    return upsert
+    return _applied_batch_guard(table, table.update)
 
 
 def guarded_increment(table: KeyedTable, counter_col: str, delta_col: str = "delta"):
@@ -134,20 +143,9 @@ def guarded_increment(table: KeyedTable, counter_col: str, delta_col: str = "del
     for direct testing (cf. ``idempotent_upsert``): applies a micro-batch
     of additive deltas guarded by the applied-batch marker — for a
     NON-idempotent increment the marker is the exactly-once gate."""
-    import os
-
-    marker_dir = os.path.join(table.path, "_applied_batches")
-
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):
-            return
-        if not batch_df.isEmpty():
-            table.increment(batch_df, counter_col, delta_col=delta_col)
-        os.makedirs(marker_dir, exist_ok=True)
-        open(marker, "w").close()
-
-    return apply
+    return _applied_batch_guard(
+        table, lambda b: table.increment(b, counter_col, delta_col=delta_col)
+    )
 
 
 def increment_stream_into_table(
