@@ -179,6 +179,50 @@ def table_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[i
     return [allp[t * num_planes : (t + 1) * num_planes] for t in range(num_tables)]
 
 
+LSH_PLANE_POOL = 16  # per-table plane pool width for the adaptive-B scheme
+
+
+def adaptive_num_planes(
+    n_corpus: int, offset: int = -1, floor: int = 6, cap: int = LSH_PLANE_POOL
+) -> int:
+    """Scale-adaptive LSH bucket width: B = clamp(ceil(log2(n)) + offset).
+
+    Fixed B is the measured scale-killer of bucketed ANN (SCALE.md §30x):
+    when corpus and query batch grow together, candidate mass per query is
+    ~n / 2^B, so total work is ~n^2 / 2^B — quadratic unless B tracks
+    log2(n). With B = ceil(log2 n) + offset, every bucket holds ~2^-offset
+    expected vectors per table and candidate cost per query stays O(probes),
+    flat in n. The 30x probe measured the law directly: at 30x data, fixed
+    B=10 grew 58x warm while B=14 (the rule's answer) ran 6x faster than
+    B=10 at 159s -> 27s.
+
+    The rule is IEEE-exact cross-engine: log2 of an integer < 2^53 is the
+    same double in Python, Spark and DuckDB, so the oracle replays
+    ``GREATEST(floor, LEAST(cap, CAST(ceil(log2(n)) AS INT) + offset))``
+    bit-identically from its own COUNT(*)."""
+    import math
+
+    return max(floor, min(cap, math.ceil(math.log2(max(n_corpus, 2))) + offset))
+
+
+def pooled_table_planes(
+    num_tables: int, num_planes: int, dim: int, pool: int = LSH_PLANE_POOL
+) -> list[list[list[int]]]:
+    """B-INDEPENDENT table planes: table t's plane j is row t*pool + j of
+    the one deterministic plane matrix, regardless of B — so a table's
+    B-plane set is always the first B planes of its fixed ``pool``-wide
+    slice. Consequence: the B-bit bucket equals the pool-width bucket
+    masked to its low B bits (bit j comes from plane j), which is what lets
+    a RUNTIME B — derived from a corpus count — reuse one stored plane
+    configuration, and lets the DuckDB oracle replay adaptive B as
+    ``pool_bucket & ((1 << b) - 1)`` without regenerating plane literals.
+    (``table_planes`` slices chunks of B, so its tables CHANGE with B —
+    unusable under an adaptive rule.)"""
+    if num_planes > pool:
+        raise ValueError(f"num_planes {num_planes} exceeds plane pool {pool}")
+    return [tp[:num_planes] for tp in table_planes(num_tables, pool, dim)]
+
+
 def _table_bucket_rows(vcol: Column, tables: list[list[list[int]]]) -> Column:
     """Explode a quantized vector to one (table, bucket) struct per hash
     table — all tables ride one scan of the vector column."""
@@ -202,13 +246,23 @@ def lsh_bucket(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 1,
+    plane_pool: int | None = None,
 ) -> DataFrame:
     """Corpus-side LSH assignment: (id, quantized vector, table, bucket) —
     one row per (vector, hash table). At 100 TB this is computed ONCE and
     stored partitioned by (table, bucket) (the layout every query batch
     joins against); locally, memoize/persist it and pass to ``lsh_topk`` via
-    ``corpus_bucketed`` so repeated query batches skip re-bucketing."""
-    tables = table_planes(num_tables, num_planes, dim)
+    ``corpus_bucketed`` so repeated query batches skip re-bucketing.
+
+    ``plane_pool``: use the B-independent pooled plane assignment
+    (``pooled_table_planes``) so ``num_planes`` may be derived at
+    index-build time from the corpus count (``adaptive_num_planes``) and a
+    future re-index at a bigger B keeps every already-assigned low bit."""
+    tables = (
+        pooled_table_planes(num_tables, num_planes, dim, plane_pool)
+        if plane_pool is not None
+        else table_planes(num_tables, num_planes, dim)
+    )
     v = vectors.select(F.col(id_col), quantize_expr(vec_col).alias("__cv"))
     return v.select(id_col, "__cv", _table_bucket_rows(F.col("__cv"), tables).alias("__tb")).select(
         id_col, "__cv", "__tb.__t", "__tb.__bucket"
@@ -226,6 +280,7 @@ def lsh_topk(
     num_tables: int = 1,
     corpus_bucketed: DataFrame | None = None,
     probe_bits: int = 0,
+    plane_pool: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only candidates sharing a sign-LSH bucket with the
     query. The bucket id is the shuffle/join key — at 100 TB the corpus
@@ -259,10 +314,19 @@ def lsh_topk(
     ``corpus_bucketed``: a precomputed ``lsh_bucket(candidates, ...)``
     relation (same plane config!) — pass the persisted/stored assignment so
     repeated query batches reuse it instead of re-bucketing the corpus
-    inside every query plan."""
+    inside every query plan.
+
+    ``plane_pool``: pooled (B-independent) plane assignment — pass the same
+    value used to build ``corpus_bucketed``. This is how an ADAPTIVE
+    ``num_planes`` (``adaptive_num_planes`` from the corpus count) stays
+    consistent between the stored index and the query side."""
     from pyspark.sql import Window
 
-    tables = table_planes(num_tables, num_planes, dim)
+    tables = (
+        pooled_table_planes(num_tables, num_planes, dim, plane_pool)
+        if plane_pool is not None
+        else table_planes(num_tables, num_planes, dim)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
     )
@@ -312,6 +376,182 @@ def lsh_topk(
     )
     if num_tables > 1 or probe_bits:
         scored = scored.groupBy("query_id", id_col).agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _pow2(c: Column) -> Column:
+    """2^c for a small non-negative column — exact (double pow is exact for
+    integer exponents below 2^52, then cast)."""
+    return F.pow(F.lit(2.0), c.cast("double")).cast("bigint")
+
+
+def plane_dots_expr(qvec: Column, planes: list[list[int]]) -> Column:
+    """Per-plane exact integer dots of a quantized vector with each ±1
+    hyperplane, as an array — the margin signal for query-directed probing
+    (the sign gives the bucket bit; |dot| is the distance to the plane)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qvec,
+                    F.array(*[F.lit(s) for s in plane]),
+                    lambda x, s: x * s.cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            for plane in planes
+        ]
+    )
+
+
+def lsh_margin_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 1,
+    corpus_bucketed: DataFrame | None = None,
+    probe_width: int = 10,
+    probe_total: int = 224,
+    plane_pool: int = LSH_PLANE_POOL,
+) -> DataFrame:
+    """ANN top-k with QUERY-DIRECTED ordered multi-probe (the full Lv et
+    al. VLDB'07 construction, upgrading ``lsh_topk``'s blind ±2-bit
+    probing): per query and hash table, rank the probe buckets by how
+    likely they are to hold missed neighbors — the summed |margin| of the
+    flipped planes (a neighbor most plausibly lands across the planes the
+    query itself barely cleared) — and spend a GLOBAL budget of
+    ``probe_total`` probes per query on the best (table, bucket) pairs
+    across all tables. Tables where the query has weak margins get more of
+    the budget, which measures ~2x the recall of blind 2-bit probing at
+    the SAME candidate fraction (SCALE.md §ANN: 0.657 vs 0.333 at ~21% on
+    the adversarial fixture corpus).
+
+    Construction per (query, table): per-plane exact integer dots; the
+    ``probe_width`` smallest-|margin| planes (ties by plane index, via a
+    bigint-encoded ``|dot|*32 + j`` sort — no struct-sort semantics to
+    match cross-engine); all 2^min(probe_width, B) sign-flip subsets of
+    those planes scored by summed flipped |margin|; then one window per
+    query keeps the ``probe_total`` best probes by (score, table, bucket).
+    Everything is exact integer arithmetic, so the DuckDB oracle replays
+    the probe selection bit-identically.
+
+    Scale posture: probing remains PURE QUERY-SIDE FANOUT — the stored
+    (table, bucket)-partitioned corpus index (``lsh_bucket`` with the same
+    ``plane_pool``) is untouched, and the per-query cost is O(L * 2^w)
+    probe scoring + ``probe_total`` bucket lookups regardless of corpus
+    size. Combined with ``adaptive_num_planes`` (B ~ log2 n) the candidate
+    mass per query stays ~probe_total * n / 2^B = O(probe_total) vectors,
+    flat in n."""
+    from pyspark.sql import Window
+
+    tables = pooled_table_planes(num_tables, num_planes, dim, plane_pool)
+    w_eff = min(probe_width, num_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
+    )
+    qt = q.select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("__t"),
+                        plane_dots_expr(F.col("__qv"), planes).alias("__dots"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("__s"),
+    ).select("query_id", "__qv", "__s.__t", "__s.__dots")
+    # bucket bit j = sign of dot j; weak list = planes by ascending |margin|
+    # (encoded |dot|*32 + j: exact bigint, deterministic tie on plane index)
+    qt = qt.select(
+        "query_id",
+        "__qv",
+        "__t",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.when(F.element_at(F.col("__dots"), j + 1) > 0, _pow2(j)).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ).alias("__bucket"),
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                    lambda j: F.abs(F.element_at(F.col("__dots"), j + 1)) * 32 + j,
+                )
+            ),
+            1,
+            w_eff,
+        ).alias("__weak"),
+    )
+    # all 2^w flip subsets of the weak planes, scored by summed flipped margin
+    def _bit(s: Column, i: Column) -> Column:
+        return F.floor(s / _pow2(i)).cast("bigint") % 2
+
+    probes = F.transform(
+        F.sequence(F.lit(0), F.lit(2**w_eff - 1)),
+        lambda s: F.struct(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(w_eff - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, i: acc
+                + _bit(s, i)
+                * (F.floor(F.element_at(F.col("__weak"), i + 1) / 32)).cast("bigint"),
+            ).alias("sc"),
+            F.col("__bucket")
+            .bitwiseXOR(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(w_eff - 1)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, i: acc
+                    + _bit(s, i) * _pow2(F.element_at(F.col("__weak"), i + 1) % 32),
+                )
+            )
+            .alias("b"),
+        ),
+    )
+    qp = qt.select("query_id", "__qv", "__t", F.explode(probes).alias("__p"))
+    wsel = Window.partitionBy("query_id").orderBy(
+        F.col("__p.sc"), F.col("__t"), F.col("__p.b")
+    )
+    qp = (
+        qp.withColumn("__rn", F.row_number().over(wsel))
+        .where(F.col("__rn") <= probe_total)
+        .select("query_id", "__qv", "__t", F.col("__p.b").alias("__bucket"))
+    )
+    cb = (
+        corpus_bucketed
+        if corpus_bucketed is not None
+        else lsh_bucket(
+            candidates, num_planes, dim, id_col, vec_col, num_tables, plane_pool
+        )
+    )
+    cand = (
+        F.broadcast(qp)
+        .join(cb, ["__t", "__bucket"])
+        .where(F.col("query_id") != F.col(id_col))
+    )
+    scored = cand.select(
+        "query_id",
+        id_col,
+        cosine_expr(
+            dot_expr(F.col("__qv"), F.col("__cv")),
+            norm2_expr(F.col("__qv")),
+            norm2_expr(F.col("__cv")),
+        ).alias("cosine"),
+    )
+    scored = scored.groupBy("query_id", id_col).agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -508,12 +748,17 @@ def ivf_topk(
     nprobe=1 probe rows ARE its rows in the stored assignment, so both
     sides of the cell join read one shared relation (one scan / cache).
     ``queries_assigned`` requires nprobe=1 (it IS the 1-cell assignment);
-    pass ``candidates``/``queries``/``centroids`` as None when the
-    corresponding *_assigned relation is given."""
+    pass ``candidates``/``queries`` as None when the corresponding
+    *_assigned relation is given. ``centroids`` may be None only when BOTH
+    assigned relations are given (assignment needs the centroid set)."""
     from pyspark.sql import Window
 
     if queries_assigned is not None and nprobe != 1:
         raise ValueError("queries_assigned is a 1-cell assignment; nprobe must be 1")
+    if centroids is None and (corpus_assigned is None or queries_assigned is None):
+        raise ValueError(
+            "centroids required unless both corpus_assigned and queries_assigned are given"
+        )
     if corpus_assigned is None or queries_assigned is None:
         cq = (
             centroids.select(F.col(id_col), F.col("__v"))
