@@ -641,38 +641,52 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.brute_force_topk(emb, queries, k=10)
 
 
-# multi-table LSH config for the graded ANN query: 4 independent 10-plane
-# tables + 2-bit query-side multi-probe (each query probes its bucket plus
-# all 10 single-bit and 45 two-bit flips per table — 56 probes/table, pure
-# query-side fanout over the unchanged stored layout). Round-5 retune from
-# (B=8, L=4, probe_bits=1): measured at sf0.1, recall@10 rises 0.40 ->
-# 0.57 at 21% candidate fraction (vs 14%) and equal wall (~5s) — the
-# judge's >=0.5 recall floor met while keeping candidates bounded; the
-# (B=8, p=2) point measures higher recall (0.78) but at 46% candidate
-# fraction, which is half of brute force per query — not an ANN posture at
-# 100 TB. Frontier in SCALE.md §ANN; floors pinned in
-# tests/test_pipeline.py::test_ann_recall_floors_on_fixture_corpus.
-_LSH_B, _LSH_L, _LSH_PROBE = 10, 4, 2
+# Graded ANN config (round 6): SCALE-ADAPTIVE bucket width + query-directed
+# ordered multi-probe. B = clamp(ceil(log2(n_corpus)) - 1, 6, 16) is derived
+# from an in-query corpus count — the 30x probe measured fixed B going
+# quadratic when corpus and query batch grow together (58x warm at 30x
+# data), and B ~ log2(n) is the law that keeps per-query candidate mass
+# flat (SCALE.md §30x). The plane POOL (16 planes/table) is B-independent
+# (V.pooled_table_planes), so the stored index layout survives a re-index
+# at a bigger B and the DuckDB oracle replays the rule from its own
+# COUNT(*). Probing is the full Lv et al. VLDB'07 construction
+# (V.lsh_margin_topk): per query, probes ranked by summed flipped-plane
+# |margin| with ONE global budget of 224 probes across 6 tables — measured
+# at sf0.1: recall@10 0.657 at a 21.4% candidate fraction, vs 0.333 for
+# the round-5 blind 2-bit probing at the SAME fraction and plane pool
+# (frontier in SCALE.md §ANN; floors pinned in
+# tests/test_pipeline.py::test_ann_recall_floors_on_fixture_corpus).
+_LSH_L, _LSH_W, _LSH_T = 6, 10, 224
+_LSH_POOL = V.LSH_PLANE_POOL
+_LSH_TABLES = V.table_planes(_LSH_L, _LSH_POOL, 64)  # pool-wide planes
 
-# popcount<=2 probe masks, shared with the oracle SQL below
-from itertools import combinations as _combos
+_LSH_N_CACHE: dict = {}
 
-_LSH_MASKS = [0] + [
-    sum(1 << b for b in bits)
-    for r in (1, 2)
-    for bits in _combos(range(_LSH_B), r)
-]
-_LSH_TABLES = V.table_planes(_LSH_L, _LSH_B, 64)
+
+def _lsh_num_planes(spark: SparkSession, sf_dir: str) -> int:
+    """Adaptive B from the (memoized) corpus count — computed once at
+    index-build time, exactly the rule the oracle replays in SQL."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_N_CACHE:
+        for stale in [k for k in _LSH_N_CACHE if k != key]:
+            del _LSH_N_CACHE[stale]
+        _LSH_N_CACHE[key] = load(spark, sf_dir, "embeddings").count()
+    return V.adaptive_num_planes(_LSH_N_CACHE[key])
+
 
 _LSH_CORPUS_CACHE: dict = {}
 
 
 @build("lsh_corpus_index")
 def _lsh_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncached multi-table LSH corpus assignment build — build-gate entry."""
+    """Uncached multi-table LSH corpus assignment build — build-gate entry.
+    B is sized from the corpus count at build time (adaptive_num_planes);
+    the pooled plane assignment means a future re-index at B+1 keeps every
+    already-assigned low bit."""
     return V.lsh_bucket(
         load(spark, sf_dir, "embeddings"),
-        num_planes=_LSH_B, dim=64, num_tables=_LSH_L,
+        num_planes=_lsh_num_planes(spark, sf_dir), dim=64,
+        num_tables=_LSH_L, plane_pool=_LSH_POOL,
     )
 
 
@@ -693,62 +707,97 @@ def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb.count()
         _LSH_CORPUS_CACHE[key] = cb
     return _LSH_CORPUS_CACHE[key]
-_LSH_BUCKET_CASE = "CASE t " + " ".join(
-    f"WHEN {t} THEN {V.bucket_sql('v', planes)}" for t, planes in enumerate(_LSH_TABLES)
+_LSH_DOTS_CASE = "CASE t " + " ".join(
+    f"WHEN {t} THEN {V.plane_dots_sql('v', planes)}"
+    for t, planes in enumerate(_LSH_TABLES)
 ) + " END"
+_LSH_B_SQL = V.adaptive_num_planes_sql("(SELECT COUNT(*) FROM base_vecs)")
+_LSH_COS = V.COSINE_SQL.format(
+    dot=V.dot_sql("qv", "cv"), na=V.norm2_sql("qv"), nb=V.norm2_sql("cv")
+)
 
 
 @query(
     "ann_lsh_topk",
     f"""
     WITH {_BASE_VECS_SQL},
+    params AS (SELECT {_LSH_B_SQL} AS b, LEAST({_LSH_W}, {_LSH_B_SQL}) AS weff),
     tabs AS (SELECT unnest(range({_LSH_L})) AS t),
-    bucketed AS (
-        SELECT vec_id, v, t, {_LSH_BUCKET_CASE} AS bucket
+    dots AS (
+        SELECT vec_id, v, t, {_LSH_DOTS_CASE} AS ds
         FROM base_vecs CROSS JOIN tabs
     ),
-    probes AS (SELECT unnest([{", ".join(str(m) for m in _LSH_MASKS)}]) AS m),
-    queries AS (
-        SELECT vec_id, v, t, xor(bucket, CAST(m AS BIGINT)) AS bucket
-        FROM bucketed CROSS JOIN probes WHERE vec_id % 97 = 0
+    bucketed AS (
+        SELECT vec_id, v, t,
+               list_sum(list_transform(range(b), j ->
+                   CASE WHEN ds[CAST(j+1 AS INT)] > 0
+                        THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                        ELSE CAST(0 AS BIGINT) END)) AS bucket
+        FROM dots CROSS JOIN params
+    ),
+    qweak AS (
+        SELECT vec_id AS query_id, v AS qv, t, bucket, weff,
+               list_slice(list_sort(list_transform(range(b),
+                   j -> abs(ds[CAST(j+1 AS INT)]) * 32 + j)), 1, weff) AS weak
+        FROM dots JOIN bucketed USING (vec_id, v, t) CROSS JOIN params
+        WHERE vec_id % 97 = 0
+    ),
+    qprobe AS (
+        SELECT query_id, qv, t,
+               list_sum(list_transform(range(weff), i ->
+                   CASE WHEN (s & (CAST(1 AS BIGINT) << CAST(i AS INT))) <> 0
+                        THEN weak[CAST(i+1 AS INT)] // 32
+                        ELSE CAST(0 AS BIGINT) END)) AS sc,
+               xor(bucket, list_sum(list_transform(range(weff), i ->
+                   CASE WHEN (s & (CAST(1 AS BIGINT) << CAST(i AS INT))) <> 0
+                        THEN CAST(1 AS BIGINT) << CAST(weak[CAST(i+1 AS INT)] % 32 AS INT)
+                        ELSE CAST(0 AS BIGINT) END))) AS pbucket
+        FROM qweak, (SELECT unnest(range(CAST(pow(2, weff) AS BIGINT))) AS s FROM params)
+    ),
+    qsel AS (
+        SELECT query_id, qv, t, pbucket FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sc, t, pbucket) AS rn
+            FROM qprobe
+        ) WHERE rn <= {_LSH_T}
     ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS query_id, b.vec_id, a.v AS qv, b.v AS cv
-        FROM queries a
-        JOIN bucketed b ON a.t = b.t AND a.bucket = b.bucket
-                        AND b.vec_id <> a.vec_id
+        SELECT DISTINCT a.query_id, b.vec_id, a.qv, b.v AS cv
+        FROM qsel a JOIN bucketed b ON a.t = b.t AND a.pbucket = b.bucket
+                                   AND b.vec_id <> a.query_id
     ),
     scored AS (
-        SELECT query_id, vec_id,
-               {V.COSINE_SQL.format(dot=V.dot_sql('qv', 'cv'), na=V.norm2_sql('qv'), nb=V.norm2_sql('cv'))} AS cosine,
+        SELECT query_id, vec_id, {_LSH_COS} AS cosine,
                row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY {V.COSINE_SQL.format(dot=V.dot_sql('qv', 'cv'), na=V.norm2_sql('qv'), nb=V.norm2_sql('cv'))} DESC,
-                            vec_id
+                   PARTITION BY query_id ORDER BY {_LSH_COS} DESC, vec_id
                ) AS rank
         FROM cand
     )
     SELECT query_id, vec_id, cosine, rank FROM scored WHERE rank <= 10
     """,
-    doc="Multi-table sign-LSH ANN top-k with 2-bit multi-probe (the scale "
-    "path): 4 independent 10-plane tables; each query probes its bucket "
-    "plus all 10 single-bit and 45 two-bit flips per table (AND-OR LSH + "
-    "multi-probe, Lv et al. VLDB'07), candidates deduplicated after "
-    "scoring, then exact-ranked. All tables ride one corpus scan (explode "
-    "to (table, bucket) rows, join on the composite key); probing is pure "
-    "query-side fanout so the stored (table, bucket)-partitioned corpus "
-    "layout serves every recall/cost point unchanged. At 100 TB the corpus "
-    "index is computed once and reused across query batches. Measured vs "
-    "the round-4 (B=8, L=4, 1-bit) config: recall@10 0.57 vs 0.40 at 21% "
-    "vs 14% candidate fraction and equal wall (SCALE.md §ANN).",
+    doc="Scale-adaptive multi-table sign-LSH ANN top-k with query-directed "
+    "ordered multi-probe. Bucket width B = clamp(ceil(log2(n)) - 1, 6, 16) "
+    "is DERIVED FROM THE CORPUS COUNT in-query (replayed by the oracle "
+    "from its own COUNT(*)) — the rule the 30x probe measured as the fix "
+    "for fixed-B LSH going quadratic when corpus and query batch grow "
+    "together. The per-table plane POOL is B-independent, so one stored "
+    "(table, bucket)-partitioned index serves any B up to the pool width. "
+    "Probing is the full Lv et al. VLDB'07 construction: per query, probe "
+    "buckets ranked by summed flipped-plane |margin| (neighbors most "
+    "plausibly sit across the planes the query barely cleared), one GLOBAL "
+    "budget of 224 probes allocated across all 6 tables — pure query-side "
+    "fanout, the stored layout untouched. Measured at sf0.1: recall@10 "
+    "0.657 at a 21.4% candidate fraction vs 0.333 for blind 2-bit probing "
+    "at the same fraction (SCALE.md §ANN).",
     tags=("similarity", "embedding", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 97 == 0)
-    return V.lsh_topk(
-        emb, queries, k=10, num_planes=_LSH_B, dim=64, num_tables=_LSH_L,
-        corpus_bucketed=_lsh_corpus(spark, sf_dir), probe_bits=_LSH_PROBE,
+    return V.lsh_margin_topk(
+        emb, queries, k=10, num_planes=_lsh_num_planes(spark, sf_dir), dim=64,
+        num_tables=_LSH_L, corpus_bucketed=_lsh_corpus(spark, sf_dir),
+        probe_width=_LSH_W, probe_total=_LSH_T, plane_pool=_LSH_POOL,
     )
 
 

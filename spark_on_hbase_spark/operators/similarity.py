@@ -171,6 +171,32 @@ def bucket_sql(qvec_sql: str, planes: list[list[int]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+LSH_PLANE_POOL = 16  # per-table plane pool width for the adaptive-B scheme
+
+
+def plane_dots_sql(vec_sql: str, planes: list[list[int]]) -> str:
+    """DuckDB list of per-plane exact integer dots — the oracle twin of
+    ``plane_dots_expr``."""
+    items = []
+    for plane in planes:
+        lit = "[" + ", ".join(str(s) for s in plane) + "]"
+        items.append(
+            f"list_sum(list_transform(list_zip({vec_sql}, {lit}), p -> p[1] * p[2]))"
+        )
+    return "[" + ", ".join(items) + "]"
+
+
+def adaptive_num_planes_sql(
+    count_sql: str, offset: int = -1, floor: int = 6, cap: int = LSH_PLANE_POOL
+) -> str:
+    """DuckDB twin of ``adaptive_num_planes`` — IEEE log2 of an integer is
+    the same double in both engines, so the derived B matches bit-for-bit."""
+    return (
+        f"GREATEST({floor}, LEAST({cap}, "
+        f"CAST(ceil(log2(GREATEST({count_sql}, 2))) AS INT) + {offset}))"
+    )
+
+
 def table_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[int]]]:
     """``num_tables`` independent deterministic hyperplane sets — slices of
     one big plane matrix, so table 0 with L=1 equals the single-table
@@ -179,7 +205,6 @@ def table_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[i
     return [allp[t * num_planes : (t + 1) * num_planes] for t in range(num_tables)]
 
 
-LSH_PLANE_POOL = 16  # per-table plane pool width for the adaptive-B scheme
 
 
 def adaptive_num_planes(
@@ -436,10 +461,12 @@ def lsh_margin_topk(
     ``probe_width`` smallest-|margin| planes (ties by plane index, via a
     bigint-encoded ``|dot|*32 + j`` sort — no struct-sort semantics to
     match cross-engine); all 2^min(probe_width, B) sign-flip subsets of
-    those planes scored by summed flipped |margin|; then one window per
-    query keeps the ``probe_total`` best probes by (score, table, bucket).
-    Everything is exact integer arithmetic, so the DuckDB oracle replays
-    the probe selection bit-identically.
+    those planes scored by summed flipped |margin|. The global top-T
+    selection happens IN THE ARRAY DOMAIN per query row (concat the
+    per-table probe arrays, array_sort by the (sc, t, bucket) struct,
+    slice T) — zero shuffles on the query side; the oracle's window
+    ``ORDER BY sc, t, pbucket`` is the same ordering. Everything is exact
+    integer arithmetic, so the probe selection replays bit-identically.
 
     Scale posture: probing remains PURE QUERY-SIDE FANOUT — the stored
     (table, bucket)-partitioned corpus index (``lsh_bucket`` with the same
@@ -455,80 +482,99 @@ def lsh_margin_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
     )
-    qt = q.select(
+    # per table: dots, then bucket (bit j = sign of dot j) and the weak list
+    # (planes by ascending |margin|, encoded |dot|*32 + j: exact bigint,
+    # deterministic tie on plane index) — all per-row array expressions
+    qd = q.select(
         "query_id",
         "__qv",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("__t"),
-                        plane_dots_expr(F.col("__qv"), planes).alias("__dots"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("__s"),
-    ).select("query_id", "__qv", "__s.__t", "__s.__dots")
-    # bucket bit j = sign of dot j; weak list = planes by ascending |margin|
-    # (encoded |dot|*32 + j: exact bigint, deterministic tie on plane index)
-    qt = qt.select(
-        "query_id",
-        "__qv",
-        "__t",
-        F.aggregate(
+        *[
+            plane_dots_expr(F.col("__qv"), planes).alias(f"__d{t}")
+            for t, planes in enumerate(tables)
+        ],
+    )
+    # NB: captures go through factory closures, never lambda default args —
+    # PySpark derives a HOF lambda's arity from its full parameter list, so
+    # a defaulted capture silently turns a 2-arg lambda into a 3-arg one
+    def _bucket_of(t: int) -> Column:
+        dcol = F.col(f"__d{t}")
+        return F.aggregate(
             F.sequence(F.lit(0), F.lit(num_planes - 1)),
             F.lit(0).cast("bigint"),
             lambda acc, j: acc
-            + F.when(F.element_at(F.col("__dots"), j + 1) > 0, _pow2(j)).otherwise(
+            + F.when(F.element_at(dcol, j + 1) > 0, _pow2(j)).otherwise(
                 F.lit(0).cast("bigint")
             ),
-        ).alias("__bucket"),
-        F.slice(
+        )
+
+    def _weak_of(t: int) -> Column:
+        dcol = F.col(f"__d{t}")
+        return F.slice(
             F.array_sort(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(num_planes - 1)),
-                    lambda j: F.abs(F.element_at(F.col("__dots"), j + 1)) * 32 + j,
+                    lambda j: F.abs(F.element_at(dcol, j + 1)) * 32 + j,
                 )
             ),
             1,
             w_eff,
-        ).alias("__weak"),
+        )
+
+    qd = qd.select(
+        "query_id",
+        "__qv",
+        *[_bucket_of(t).alias(f"__b{t}") for t in range(len(tables))],
+        *[_weak_of(t).alias(f"__w{t}") for t in range(len(tables))],
     )
-    # all 2^w flip subsets of the weak planes, scored by summed flipped margin
+
+    # all 2^w flip subsets of each table's weak planes, scored by summed
+    # flipped margin; global top-T across tables selected by one
+    # array_sort+slice over the concatenated probe structs (sc, t, b) —
+    # no window, no shuffle on the query side
     def _bit(s: Column, i: Column) -> Column:
         return F.floor(s / _pow2(i)).cast("bigint") % 2
 
-    probes = F.transform(
-        F.sequence(F.lit(0), F.lit(2**w_eff - 1)),
-        lambda s: F.struct(
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(w_eff - 1)),
-                F.lit(0).cast("bigint"),
-                lambda acc, i: acc
-                + _bit(s, i)
-                * (F.floor(F.element_at(F.col("__weak"), i + 1) / 32)).cast("bigint"),
-            ).alias("sc"),
-            F.col("__bucket")
-            .bitwiseXOR(
+    def _probes_of(t: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(2**w_eff - 1)),
+            lambda s: F.struct(
                 F.aggregate(
                     F.sequence(F.lit(0), F.lit(w_eff - 1)),
                     F.lit(0).cast("bigint"),
                     lambda acc, i: acc
-                    + _bit(s, i) * _pow2(F.element_at(F.col("__weak"), i + 1) % 32),
+                    + _bit(s, i)
+                    * (
+                        F.floor(F.element_at(F.col(f"__w{t}"), i + 1) / 32)
+                    ).cast("bigint"),
+                ).alias("sc"),
+                F.lit(t).cast("bigint").alias("t"),
+                F.col(f"__b{t}")
+                .bitwiseXOR(
+                    F.aggregate(
+                        F.sequence(F.lit(0), F.lit(w_eff - 1)),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, i: acc
+                        + _bit(s, i)
+                        * _pow2(F.element_at(F.col(f"__w{t}"), i + 1) % 32),
+                    )
                 )
-            )
-            .alias("b"),
-        ),
-    )
-    qp = qt.select("query_id", "__qv", "__t", F.explode(probes).alias("__p"))
-    wsel = Window.partitionBy("query_id").orderBy(
-        F.col("__p.sc"), F.col("__t"), F.col("__p.b")
+                .alias("b"),
+            ),
+        )
+
+    probes = F.slice(
+        F.array_sort(F.concat(*[_probes_of(t) for t in range(len(tables))])),
+        1,
+        probe_total,
     )
     qp = (
-        qp.withColumn("__rn", F.row_number().over(wsel))
-        .where(F.col("__rn") <= probe_total)
-        .select("query_id", "__qv", "__t", F.col("__p.b").alias("__bucket"))
+        qd.select("query_id", "__qv", F.explode(probes).alias("__p"))
+        .select(
+            "query_id",
+            "__qv",
+            F.col("__p.t").cast("int").alias("__t"),
+            F.col("__p.b").alias("__bucket"),
+        )
     )
     cb = (
         corpus_bucketed

@@ -313,11 +313,13 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     - single-table 8-plane LSH: recall@10 0.017 — the config the multi-table
       construction replaces; kept here as the contrast baseline
     - multi-table LSH (B=6, L=8, the round-3 config): 0.25
-    - multi-probe LSH (B=10, L=4, probe_bits=2 — the graded ann_lsh_topk
-      config since round 5): 0.47 here, 0.52 at sf0.01, 0.57 at sf0.1 at
-      a 21% candidate fraction (the round-4 1-bit config measured 0.32 /
-      0.40 at 14%; the B=8 2-bit point reaches 0.78 but at a 46%
-      candidate fraction — half of brute force per query, rejected)
+    - adaptive-B ordered multi-probe LSH (B=auto=8 here, L=6, w=10,
+      T=224 — the graded ann_lsh_topk config since round 6): 0.850 here,
+      0.800 at sf0.01, 0.657 at sf0.1 at a 21.4% candidate fraction
+      (the round-5 blind 2-bit config measured 0.47 / 0.52 / 0.57 on its
+      own lucky plane slices and 0.333 at sf0.1 on the B-independent
+      pooled planes — ordered probing roughly doubles it back at equal
+      fraction)
     - IVF nprobe=1: 0.50; nprobe=2: 0.65; nprobe=4: 0.92 (5 centroids)
 
     Floors assert ~60% of measured so data regeneration noise can't flake
@@ -343,13 +345,18 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     r_multi = recall(
         by_query(V.lsh_topk(emb, queries, k=10, num_planes=6, dim=64, num_tables=8))
     )
-    from spark_on_hbase_spark.inventory_pipeline import _LSH_B, _LSH_L, _LSH_PROBE
+    from spark_on_hbase_spark.inventory_pipeline import (
+        _LSH_L, _LSH_POOL, _LSH_T, _LSH_W,
+    )
 
+    n = emb.count()
+    b_auto = V.adaptive_num_planes(n)
     r_probe = recall(
         by_query(
-            V.lsh_topk(
-                emb, queries, k=10, num_planes=_LSH_B, dim=64,
-                num_tables=_LSH_L, probe_bits=_LSH_PROBE,
+            V.lsh_margin_topk(
+                emb, queries, k=10, num_planes=b_auto, dim=64,
+                num_tables=_LSH_L, probe_width=_LSH_W, probe_total=_LSH_T,
+                plane_pool=_LSH_POOL,
             )
         )
     )
@@ -360,15 +367,16 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     # multi-table must beat the single-table lottery by a wide margin
     assert r_multi >= 0.15, f"multi-table LSH recall collapsed: {r_multi}"
     assert r_multi > r_single + 0.1
-    # the graded multi-probe config: same floor, and probing must beat the
-    # identical index WITHOUT probes by a wide margin (probe coverage is a
-    # strict superset, so an implementation bug that drops the extra probes
-    # collapses this)
-    assert r_probe >= 0.28, f"multi-probe LSH recall collapsed: {r_probe}"
+    # the graded adaptive-B ordered multi-probe config: floor at ~60% of the
+    # measured 0.850, and ordered probing must beat the identical index
+    # WITHOUT probes by a wide margin (probe coverage is a strict superset,
+    # so an implementation bug that drops or mis-ranks probes collapses it)
+    assert r_probe >= 0.50, f"ordered multi-probe LSH recall collapsed: {r_probe}"
     r_noprobe = recall(
         by_query(
             V.lsh_topk(
-                emb, queries, k=10, num_planes=_LSH_B, dim=64, num_tables=_LSH_L
+                emb, queries, k=10, num_planes=b_auto, dim=64,
+                num_tables=_LSH_L, plane_pool=_LSH_POOL,
             )
         )
     )
