@@ -660,18 +660,62 @@ _LSH_L, _LSH_W, _LSH_T = 6, 10, 224
 _LSH_POOL = V.LSH_PLANE_POOL
 _LSH_TABLES = V.table_planes(_LSH_L, _LSH_POOL, 64)  # pool-wide planes
 
-_LSH_N_CACHE: dict = {}
+_EMB_N_CACHE: dict = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized embeddings-corpus count — the scalar every adaptive index
+    rule (LSH bucket width, IVF cell density) derives from at build time."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_N_CACHE:
+        for stale in [k for k in _EMB_N_CACHE if k != key]:
+            del _EMB_N_CACHE[stale]
+        _EMB_N_CACHE[key] = load(spark, sf_dir, "embeddings").count()
+    return _EMB_N_CACHE[key]
 
 
 def _lsh_num_planes(spark: SparkSession, sf_dir: str) -> int:
     """Adaptive B from the (memoized) corpus count — computed once at
     index-build time, exactly the rule the oracle replays in SQL."""
+    return V.adaptive_num_planes(_emb_count(spark, sf_dir))
+
+
+def _ivf_seed_mod(spark: SparkSession, sf_dir: str) -> int:
+    """IVF seed density: m = 2^ceil(log2(sqrt(n))), so the cell count
+    n/m is ~sqrt(n)/2..sqrt(n) — the standard IVF sizing. A FIXED modulus
+    (the round-5 `% 101`) makes cells grow linearly with the corpus and
+    coarse-assignment cost n*cells go quadratic — the same disease the
+    30x probe measured for fixed-B LSH. log2/sqrt are the same IEEE
+    doubles in Python and DuckDB (sqrt correctly rounded; log2(k) for
+    integer-ish inputs sits far further from integers than 1 ulp), so the
+    oracle replays the rule from its own COUNT(*)."""
+    import math
+
+    n = max(_emb_count(spark, sf_dir), 4)
+    return int(2 ** math.ceil(math.log2(math.sqrt(n))))
+
+
+_IVF_SEED_MOD_SQL = (
+    "CAST(pow(2, ceil(log2(sqrt(GREATEST((SELECT COUNT(*) FROM base_vecs), 4)))))"
+    " AS BIGINT)"
+)
+
+
+def _ivf_ncells(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized seed-cell count for the adaptive nprobe rule — the oracle's
+    ``(SELECT COUNT(*) FROM c0)``."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LSH_N_CACHE:
-        for stale in [k for k in _LSH_N_CACHE if k != key]:
-            del _LSH_N_CACHE[stale]
-        _LSH_N_CACHE[key] = load(spark, sf_dir, "embeddings").count()
-    return V.adaptive_num_planes(_LSH_N_CACHE[key])
+    if key not in _IVF_NCELLS_CACHE:
+        for stale in [k for k in _IVF_NCELLS_CACHE if k != key]:
+            del _IVF_NCELLS_CACHE[stale]
+        m = _ivf_seed_mod(spark, sf_dir)
+        _IVF_NCELLS_CACHE[key] = (
+            load(spark, sf_dir, "embeddings").where(F.col("vec_id") % m == 0).count()
+        )
+    return _IVF_NCELLS_CACHE[key]
+
+
+_IVF_NCELLS_CACHE: dict = {}
 
 
 _LSH_CORPUS_CACHE: dict = {}
@@ -811,7 +855,7 @@ def _ivf_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stored, cell-partitioned corpus layout every query batch joins."""
     emb = load(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", V.quantize_expr("embedding").alias("__v"))
-    cents = corpus.where(F.col("vec_id") % 101 == 0)
+    cents = corpus.where(F.col("vec_id") % _ivf_seed_mod(spark, sf_dir) == 0)
     return V.ivf_assign(corpus, cents, "vec_id", "__v")
 
 
@@ -840,7 +884,8 @@ _IVF_COS = V.COSINE_SQL.format(
     "ann_ivf_topk",
     f"""
     WITH {_BASE_VECS_SQL},
-    cents AS (SELECT vec_id AS cid, v AS cv FROM base_vecs WHERE vec_id % 101 = 0),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base_vecs
+              WHERE vec_id % {_IVF_SEED_MOD_SQL} = 0),
     assigned AS (
         SELECT vec_id, v, cid AS centroid_id FROM (
             SELECT b.vec_id, b.v, c.cid,
@@ -2266,7 +2311,8 @@ _KM_COS = V.COSINE_SQL.format(
     "ann_ivf_kmeans_topk",
     f"""
     WITH {_BASE_VECS_SQL},
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM base_vecs WHERE vec_id % 101 = 0),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM base_vecs
+          WHERE vec_id % {_IVF_SEED_MOD_SQL} = 0),
     {_KM_STEP_SQL.format(i=1, prev=0, d2=_ivf_d2('b.v', 'c.cv'))},
     {_KM_STEP_SQL.format(i=2, prev=1, d2=_ivf_d2('b.v', 'c.cv'))},
     final_assign AS MATERIALIZED (
@@ -2284,7 +2330,7 @@ _KM_COS = V.COSINE_SQL.format(
                                       ORDER BY {_ivf_d2('b.v', 'c.cv')}, c.cid) AS rn
             FROM base_vecs b CROSS JOIN c2 c
             WHERE b.vec_id % 97 = 0
-        ) WHERE rn <= 2
+        ) WHERE rn <= (SELECT GREATEST(1, (COUNT(*) + 3) // 4) FROM c0)
     ),
     km_scored AS (
         SELECT q.query_id, a.vec_id, {_KM_COS} AS cosine,
@@ -2296,28 +2342,37 @@ _KM_COS = V.COSINE_SQL.format(
     )
     SELECT query_id, vec_id, cosine, rank FROM km_scored WHERE rank <= 10
     """,
-    doc="IVF ANN with TRAINED centroids under the hard signal: 2 Lloyd "
-    "iterations (similarity.kmeans_refine) refine the deterministic seed "
-    "centroids, then the standard IVF query path probes nprobe=2 cells. "
+    doc="IVF ANN with TRAINED centroids under the hard signal, fully "
+    "SCALE-ADAPTIVE (round 6): seed density m = 2^ceil(log2(sqrt(n))) "
+    "keeps the cell count ~sqrt(n) (a fixed modulus makes cells grow "
+    "linearly and coarse assignment quadratic — the fixed-B disease), and "
+    "nprobe = ceil(cells/4) targets a ~25% candidate fraction at any "
+    "scale; both rules replay in the oracle from its own COUNT(*). 2 "
+    "Lloyd iterations (similarity.kmeans_refine) refine the seeds. "
     "Training is bit-exact across engines — assignment is exact int L2 "
     "with a (d2, cid) tiebreak, centroid updates are exact integer sums "
     "with FLOOR-division means (pmod identity; a rounded double mean "
     "would diverge per iteration: Spark rounds HALF_UP, DuckDB "
     "half-even) — so the oracle replays the whole training loop, not "
-    "just the query. At 100 TB: per iteration one broadcast-assign scan "
-    "+ one (cell, dim) partial+final aggregation, no driver state; the "
-    "trained centroids drop into the unchanged ivf query path "
-    "(cells = storage partitions, reusable across batches).",
+    "just the query. Measured at sf0.1: recall@10 0.629 at 25% candidate "
+    "fraction (32 cells, nprobe=8) vs 0.414 at 10% for the round-5 "
+    "(cells=20, nprobe=2) config; 0.733 at 34% one notch up (SCALE.md "
+    "§ANN). At 100 TB: per iteration one broadcast-assign scan + one "
+    "(cell, dim) partial+final aggregation, no driver state; the trained "
+    "centroids drop into the unchanged ivf query path (cells = storage "
+    "partitions, reusable across batches).",
     tags=("similarity", "embedding", "ivf", "kmeans"),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", V.quantize_expr("embedding").alias("__v"))
-    seeds = q.where(F.col("vec_id") % 101 == 0)
+    seeds = q.where(F.col("vec_id") % _ivf_seed_mod(spark, sf_dir) == 0)
+    ncells = _ivf_ncells(spark, sf_dir)
     refined = V.kmeans_refine(q, seeds, iters=2)
     queries = emb.where(F.col("vec_id") % 97 == 0)
     return V.ivf_topk(
-        emb, queries, refined, k=10, nprobe=2, centroids_quantized=True
+        emb, queries, refined, k=10,
+        nprobe=max(1, (ncells + 3) // 4), centroids_quantized=True,
     )
 
 
