@@ -25,7 +25,7 @@ from spark_on_hbase_spark.session import get_spark, size_driver_heap_for_launch 
 
 size_driver_heap_for_launch()
 
-from spark_on_hbase_spark.inventory import QUERIES  # noqa: E402
+from spark_on_hbase_spark.inventory import QUERIES, WARMERS  # noqa: E402
 
 
 def main() -> None:
@@ -55,6 +55,20 @@ def main() -> None:
     # the whole harness and round 1 produced no timings at all).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    # Materialize every shared memoized relation FIRST, each timed as its
+    # own "builds" entry: one-time build cost (network, shingles, LSH/IVF
+    # indexes, cluster relations) must not land on whichever query happens
+    # to run first in its family — registry rotation used to move these
+    # costs between query timings with no kernel change (VERDICT r5 item 3).
+    builds: dict[str, float] = {}
+    for bname, warm in WARMERS.items():
+        t0 = time.perf_counter()
+        try:
+            warm(spark, sf_dir)
+            builds[bname] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate per-build faults
+            errors[f"build:{bname}"] = f"{type(exc).__name__}: {exc}"[:500]
     for qi, (name, spec) in enumerate(QUERIES.items()):
         if qi and qi % 10 == 0:
             # Spark's ContextCleaner frees shuffle files / broadcasts via
@@ -77,11 +91,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate per-query faults
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()) + sum(builds.values()), 3)
     out = {
         "metric": "inventory_total_runtime",
         "value": total,
         "unit": "sec",
+        # one-time shared-relation builds, timed separately from queries so
+        # per-query times are kernel times (comparable across rotations)
+        "builds": dict(sorted(builds.items(), key=lambda kv: kv[1])),
         # ascending by time: the driver keeps only the TAIL of stdout, and
         # BENCH_r04 lost the first ~33 entries of this (single, long) JSON
         # line — with slowest-LAST the surviving tail always carries the

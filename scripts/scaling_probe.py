@@ -49,6 +49,9 @@ TARGETS = [
     "lsm_mutation_storm",
     # text Hamming family (round-5: 64-bit signatures + Manku block pairing)
     "simhash_dedup",
+    # round-6: the trained-IVF ANN path (heaviest previously-unprobed
+    # kernel; cells and nprobe now scale-adaptive)
+    "ann_ivf_kmeans_topk",
 ]
 
 
@@ -125,17 +128,18 @@ def build_scaled(spark, replicas: int) -> str:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    targets = sys.argv[2:] or TARGETS  # optional subset re-probe
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     from spark_on_hbase_spark.inventory import QUERIES
 
     big = build_scaled(spark, replicas)
-    results: dict[str, dict[str, float]] = {n: {} for n in TARGETS}
+    results: dict[str, dict[str, float]] = {n: {} for n in targets}
     # all small-scale runs first, then all big-scale: the shared memoized
     # relations (network, shingles, LSH corpus) are keyed by sf_dir and
     # evict when it changes, so alternating scales would rebuild every time
     for label, sf in (("small", SMALL), ("big", big)):
-        for name in TARGETS:
+        for name in targets:
             # cold includes building the memoized relations at this scale;
             # warm is the steady-state kernel
             def run():
@@ -158,7 +162,7 @@ def main() -> None:
     print(f"| query | sf0.1 cold/warm (s) | x{replicas} cold/warm (s) | "
           f"cold growth | warm growth | verdict (<= {1.5 * replicas:.0f}x) |")
     print("|---|---|---|---|---|---|")
-    for name in TARGETS:
+    for name in targets:
         r = results[name]
         gc = r["big_cold"] / max(r["small_cold"], 1e-9)
         gw = r["big_warm"] / max(r["small_warm"], 1e-9)

@@ -90,6 +90,27 @@ def build(name: str):
     return deco
 
 
+#: Memoized-relation WARMERS: name -> callable(spark, sf_dir) that populates
+#: and MATERIALIZES the shared memo (network, shingles, LSH/IVF indexes,
+#: cluster relations, ...). bench.py runs these after session warm-up and
+#: times each as its own "builds" entry, so per-query timings measure the
+#: query kernel and stay stable under registry reordering — previously
+#: whichever query ran first in a family silently paid its family's
+#: one-time build (VERDICT r5 item 3: rotation moved the network build
+#: into degree_histogram's number, 0.55s -> 3.60s, with no kernel change).
+WARMERS: dict[str, Callable[[SparkSession, str], object]] = {}
+
+
+def warmer(name: str):
+    """Register a memoized relation's populate-and-materialize getter."""
+
+    def deco(fn):
+        WARMERS[name] = fn
+        return fn
+
+    return deco
+
+
 _CALLS = {"n": 0}
 
 

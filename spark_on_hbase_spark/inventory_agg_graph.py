@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_on_hbase_spark.inventory import build, dec2, load, query
+from spark_on_hbase_spark.inventory import build, dec2, load, query, warmer
 from spark_on_hbase_spark.operators import agg as A
 from spark_on_hbase_spark.operators import graph as G
 
@@ -116,6 +116,9 @@ def network(spark: SparkSession, sf_dir: str) -> DataFrame:
         net.count()
         _NETWORK_CACHE[key] = net
     return _NETWORK_CACHE[key]
+
+
+warmer("network_edges")(network)
 
 
 # ===========================================================================

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_on_hbase_spark.inventory import dsum, load, query
+from spark_on_hbase_spark.inventory import dsum, load, query, warmer
 from spark_on_hbase_spark.operators import agg as A
 from spark_on_hbase_spark.table import KeyedTable, _upsert_latest
 
@@ -88,6 +88,9 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         IO.write_bucketed(li, l_name, "l_orderkey", buckets=16)
         _BUCKETED_CACHE[key] = (o_name, l_name)
     return _BUCKETED_CACHE[key]
+
+
+warmer("bucketed_tables")(_bucketed_pair)
 
 
 @query(

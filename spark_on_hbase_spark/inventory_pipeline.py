@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_on_hbase_spark.inventory import build, load, query
+from spark_on_hbase_spark.inventory import build, load, query, warmer
 from spark_on_hbase_spark.operators import dedup as D
 from spark_on_hbase_spark.operators import multimodal as M
 from spark_on_hbase_spark.operators import similarity as V
@@ -2590,3 +2590,28 @@ def video_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_energy_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return M.audio_energy_hash(M.synth_audio_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# Memoized-relation warmers (bench "builds" attribution; see inventory.warmer)
+# — each populates AND materializes one shared memo so per-query bench times
+# measure the query kernel, stable under registry reordering.
+# ---------------------------------------------------------------------------
+warmer("shingles_n3")(lambda spark, sf_dir: _shingled(spark, sf_dir, 3))
+warmer("shingles_n5")(lambda spark, sf_dir: _shingled(spark, sf_dir, 5))
+warmer("minhash_verified_pairs")(_minhash_verified)
+warmer("vec_bucketed")(lambda spark, sf_dir: _vec_near_pairs(spark, sf_dir).count())
+warmer("clusters_minhash")(
+    lambda spark, sf_dir: _memo_clusters(
+        spark, sf_dir, "minhash", lambda: _minhash_verified(spark, sf_dir)
+    )
+)
+warmer("clusters_embedding")(
+    lambda spark, sf_dir: _memo_clusters(
+        spark, sf_dir, "embedding", lambda: _vec_near_pairs(spark, sf_dir)
+    )
+)
+warmer("lsh_corpus_index")(_lsh_corpus)
+warmer("ivf_assigned")(_ivf_assigned)
+warmer("curation_stats")(_curation_stats)
+warmer("ahash_signatures")(_ahash_sigs)
