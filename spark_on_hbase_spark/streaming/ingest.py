@@ -100,51 +100,74 @@ def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet") ->
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
-def _applied_batch_guard(table: KeyedTable, body):
-    """Shared foreachBatch replay guard: skip batch ids already marked
-    under <table>/_applied_batches, apply ``body`` otherwise, mark AFTER
-    applying (at-least-once marking; the crash window between the two
-    replays the batch — see the factories below for what each sink's
-    semantics make of that)."""
-    import os
+def guard_id_for(checkpoint_dir: str) -> str:
+    """Default guard namespace: a digest of the query's checkpoint dir.
+    Batch ids are scoped to ONE streaming query's checkpoint — two queries
+    writing the same table (merge + increment are both first-class on the
+    same KeyedTable) each start at batch 0, and restarting with a fresh
+    checkpoint resets ids to 0 — so the replay guard must never compare
+    batch ids across queries. Namespacing by checkpoint digest keys the
+    stamps to exactly the thing batch ids are scoped to."""
+    import hashlib
 
-    marker_dir = os.path.join(table.path, "_applied_batches")
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+
+def _applied_batch_guard(table: KeyedTable, body, guard_id: str):
+    """Shared foreachBatch replay guard, ATOMIC with the data: the
+    (guard_id, batch_id) pair is stamped into the delta layer's own
+    directory name (KeyedTable mutations take ``stamp=``; the layer commits
+    via one atomic rename), so there is no crash window between applying a
+    batch and marking it applied — a batch either committed its layer
+    (stamp visible, replay skipped) or did not (replay applies). Compaction
+    preserves consumed stamps in the table's ``_applied_stamps`` manifest,
+    so replays arriving after a fold are still recognized. Empty batches
+    write nothing and record nothing: a replayed batch re-reads the same
+    checkpointed offsets, so a formerly-empty batch replays empty."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):
+        stamp = f"g{guard_id}_b{batch_id}"
+        if stamp in table.applied_stamps():
             return
         if not batch_df.isEmpty():
-            body(batch_df)
-        os.makedirs(marker_dir, exist_ok=True)
-        open(marker, "w").close()
+            body(batch_df, stamp)
 
     return apply
 
 
-def idempotent_upsert(table: KeyedTable):
+def idempotent_upsert(table: KeyedTable, guard_id: str = "default"):
     """The foreachBatch body for ``merge_stream_into_table``, exposed for
     direct testing: applies a micro-batch as one last-writer-wins keyed
-    merge, guarded by an applied-batch marker under the table directory so
-    a REPLAYED batch id is a strict no-op. The last-writer-wins fold is
-    already semantically idempotent (replaying identical rows converges to
-    the same values), so the marker is storage hygiene for update — it
-    stops replays appending duplicate delta layers — but it is the
-    CORRECTNESS gate any non-idempotent sink variant (e.g. a streaming
-    counter built on KeyedTable.increment, which double-counts on replay)
-    must reuse. Marker write happens AFTER the merge: a crash between the
-    two replays the batch, which the idempotent merge absorbs —
-    at-least-once marking, exactly-once table effect."""
-    return _applied_batch_guard(table, table.update)
+    merge whose delta layer carries the (guard, batch) stamp in its
+    directory name — replaying an applied batch id is a strict no-op, and
+    because stamp and data commit in one rename there is no partial state
+    to reason about. The last-writer-wins fold is already semantically
+    idempotent, so for update the stamp is storage hygiene (no duplicate
+    delta layers); it is the CORRECTNESS gate for the non-idempotent
+    increment sink below. ``guard_id`` namespaces the stamps per streaming
+    query (see guard_id_for) — one table can host many guarded writers."""
+    return _applied_batch_guard(
+        table, lambda b, stamp: table.update(b, stamp=stamp), guard_id
+    )
 
 
-def guarded_increment(table: KeyedTable, counter_col: str, delta_col: str = "delta"):
+def guarded_increment(
+    table: KeyedTable, counter_col: str, delta_col: str = "delta",
+    guard_id: str = "default",
+):
     """The foreachBatch body for ``increment_stream_into_table``, exposed
     for direct testing (cf. ``idempotent_upsert``): applies a micro-batch
-    of additive deltas guarded by the applied-batch marker — for a
-    NON-idempotent increment the marker is the exactly-once gate."""
+    of additive deltas with the (guard, batch) stamp riding the delta
+    layer's directory name — increment is NOT idempotent, and the atomic
+    stamp+data rename makes it exactly-once even across a crash at any
+    point (the round-5 marker-after-increment scheme left a double-count
+    window between the two writes; stamping the layer closes it)."""
     return _applied_batch_guard(
-        table, lambda b: table.increment(b, counter_col, delta_col=delta_col)
+        table,
+        lambda b, stamp: table.increment(
+            b, counter_col, delta_col=delta_col, stamp=stamp
+        ),
+        guard_id,
     )
 
 
@@ -160,18 +183,18 @@ def increment_stream_into_table(
     of S7, HBaseTable.increment): every micro-batch pre-aggregates per key
     and appends ONE additive delta layer. Unlike the last-writer-wins
     merge, increment is NOT idempotent — a replayed micro-batch would
-    double-count — so here the applied-batch marker is the CORRECTNESS
-    gate, not storage hygiene. Marker ordering is the same
-    at-least-once-marking scheme as ``idempotent_upsert``; the crash
-    window between increment and marker is the documented residual (a
-    transactional sink would need a commit log the storage layer doesn't
-    model), and it only reopens on a failure at exactly that point —
-    normal replays (restart, retrigger, speculative re-run of a committed
-    batch) are fully absorbed.
+    double-count — so the (guard, batch) stamp riding the layer name is
+    the CORRECTNESS gate: stamp and data commit in one atomic rename, so a
+    crash at ANY point either committed the batch (replay skipped) or
+    didn't (replay applies) — exactly-once with no residual window.
+    Stamps are namespaced by a digest of ``checkpoint_dir``, the scope
+    batch ids actually live in.
 
     Returns the StreamingQuery (caller awaits/stops)."""
     writer = stream.writeStream.foreachBatch(
-        guarded_increment(table, counter_col, delta_col)
+        guarded_increment(
+            table, counter_col, delta_col, guard_id=guard_id_for(checkpoint_dir)
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -183,13 +206,14 @@ def merge_stream_into_table(
 ):
     """Stream mutations into a KeyedTable: every micro-batch applies one
     last-writer-wins keyed merge (KeyedTable.update) through the
-    ``idempotent_upsert`` guard, so a micro-batch replayed after failure
-    neither changes table state nor appends a duplicate delta layer.
+    ``idempotent_upsert`` guard (stamps namespaced per checkpoint), so a
+    micro-batch replayed after failure neither changes table state nor
+    appends a duplicate delta layer.
 
     Returns the StreamingQuery (caller awaits/stops)."""
-    writer = stream.writeStream.foreachBatch(idempotent_upsert(table)).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = stream.writeStream.foreachBatch(
+        idempotent_upsert(table, guard_id=guard_id_for(checkpoint_dir))
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -46,6 +46,7 @@ sort — the same single-shuffle shape as the reference's HFile load.
 
 from __future__ import annotations
 
+import re
 import shutil
 from pathlib import Path
 
@@ -60,6 +61,9 @@ _DELCOLS = "__delcols"
 _ROW, _SPARSE, _DELTA, _CELLDEL = 0, 1, 2, 3
 
 _NUMERIC_TYPES = frozenset({"tinyint", "smallint", "int", "bigint", "float", "double"})
+
+# idempotence-stamp charset: rides layer dir names (see _write_layer)
+_STAMP_RE = re.compile(r"[A-Za-z0-9_]+")
 
 
 def _is_numeric_dtype(simple: str) -> bool:
@@ -128,7 +132,10 @@ class KeyedTable:
         layers = self._layers()
         return 1 + max((int(p.name.split("-")[1]) for p in layers), default=-1)
 
-    def _write_layer(self, df: DataFrame, kind: str, row_kind: int | None = None) -> int:
+    def _write_layer(
+        self, df: DataFrame, kind: str, row_kind: int | None = None,
+        stamp: str | None = None,
+    ) -> int:
         """Write one sorted layer atomically (write to .tmp, rename).
         Returns rows written, observed inside the write job (A16 accumulator
         parity) — the observe node sits ABOVE the range exchange, so the
@@ -137,8 +144,21 @@ class KeyedTable:
 
         ``row_kind`` stamps a non-ROW __kind column (sparse put / additive
         delta / cell delete); ROW layers omit the column entirely so tables
-        that only ever see whole-row mutations keep the cheap max_by merge."""
-        name = f"{kind}-{self._next_seq():06d}"
+        that only ever see whole-row mutations keep the cheap max_by merge.
+
+        ``stamp``: an idempotence token recorded IN the layer directory name
+        (``<kind>-<seq>-<stamp>``), so data and applied-marker commit in the
+        same atomic rename — there is no crash window between them. Used by
+        the streaming replay guards (streaming/ingest.py); query via
+        ``applied_stamps()``. Compaction preserves consumed stamps in the
+        ``_applied_stamps`` manifest (see ``_replace_all_layers``)."""
+        if stamp is not None and not _STAMP_RE.fullmatch(stamp):
+            raise ValueError(
+                f"layer stamp must match [A-Za-z0-9_]+ (got {stamp!r}): the "
+                f"stamp rides the directory name, so separators would break "
+                f"seq parsing and suffix handling"
+            )
+        name = f"{kind}-{self._next_seq():06d}" + (f"-{stamp}" if stamp else "")
         target = Path(self.path) / name
         tmp = target.with_suffix(".tmp")
         if _TOMBSTONE not in df.columns:
@@ -155,14 +175,43 @@ class KeyedTable:
         tmp.rename(target)
         return int(obs.get["n"])
 
+    def _stamp_of(self, layer: Path) -> str | None:
+        parts = layer.name.split("-", 2)
+        return parts[2] if len(parts) == 3 else None
+
+    def applied_stamps(self) -> set[str]:
+        """All idempotence stamps this table has durably applied: stamps
+        riding live layer names plus stamps preserved in the
+        ``_applied_stamps`` manifest when compaction folded their layers
+        away. The streaming replay guards treat membership here as 'this
+        batch already committed'."""
+        stamps = {s for p in self._layers() if (s := self._stamp_of(p))}
+        manifest = Path(self.path) / "_applied_stamps"
+        if manifest.exists():
+            stamps.update(p.name for p in manifest.iterdir())
+        return stamps
+
     def _replace_all_layers(self, df: DataFrame) -> None:
         """Materialize ``df`` as the sole base layer and drop every old
-        layer (major compaction / eager rewrite)."""
+        layer (major compaction / eager rewrite). Idempotence stamps riding
+        the dropped layer names are preserved in the ``_applied_stamps``
+        manifest FIRST — the folded base carries their data, so forgetting
+        the stamps would let a post-compaction replay double-apply."""
         df = df.localCheckpoint()  # sever lineage from the files being removed
         old = self._layers()
+        self._persist_stamps(old)
         self._write_layer(df, "base")
         for p in old:
             shutil.rmtree(p, ignore_errors=True)
+
+    def _persist_stamps(self, layers: list[Path]) -> None:
+        stamps = [s for p in layers if (s := self._stamp_of(p))]
+        if not stamps:
+            return
+        manifest = Path(self.path) / "_applied_stamps"
+        manifest.mkdir(parents=True, exist_ok=True)
+        for s in stamps:
+            (manifest / s).touch()
 
     # -- DDL (S16, HBaseAdminUtils.scala:86-214) ---------------------------
 
@@ -276,7 +325,7 @@ class KeyedTable:
 
     # -- mutations ---------------------------------------------------------
 
-    def update(self, batch: DataFrame) -> int:
+    def update(self, batch: DataFrame, stamp: str | None = None) -> int:
         """Upsert whole rows by key, last-writer-wins by ``ts`` (S5,
         HBaseTable.update, HBaseTable.scala:100-122): ONE appended delta
         layer — O(batch), the table is not rewritten. Returns rows applied
@@ -296,7 +345,7 @@ class KeyedTable:
                 f"(missing {missing}, unexpected {extra}); use put() for "
                 f"partial rows"
             )
-        n = self._write_layer(batch, "delta")
+        n = self._write_layer(batch, "delta", stamp=stamp)
         self._maybe_compact()
         return n
 
@@ -309,7 +358,7 @@ class KeyedTable:
         no job runs — mutations use it to shape O(batch) delta layers."""
         return dict(self.df().dtypes)
 
-    def put(self, batch: DataFrame) -> int:
+    def put(self, batch: DataFrame, stamp: str | None = None) -> int:
         """Cell-level put (S6, HBaseTable.put, HBaseTable.scala:124-155):
         batch columns overwrite, columns absent from the batch keep stored
         values. O(batch): absent columns ride as typed nulls in one SPARSE
@@ -326,13 +375,16 @@ class KeyedTable:
                 for c, t in schema.items()
             ]
         )
-        n = self._write_layer(sparse, "delta", row_kind=_SPARSE)
+        n = self._write_layer(sparse, "delta", row_kind=_SPARSE, stamp=stamp)
         self._maybe_compact()
         return n
 
     bulk_load = put
 
-    def increment(self, batch: DataFrame, counter_col: str, delta_col: str = "delta") -> int:
+    def increment(
+        self, batch: DataFrame, counter_col: str, delta_col: str = "delta",
+        stamp: str | None = None,
+    ) -> int:
         """Atomic-add semantics (S7, HBaseTable.increment,
         HBaseTable.scala:157-179): pre-aggregate deltas per key (map-side
         combine), skip zero deltas (:166). O(batch): the summed deltas append
@@ -371,11 +423,14 @@ class KeyedTable:
         )
         # one row per non-zero-delta key, so the layer's own observed write
         # count (A16 parity) IS the applied-increment count — no second pass
-        n = self._write_layer(layer, "delta", row_kind=_DELTA)
+        n = self._write_layer(layer, "delta", row_kind=_DELTA, stamp=stamp)
         self._maybe_compact()
         return n
 
-    def delete(self, keys: DataFrame, columns: list[str] | None = None) -> int:
+    def delete(
+        self, keys: DataFrame, columns: list[str] | None = None,
+        stamp: str | None = None,
+    ) -> int:
         """Row-level delete -> key-only tombstone rows (HBase Delete);
         column-level delete -> CELLDEL rows naming the dropped cells (HBase
         DeleteColumn) (S8/S11, HBaseTable.delete, HBaseTable.scala:181-212:
@@ -392,7 +447,8 @@ class KeyedTable:
         )
         if not columns:
             n = self._write_layer(
-                skeleton.withColumn(_TOMBSTONE, F.lit(True)), "delta", row_kind=_ROW
+                skeleton.withColumn(_TOMBSTONE, F.lit(True)), "delta", row_kind=_ROW,
+                stamp=stamp,
             )
         else:
             # ts_col is rejected alongside key_col: the fold's ts-column
@@ -405,7 +461,7 @@ class KeyedTable:
             marked = skeleton.withColumn(
                 _DELCOLS, F.array(*[F.lit(c) for c in columns]).cast("array<string>")
             )
-            n = self._write_layer(marked, "delta", row_kind=_CELLDEL)
+            n = self._write_layer(marked, "delta", row_kind=_CELLDEL, stamp=stamp)
         self._maybe_compact()
         return n
 

@@ -456,42 +456,78 @@ def test_streaming_counter_exactly_once_under_replay(spark, tmp_path):
     got = {r["key"]: r["hits"] for r in tbl.df().collect()}
     assert got == {"a": 105, "b": 0}
 
-    # replay a committed batch id through the REAL sink body: no movement
-    import os
-    applied = sorted(os.listdir(os.path.join(tbl.path, "_applied_batches")))
-    assert applied, "stream must have recorded its batch ids"
+    # replay a committed batch id through the REAL sink body (same guard
+    # namespace as the stream's checkpoint): no movement
+    gid = ST.guard_id_for(str(tmp_path / "cnt_ckpt"))
+    applied = sorted(
+        int(s.rsplit("_b", 1)[1])
+        for s in tbl.applied_stamps()
+        if s.startswith(f"g{gid}_b")
+    )
+    assert applied, "stream must have stamped its batch ids into the layers"
     layers = len(tbl._layers())
     replay = spark.createDataFrame([Row(key="a", delta=3)])
-    ST.guarded_increment(tbl, "hits")(replay, int(applied[0]))
+    ST.guarded_increment(tbl, "hits", guard_id=gid)(replay, applied[0])
     assert {r["key"]: r["hits"] for r in tbl.df().collect()} == got
     assert len(tbl._layers()) == layers
     # a FRESH batch id through the same body does count
-    ST.guarded_increment(tbl, "hits")(replay, 10_000)
+    ST.guarded_increment(tbl, "hits", guard_id=gid)(replay, 10_000)
     assert {r["key"]: r["hits"] for r in tbl.df().collect()}["a"] == 108
 
 
-def test_upsert_crash_window_degrades_to_value_idempotence(spark, tmp_path):
-    """The documented residual of marker-after-merge ordering: a crash
-    BETWEEN the merge and the marker write replays the batch un-marked.
-    For the last-writer-wins merge that replay must converge to identical
-    table values (one redundant delta layer is the accepted storage cost,
-    folded away by the next compaction)."""
+def test_crash_cannot_double_count_the_increment_sink(spark, tmp_path):
+    """Round-6 upgrade of the round-5 crash-window pin: the (guard, batch)
+    stamp now rides the delta layer's own directory name, so 'increment
+    landed but marker missing' is UNREPRESENTABLE — the layer rename IS
+    the marker. A crash at any point either committed the stamped layer
+    (replay skipped) or left nothing (replay applies once). The old test
+    asserted the double-count degradation; this one asserts exactly-once."""
     tbl = KeyedTable(
         spark, str(tmp_path / "crash_tbl"), key_col="key", ts_col="ts", num_partitions=2
     )
-    tbl.create(spark.createDataFrame([Row(key="a", ts=1, v=10)]))
-    batch = spark.createDataFrame([Row(key="a", ts=2, v=99), Row(key="b", ts=1, v=7)])
-    # simulate the crash window: the merge landed but no marker was written
-    tbl.update(batch)
-    state = {r["key"]: (r["ts"], r["v"]) for r in tbl.df().collect()}
+    tbl.create(spark.createDataFrame([Row(key="a", ts=0, hits=100)]))
+    batch = spark.createDataFrame([Row(key="a", delta=3)])
+    inc = ST.guarded_increment(tbl, "hits", guard_id="q1")
+
+    # "crash after commit": the batch applied and the stamp is in the layer
+    # name — the post-restart replay of the SAME (guard, batch) is a no-op
+    inc(batch, 3)
+    assert {r["key"]: r["hits"] for r in tbl.df().collect()} == {"a": 103}
     layers = len(tbl._layers())
-    # restart replays the batch through the guard (marker absent -> applies)
-    ST.idempotent_upsert(tbl)(batch, 3)
-    assert {r["key"]: (r["ts"], r["v"]) for r in tbl.df().collect()} == state
-    assert len(tbl._layers()) == layers + 1  # the accepted redundant layer
+    inc(batch, 3)
+    assert {r["key"]: r["hits"] for r in tbl.df().collect()} == {"a": 103}
+    assert len(tbl._layers()) == layers
+
+    # compaction folds the stamped layer away but preserves the stamp in
+    # the manifest — a late replay after compaction still cannot double-add
     tbl.compact()
-    assert {r["key"]: (r["ts"], r["v"]) for r in tbl.df().collect()} == state
-    # and the marker now exists, so any FURTHER replay is a strict no-op
-    n = len(tbl._layers())
-    ST.idempotent_upsert(tbl)(batch, 3)
-    assert len(tbl._layers()) == n
+    inc(batch, 3)
+    assert {r["key"]: r["hits"] for r in tbl.df().collect()} == {"a": 103}
+
+    # namespacing (two writers on one table): a DIFFERENT guard's batch 3
+    # is a different batch — it must apply, not be suppressed by q1's stamp
+    ST.guarded_increment(tbl, "hits", guard_id="q2")(batch, 3)
+    assert {r["key"]: r["hits"] for r in tbl.df().collect()} == {"a": 106}
+
+
+def test_fresh_checkpoint_gets_a_fresh_guard_namespace(spark, tmp_path):
+    """Advice r5: batch ids are scoped to one checkpoint — restarting a
+    stream with a NEW checkpoint dir restarts ids at 0, and the old
+    query's stamps must not swallow the new query's early batches. The
+    default guard id is a checkpoint-dir digest, so distinct checkpoints
+    give distinct namespaces."""
+    tbl = KeyedTable(
+        spark, str(tmp_path / "ns_tbl"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(spark.createDataFrame([Row(key="a", ts=1, v=1)]))
+    batch = spark.createDataFrame([Row(key="a", ts=2, v=2)])
+    g_old = ST.guard_id_for(str(tmp_path / "ckpt_old"))
+    g_new = ST.guard_id_for(str(tmp_path / "ckpt_new"))
+    assert g_old != g_new
+    ST.idempotent_upsert(tbl, guard_id=g_old)(batch, 0)
+    layers = len(tbl._layers())
+    # same batch id 0 under the NEW checkpoint's guard: applies (one layer)
+    batch2 = spark.createDataFrame([Row(key="a", ts=3, v=3)])
+    ST.idempotent_upsert(tbl, guard_id=g_new)(batch2, 0)
+    assert len(tbl._layers()) == layers + 1
+    assert {r["v"] for r in tbl.df().collect()} == {3}
