@@ -701,21 +701,19 @@ _IVF_SEED_MOD_SQL = (
 )
 
 
-def _ivf_ncells(spark: SparkSession, sf_dir: str) -> int:
-    """Memoized seed-cell count for the adaptive nprobe rule — the oracle's
-    ``(SELECT COUNT(*) FROM c0)``."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_NCELLS_CACHE:
-        for stale in [k for k in _IVF_NCELLS_CACHE if k != key]:
-            del _IVF_NCELLS_CACHE[stale]
-        m = _ivf_seed_mod(spark, sf_dir)
-        _IVF_NCELLS_CACHE[key] = (
-            load(spark, sf_dir, "embeddings").where(F.col("vec_id") % m == 0).count()
-        )
-    return _IVF_NCELLS_CACHE[key]
+# constant CANDIDATE budget per IVF query: nprobe = ceil(C / m) keeps
+# candidates/query ~ nprobe * (corpus/cells) = C at ANY scale. The 30x probe
+# measured the alternative (nprobe = cells/4, a constant FRACTION) at 89.8x
+# warm growth for 30x data — fraction-scaled probing is quadratic when
+# corpus and query batch grow together, the same law as fixed-B LSH.
+# C=512 reproduces the measured sf0.1 config (m=64 -> nprobe=8, recall
+# 0.629 at a 25% fraction); at 30x (m=256) it gives nprobe=2 and the same
+# ~512 candidates per query. Pure integer ceil-div — replayed by the oracle.
+_IVF_CAND_BUDGET = 512
 
 
-_IVF_NCELLS_CACHE: dict = {}
+def _ivf_nprobe(m: int) -> int:
+    return max(1, (_IVF_CAND_BUDGET + m - 1) // m)
 
 
 _LSH_CORPUS_CACHE: dict = {}
@@ -2330,7 +2328,8 @@ _KM_COS = V.COSINE_SQL.format(
                                       ORDER BY {_ivf_d2('b.v', 'c.cv')}, c.cid) AS rn
             FROM base_vecs b CROSS JOIN c2 c
             WHERE b.vec_id % 97 = 0
-        ) WHERE rn <= (SELECT GREATEST(1, (COUNT(*) + 3) // 4) FROM c0)
+        ) WHERE rn <= GREATEST(1, ({_IVF_CAND_BUDGET} + {_IVF_SEED_MOD_SQL} - 1)
+                                   // {_IVF_SEED_MOD_SQL})
     ),
     km_scored AS (
         SELECT q.query_id, a.vec_id, {_KM_COS} AS cosine,
@@ -2346,34 +2345,61 @@ _KM_COS = V.COSINE_SQL.format(
     "SCALE-ADAPTIVE (round 6): seed density m = 2^ceil(log2(sqrt(n))) "
     "keeps the cell count ~sqrt(n) (a fixed modulus makes cells grow "
     "linearly and coarse assignment quadratic — the fixed-B disease), and "
-    "nprobe = ceil(cells/4) targets a ~25% candidate fraction at any "
-    "scale; both rules replay in the oracle from its own COUNT(*). 2 "
-    "Lloyd iterations (similarity.kmeans_refine) refine the seeds. "
-    "Training is bit-exact across engines — assignment is exact int L2 "
-    "with a (d2, cid) tiebreak, centroid updates are exact integer sums "
-    "with FLOOR-division means (pmod identity; a rounded double mean "
-    "would diverge per iteration: Spark rounds HALF_UP, DuckDB "
-    "half-even) — so the oracle replays the whole training loop, not "
-    "just the query. Measured at sf0.1: recall@10 0.629 at 25% candidate "
-    "fraction (32 cells, nprobe=8) vs 0.414 at 10% for the round-5 "
-    "(cells=20, nprobe=2) config; 0.733 at 34% one notch up (SCALE.md "
-    "§ANN). At 100 TB: per iteration one broadcast-assign scan + one "
-    "(cell, dim) partial+final aggregation, no driver state; the trained "
-    "centroids drop into the unchanged ivf query path (cells = storage "
-    "partitions, reusable across batches).",
+    "nprobe = ceil(512/m) keeps the CANDIDATE COUNT per query ~512 at any "
+    "scale (the 30x probe measured fraction-scaled nprobe at 89.8x warm "
+    "growth for 30x data — constant fraction is quadratic when corpus and "
+    "query batch grow together); both rules replay in the oracle from its "
+    "own COUNT(*). 2 Lloyd iterations (similarity.kmeans_refine) refine "
+    "the seeds, memoized per (session, sf_dir) with the full corpus "
+    "assignment — training is INDEX BUILD, paid once, not per query "
+    "batch. Training is bit-exact across engines — assignment is exact "
+    "int L2 with a (d2, cid) tiebreak, centroid updates are exact integer "
+    "sums with FLOOR-division means (pmod identity; a rounded double mean "
+    "would diverge per iteration: Spark rounds HALF_UP, DuckDB half-even) "
+    "— so the oracle replays the whole training loop, not just the query. "
+    "Measured at sf0.1: recall@10 0.629 at 25% candidate fraction (32 "
+    "cells, nprobe=8) vs 0.414 at 10% for the round-5 (cells=20, "
+    "nprobe=2) config (SCALE.md §ANN).",
     tags=("similarity", "embedding", "ivf", "kmeans"),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", V.quantize_expr("embedding").alias("__v"))
-    seeds = q.where(F.col("vec_id") % _ivf_seed_mod(spark, sf_dir) == 0)
-    ncells = _ivf_ncells(spark, sf_dir)
-    refined = V.kmeans_refine(q, seeds, iters=2)
+    refined, assigned = _ivf_kmeans_index(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 97 == 0)
     return V.ivf_topk(
-        emb, queries, refined, k=10,
-        nprobe=max(1, (ncells + 3) // 4), centroids_quantized=True,
+        None, queries, refined, k=10,
+        nprobe=_ivf_nprobe(_ivf_seed_mod(spark, sf_dir)),
+        centroids_quantized=True, corpus_assigned=assigned,
     )
+
+
+_IVF_KM_CACHE: dict = {}
+
+
+def _ivf_kmeans_index(spark: SparkSession, sf_dir: str):
+    """Memoized TRAINED IVF index: 2 Lloyd iterations over the sqrt-scaled
+    seeds plus the full corpus assignment to the refined centroids, both
+    persisted per (session, sf_dir). Training cost is n*cells = n^1.5 per
+    iteration — strictly index-build work (at 100 TB it runs once, off the
+    query path, exactly like the LSH corpus index); before this memo the
+    probe measured the training loop re-running inside every query call.
+    Registered as the ``ivf_kmeans_index`` warmer (driver-paced Lloyd
+    loop, so excluded from the plan-gate BUILDS like the BSP builds)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_KM_CACHE:
+        for stale in [k for k in _IVF_KM_CACHE if k != key]:
+            if stale[0] == key[0]:
+                for df in _IVF_KM_CACHE[stale]:
+                    df.unpersist()
+            del _IVF_KM_CACHE[stale]
+        emb = load(spark, sf_dir, "embeddings")
+        q = emb.select("vec_id", V.quantize_expr("embedding").alias("__v"))
+        seeds = q.where(F.col("vec_id") % _ivf_seed_mod(spark, sf_dir) == 0)
+        refined = V.kmeans_refine(q, seeds, iters=2)  # persisted by the loop
+        assigned = V.ivf_assign(q, refined, "vec_id", "__v").persist()
+        assigned.count()
+        _IVF_KM_CACHE[key] = (refined, assigned)
+    return _IVF_KM_CACHE[key]
 
 
 # ===========================================================================
@@ -2613,5 +2639,6 @@ warmer("clusters_embedding")(
 )
 warmer("lsh_corpus_index")(_lsh_corpus)
 warmer("ivf_assigned")(_ivf_assigned)
+warmer("ivf_kmeans_index")(_ivf_kmeans_index)
 warmer("curation_stats")(_curation_stats)
 warmer("ahash_signatures")(_ahash_sigs)
