@@ -50,8 +50,10 @@ TARGETS = [
     # text Hamming family (round-5: 64-bit signatures + Manku block pairing)
     "simhash_dedup",
     # round-6: the trained-IVF ANN path (heaviest previously-unprobed
-    # kernel; cells and nprobe now scale-adaptive)
+    # kernel; cells and nprobe now scale-adaptive) and range-scoped
+    # compaction (fixed-size localized batch against a scaling table)
     "ann_ivf_kmeans_topk",
+    "lsm_dirty_compact",
 ]
 
 
@@ -86,8 +88,43 @@ def _lsm_mutation_storm(spark, sf: str) -> int:
     return n
 
 
+def _lsm_dirty_compact(spark, sf: str) -> int:
+    """Custom probe target: RANGE-SCOPED compaction under a localized
+    mutation batch. The table scales with the dataset but the mutation
+    batch is a FIXED ~600-key slice, so compact(scope='dirty') must cost
+    ~the delta footprint, not the table — the growth ratio here is the
+    direct measurement of 'compaction cost tracks delta size, not table
+    size'. (A full compact() is the system's one table-sized job; this is
+    its escape hatch for 100 TB tables with localized write traffic.)"""
+    import hashlib
+
+    from spark_on_hbase_spark.table import KeyedTable
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.col("doc_id").alias("k"), "text")
+        .withColumn("ts", F.lit(0))
+    )
+    path = f"/tmp/lsm_dirty_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    tbl = KeyedTable(spark, path, key_col="k", ts_col="ts", num_partitions=8)
+    # fixture (the table-sized create) is built once per scale and KEPT, so
+    # the warm run times exactly mutate + dirty-compact + scoped read — the
+    # numbers that must track DELTA size while the table grows 30x
+    if not tbl.exists():
+        tbl.create(docs)
+    # fixed-size localized batch: doc ids start at 0 and replica key-shifts
+    # are >= 10M, so k < 600 is the same ~600-key slice at every scale
+    batch = docs.where(F.col("k") < 600).withColumn("ts", F.lit(1))
+    tbl.update(batch)
+    tbl.compact(scope="dirty")
+    return tbl.df().where(F.col("k") < 600).count()
+
+
 # custom (non-registry) probe bodies: called instead of QUERIES[name]
-CUSTOM = {"lsm_mutation_storm": _lsm_mutation_storm}
+CUSTOM = {
+    "lsm_mutation_storm": _lsm_mutation_storm,
+    "lsm_dirty_compact": _lsm_dirty_compact,
+}
 
 # key shift per replica, chosen far above any real key range
 _SHIFT = 10_000_000

@@ -297,6 +297,12 @@ class KeyedTable:
         if not layers:
             raise FileNotFoundError(f"no table at {self.path}")
         frames = [self.spark.read.parquet(str(p)) for p in layers]
+        return self._resolve(frames)
+
+    def _resolve(self, frames: list[DataFrame]) -> DataFrame:
+        """Merge ordered layer frames into the visible-row relation: LWW /
+        kind fold, tombstone removal, TTL filter. Shared by ``df()`` and
+        the range-scoped compaction (which folds only the dirty slice)."""
         if len(frames) == 1:
             merged = frames[0]
         elif any(_KIND in f.columns for f in frames):
@@ -473,11 +479,109 @@ class KeyedTable:
         if len(self._layers()) > self.compact_threshold:
             self.compact()
 
-    def compact(self) -> None:
+    def compact(self, scope: str = "all") -> None:
         """Major compaction: fold base ∪ deltas into one sorted base layer
         (HBase major compaction; the reference's HFile bulk pipeline shape,
-        HBaseTable.scala:296-352). Tombstoned keys are physically removed."""
+        HBaseTable.scala:296-352). Tombstoned keys are physically removed.
+
+        ``scope="dirty"``: rewrite ONLY the key ranges the delta stack
+        touches — the 100 TB posture for localized mutation batches, where
+        a full compaction is the one table-sized job in the system but the
+        deltas cover a sliver of the key space. Base part-files whose
+        footer key range (parquet min/max stats — exact for integral keys)
+        does not overlap any delta key survive BYTE-IDENTICAL at their
+        original paths; overlapping files fold with the deltas into one
+        new base layer (HBase's minor/partial compaction, file-granular).
+        Every delta key's base file overlaps the delta range by
+        construction, so resolution is complete. Falls back to a full
+        compaction when footer stats can't prove ranges (non-integral
+        keys: parquet string stats may be truncated). Post-conditions
+        match full compaction for the dirty ranges (tombstones purged,
+        TTL-expired rows dropped); clean ranges keep expired rows on disk
+        until a compaction rewrites them (reads filter them either way)."""
+        if scope == "dirty" and self._compact_dirty():
+            return
+        if scope not in ("all", "dirty"):
+            raise ValueError(f"compact scope must be 'all' or 'dirty', got {scope!r}")
         self._replace_all_layers(self.df())
+
+    def _file_key_ranges(self, layer: Path):
+        """Per part-file (path, key_min, key_max) from parquet footers —
+        metadata only, no job. None when any keyed file lacks min/max
+        stats (caller falls back to full compaction)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted(layer.glob("*.parquet")):
+            md = pq.read_metadata(str(f))
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    if col.path_in_schema != self.key_col:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            out.append((f, lo, hi))  # (f, None, None) for zero-row files
+        return out
+
+    def _compact_dirty(self) -> bool:
+        """Range-scoped compaction body; True = handled (False = caller
+        should run the full fold)."""
+        layers = self._layers()
+        deltas = [p for p in layers if p.name.startswith("delta-")]
+        if not deltas:
+            return True  # base only: nothing to fold
+        if self._schema()[self.key_col] not in ("tinyint", "smallint", "int", "bigint"):
+            return False  # string/binary footer stats may be truncated
+        base_ranges = []
+        for b in (p for p in layers if p.name.startswith("base-")):
+            r = self._file_key_ranges(b)
+            if r is None:
+                return False
+            base_ranges.append((b, r))
+        dlo = dhi = None
+        for d in deltas:
+            r = self._file_key_ranges(d)
+            if r is None:
+                return False
+            for _, lo, hi in r:
+                if lo is None:
+                    continue
+                dlo = lo if dlo is None else min(dlo, lo)
+                dhi = hi if dhi is None else max(dhi, hi)
+        dirty_files: list[Path] = []
+        if dlo is not None:
+            for _b, r in base_ranges:
+                dirty_files += [
+                    f for f, lo, hi in r
+                    if lo is not None and not (hi < dlo or lo > dhi)
+                ]
+        # fold the dirty slice exactly like df(): overlapping base files as
+        # the OLDEST frame, then the delta layers in seq order
+        frames = []
+        if dirty_files:
+            frames.append(self.spark.read.parquet(*[str(f) for f in dirty_files]))
+        frames += [self.spark.read.parquet(str(p)) for p in deltas]
+        merged = self._resolve(frames)
+        merged = merged.localCheckpoint()  # sever lineage from removed files
+        self._persist_stamps(deltas)
+        if not merged.isEmpty():
+            self._write_layer(merged, "base")
+        for p in deltas:
+            shutil.rmtree(p, ignore_errors=True)
+        for f in dirty_files:
+            f.unlink(missing_ok=True)
+        # a base dir whose every part-file was consumed is no longer a
+        # readable parquet directory — drop the husk
+        for b, _r in base_ranges:
+            if not any(b.glob("*.parquet")):
+                shutil.rmtree(b, ignore_errors=True)
+        return True
 
 
 def _observed_count(df: DataFrame):

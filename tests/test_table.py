@@ -451,3 +451,75 @@ def test_create_refuses_existing_table(spark, tmp_path):
     t.drop()
     t.create(spark.createDataFrame([(9, "z", 1)], "key long, name string, ts int"))
     assert [r["key"] for r in t.df().collect()] == [9]
+
+
+def test_dirty_compaction_rewrites_only_delta_covered_ranges(spark, tmp_path):
+    """compact(scope='dirty') must fold the delta stack into ONLY the base
+    part-files whose footer key range overlaps the deltas: untouched base
+    files survive BYTE-IDENTICAL at their original paths (at 100 TB a
+    localized mutation batch must not trigger the one table-sized job),
+    the read after equals the full-compaction result, tombstones in the
+    dirty range are physically purged, and consumed idempotence stamps
+    survive into the manifest."""
+    import hashlib
+
+    t = KeyedTable(
+        spark, str(tmp_path / "dirty_tbl"), key_col="k", ts_col="ts",
+        num_partitions=4, compact_threshold=50,
+    )
+    base = spark.createDataFrame([Row(k=i, ts=0, v=i * 10) for i in range(1000)])
+    t.create(base)
+    base_dir = t._layers()[0]
+    before = {
+        f: hashlib.md5(f.read_bytes()).hexdigest()
+        for f in sorted(base_dir.glob("*.parquet"))
+    }
+    assert len(before) == 4
+
+    # localized mutations: updates + a tombstone, all in keys 10..19
+    t.update(
+        spark.createDataFrame([Row(k=i, ts=1, v=i * 10 + 1) for i in range(10, 18)]),
+        stamp="gq1_b0",
+    )
+    t.delete(spark.createDataFrame([Row(k=19)]))
+    expected = {(r["k"], r["ts"], r["v"]) for r in t.df().collect()}
+
+    t.compact(scope="dirty")
+    layers = t._layers()
+    assert all(not p.name.startswith("delta-") for p in layers), "deltas consumed"
+    # untouched base part-files survive byte-identical at the same paths
+    survivors = {f for f in before if f.exists()}
+    assert survivors, "some base files must be outside the dirty range"
+    assert len(survivors) < len(before), "the overlapping file must be rewritten"
+    for f in survivors:
+        assert hashlib.md5(f.read_bytes()).hexdigest() == before[f]
+    # values match the pre-compaction (== full-compaction) state; the
+    # tombstoned key is physically gone from every surviving layer
+    assert {(r["k"], r["ts"], r["v"]) for r in t.df().collect()} == expected
+    raw_keys = set()
+    for p in layers:
+        raw_keys |= {r["k"] for r in spark.read.parquet(str(p)).collect()}
+    assert 19 not in raw_keys
+    # the consumed delta's stamp moved into the manifest
+    assert "gq1_b0" in t.applied_stamps()
+    # and a second dirty compact with no deltas is a no-op
+    names = [p.name for p in t._layers()]
+    t.compact(scope="dirty")
+    assert [p.name for p in t._layers()] == names
+
+
+def test_dirty_compaction_falls_back_for_string_keys(spark, tmp_path):
+    """Parquet string min/max stats may be truncated, so range proofs are
+    only trusted for integral keys — a string-keyed table silently takes
+    the full fold (correct, just not file-sparing)."""
+    t = KeyedTable(
+        spark, str(tmp_path / "strkey_tbl"), key_col="k", ts_col="ts",
+        num_partitions=2, compact_threshold=50,
+    )
+    t.create(spark.createDataFrame([Row(k=f"k{i:03d}", ts=0, v=i) for i in range(20)]))
+    t.update(spark.createDataFrame([Row(k="k005", ts=1, v=99)]))
+    t.compact(scope="dirty")
+    layers = t._layers()
+    assert len(layers) == 1 and layers[0].name.startswith("base-")
+    got = {r["k"]: r["v"] for r in t.df().collect()}
+    assert got["k005"] == 99 and len(got) == 20
