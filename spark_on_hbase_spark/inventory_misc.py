@@ -725,6 +725,83 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_increment_fold",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS hits
+    FROM events GROUP BY user_id
+    """,
+    doc="A REAL micro-batch stream into a KeyedTable under the hard oracle "
+    "signal (the other streaming-tagged queries grade batch twins; this "
+    "one's execution path IS writeStream.foreachBatch): the events table "
+    "is split into 3 batch files, a file stream (maxFilesPerTrigger=1, "
+    "availableNow) drives 3 micro-batches through "
+    "increment_stream_into_table — the exactly-once counter sink whose "
+    "(guard, batch) stamp rides each delta layer's directory name — and "
+    "the folded table is read back. Deltas are exact integers "
+    "(floor(value*100), the embeddings quantization trick), so the "
+    "batch-computed oracle SUM matches bit-for-bit regardless of how the "
+    "stream chunked the data: addition is the one fold that commutes with "
+    "ANY micro-batch partitioning. At 100 TB/day the same topology holds — "
+    "checkpointed offsets + stamped layers give exactly-once counters, "
+    "and each micro-batch costs O(batch): one pre-aggregated delta layer.",
+    tags=("streaming", "mutation", "table"),
+)
+def streaming_increment_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from spark_on_hbase_spark import streaming as ST
+    from spark_on_hbase_spark.table import KeyedTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_inc_{spark.sparkContext.applicationId}_{tag}",
+    )
+    src_dir, ckpt = os.path.join(root, "batches"), os.path.join(root, "ckpt")
+    tbl = KeyedTable(
+        spark, os.path.join(root, "table"), key_col="k", ts_col="ts",
+        num_partitions=8,
+    )
+    # fixture is built and streamed once per (session, sf_dir): re-running
+    # the query replays the availableNow stream against the same checkpoint
+    # (no new files -> no-op) and re-reads the folded table — deterministic
+    if not tbl.exists():
+        events = load(spark, sf_dir, "events")
+        deltas = events.select(
+            F.col("user_id").alias("k"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("delta"),
+            "event_id",
+        )
+        os.makedirs(src_dir, exist_ok=True)
+        for b in range(3):
+            tmp = os.path.join(root, f"tmp{b}")
+            deltas.where(F.col("event_id") % 3 == b).drop("event_id").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(src_dir, f"b{b}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        tbl.create(
+            events.select(F.col("user_id").alias("k"))
+            .distinct()
+            .withColumn("ts", F.lit(0).cast("bigint"))
+            .withColumn("hits", F.lit(0).cast("bigint"))
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("k bigint, delta bigint")
+            .option("maxFilesPerTrigger", 1)
+            .load(src_dir)
+        )
+        q = ST.increment_stream_into_table(
+            stream, tbl, ckpt, counter_col="hits", available_now=True
+        )
+        q.awaitTermination(300)
+    return tbl.df().select(F.col("k").alias("user_id"), "hits")
+
+
+@query(
     "rollup_revenue",
     """
     SELECT l_returnflag, l_linestatus,

@@ -2501,7 +2501,7 @@ def _ahash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             OR ((a.ahash >> 32) & 65535) = ((b.ahash >> 32) & 65535)
             OR ((a.ahash >> 16) & 65535) = ((b.ahash >> 16) & 65535)
             OR (a.ahash & 65535) = (b.ahash & 65535))
-          AND bit_count(xor(a.ahash, b.ahash)) <= 8
+          AND bit_count(xor(a.ahash, b.ahash)) <= 3
     )
     SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM pairs GROUP BY hamming
@@ -2513,8 +2513,11 @@ def _ahash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "via the genuine byte-level kernel (image_ahash: P6 parse, integer "
     "grayscale, cell*64 > total bits), then pair with ahash_near_pairs — "
     "Manku-style (WWW'07) 4x16-bit block bucketing + exact bit_count "
-    "Hamming verify, never all-pairs; Hamming < 4 collision is pigeonhole-"
-    "GUARANTEED. The oracle replays the hash math from the pixel formula "
+    "Hamming verify, never all-pairs. max_hamming=3 = blocks-1, so the "
+    "census is pigeonhole-COMPLETE: every reported count is exact, not a "
+    "lower bound (advice r5: at 4..8 the 4-block scheme can miss pairs "
+    "whose flips touch all four blocks — the fixture held 10 such pairs "
+    "of ~2,980, now excluded rather than under-counted). The oracle replays the hash math from the pixel formula "
     "and the pairing semantics as the explicit any-block-equal predicate, "
     "so the bucketing is verified against its definition. Signatures are "
     "memoized (the stored signature table at scale); both block-explode "
@@ -2523,7 +2526,7 @@ def _ahash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def image_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _ahash_sigs(spark, sf_dir)
-    pairs = M.ahash_near_pairs(sigs, max_hamming=8)
+    pairs = M.ahash_near_pairs(sigs, max_hamming=3)
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )

@@ -178,6 +178,7 @@ def repetition_signals(
         )
     )
 
+
 def tfidf_keywords(
     df: DataFrame,
     text_col: str = "text",
