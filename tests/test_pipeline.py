@@ -991,3 +991,44 @@ def test_simhash_block_pairing_matches_python_reference(spark):
                 expect[(ids[x], ids[y])] = ham
     assert got == expect
     assert expect, "fixture must plant at least one near pair"
+
+
+def test_adaptive_num_planes_rule_and_clamps():
+    """The scale rule that closed the round-5 weak: B = ceil(log2 n) - 1,
+    clamped to [6, 16]. Values pinned at the fixture scales and at the 30x
+    probe scale so a silent rule change re-measures before it re-grades."""
+    assert V.adaptive_num_planes(500) == 8       # sf0.001 / sf0.01
+    assert V.adaptive_num_planes(2000) == 10     # sf0.1 (the graded B)
+    assert V.adaptive_num_planes(60_000) == 15   # 30x probe corpus
+    assert V.adaptive_num_planes(1) == 6         # floor
+    assert V.adaptive_num_planes(2**40) == 16    # cap = plane pool width
+    # exact powers of two: log2 is exact, ceil must not jump a level
+    assert V.adaptive_num_planes(1024) == 9
+    assert V.adaptive_num_planes(1025) == 10
+
+
+def test_pooled_bucket_is_low_bit_mask_of_pool_bucket(spark):
+    """THE invariant that makes a runtime B oracle-replayable and a future
+    re-index incremental: with pooled (B-independent) planes, every
+    (vector, table) B-bit bucket equals the pool-width bucket masked to
+    its low B bits — bit j always comes from plane j of the table's fixed
+    pool. (The legacy table_planes slicing breaks this: its tables CHANGE
+    with B.)"""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    L, POOL = 3, V.LSH_PLANE_POOL
+    full = {
+        (r["vec_id"], r["__t"]): r["__bucket"]
+        for r in V.lsh_bucket(
+            emb, num_planes=POOL, dim=64, num_tables=L, plane_pool=POOL
+        ).collect()
+    }
+    for b_bits in (6, 10, 13):
+        masked = {
+            (r["vec_id"], r["__t"]): r["__bucket"]
+            for r in V.lsh_bucket(
+                emb, num_planes=b_bits, dim=64, num_tables=L, plane_pool=POOL
+            ).collect()
+        }
+        assert masked == {
+            k: v & ((1 << b_bits) - 1) for k, v in full.items()
+        }, f"B={b_bits} bucket is not the low-bit mask of the pool bucket"
