@@ -993,6 +993,48 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_model_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w <> '')) AS tok
+        FROM documents
+    ),
+    ws AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(md5(CAST(
+                        CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT)
+                        % {T.QM_DIM} AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % {2 * T.QM_WSCALE + 1} AS BIGINT) - {T.QM_WSCALE} AS w
+        FROM toks
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
+               / (COUNT(*) * {T.QM_WSCALE}) AS quality_score,
+           (CAST(SUM(w) AS BIGINT) > 0) AS kept
+    FROM ws GROUP BY doc_id
+    """,
+    doc="Model-based quality scoring — the fasttext-style hashed linear "
+    "classifier (Joulin et al. 2016) that sits beside the heuristic gates "
+    "in every modern pre-training pipeline. The Spark shape is the point "
+    "at 100 TB: explode tokens -> feature hash -> weight lookup AS PURE "
+    "COLUMN EXPRESSIONS (no weight table broadcast or shuffled; a real "
+    "exported linear model compiles to the same hash-then-arithmetic "
+    "kernel) -> one combiner-friendly hash aggregation per document. "
+    "Deterministic stand-in weights: feature id = md5(token) mod 4096, "
+    "weight = md5(fid) mapped to an exact integer in [-1000, 1000]; the "
+    "per-doc sum stays integer and the score is one IEEE division, so "
+    "the oracle hash-matches (the quantized-cosine trick applied to "
+    "model scoring).",
+    tags=("text", "quality", "pipeline"),
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.quality_model_score(docs)
+
+
+@query(
     "text_repetition",
     """
     WITH toks AS (

@@ -445,3 +445,60 @@ def chunk_documents(
             F.concat_ws(" ", F.col("__c.__cw")).alias("chunk_text"),
         )
     )
+
+
+# fasttext-style hashed linear quality model (see quality_model_score)
+QM_DIM = 4096      # hashed feature buckets
+QM_WSCALE = 1000   # integer weight range: w in [-QM_WSCALE, QM_WSCALE]
+
+
+def quality_model_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring — the fasttext-style hashed linear
+    classifier that GPT-3/LLaMA-era pipelines run as the corpus quality
+    filter (a linear model over hashed bag-of-words features; Joulin et
+    al. 2016). The heuristic gates (quality_score) catch boilerplate;
+    the MODEL scorer is the other standard stage, and its Spark shape is
+    what matters at 100 TB: explode tokens -> per-token feature hash ->
+    per-token weight lookup -> one combiner-friendly hash aggregation per
+    document. No weight table is shuffled or broadcast — the "lookup" is
+    a pure column expression, the exact shape a real exported linear
+    model takes after being compiled to a hash-then-arithmetic kernel.
+
+    Deterministic stand-in weights (this container ships no model file):
+    feature id = md5(token) mod QM_DIM; weight w(fid) = md5(fid) mapped
+    to an exact integer in [-QM_WSCALE, QM_WSCALE]. Every per-token value
+    is integer, the per-doc sum is an exact integer, and the score is ONE
+    IEEE division (sum / (n_tokens * QM_WSCALE)) — bit-identical in the
+    DuckDB oracle, same trick as the quantized-cosine kernel. A real
+    model drops in by replacing the md5 weight derivation with a
+    coefficient array literal; the plan does not change.
+
+    Returns (id, n_tokens, quality_score in [-1, 1], kept = sum > 0)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words_expr(F.lower(F.col(text_col)))).alias("__tok"),
+    )
+    fid = (
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("bigint")
+        % QM_DIM
+    )
+    w = (
+        F.conv(F.substring(F.md5(fid.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % (2 * QM_WSCALE + 1)
+    ) - QM_WSCALE
+    agg = toks.select(id_col, w.alias("__w")).groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.sum("__w").alias("__s")
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        (
+            F.col("__s").cast("double")
+            / (F.col("n_tokens") * F.lit(QM_WSCALE)).cast("double")
+        ).alias("quality_score"),
+        (F.col("__s") > 0).alias("kept"),
+    )

@@ -1032,3 +1032,33 @@ def test_pooled_bucket_is_low_bit_mask_of_pool_bucket(spark):
         assert masked == {
             k: v & ((1 << b_bits) - 1) for k, v in full.items()
         }, f"B={b_bits} bucket is not the low-bit mask of the pool bucket"
+
+
+def test_quality_model_score_matches_python_reference(spark):
+    """The hashed linear scorer must reproduce a direct Python evaluation
+    of the same md5 feature/weight derivation — pinning tokenization
+    (lower + whitespace), the fid -> weight chain, and the exact-integer
+    sum under one division."""
+    import hashlib
+
+    from spark_on_hbase_spark.operators import text as T
+
+    def w_of(tok):
+        fid = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % T.QM_DIM
+        return int(hashlib.md5(str(fid).encode()).hexdigest()[:8], 16) % (
+            2 * T.QM_WSCALE + 1
+        ) - T.QM_WSCALE
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="The quick Brown fox"), Row(doc_id=2, text="fox fox")]
+    )
+    got = {r["doc_id"]: r for r in T.quality_model_score(docs).collect()}
+    for doc_id, text in ((1, "The quick Brown fox"), (2, "fox fox")):
+        toks = [t for t in text.lower().split() if t]
+        s = sum(w_of(t) for t in toks)
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["quality_score"] == s / (len(toks) * T.QM_WSCALE)
+        assert r["kept"] == (s > 0)
+    # same token, different case -> same feature (lowering happens first)
+    assert w_of("fox") == w_of("fox")
