@@ -54,6 +54,15 @@ TARGETS = [
     # compaction (fixed-size localized batch against a scaling table)
     "ann_ivf_kmeans_topk",
     "lsm_dirty_compact",
+    # round-6 late addition: bounded k-core peeling (per-round checkpointed
+    # lineage; each round one degree agg + two semi-joins).
+    # decontamination_bloom is deliberately NOT probed: the replica builder
+    # appends " rN" only at text END, so all interior 5-grams are identical
+    # across replicas and every replica is a planted eval-contamination of
+    # every other — the probe would measure that data artifact's quadratic
+    # pair fanout, not the kernel (whose stages — bloom agg, prefiltered
+    # semi-join, per-doc counts — are each linear in their input).
+    "kcore_peel_census",
 ]
 
 

@@ -665,6 +665,8 @@ _ROTATED_OUT_R06 = [
     # judge's 106-query mirror) this round, takes a window slot next
     # rotation ----------------------------------------------------------
     "quality_model_score",
+    "decontamination_bloom",
+    "kcore_peel_census",
     # -- newly out: r05-green, unchanged, pytest-pinned --------------------
     "scan_required_columns",
     "filter_comparison",

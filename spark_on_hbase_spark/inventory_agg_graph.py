@@ -941,3 +941,73 @@ def label_propagation_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = network(spark, sf_dir)
     labels, _steps = G.label_propagation(net, max_iters=2)
     return labels.groupBy("label").agg(F.count("*").alias("community_size"))
+
+
+# k-core peeling oracle: the same bounded rounds unrolled as CTE pairs —
+# k{r} = surviving vertices (degree >= k in e{r-1}), e{r} = induced edges.
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+_KCORE_STEP_SQL = (
+    "k{r} AS (SELECT src FROM e{p} GROUP BY src HAVING COUNT(*) >= "
+    + str(_KCORE_K)
+    + "),\n"
+    "    e{r} AS (SELECT e.src, e.dst FROM e{p} e"
+    " WHERE e.src IN (SELECT src FROM k{r})"
+    " AND e.dst IN (SELECT src FROM k{r}))"
+)
+_KCORE_STEPS_SQL = ",\n    ".join(
+    _KCORE_STEP_SQL.format(r=r, p=r - 1) for r in range(1, _KCORE_ROUNDS + 1)
+)
+
+
+@query(
+    "kcore_peel_census",
+    f"""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    ),
+    und AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM li l1 JOIN li l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    e0 AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+    {_KCORE_STEPS_SQL}
+    SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY src
+    """,
+    doc="Bounded k-core peeling (graph.kcore_peel, k=3, 3 rounds) of the "
+    "part co-purchase graph (parts sharing an order, pre-1996 shipments — "
+    "the cut sizes the GRADED graph so every round genuinely shrinks it: "
+    "928 -> 676 -> 558 surviving vertices at sf0.01; the operator is "
+    "unrestricted). Each round = one degree hash-aggregation + two "
+    "left-semi joins restricting edges to surviving endpoints, all keyed "
+    "on the vertex columns — the distributed batch form of the peeling "
+    "algorithm, rounds bounded so the DuckDB oracle replays the exact "
+    "computation as unrolled CTEs (no fixpoint nondeterminism in the "
+    "grade). Output: each surviving vertex with its induced-subgraph "
+    "degree. The graph-cleaning gate run before community/centrality "
+    "passes; complements triangle_count on the same co-purchase graph.",
+    tags=("graph", "agg"),
+)
+def kcore_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_partkey")
+    )
+    und = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return G.kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)

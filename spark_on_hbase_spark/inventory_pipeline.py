@@ -1695,6 +1695,52 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.benchmark_overlap(train, test)
 
 
+@query(
+    "decontamination_bloom",
+    f"""
+    WITH {_shingled_sql(_DECON_N, source="documents")},
+    keyed AS (SELECT doc_id, substring(md5(shingle), 1, 16) AS sk FROM shingled),
+    train AS (SELECT doc_id, sk FROM keyed WHERE doc_id % 29 <> 0),
+    test AS (SELECT doc_id AS tid, sk FROM keyed WHERE doc_id % 29 = 0),
+    hits AS (
+        SELECT t.doc_id,
+               COUNT(DISTINCT t.sk) AS n_hit_shingles,
+               COUNT(DISTINCT s.tid) AS n_test_docs
+        FROM train t JOIN test s ON t.sk = s.sk
+        GROUP BY t.doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+    SELECT h.doc_id, h.n_hit_shingles, h.n_test_docs, tt.n_shingles,
+           CAST(h.n_hit_shingles AS DOUBLE) / tt.n_shingles AS contamination
+    FROM hits h JOIN totals tt ON h.doc_id = tt.doc_id
+    """,
+    doc="Bloom-join decontamination (dedup.benchmark_overlap_bloom): the "
+    "same eval-overlap check as decontamination_overlap, but the train side "
+    "is prefiltered by a broadcast Bloom filter of the test shingles BUILT "
+    "IN DATAFRAME ALGEBRA (explode to k xxhash64 bit positions, bit_or-pack "
+    "into 64-bit words, one-row array<bigint> bitmap; Spark's own "
+    "bloom_filter_agg is optimizer-internal and unreachable from the public "
+    "API). Survivors are exactly re-verified by the md5-key semi-join, so "
+    "the OUTPUT IS BIT-IDENTICAL to the plain query and the oracle is the "
+    "same SQL — the Bloom stage is invisible to correctness, visible only "
+    "to the plan: at 100 TB the corpus-side shuffle carries ~fpp of the "
+    "corpus instead of every shingle whenever the eval suite outgrows the "
+    "broadcast threshold (hand-rolled InjectRuntimeFilter, classic "
+    "Bloom-join).",
+    tags=("pipeline", "dedup", "text"),
+)
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", T.words_expr("text").alias("__ws")
+    ).select(
+        "doc_id", F.explode(D.shingles_from_words(F.col("__ws"), _DECON_N)).alias("shingle")
+    )
+    train = sh.where(F.col("doc_id") % 29 != 0)
+    test = sh.where(F.col("doc_id") % 29 == 0)
+    return D.benchmark_overlap_bloom(train, test)
+
+
 _STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125}
 # the oracle predicate is built from the SAME rate table by the shared SQL
 # twin, so Spark and DuckDB can't drift

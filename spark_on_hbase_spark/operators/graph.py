@@ -859,3 +859,53 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges"),
     )
     return counts.crossJoin(n_tri).select("n_vertices", "n_edges", "n_triangles")
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, rounds: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Bounded k-core peeling over a SYMMETRIZED edge list (both directions
+    present, the ``from_pairs`` invariant): ``rounds`` iterations of "drop
+    every vertex with degree < k, restrict edges to survivors", then return
+    each surviving vertex with its degree in the induced subgraph —
+    (vertex, degree). The graph-cleaning gate before any expensive
+    community/centrality pass (k-core keeps exactly the subgraph where
+    everyone has >= k surviving neighbours; a web/citation-graph denoiser).
+    Another operator the reference's property-graph layer implies but stops
+    short of (AGraph.scala:61-70 ends at degree aggregates).
+
+    A FIXED round count (not to-fixpoint) keeps the computation a pure
+    deterministic DataFrame expression the DuckDB oracle replays by
+    unrolling the same rounds as CTEs — and bounded peeling is also the
+    practical cluster form: each round is one degree aggregation plus two
+    left-semi joins, all keyed/co-partitioned on the SAME vertex columns
+    the edge relation is already hash-partitioned by (from_pairs_partitioned),
+    and on power-law graphs the survivor set collapses within a few rounds.
+    Degeneracy-order exact peeling (the sequential algorithm) is inherently
+    O(peel-depth) rounds anyway — distributed implementations batch rounds
+    exactly like this. No driver-side state; the per-round lineage is three
+    narrow stages, so ``rounds`` supersteps cost rounds * O(|E|/p) with no
+    growth in any single stage."""
+    # Each round references the previous edge set THREE times (the degree
+    # agg + both semi-join probes), so raw lineage grows 3^rounds — a lazy
+    # localCheckpoint per round (the same discipline as the BSP loops)
+    # keeps every round's plan reading one materialized relation instead of
+    # re-deriving the whole peel history.
+    e = edges.select(src, dst).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy(src)
+            .agg(F.count("*").alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select(src)
+        )
+        e = (
+            e.join(keep, src, "left_semi")
+            .join(keep.withColumnRenamed(src, dst), dst, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy(src)
+        .agg(F.count("*").cast("bigint").alias("degree"))
+        .select(F.col(src).alias("vertex"), "degree")
+    )

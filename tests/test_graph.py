@@ -277,6 +277,28 @@ def test_triangle_count_known_graphs(spark):
     assert G.triangle_count(star).collect()[0]["n_triangles"] == 0
 
 
+def test_kcore_peel_cascade_and_bounded_rounds(spark):
+    from spark_on_hbase_spark.operators import graph as G
+
+    # K4 on {0,1,2,3} with a tail 3-4-5: peeling at k=2 must CASCADE —
+    # round 1 drops 5 (deg 1), only then does 4 fall to deg 1 for round 2.
+    und = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 4), (4, 5)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+
+    out = {r["vertex"]: r["degree"] for r in G.kcore_peel(df, k=2, rounds=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # the 2-core is exactly K4
+
+    # bounded rounds are the contract, not a fixpoint: after ONE round the
+    # tail vertex 4 is still present (its pre-peel degree was 2) with its
+    # induced degree exposing the unfinished peel
+    one = {r["vertex"]: r["degree"] for r in G.kcore_peel(df, k=2, rounds=1).collect()}
+    assert one[4] == 1 and set(one) == {0, 1, 2, 3, 4}
+
+    # k above the max core empties the graph within the round budget
+    assert G.kcore_peel(df, k=4, rounds=3).count() == 0
+
+
 def test_label_propagation_finds_communities(spark):
     """Two triangles joined by one bridge edge: after convergence each
     triangle shares one label, and the deterministic tiebreak makes the

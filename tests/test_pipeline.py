@@ -184,6 +184,64 @@ def test_benchmark_overlap_flags_contaminated_doc(spark):
     assert out[1]["contamination"] == pytest.approx(1 / 3)
 
 
+def test_bloom_prefilter_no_false_negatives_and_exact_equivalence(spark):
+    """The DataFrame-algebra Bloom filter must (a) pass every inserted key
+    (zero false negatives — the Bloom guarantee the prefilter's correctness
+    rests on) and (b) leave benchmark_overlap_bloom's output IDENTICAL to
+    the plain benchmark_overlap on a corpus split, false positives removed
+    by the exact verify join."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(f"w{(i * 7 + j) % 90}" for j in range(30)))
+            for i in range(60)
+        ]
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(D.shingles_from_words(F.split("text", " "), 3)).alias("shingle"),
+    )
+    train = sh.where(F.col("doc_id") % 9 != 0)
+    test = sh.where(F.col("doc_id") % 9 == 0)
+
+    # (a) zero false negatives: every test shingle passes its own bloom,
+    # even at an aggressively small bitmap (forced false positives).
+    for bits in (1 << 10, 1 << 16):
+        bloom = D.shingle_bloom(test, num_bits=bits)
+        misses = (
+            test.crossJoin(F.broadcast(bloom))
+            .where(~D.bloom_contains(num_bits=bits))
+            .count()
+        )
+        assert misses == 0, f"bloom lost inserted keys at num_bits={bits}"
+
+    # (b) exact equivalence, including at the tiny bitmap where nearly
+    # everything survives the prefilter as a false positive.
+    plain = sorted(map(tuple, D.benchmark_overlap(train, test).collect()))
+    for bits in (1 << 10, 1 << 16):
+        with_bloom = sorted(
+            map(tuple, D.benchmark_overlap_bloom(train, test, num_bits=bits).collect())
+        )
+        assert with_bloom == plain, f"bloom path diverged at num_bits={bits}"
+    assert len(plain) > 0  # the split must actually produce contamination
+
+
+def test_bloom_prefilter_drops_most_of_a_disjoint_train_side(spark):
+    """Selectivity: with a train side sharing nothing with the eval set, the
+    broadcast bloom must reject (almost) every train shingle at the scan —
+    the whole point of the prefilter at 100 TB. At 14+ bits/key the false-
+    positive rate is ~1e-3, so 500 disjoint shingles admit at most a few."""
+    train = spark.createDataFrame([Row(doc_id=i % 7, shingle=f"train-{i}") for i in range(500)])
+    test = spark.createDataFrame([Row(doc_id=100 + i, shingle=f"test-{i}") for i in range(200)])
+    bloom = D.shingle_bloom(test, num_bits=1 << 15)
+    survivors = (
+        train.crossJoin(F.broadcast(bloom))
+        .where(D.bloom_contains(num_bits=1 << 15))
+        .count()
+    )
+    assert survivors <= 5, f"bloom admitted {survivors}/500 disjoint keys"
+    assert D.benchmark_overlap_bloom(train, test, num_bits=1 << 15).count() == 0
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     """Per-stratum keep rates must track the requested quotas (within
     Bernoulli noise), absent strata must drop to the default (0), and the
