@@ -1,0 +1,183 @@
+"""Global secondary index over a KeyedTable column.
+
+The HBase ecosystem's standard answer to "query by a non-key column
+without scanning the table" (Apache Phoenix global secondary indexes;
+the reference's HBase data model implies the need — its keyspace codecs
+only ever accelerate PRIMARY-key access, keys.py territory): maintain a
+second KeyedTable whose key is ``<value><sep><base_key>``, so every base
+row's index entry sorts by indexed value first. Because KeyedTable layers
+are range-partitioned and sorted by key with parquet min/max footer
+stats, a value-equality probe on the index prunes to the few files whose
+key range covers that value prefix — the "index range scan" made of the
+storage engine's existing machinery, no new file format.
+
+Consistency model (Phoenix's, honestly): index maintenance is write-side
+— each base mutation routed through the index first tombstones the
+touched keys' CURRENT entries, then applies the base mutation, then
+inserts entries for the new values. Three O(batch) jobs; the base table
+is never rewritten, and the read-before-write is a multiget point-read
+(``KeyedTable.point_read``): the batch's keys push into every base layer
+scan as an IN filter, so the sorted layout's footer stats prune to the
+few files covering the touched keys — maintenance I/O tracks the batch,
+not the table. The pair is NOT atomic: a crash
+between the jobs leaves a stale index until the writer retries (global
+Phoenix indexes carry the same caveat; their repair is a WAL replay,
+ours is re-running the idempotent batch — layer stamps make replays
+no-ops). Mutating the base DIRECTLY bypasses maintenance and stales the
+index, exactly as writing HBase rows behind Phoenix's back does.
+
+NULL indexed values are skipped (SQL-index convention): a row whose
+indexed column is NULL simply has no entry and is invisible to lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.table import KeyedTable
+
+# unit separator: sorts below every printable char, so entries for a value
+# group contiguously and never interleave with a longer value's entries
+_SEP = "\x1f"
+
+
+class SecondaryIndex:
+    """Index ``base[col]`` -> base keys, stored as its own KeyedTable at
+    ``path`` with schema (ikey, ivalue, base_key, ts). ``ts`` mirrors the
+    base row's timestamp so last-writer-wins resolves index entries the
+    same way it resolves the rows they point at."""
+
+    def __init__(
+        self,
+        base: KeyedTable,
+        col: str,
+        path: str,
+        num_partitions: int = 8,
+        include: list[str] | None = None,
+    ):
+        """``include``: base columns COPIED into every index entry (Phoenix
+        covered columns) — a ``lookup(value, covered=True)`` over them never
+        touches the base at all, trading index width for a read path that is
+        purely the value probe's footer-pruned files."""
+        self.base = base
+        self.col = col
+        self.include = list(include or [])
+        reserved = {"ikey", "ivalue", "base_key"}
+        bad = [c for c in self.include if c in reserved or c in (base.key_col, base.ts_col, col)]
+        if bad:
+            raise ValueError(f"cannot cover columns {bad} (reserved or implicit)")
+        self.tbl = KeyedTable(
+            base.spark,
+            path,
+            key_col="ikey",
+            ts_col=base.ts_col,
+            num_partitions=num_partitions,
+            compact_threshold=base.compact_threshold,
+        )
+
+    def _entries(self, rows: DataFrame) -> DataFrame:
+        """Index rows for the given base rows — NULL values skipped."""
+        return rows.where(F.col(self.col).isNotNull()).select(
+            F.concat(
+                F.col(self.col).cast("string"),
+                F.lit(_SEP),
+                F.col(self.base.key_col).cast("string"),
+            ).alias("ikey"),
+            F.col(self.col).cast("string").alias("ivalue"),
+            F.col(self.base.key_col).alias("base_key"),
+            F.col(self.base.ts_col),
+            # the indexed column again, ORIGINAL name and type: ivalue is a
+            # string (composite-key material); covered reads must return the
+            # base's typed value without a lossy string round-trip
+            F.col(self.col),
+            *[F.col(c) for c in self.include],
+        )
+
+    # touched-key batches up to this size read the base via a driver-known
+    # IN-list (point_read: footer-pruned O(batch) file reads); above it the
+    # literal list would bloat the plan, so fall back to a broadcast
+    # semi-join (table never shuffles, but the scan is table-sized)
+    MAX_POINT_READ_KEYS = 100_000
+
+    def _stale_entry_keys(self, touched_keys: DataFrame) -> DataFrame:
+        """Index keys of the touched base keys' CURRENT rows. Evaluated (by
+        the caller's delete job) BEFORE the base mutation lands, so the
+        read sees the pre-mutation state it must tombstone.
+
+        The read-before-write is the multiget point-read when the batch is
+        driver-collectable (the normal case — maintenance batches are
+        O(batch) by contract): the IN predicate prunes every base layer to
+        the files covering the touched keys, so maintenance I/O tracks the
+        BATCH, not the table. Oversized batches degrade to the broadcast
+        semi-join, which still never shuffles the base."""
+        keys = [
+            r[0]
+            for r in touched_keys.select(self.base.key_col)
+            .distinct()
+            .limit(self.MAX_POINT_READ_KEYS + 1)
+            .collect()
+        ]
+        if len(keys) <= self.MAX_POINT_READ_KEYS:
+            current = self.base.point_read(keys)
+        else:
+            current = self.base.df().join(
+                touched_keys.select(self.base.key_col).distinct(),
+                self.base.key_col,
+                "left_semi",
+            )
+        return self._entries(current).select("ikey")
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def build(self) -> "SecondaryIndex":
+        """One shuffle over the base's merged view — the bulk index build
+        (Phoenix's CREATE INDEX ASYNC + IndexTool MR job, as one write)."""
+        self.tbl.create(self._entries(self.base.df()))
+        return self
+
+    def drop(self) -> None:
+        self.tbl.drop()
+
+    # -- index-maintaining mutations ----------------------------------------
+
+    def update(self, batch: DataFrame) -> int:
+        """Whole-row upsert through the index: tombstone the touched keys'
+        current entries (value may be changing), apply the base update,
+        insert entries for the new values. Three O(batch) layer writes."""
+        self.tbl.delete(self._stale_entry_keys(batch))
+        n = self.base.update(batch)
+        self.tbl.update(self._entries(batch))
+        return n
+
+    def delete(self, keys: DataFrame) -> int:
+        """Row delete through the index: entries first, then the rows."""
+        self.tbl.delete(self._stale_entry_keys(keys))
+        return self.base.delete(keys)
+
+    # -- reads ---------------------------------------------------------------
+
+    def lookup(self, value, covered: bool = False) -> DataFrame:
+        """Base rows whose indexed column currently equals ``value``, found
+        WITHOUT filtering the base: probe the index (the equality predicate
+        reaches the index table's parquet scan, where the value-prefixed
+        sorted layout prunes by footer stats), broadcast the matched keys,
+        left-semi join the base on its key. At 100 TB the index probe reads
+        a value's few files and the base side is a keyed semi-join that
+        AQE's runtime bloom filter pushes below the base scan's shuffle —
+        never a full-table predicate scan.
+
+        ``covered=True`` answers from the index ALONE — (key, value,
+        included columns), zero base I/O — valid only when the index was
+        built with ``include`` covering every column the caller needs."""
+        probe = self.tbl.df().where(F.col("ivalue") == F.lit(value).cast("string"))
+        if covered:
+            return probe.select(
+                F.col("base_key").alias(self.base.key_col),
+                F.col(self.col),
+                *[F.col(c) for c in self.include],
+            )
+        keys = probe.select(F.col("base_key").alias(self.base.key_col))
+        return self.base.df().join(
+            F.broadcast(keys), self.base.key_col, "left_semi"
+        )

@@ -667,6 +667,7 @@ _ROTATED_OUT_R06 = [
     "quality_model_score",
     "decontamination_bloom",
     "kcore_peel_census",
+    "secondary_index_lookup",
     # -- newly out: r05-green, unchanged, pytest-pinned --------------------
     "scan_required_columns",
     "filter_comparison",

@@ -1432,3 +1432,65 @@ def grouped_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "secondary_index_lookup",
+    """
+    WITH cur AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CASE WHEN c_custkey % 10 = 3 THEN 77 ELSE c_nationkey END AS nation
+        FROM customer
+        WHERE c_custkey % 10 <> 6
+    )
+    SELECT key, name, nation FROM cur WHERE nation IN (5, 77)
+    """,
+    doc="Global secondary index on a KeyedTable column under mutation "
+    "(index.SecondaryIndex — the Phoenix-global-index pattern on the "
+    "engine's own storage): build customers keyed by custkey, index "
+    "nationkey (index table keyed '<value>\\x1f<key>', so the sorted "
+    "range-partitioned layers put a value's entries in few footer-pruned "
+    "files), then mutate THROUGH the index — move keys %%10=3 to nation 77 "
+    "(tombstone old entries, base upsert, insert new entries: three "
+    "O(batch) layer writes), row-delete keys %%10=6 — and answer "
+    "lookup(5) UNION ALL lookup(77) purely index-first: probe the index, "
+    "broadcast matched keys, left-semi join the base. The deliberate "
+    "no-dedup union makes every maintenance bug graded: a stale entry "
+    "left under the old nation duplicates a moved row, a missed insert "
+    "loses one, a missed delete resurrects one — any of them breaks the "
+    "rows+hash match vs the oracle's plain effective-state filter.",
+    tags=("table", "join", "mutation"),
+)
+def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.index import SecondaryIndex
+
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sec_idx_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        spark, os.path.join(root, "base"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "nation", os.path.join(root, "idx_nation")).build()
+    # value-changing upsert THROUGH the index: nation -> 77 at ts 200
+    idx.update(
+        rows.where(F.col("key") % 10 == 3).select(
+            "key", "name", F.lit(77).cast("bigint").alias("nation"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    # row delete THROUGH the index
+    idx.delete(rows.where(F.col("key") % 10 == 6).select("key"))
+    out = idx.lookup(5).unionByName(idx.lookup(77))
+    return out.select("key", "name", "nation")

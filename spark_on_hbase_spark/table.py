@@ -329,6 +329,32 @@ class KeyedTable:
 
         return select_required(self.df(), *columns)
 
+    def point_read(self, keys: list, as_of_layer: int | None = None) -> DataFrame:
+        """Multi-get: the merged view restricted to the given key LITERALS
+        (HBase's Get/multiget — HBaseTable.scala's point-read path, the op
+        the whole sorted-key layout exists to serve). The IN predicate is
+        applied per layer BEFORE the merge, so it reaches every layer's
+        parquet scan as a PushedFilters In(...) and the sorted layout's
+        footer min/max stats prune to the few files covering the probed
+        keys — at 100 TB this reads O(keys) files, never the table.
+
+        Per-key correctness is preserved because every merge rule (LWW,
+        version fold, tombstones) partitions by key: keeping ALL layers'
+        rows for the probed keys keeps each probed key's full history.
+        Callers with an unbounded/unknown key set should use a broadcast
+        semi-join against ``df()`` instead (J1 territory); this path is for
+        driver-known batches (index maintenance, point lookups)."""
+        layers = self._layers()
+        if as_of_layer is not None:
+            layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
+        if not layers:
+            raise FileNotFoundError(f"no table at {self.path}")
+        frames = [
+            self.spark.read.parquet(str(p)).where(F.col(self.key_col).isin(keys))
+            for p in layers
+        ]
+        return self._resolve(frames)
+
     # -- mutations ---------------------------------------------------------
 
     def update(self, batch: DataFrame, stamp: str | None = None) -> int:
