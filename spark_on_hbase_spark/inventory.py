@@ -668,6 +668,8 @@ _ROTATED_OUT_R06 = [
     "decontamination_bloom",
     "kcore_peel_census",
     "secondary_index_lookup",
+    "keyed_point_read",
+    "secondary_index_covered_lookup",
     # -- newly out: r05-green, unchanged, pytest-pinned --------------------
     "scan_required_columns",
     "filter_comparison",

@@ -1494,3 +1494,124 @@ def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.delete(rows.where(F.col("key") % 10 == 6).select("key"))
     out = idx.lookup(5).unionByName(idx.lookup(77))
     return out.select("key", "name", "nation")
+
+
+# deterministic multiget probe set, shared verbatim by the Spark query and
+# its oracle SQL (driver-known literals are the point of point_read)
+_POINT_READ_KEYS = list(range(2, 1500, 13))
+
+
+@query(
+    "keyed_point_read",
+    f"""
+    WITH cur AS (
+        SELECT c_custkey AS key,
+               CASE WHEN c_custkey % 7 = 2
+                    THEN 'moved #' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_name END AS name,
+               CASE WHEN c_custkey % 7 = 2 THEN 200 ELSE 100 END AS ts
+        FROM customer
+        WHERE c_custkey % 7 <> 5
+    )
+    SELECT key, name, ts FROM cur
+    WHERE key IN ({", ".join(str(k) for k in _POINT_READ_KEYS)})
+    """,
+    doc="HBase multi-Get through the LSM fold (KeyedTable.point_read — "
+    "HBaseTable.scala's point-read path, the op the sorted-key layout "
+    "exists to serve): create customers keyed by custkey, upsert keys "
+    "%%7=2 at ts 200 (renamed), tombstone keys %%7=5, then multiget a "
+    "fixed 116-key literal probe set. The IN predicate is applied per "
+    "layer BEFORE the merge, so it reaches every layer's parquet scan as "
+    "PushedFilters and footer min/max stats prune to the files covering "
+    "the probed keys — O(keys) I/O at any table size (plan-pinned in "
+    "tests/test_index.py). Grades the full fold under the point read: "
+    "updated rows come back at their new version, tombstoned rows do not "
+    "come back at all, untouched rows are verbatim.",
+    tags=("table", "mutation"),
+)
+def keyed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"point_read_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(spark, root, key_col="key", ts_col="ts", num_partitions=8)
+    tbl.create(rows)
+    tbl.update(
+        rows.where(F.col("key") % 7 == 2).select(
+            "key",
+            F.concat(F.lit("moved #"), F.col("key").cast("string")).alias("name"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    tbl.delete(rows.where(F.col("key") % 7 == 5).select("key"))
+    return tbl.point_read(_POINT_READ_KEYS).select("key", "name", "ts")
+
+
+@query(
+    "secondary_index_covered_lookup",
+    """
+    WITH cur AS (
+        SELECT c_custkey AS key,
+               CASE WHEN c_custkey % 10 = 3
+                    THEN 'renamed #' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_name END AS name,
+               CASE WHEN c_custkey % 10 = 3 THEN 77 ELSE c_nationkey END AS nation
+        FROM customer
+        WHERE c_custkey % 10 <> 6
+    )
+    SELECT key, nation, name FROM cur WHERE nation IN (5, 77)
+    """,
+    doc="Covered secondary-index lookup (Phoenix covered columns): the "
+    "index is built with include=[name], so every index entry CARRIES the "
+    "base row's name and lookup(covered=True) answers from the index's "
+    "value-pruned files alone — zero base I/O (inputFiles()-pinned in "
+    "tests/test_index.py). The mutation moves keys %%10=3 to nation 77 "
+    "AND renames them in the same upsert, so a maintenance bug that "
+    "refreshes the index key but not the covered column returns the stale "
+    "name and fails the value hash; deletes of keys %%10=6 must vanish "
+    "from the covered read without consulting the base.",
+    tags=("table", "mutation"),
+)
+def secondary_index_covered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.index import SecondaryIndex
+
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sec_idx_cov_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        spark, os.path.join(root, "base"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, "nation", os.path.join(root, "idx"), include=["name"]
+    ).build()
+    idx.update(
+        rows.where(F.col("key") % 10 == 3).select(
+            "key",
+            F.concat(F.lit("renamed #"), F.col("key").cast("string")).alias("name"),
+            F.lit(77).cast("bigint").alias("nation"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    idx.delete(rows.where(F.col("key") % 10 == 6).select("key"))
+    out = idx.lookup(5, covered=True).unionByName(idx.lookup(77, covered=True))
+    return out.select("key", "nation", "name")
