@@ -32,6 +32,8 @@ indexed column is NULL simply has no entry and is invisible to lookups.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,35 @@ from spark_on_hbase_spark.table import KeyedTable
 # unit separator: sorts below every printable char, so entries for a value
 # group contiguously and never interleave with a longer value's entries
 _SEP = "\x1f"
+
+_INTEGRAL = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+# 2^63: offset-binary bias for the order-preserving integral encoding
+_I64_BIAS = Decimal(9223372036854775808)
+
+
+def _ord_encode(col, dtype: str):
+    """Order-preserving STRING encoding of an indexed value — the composite
+    index key must sort by VALUE, not by the value's decimal digits
+    ("10" < "9" lexicographically). The same idea as keys.py's big-endian
+    byte codecs, expressed as string key material:
+
+    - integral: offset-binary zero-pad — lpad(v + 2^63, 20, '0') computed
+      in decimal(20,0) (branch-free: a sign-split `when` would overflow
+      bigint on whichever branch the vectorized evaluator also computes).
+      The biased value spans 0 .. 2^64-1 (at most 20 digits), so the fixed
+      20-char digit string's lexicographic order == numeric order over the
+      FULL bigint domain, negatives included — index RANGE scans prune
+      files by parquet footer stats.
+    - date/timestamp: ISO-8601 cast, naturally order-preserving.
+    - string: identity.
+    - float/double: plain cast — equality lookups work; range scans over
+      floating-point indexed columns are NOT order-correct (index a scaled
+      integral instead, e.g. cents)."""
+    if dtype in _INTEGRAL:
+        biased = col.cast("bigint").cast("decimal(20,0)") + F.lit(_I64_BIAS)
+        return F.lpad(biased.cast("decimal(20,0)").cast("string"), 20, "0")
+    return col.cast("string")
 
 
 class SecondaryIndex:
@@ -75,16 +106,24 @@ class SecondaryIndex:
             num_partitions=num_partitions,
             compact_threshold=base.compact_threshold,
         )
+        # order-preserving encoding is fixed by the indexed column's type;
+        # resolved lazily so the object can be built before the base table
+        self._dtype: str | None = None
+
+    def _enc(self, col) -> "F.Column":
+        if self._dtype is None:
+            self._dtype = self.base._schema().get(self.col, "string")
+        return _ord_encode(col, self._dtype)
 
     def _entries(self, rows: DataFrame) -> DataFrame:
         """Index rows for the given base rows — NULL values skipped."""
         return rows.where(F.col(self.col).isNotNull()).select(
             F.concat(
-                F.col(self.col).cast("string"),
+                self._enc(F.col(self.col)),
                 F.lit(_SEP),
                 F.col(self.base.key_col).cast("string"),
             ).alias("ikey"),
-            F.col(self.col).cast("string").alias("ivalue"),
+            self._enc(F.col(self.col)).alias("ivalue"),
             F.col(self.base.key_col).alias("base_key"),
             F.col(self.base.ts_col),
             # the indexed column again, ORIGINAL name and type: ivalue is a
@@ -170,7 +209,36 @@ class SecondaryIndex:
         ``covered=True`` answers from the index ALONE — (key, value,
         included columns), zero base I/O — valid only when the index was
         built with ``include`` covering every column the caller needs."""
-        probe = self.tbl.df().where(F.col("ivalue") == F.lit(value).cast("string"))
+        enc = self._enc(F.lit(value))
+        return self._read(enc, enc, covered)
+
+    def lookup_range(self, lo, hi, covered: bool = False) -> DataFrame:
+        """Base rows whose indexed column is in ``[lo, hi]`` (inclusive) —
+        the index RANGE SCAN, the second half of what Phoenix indexes are
+        for. Because the key material is ORDER-PRESERVING encoded (see
+        _ord_encode) and the index layers sort by the value-prefixed ikey,
+        the interval becomes an ikey range that prunes the index's parquet
+        scans to the contiguous file run covering it — O(result) I/O at
+        any table size. Pass ``covered=True`` under the same contract as
+        ``lookup``. Not order-correct for float/double indexed columns
+        (index a scaled integral instead)."""
+        return self._read(self._enc(F.lit(lo)), self._enc(F.lit(hi)), covered)
+
+    def _read(self, lo_enc, hi_enc, covered: bool) -> DataFrame:
+        """Probe the index for encoded values in [lo_enc, hi_enc] via an
+        IKEY range (range_read): ikey >= lo_enc ++ SEP and ikey <= hi_enc
+        ++ SEP ++ U+FFFF brackets exactly the entries whose value prefix is
+        in the interval (SEP sorts below every other char, so no longer
+        value can sneak under the bounds). The predicate MUST be on ikey,
+        not ivalue: tombstone rows carry only the key (other columns NULL),
+        so a per-layer ivalue filter would drop the tombstones and
+        resurrect deleted entries, while post-fold filtering (the naive
+        alternative) cannot prune files at all. ikey is value-determined,
+        so the key-range read keeps every surviving entry's full history."""
+        probe = self.tbl.range_read(
+            F.concat(lo_enc, F.lit(_SEP)),
+            F.concat(hi_enc, F.lit(_SEP + "\uffff")),
+        )
         if covered:
             return probe.select(
                 F.col("base_key").alias(self.base.key_col),

@@ -670,6 +670,7 @@ _ROTATED_OUT_R06 = [
     "secondary_index_lookup",
     "keyed_point_read",
     "secondary_index_covered_lookup",
+    "secondary_index_range_scan",
     # -- newly out: r05-green, unchanged, pytest-pinned --------------------
     "scan_required_columns",
     "filter_comparison",

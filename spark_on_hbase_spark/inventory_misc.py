@@ -1615,3 +1615,67 @@ def secondary_index_covered_lookup(spark: SparkSession, sf_dir: str) -> DataFram
     idx.delete(rows.where(F.col("key") % 10 == 6).select("key"))
     out = idx.lookup(5, covered=True).unionByName(idx.lookup(77, covered=True))
     return out.select("key", "nation", "name")
+
+
+@query(
+    "secondary_index_range_scan",
+    """
+    WITH cur AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                 + CASE WHEN c_custkey % 9 = 4 THEN 2000000 ELSE 0 END AS bal
+        FROM customer
+        WHERE c_custkey % 9 <> 7
+    )
+    SELECT key, name, bal FROM cur
+    WHERE bal BETWEEN -50000 AND 50000 OR bal BETWEEN 1900000 AND 3100000
+    """,
+    doc="Index RANGE SCAN over a signed numeric column (SecondaryIndex."
+    "lookup_range — the second half of what Phoenix indexes are for): "
+    "index account balance in integer cents (REAL negatives in the data), "
+    "where the ikey material is offset-binary zero-padded so "
+    "lexicographic order == numeric order over the full bigint domain — a "
+    "raw string cast would interleave '-9…' under '-1…' and sort '10' "
+    "before '9', and this query's band boundaries would silently admit or "
+    "drop rows. Mutations run THROUGH the index first: keys %%9=4 get "
+    "+2,000,000 cents (moving them from the base band into a disjoint "
+    "high band), keys %%9=7 are row-deleted; then the query unions both "
+    "bands' range scans. The probe is pushed ikey bounds applied per "
+    "layer BEFORE the LSM fold (tombstones ride the key range, so deletes "
+    "cannot resurrect — plan- and value-pinned in tests/test_index.py).",
+    tags=("table", "mutation"),
+)
+def secondary_index_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.index import SecondaryIndex
+
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sec_idx_rng_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        spark, os.path.join(root, "base"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "bal", os.path.join(root, "idx")).build()
+    idx.update(
+        rows.where(F.col("key") % 9 == 4).select(
+            "key", "name",
+            (F.col("bal") + F.lit(2000000)).alias("bal"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    idx.delete(rows.where(F.col("key") % 9 == 7).select("key"))
+    out = idx.lookup_range(-50000, 50000).unionByName(
+        idx.lookup_range(1900000, 3100000)
+    )
+    return out.select("key", "name", "bal")

@@ -355,6 +355,26 @@ class KeyedTable:
         ]
         return self._resolve(frames)
 
+    def range_read(self, lower, upper, as_of_layer: int | None = None) -> DataFrame:
+        """Key-range scan: the merged view restricted to keys in
+        ``[lower, upper]`` (inclusive; pass Columns or literals) — HBase's
+        Scan(startRow, stopRow) over the sorted layout. Like ``point_read``,
+        the bounds are applied per layer BEFORE the merge, so they reach
+        every layer's parquet scan and the sorted files' footer min/max
+        stats prune to the contiguous file run covering the range — per-key
+        correctness is preserved because a KEY predicate keeps each
+        surviving key's full history (tombstones included: tombstone rows
+        carry the key)."""
+        layers = self._layers()
+        if as_of_layer is not None:
+            layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
+        if not layers:
+            raise FileNotFoundError(f"no table at {self.path}")
+        k = F.col(self.key_col)
+        pred = (k >= lower) & (k <= upper)
+        frames = [self.spark.read.parquet(str(p)).where(pred) for p in layers]
+        return self._resolve(frames)
+
     # -- mutations ---------------------------------------------------------
 
     def update(self, batch: DataFrame, stamp: str | None = None) -> int:

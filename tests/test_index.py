@@ -43,10 +43,14 @@ def test_index_lookup_tracks_value_moves_and_deletes(spark, tmp_path):
     idx.delete(spark.createDataFrame([Row(key=2)]))
     assert idx.lookup("red").count() == 0
 
-    # the equality probe reaches the index table's parquet scan (the
-    # value-prefixed sorted layout then prunes files by footer stats)
-    plan = idx.tbl.df().where(F.col("ivalue") == "blue")._jdf.queryExecution().executedPlan().toString()
-    assert "ivalue" in plan and "PushedFilters" in plan
+    # the equality probe reaches the index table's parquet scans as pushed
+    # ikey bounds applied per layer BEFORE the fold (the value-prefixed
+    # sorted layout then prunes files by footer stats)
+    plan = (
+        idx.lookup("blue", covered=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "GreaterThanOrEqual(ikey,blue\x1f" in plan
 
 
 def test_index_skips_null_values_until_set(spark, tmp_path):
@@ -86,6 +90,62 @@ def test_covered_lookup_never_touches_the_base(spark, tmp_path):
 
     # uncovered path returns the same keys from the base
     assert {r["key"] for r in idx.lookup("blue").collect()} == {2, 3}
+
+
+def test_ord_encode_is_order_preserving_over_full_bigint_domain(spark):
+    """The index key material must sort by VALUE ("10" < "9" breaks raw
+    string casts): offset-binary zero-pad over edge cases, both signs, and a
+    seeded random spread — lexicographic order of enc(v) == numeric order."""
+    import random
+
+    from spark_on_hbase_spark.index import _ord_encode
+
+    rng = random.Random(7)
+    vals = sorted(
+        {
+            -(2**63), -(2**63) + 1, -(10**18), -1, 0, 1, 9, 10, 11, 10**18,
+            2**63 - 2, 2**63 - 1,
+            *[rng.randint(-(2**63), 2**63 - 1) for _ in range(200)],
+        }
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint").select(
+        "v", _ord_encode(F.col("v"), "bigint").alias("e")
+    )
+    rows = df.collect()
+    by_enc = [r["v"] for r in sorted(rows, key=lambda r: r["e"])]
+    assert by_enc == vals
+    assert len({len(r["e"]) for r in rows}) == 1  # fixed width: 20 chars
+
+
+def test_index_range_lookup_spans_signs_and_prunes(spark, tmp_path):
+    """lookup_range over a bigint column with NEGATIVE values: inclusive
+    bounds, numeric (not lexicographic) semantics, and the BETWEEN on the
+    encoded ivalue reaches the index scan as PushedFilters."""
+    rows = spark.createDataFrame(
+        [Row(key=i, name=f"n{i}", score=s, ts=100)
+         for i, s in enumerate([-1000, -10, -9, 0, 9, 10, 11, 1000])]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "rb"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "score", str(tmp_path / "ri"), num_partitions=2).build()
+
+    got = sorted(r["score"] for r in idx.lookup_range(-10, 10).collect())
+    assert got == [-10, -9, 0, 9, 10]  # raw strings would admit -1000/1000
+
+    # maintenance keeps range semantics: move one row out, one in
+    idx.update(spark.createDataFrame([Row(key=0, name="n0", score=5, ts=200)]))
+    idx.delete(spark.createDataFrame([Row(key=4)]))  # score 9 gone
+    got = sorted(r["score"] for r in idx.lookup_range(-10, 10).collect())
+    assert got == [-10, -9, 0, 5, 10]
+
+    # the probe is an IKEY range applied per layer BEFORE the fold, so it
+    # reaches parquet as pushed bounds on the sort column (ivalue preds
+    # cannot prune: tombstones carry NULL ivalue and would resurrect)
+    plan = (
+        idx.lookup_range(-10, 10, covered=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "GreaterThanOrEqual(ikey" in plan and "LessThanOrEqual(ikey" in plan
 
 
 def test_point_read_matches_merged_view_and_pushes_in_filter(spark, tmp_path):
