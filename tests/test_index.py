@@ -188,6 +188,81 @@ def test_index_maintenance_reads_are_point_reads(spark, tmp_path):
     assert "In(key" in plan or "EqualTo(key,1)" in plan
 
 
+def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
+    """Model-based check of the whole LSM + index stack: a seeded random
+    sequence of value-moving upserts, row deletes, and compactions (of the
+    base, the index table, or both — including mid-sequence, so the fold
+    and the post-compact single-layer path both serve reads) must leave
+    the table, the index entries, and every read path (full scan, multiget
+    point_read, equality and range lookups) equal to a plain dict model.
+    Ties are avoided by strictly increasing ts — LWW is pinned elsewhere."""
+    import random
+
+    rng = random.Random(42)
+    keyspace = list(range(200))
+    model: dict[int, tuple[str, int]] = {}  # key -> (name, score)
+
+    first = [(k, f"n{k}", rng.randint(-50, 50)) for k in rng.sample(keyspace, 120)]
+    rows = spark.createDataFrame(
+        [Row(key=k, name=n, score=s, ts=0) for k, n, s in first]
+    )
+    model.update({k: (n, s) for k, n, s in first})
+    tbl = KeyedTable(
+        spark, str(tmp_path / "mb"), key_col="key", ts_col="ts",
+        num_partitions=4, compact_threshold=50,  # manual compacts only
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "score", str(tmp_path / "mi"), num_partitions=4).build()
+
+    for ts in range(1, 19):
+        op = rng.choice(["update", "update", "update", "delete", "compact"])
+        if op == "update":
+            batch = [
+                (k, f"n{k}v{ts}", rng.randint(-50, 50))
+                for k in rng.sample(keyspace, rng.randint(1, 30))
+            ]
+            idx.update(
+                spark.createDataFrame(
+                    [Row(key=k, name=n, score=s, ts=ts) for k, n, s in batch]
+                )
+            )
+            model.update({k: (n, s) for k, n, s in batch})
+        elif op == "delete":
+            victims = rng.sample(keyspace, rng.randint(1, 15))
+            idx.delete(spark.createDataFrame([Row(key=k) for k in victims], "key int"))
+            for k in victims:
+                model.pop(k, None)
+        else:
+            which = rng.choice(["base", "idx", "both"])
+            if which in ("base", "both"):
+                tbl.compact()
+            if which in ("idx", "both"):
+                idx.tbl.compact()
+
+    # full scan == model
+    got = {r["key"]: (r["name"], r["score"]) for r in tbl.df().collect()}
+    assert got == model
+
+    # index entries == exactly the model's live rows (no stale, no lost)
+    ent = {(r["base_key"], r["score"]) for r in idx.tbl.df().collect()}
+    assert ent == {(k, s) for k, (_, s) in model.items()}
+
+    # multiget point_read over a mixed live/dead probe set
+    probe = rng.sample(keyspace, 40)
+    got = {r["key"]: (r["name"], r["score"]) for r in tbl.point_read(probe).collect()}
+    assert got == {k: model[k] for k in probe if k in model}
+
+    # equality + range lookups == model filters
+    for v in (-50, 0, rng.randint(-50, 50)):
+        got_keys = sorted(r["key"] for r in idx.lookup(v).collect())
+        assert got_keys == sorted(k for k, (_, s) in model.items() if s == v)
+    for lo, hi in ((-10, 10), (-50, -25), (49, 50)):
+        got_keys = sorted(r["key"] for r in idx.lookup_range(lo, hi).collect())
+        assert got_keys == sorted(
+            k for k, (_, s) in model.items() if lo <= s <= hi
+        )
+
+
 def test_direct_base_write_stales_the_index_as_documented(spark, tmp_path):
     """Mutating the base WITHOUT the index (HBase-behind-Phoenix's-back)
     leaves the index stale: the old-value lookup still returns the moved
