@@ -245,6 +245,20 @@ class SecondaryIndex:
                 F.col(self.col),
                 *[F.col(c) for c in self.include],
             )
+        # index scan -> MULTIGET the base (HBase's actual uncovered-index
+        # read): when the matched key set is driver-collectable, point_read
+        # turns the base side into O(result) footer-pruned file reads.
+        # Oversized results degrade to a broadcast-key semi-join -- the base
+        # still never shuffles, but its scan is table-sized (AQE's runtime
+        # bloom below the scan is the cluster-side mitigation).
+        matched = [
+            r[0]
+            for r in probe.select("base_key")
+            .limit(self.MAX_POINT_READ_KEYS + 1)
+            .collect()
+        ]
+        if len(matched) <= self.MAX_POINT_READ_KEYS:
+            return self.base.point_read(matched)
         keys = probe.select(F.col("base_key").alias(self.base.key_col))
         return self.base.df().join(
             F.broadcast(keys), self.base.key_col, "left_semi"
