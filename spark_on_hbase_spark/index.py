@@ -22,9 +22,12 @@ few files covering the touched keys — maintenance I/O tracks the batch,
 not the table. The pair is NOT atomic: a crash
 between the jobs leaves a stale index until the writer retries (global
 Phoenix indexes carry the same caveat; their repair is a WAL replay,
-ours is re-running the idempotent batch — layer stamps make replays
-no-ops). Mutating the base DIRECTLY bypasses maintenance and stales the
-index, exactly as writing HBase rows behind Phoenix's back does.
+ours is re-running the idempotent batch: pass ``stamp=`` to
+``update``/``delete`` and each of the jobs is guarded by its own derived
+layer stamp, so a retry re-runs only the jobs that never committed and a
+full replay is a strict no-op). Mutating the base DIRECTLY bypasses
+maintenance and stales the index, exactly as writing HBase rows behind
+Phoenix's back does.
 
 NULL indexed values are skipped (SQL-index convention): a row whose
 indexed column is NULL simply has no entry and is invisible to lookups.
@@ -180,19 +183,48 @@ class SecondaryIndex:
 
     # -- index-maintaining mutations ----------------------------------------
 
-    def update(self, batch: DataFrame) -> int:
+    def update(self, batch: DataFrame, stamp: str | None = None) -> int:
         """Whole-row upsert through the index: tombstone the touched keys'
         current entries (value may be changing), apply the base update,
-        insert entries for the new values. Three O(batch) layer writes."""
-        self.tbl.delete(self._stale_entry_keys(batch))
-        n = self.base.update(batch)
-        self.tbl.update(self._entries(batch))
-        return n
+        insert entries for the new values. Three O(batch) layer writes.
 
-    def delete(self, keys: DataFrame) -> int:
-        """Row delete through the index: entries first, then the rows."""
-        self.tbl.delete(self._stale_entry_keys(keys))
-        return self.base.delete(keys)
+        ``stamp`` makes the whole maintenance TRANSACTION retry-idempotent
+        — the docstring's repair story as code: each sub-write is guarded
+        by its own derived stamp (``<stamp>_xd`` / ``<stamp>`` /
+        ``<stamp>_xi``), recorded atomically in that layer's directory
+        name, so a retry after a crash between any two jobs re-runs ONLY
+        the jobs that never committed and the pair converges to the
+        consistent state. Ordering makes the read-before-write safe under
+        retry: the stale-entry read only ever executes before the base
+        mutation has landed (afterwards its stamp is present and the
+        delete is skipped), so it can never tombstone the NEW entries."""
+        self._guarded(self.tbl.delete, self._stale(batch), stamp, "_xd")
+        n = self._guarded(self.base.update, lambda: batch, stamp, "")
+        self._guarded(self.tbl.update, lambda: self._entries(batch), stamp, "_xi")
+        return n if n is not None else 0
+
+    def delete(self, keys: DataFrame, stamp: str | None = None) -> int:
+        """Row delete through the index: entries first, then the rows.
+        ``stamp``: same retry-idempotence contract as ``update``."""
+        self._guarded(self.tbl.delete, self._stale(keys), stamp, "_xd")
+        n = self._guarded(self.base.delete, lambda: keys, stamp, "")
+        return n if n is not None else 0
+
+    def _stale(self, touched: DataFrame):
+        return lambda: self._stale_entry_keys(touched)
+
+    def _guarded(self, write, make_batch, stamp: str | None, suffix: str):
+        """Run one maintenance sub-write, skipping it when its derived
+        stamp already rides a layer (or the compaction-preserved manifest)
+        of the target table — `make_batch` is lazy so a skipped step never
+        evaluates its read either."""
+        if stamp is None:
+            return write(make_batch())
+        derived = f"{stamp}{suffix}" if suffix else stamp
+        table = write.__self__
+        if derived in table.applied_stamps():
+            return None
+        return write(make_batch(), stamp=derived)
 
     # -- reads ---------------------------------------------------------------
 

@@ -188,6 +188,48 @@ def test_index_maintenance_reads_are_point_reads(spark, tmp_path):
     assert "In(key" in plan or "EqualTo(key,1)" in plan
 
 
+def test_stamped_maintenance_converges_under_crash_and_replay(spark, tmp_path):
+    """The Phoenix repair story as code: a stamped idx.update is a
+    retry-idempotent transaction. Crash it between every pair of its three
+    sub-writes (simulated by running the guarded steps directly), retry the
+    whole op with the same stamp, and the pair must converge — each
+    sub-write commits exactly once (stamps pin this), reads stay correct,
+    and a full replay after success is a strict no-op (no new layers)."""
+    tbl, idx = _fixture(spark, tmp_path)
+    b1 = spark.createDataFrame([Row(key=1, name="a2", color="blue", ts=200)])
+
+    # crash after sub-write 1 (stale entries tombstoned, base untouched)
+    idx._guarded(idx.tbl.delete, idx._stale(b1), "b1", "_xd")
+    idx.update(b1, stamp="b1")  # retry
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2}
+    assert 1 in {r["key"] for r in idx.lookup("blue").collect()}
+    assert "b1_xd" in idx.tbl.applied_stamps()  # committed once, not twice
+    assert sum(1 for p in idx.tbl._layers() if "b1_xd" in p.name) == 1
+
+    # crash after sub-write 2 (base mutated, index insert missing: the
+    # documented stale window — old entry gone, new entry absent)
+    b2 = spark.createDataFrame([Row(key=2, name="b2", color="green", ts=300)])
+    idx._guarded(idx.tbl.delete, idx._stale(b2), "b2", "_xd")
+    idx._guarded(tbl.update, lambda: b2, "b2", "")
+    assert idx.lookup("green").count() == 0  # mid-crash staleness, honest
+    idx.update(b2, stamp="b2")  # retry runs ONLY the index insert
+    assert {r["key"] for r in idx.lookup("green").collect()} == {2}
+    assert sum(1 for p in tbl._layers() if p.name.endswith("-b2")) == 1
+
+    # full replay after success: strict no-op on both tables
+    seqs = (tbl.snapshot_seq(), idx.tbl.snapshot_seq())
+    idx.update(b1, stamp="b1")
+    idx.update(b2, stamp="b2")
+    assert (tbl.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
+
+    # stamped delete: same contract
+    idx.delete(spark.createDataFrame([Row(key=3)]), stamp="b3")
+    assert idx.lookup("blue").count() == 1  # key 1 only; 3 deleted
+    seqs = (tbl.snapshot_seq(), idx.tbl.snapshot_seq())
+    idx.delete(spark.createDataFrame([Row(key=3)]), stamp="b3")
+    assert (tbl.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
+
+
 def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
     """Model-based check of the whole LSM + index stack: a seeded random
     sequence of value-moving upserts, row deletes, and compactions (of the
