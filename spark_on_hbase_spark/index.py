@@ -77,15 +77,24 @@ def _ord_encode(col, dtype: str):
 
 
 class SecondaryIndex:
-    """Index ``base[col]`` -> base keys, stored as its own KeyedTable at
+    """Index ``base[cols]`` -> base keys, stored as its own KeyedTable at
     ``path`` with schema (ikey, ivalue, base_key, ts). ``ts`` mirrors the
     base row's timestamp so last-writer-wins resolves index entries the
-    same way it resolves the rows they point at."""
+    same way it resolves the rows they point at.
+
+    ``col`` may be a single column name or a LIST — a composite index
+    (Phoenix multi-column indexes): ikey is the SEP-joined sequence of the
+    columns' order-preserving encodings followed by the base key, so
+    probes follow the LEADING-EDGE rule — ``lookup(v1)`` matches every
+    entry whose first column is v1 regardless of the rest, ``lookup(v1,
+    v2)`` fixes the first two, and ``lookup_range(lo, hi, prefix=(v1,))``
+    fixes a leading prefix and ranges over the NEXT column. A probe that
+    skips a leading column cannot use the index (same as any B-tree)."""
 
     def __init__(
         self,
         base: KeyedTable,
-        col: str,
+        col: str | list[str],
         path: str,
         num_partitions: int = 8,
         include: list[str] | None = None,
@@ -95,10 +104,17 @@ class SecondaryIndex:
         touches the base at all, trading index width for a read path that is
         purely the value probe's footer-pruned files."""
         self.base = base
-        self.col = col
+        self.cols = [col] if isinstance(col, str) else list(col)
+        if not self.cols:
+            raise ValueError("at least one indexed column required")
+        self.col = self.cols[0]  # back-compat alias for single-column use
         self.include = list(include or [])
         reserved = {"ikey", "ivalue", "base_key"}
-        bad = [c for c in self.include if c in reserved or c in (base.key_col, base.ts_col, col)]
+        bad = [
+            c
+            for c in self.include
+            if c in reserved or c in (base.key_col, base.ts_col) or c in self.cols
+        ]
         if bad:
             raise ValueError(f"cannot cover columns {bad} (reserved or implicit)")
         self.tbl = KeyedTable(
@@ -109,30 +125,35 @@ class SecondaryIndex:
             num_partitions=num_partitions,
             compact_threshold=base.compact_threshold,
         )
-        # order-preserving encoding is fixed by the indexed column's type;
-        # resolved lazily so the object can be built before the base table
-        self._dtype: str | None = None
+        # order-preserving encodings are fixed by the indexed columns'
+        # types; resolved lazily so the object can predate the base table
+        self._dtypes: dict[str, str] | None = None
 
-    def _enc(self, col) -> "F.Column":
-        if self._dtype is None:
-            self._dtype = self.base._schema().get(self.col, "string")
-        return _ord_encode(col, self._dtype)
+    def _enc(self, col, pos: int = 0) -> "F.Column":
+        if self._dtypes is None:
+            schema = self.base._schema()
+            self._dtypes = {c: schema.get(c, "string") for c in self.cols}
+        return _ord_encode(col, self._dtypes[self.cols[pos]])
 
     def _entries(self, rows: DataFrame) -> DataFrame:
-        """Index rows for the given base rows — NULL values skipped."""
-        return rows.where(F.col(self.col).isNotNull()).select(
-            F.concat(
-                self._enc(F.col(self.col)),
-                F.lit(_SEP),
-                F.col(self.base.key_col).cast("string"),
-            ).alias("ikey"),
-            self._enc(F.col(self.col)).alias("ivalue"),
+        """Index rows for the given base rows — rows with ANY indexed
+        column NULL are skipped (SQL-index convention, per component)."""
+        live = rows
+        for c in self.cols:
+            live = live.where(F.col(c).isNotNull())
+        parts = []
+        for i, c in enumerate(self.cols):
+            parts.append(self._enc(F.col(c), i))
+            parts.append(F.lit(_SEP))
+        return live.select(
+            F.concat(*parts, F.col(self.base.key_col).cast("string")).alias("ikey"),
+            F.concat_ws(_SEP, *[self._enc(F.col(c), i) for i, c in enumerate(self.cols)]).alias("ivalue"),
             F.col(self.base.key_col).alias("base_key"),
             F.col(self.base.ts_col),
-            # the indexed column again, ORIGINAL name and type: ivalue is a
-            # string (composite-key material); covered reads must return the
-            # base's typed value without a lossy string round-trip
-            F.col(self.col),
+            # the indexed columns again, ORIGINAL names and types: ivalue is
+            # a string (composite-key material); covered reads must return
+            # the base's typed values without a lossy string round-trip
+            *[F.col(c) for c in self.cols],
             *[F.col(c) for c in self.include],
         )
 
@@ -228,7 +249,7 @@ class SecondaryIndex:
 
     # -- reads ---------------------------------------------------------------
 
-    def lookup(self, value, covered: bool = False) -> DataFrame:
+    def lookup(self, *values, covered: bool = False) -> DataFrame:
         """Base rows whose indexed column currently equals ``value``, found
         WITHOUT filtering the base: probe the index (the equality predicate
         reaches the index table's parquet scan, where the value-prefixed
@@ -240,11 +261,19 @@ class SecondaryIndex:
 
         ``covered=True`` answers from the index ALONE — (key, value,
         included columns), zero base I/O — valid only when the index was
-        built with ``include`` covering every column the caller needs."""
-        enc = self._enc(F.lit(value))
-        return self._read(enc, enc, covered)
+        built with ``include`` covering every column the caller needs.
 
-    def lookup_range(self, lo, hi, covered: bool = False) -> DataFrame:
+        On a composite index, pass 1..len(cols) values: a LEADING PREFIX
+        probe (Phoenix's leading-edge rule) -- unfixed trailing columns
+        match everything."""
+        if not 1 <= len(values) <= len(self.cols):
+            raise ValueError(
+                f"lookup takes 1..{len(self.cols)} leading values, got {len(values)}"
+            )
+        prefix = self._prefix_enc(values)
+        return self._read(prefix, prefix, covered)
+
+    def lookup_range(self, lo, hi, prefix: tuple = (), covered: bool = False) -> DataFrame:
         """Base rows whose indexed column is in ``[lo, hi]`` (inclusive) —
         the index RANGE SCAN, the second half of what Phoenix indexes are
         for. Because the key material is ORDER-PRESERVING encoded (see
@@ -253,8 +282,30 @@ class SecondaryIndex:
         scans to the contiguous file run covering it — O(result) I/O at
         any table size. Pass ``covered=True`` under the same contract as
         ``lookup``. Not order-correct for float/double indexed columns
-        (index a scaled integral instead)."""
-        return self._read(self._enc(F.lit(lo)), self._enc(F.lit(hi)), covered)
+        (index a scaled integral instead).
+
+        On a composite index, ``prefix`` fixes the leading columns and the
+        range applies to the NEXT column (B-tree semantics: a range on a
+        non-leading column without its prefix cannot use the index)."""
+        if len(prefix) >= len(self.cols):
+            raise ValueError("prefix must leave at least one column for the range")
+        pos = len(prefix)
+        lo_enc, hi_enc = self._enc(F.lit(lo), pos), self._enc(F.lit(hi), pos)
+        if prefix:
+            pfx = self._prefix_enc(prefix)
+            lo_enc = F.concat(pfx, F.lit(_SEP), lo_enc)
+            hi_enc = F.concat(pfx, F.lit(_SEP), hi_enc)
+        return self._read(lo_enc, hi_enc, covered)
+
+    def _prefix_enc(self, values) -> "F.Column":
+        """SEP-joined encodings of the given leading values (no trailing
+        separator -- _read appends it when framing the bounds)."""
+        parts = []
+        for i, v in enumerate(values):
+            if parts:
+                parts.append(F.lit(_SEP))
+            parts.append(self._enc(F.lit(v), i))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
 
     def _read(self, lo_enc, hi_enc, covered: bool) -> DataFrame:
         """Probe the index for encoded values in [lo_enc, hi_enc] via an
@@ -274,7 +325,7 @@ class SecondaryIndex:
         if covered:
             return probe.select(
                 F.col("base_key").alias(self.base.key_col),
-                F.col(self.col),
+                *[F.col(c) for c in self.cols],
                 *[F.col(c) for c in self.include],
             )
         # index scan -> MULTIGET the base (HBase's actual uncovered-index

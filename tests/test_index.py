@@ -188,6 +188,60 @@ def test_index_maintenance_reads_are_point_reads(spark, tmp_path):
     assert "In(key" in plan or "EqualTo(key,1)" in plan
 
 
+def test_composite_index_leading_edge_probes(spark, tmp_path):
+    """Composite (multi-column) index over (color: string, score: bigint):
+    full-tuple equality, leading-prefix equality (Phoenix's leading-edge
+    rule), and prefix-fixed range on the next column — all after a
+    value-moving update and a delete THROUGH the index — plus the
+    skip-a-leading-column and no-column-left-for-range guard rails."""
+    import pytest
+
+    rows = spark.createDataFrame(
+        [
+            Row(key=1, name="a", color="red", score=5, ts=100),
+            Row(key=2, name="b", color="red", score=10, ts=100),
+            Row(key=3, name="c", color="red", score=-3, ts=100),
+            Row(key=4, name="d", color="blue", score=5, ts=100),
+            Row(key=5, name="e", color="blue", score=7, ts=100),
+            Row(key=6, name="f", color=None, score=1, ts=100),  # skipped
+        ]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "cb"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["color", "score"], str(tmp_path / "ci"), num_partitions=2
+    ).build()
+
+    # full tuple + leading prefix
+    assert {r["key"] for r in idx.lookup("red", 5).collect()} == {1}
+    assert {r["key"] for r in idx.lookup("red").collect()} == {1, 2, 3}
+    # prefix-fixed range over the bigint component (negatives included)
+    assert {r["key"] for r in idx.lookup_range(-3, 5, prefix=("red",)).collect()} == {1, 3}
+
+    # mutate THROUGH the index: key 2 moves red->blue, key 3 deleted
+    idx.update(spark.createDataFrame([Row(key=2, name="b2", color="blue", score=10, ts=200)]))
+    idx.delete(spark.createDataFrame([Row(key=3)]))
+    assert {r["key"] for r in idx.lookup("red").collect()} == {1}
+    assert {r["key"] for r in idx.lookup("blue").collect()} == {2, 4, 5}
+    assert {r["key"] for r in idx.lookup_range(7, 10, prefix=("blue",)).collect()} == {2, 5}
+
+    # NULL component rows have no entry until set
+    assert idx.tbl.df().where(F.col("base_key") == 6).count() == 0
+
+    # guard rails
+    with pytest.raises(ValueError):
+        idx.lookup("red", 5, "extra")
+    with pytest.raises(ValueError):
+        idx.lookup_range(1, 2, prefix=("red", 5))
+
+    # the prefix probe still prunes: pushed ikey bounds reach the scans
+    plan = (
+        idx.lookup("blue", covered=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "GreaterThanOrEqual(ikey,blue\x1f" in plan
+
+
 def test_stamped_maintenance_converges_under_crash_and_replay(spark, tmp_path):
     """The Phoenix repair story as code: a stamped idx.update is a
     retry-idempotent transaction. Crash it between every pair of its three
