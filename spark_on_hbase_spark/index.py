@@ -174,6 +174,11 @@ class SecondaryIndex:
         the files covering the touched keys, so maintenance I/O tracks the
         BATCH, not the table. Oversized batches degrade to the broadcast
         semi-join, which still never shuffles the base."""
+        return self._entries(self._current_rows(touched_keys)).select("ikey")
+
+    def _current_rows(self, touched_keys: DataFrame) -> DataFrame:
+        """The touched keys' CURRENT base rows — multiget point-read when
+        driver-collectable, broadcast semi-join otherwise."""
         keys = [
             r[0]
             for r in touched_keys.select(self.base.key_col)
@@ -182,14 +187,12 @@ class SecondaryIndex:
             .collect()
         ]
         if len(keys) <= self.MAX_POINT_READ_KEYS:
-            current = self.base.point_read(keys)
-        else:
-            current = self.base.df().join(
-                touched_keys.select(self.base.key_col).distinct(),
-                self.base.key_col,
-                "left_semi",
-            )
-        return self._entries(current).select("ikey")
+            return self.base.point_read(keys)
+        return self.base.df().join(
+            touched_keys.select(self.base.key_col).distinct(),
+            self.base.key_col,
+            "left_semi",
+        )
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -230,6 +233,51 @@ class SecondaryIndex:
         self._guarded(self.tbl.delete, self._stale(keys), stamp, "_xd")
         n = self._guarded(self.base.delete, lambda: keys, stamp, "")
         return n if n is not None else 0
+
+    def put(self, batch: DataFrame, stamp: str | None = None) -> int:
+        """Cell-level put through the index: batch columns overwrite (nulls
+        keep stored values — the SPARSE fold's contract), absent columns
+        keep stored values. When the batch touches NO indexed or covered
+        column the index needs no maintenance and this is exactly
+        ``base.put`` — the fast path partial writes deserve. Otherwise the
+        usual triple runs, with the new entries computed from the POST-put
+        rows: the batch overlaid (coalesce, matching the fold) onto the
+        touched keys' current rows. The overlay is evaluated lazily against
+        whatever base state exists when the insert job runs, which makes it
+        retry-safe: overlaying the batch onto already-put rows is a no-op,
+        so entries come out identical whether the insert runs right after
+        the base put or on a later retry."""
+        if not set(batch.columns) & set(self.cols + self.include):
+            n = self._guarded(self.base.put, lambda: batch, stamp, "")
+            return n if n is not None else 0
+        self._guarded(self.tbl.delete, self._stale(batch), stamp, "_xd")
+        n = self._guarded(self.base.put, lambda: batch, stamp, "")
+        self._guarded(
+            self.tbl.update,
+            lambda: self._entries(self._post_put_rows(batch)),
+            stamp,
+            "_xi",
+        )
+        return n if n is not None else 0
+
+    def _post_put_rows(self, batch: DataFrame) -> DataFrame:
+        """The touched keys' rows as they stand AFTER the put: batch columns
+        overlaid with coalesce onto the current rows (new keys get the batch
+        values, absent/null cells keep stored values) — only the columns an
+        index entry needs (key, ts, indexed, covered)."""
+        keyc, tsc = self.base.key_col, self.base.ts_col
+        current = self._current_rows(batch)
+        b, c = batch.alias("__b"), current.alias("__c")
+        joined = b.join(c, F.col(f"__b.{keyc}") == F.col(f"__c.{keyc}"), "left")
+        sel = [F.col(f"__b.{keyc}").alias(keyc)]
+        for col in [tsc, *self.cols, *self.include]:
+            if col in batch.columns:
+                sel.append(
+                    F.coalesce(F.col(f"__b.{col}"), F.col(f"__c.{col}")).alias(col)
+                )
+            else:
+                sel.append(F.col(f"__c.{col}").alias(col))
+        return joined.select(*sel)
 
     def _stale(self, touched: DataFrame):
         return lambda: self._stale_entry_keys(touched)

@@ -188,6 +188,48 @@ def test_index_maintenance_reads_are_point_reads(spark, tmp_path):
     assert "In(key" in plan or "EqualTo(key,1)" in plan
 
 
+def test_put_through_index_maintains_entries(spark, tmp_path):
+    """Cell-level put routed through the index: a partial write that moves
+    the indexed column re-points the entry (absent columns keep stored
+    values), a put of an un-indexed column skips index maintenance
+    entirely (fast path — index table writes no layer), a null cell in
+    the batch keeps the stored value (the SPARSE fold's contract), a put
+    can create a brand-new indexed row, and a stamped put replay is a
+    strict no-op."""
+    tbl, idx = _fixture(spark, tmp_path)
+
+    # move key 1 red->blue via a partial row: name NOT in the batch
+    idx.put(spark.createDataFrame([Row(key=1, color="blue", ts=200)]))
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2}
+    moved = idx.lookup("blue").where(F.col("key") == 1).collect()[0]
+    assert (moved["name"], moved["color"]) == ("a", "blue")  # name kept
+
+    # un-indexed column only: no index maintenance
+    seq = idx.tbl.snapshot_seq()
+    idx.put(spark.createDataFrame([Row(key=2, name="b2", ts=300)]))
+    assert idx.tbl.snapshot_seq() == seq
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2}
+
+    # null indexed cell keeps the stored value (fold semantics)
+    idx.put(
+        spark.createDataFrame(
+            [(2, "b3", None, 400)], "key bigint, name string, color string, ts bigint"
+        )
+    )
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2}
+
+    # brand-new key via put gains an entry
+    idx.put(spark.createDataFrame([Row(key=9, name="z", color="red", ts=500)]))
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2, 9}
+
+    # stamped replay: strict no-op on both tables
+    idx.put(spark.createDataFrame([Row(key=3, color="red", ts=600)]), stamp="p1")
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2, 3, 9}
+    seqs = (tbl.snapshot_seq(), idx.tbl.snapshot_seq())
+    idx.put(spark.createDataFrame([Row(key=3, color="red", ts=600)]), stamp="p1")
+    assert (tbl.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
+
+
 def test_composite_index_leading_edge_probes(spark, tmp_path):
     """Composite (multi-column) index over (color: string, score: bigint):
     full-tuple equality, leading-prefix equality (Phoenix's leading-edge
