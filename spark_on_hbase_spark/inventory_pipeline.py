@@ -95,11 +95,20 @@ def _shingled_sql(n: int, source: str = "corpus") -> str:
 _SHINGLE_CACHE: dict = {}
 
 
-def _shingle_build(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+def _shingle_build(
+    spark: SparkSession, sf_dir: str, n: int, source: str = "corpus"
+) -> DataFrame:
     """Uncached shingle explode (corpus scan -> words -> n-gram explode) —
-    under the PLANS.md build gate via the BUILDS registry."""
-    return (
+    under the PLANS.md build gate via the BUILDS registry. ``source``
+    picks the relation: the variant-expanded dedup ``corpus`` or the raw
+    ``documents`` table (the decontamination family's input)."""
+    base = (
         corpus(spark, sf_dir)
+        if source == "corpus"
+        else load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return (
+        base
         .select("doc_id", T.words_expr("text").alias("__ws"))
         .select("doc_id", F.explode(D.shingles_from_words(F.col("__ws"), n)).alias("shingle"))
     )
@@ -107,20 +116,28 @@ def _shingle_build(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 build("shingles_n3")(lambda spark, sf_dir: _shingle_build(spark, sf_dir, 3))
 build("shingles_n5")(lambda spark, sf_dir: _shingle_build(spark, sf_dir, 5))
+build("shingles_docs_n5")(
+    lambda spark, sf_dir: _shingle_build(spark, sf_dir, 5, source="documents")
+)
 
 
-def _shingled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """Materialized (eager persist) AND memoized per (session, sf_dir, n):
-    the dedup pipelines reference the exploded shingle relation 3-5 times
-    each (signatures, doc-freq, sizes, both verify sides) and minhash/simhash
-    share the n=3 relation; checkpointing computes the explode once."""
-    key = (spark.sparkContext.applicationId, sf_dir, n)
+def _shingled(
+    spark: SparkSession, sf_dir: str, n: int, source: str = "corpus"
+) -> DataFrame:
+    """Materialized (eager persist) AND memoized per (session, sf_dir, n,
+    source): the dedup pipelines reference the exploded shingle relation
+    3-5 times each (signatures, doc-freq, sizes, both verify sides),
+    minhash/simhash share the n=3 relation, and the two decontamination
+    queries share the documents-sourced n=5 relation (each references it
+    3x internally: bloom build / survivors / per-doc totals);
+    checkpointing computes the explode once."""
+    key = (spark.sparkContext.applicationId, sf_dir, n, source)
     if key not in _SHINGLE_CACHE:
         for stale in [k for k in _SHINGLE_CACHE if k[0] != key[0] or k[1] != key[1]]:
             if stale[0] == key[0]:  # same session: release the pinned blocks
                 _SHINGLE_CACHE[stale].unpersist()
             del _SHINGLE_CACHE[stale]
-        sh = _shingle_build(spark, sf_dir, n).persist()
+        sh = _shingle_build(spark, sf_dir, n, source).persist()
         sh.count()
         _SHINGLE_CACHE[key] = sh
     return _SHINGLE_CACHE[key]
@@ -1684,12 +1701,7 @@ _DECON_N = 5  # word n-gram size for the overlap check
     tags=("pipeline", "dedup", "text"),
 )
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", T.words_expr("text").alias("__ws")
-    ).select(
-        "doc_id", F.explode(D.shingles_from_words(F.col("__ws"), _DECON_N)).alias("shingle")
-    )
+    sh = _shingled(spark, sf_dir, _DECON_N, source="documents")
     train = sh.where(F.col("doc_id") % 29 != 0)
     test = sh.where(F.col("doc_id") % 29 == 0)
     return D.benchmark_overlap(train, test)
@@ -1716,9 +1728,9 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Bloom-join decontamination (dedup.benchmark_overlap_bloom): the "
     "same eval-overlap check as decontamination_overlap, but the train side "
-    "is prefiltered by a broadcast Bloom filter of the test shingles BUILT "
+    "is prefiltered by an inlined Bloom filter of the test shingles BUILT "
     "IN DATAFRAME ALGEBRA (explode to k xxhash64 bit positions, bit_or-pack "
-    "into 64-bit words, one-row array<bigint> bitmap; Spark's own "
+    "into 64-bit words, driver-densified literal bitmap; Spark's own "
     "bloom_filter_agg is optimizer-internal and unreachable from the public "
     "API). Survivors are exactly re-verified by the md5-key semi-join, so "
     "the OUTPUT IS BIT-IDENTICAL to the plain query and the oracle is the "
@@ -1730,12 +1742,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "text"),
 )
 def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", T.words_expr("text").alias("__ws")
-    ).select(
-        "doc_id", F.explode(D.shingles_from_words(F.col("__ws"), _DECON_N)).alias("shingle")
-    )
+    sh = _shingled(spark, sf_dir, _DECON_N, source="documents")
     train = sh.where(F.col("doc_id") % 29 != 0)
     test = sh.where(F.col("doc_id") % 29 == 0)
     return D.benchmark_overlap_bloom(train, test)
@@ -2716,6 +2723,9 @@ def audio_energy_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 warmer("shingles_n3")(lambda spark, sf_dir: _shingled(spark, sf_dir, 3))
 warmer("shingles_n5")(lambda spark, sf_dir: _shingled(spark, sf_dir, 5))
+warmer("shingles_docs_n5")(
+    lambda spark, sf_dir: _shingled(spark, sf_dir, 5, source="documents")
+)
 warmer("minhash_verified_pairs")(_minhash_verified)
 warmer("vec_bucketed")(lambda spark, sf_dir: _vec_near_pairs(spark, sf_dir).count())
 warmer("clusters_minhash")(

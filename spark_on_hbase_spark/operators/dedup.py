@@ -419,18 +419,19 @@ def shingle_bloom(
     shingle_col: str = "shingle",
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
-) -> DataFrame:
-    """Bloom filter over a shingle set, built in pure DataFrame algebra:
-    a ONE-ROW relation ``(bloom_bits: array<bigint>)`` of ``num_bits/64``
-    packed words. Spark's own ``bloom_filter_agg`` is optimizer-internal
+) -> list:
+    """Bloom filter over a shingle set: a ``num_bits/64``-long list of
+    packed 64-bit words, aggregated distributed and densified driver-side
+    (the bitmap must land on the driver to be broadcast regardless). Spark's own ``bloom_filter_agg`` is optimizer-internal
     (not in the public function registry — injected only by the runtime
     semi-join-reduction rule), so the engine builds the same artifact from
     registered primitives: explode each shingle to ``num_hashes`` bit
     positions (an ``xxhash64(shingle, i)`` seed family), pack positions
     into 64-bit words with a ``bit_or`` hash aggregation (map-side
     combinable — the shuffle carries at most ``num_bits/64`` rows
-    regardless of input size), then densify via one map lookup per word.
-    Everything is JVM column expressions; nothing touches the driver.
+    regardless of input size), then densify the collected sparse words.
+    The heavy work (hashing, packing) is JVM column expressions; the
+    driver only fills a ``num_bits/64``-slot list.
 
     Sizing: ~14.4 bits/key gives fpp ~1e-3 (k=5 near-optimal at 10-20
     bits/key); the default 2^20 bits covers ~70k distinct shingles. The
@@ -454,41 +455,71 @@ def shingle_bloom(
         .groupBy("__w")
         .agg(F.bit_or("__bit").alias("__bits"))
     )
-    return packed.agg(
-        F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(nwords - 1)),
-            lambda w: F.coalesce(F.element_at("__m", w), F.lit(0).cast("bigint")),
-        ).alias("bloom_bits")
-    )
+    # densify SPARSE -> dense on the driver: the packed relation has at most
+    # nwords tiny rows after the map-side-combined bit_or, and the bitmap
+    # must reach the driver anyway to be broadcast/inlined. (The previous
+    # pure-DataFrame densify -- element_at over a map per word -- was
+    # accidentally quadratic: Spark map lookup is a linear scan, so one row
+    # cost O(nwords^2) single-threaded, ~15s at 2^20 bits.)
+    dense = [0] * nwords
+    for r in packed.collect():
+        dense[r["__w"]] = r["__bits"]
+    return dense
 
 
 def bloom_contains(
     shingle_col: str = "shingle",
-    bits_col: str = "bloom_bits",
+    bits="bloom_bits",
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
 ) -> Column:
-    """Membership predicate against a ``shingle_bloom`` bitmap column (the
-    broadcast one-row array): every one of the key's ``num_hashes`` bit
-    positions must be set. Pure column expressions — ``forall`` over the
-    same ``xxhash64(shingle, i)`` family, one ``element_at`` + bit test per
+    """Membership predicate against a ``shingle_bloom`` bitmap: every one
+    of the key's ``num_hashes`` bit positions must be set. ``bits`` is the
+    bitmap — the list from ``shingle_bloom`` (inlined as ONE array
+    literal: constant-folded, no join attaches it per row) or a column
+    name/Column for a bitmap carried relationally. Pure column
+    expressions — a static UNROLLED conjunction over the same
+    ``xxhash64(shingle, i)`` family, one ``element_at`` + bit test per
     probe — so the filter runs inside whole-stage codegen BEFORE any
-    shuffle. No false negatives by construction; false positives are the
-    caller's to re-verify (Bloom guarantee)."""
-    positions = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.pmod(F.xxhash64(F.col(shingle_col), i), F.lit(num_bits)),
-    )
-    return F.forall(
-        positions,
-        lambda p: (
+    shuffle. No false negatives by
+    construction; false positives are the caller's to re-verify (Bloom
+    guarantee)."""
+    if isinstance(bits, list):
+        # a plain python list becomes array(<lit>, <lit>, ...) — CreateArray
+        # with nwords children, which Catalyst does NOT constant-fold, so
+        # every row re-evaluates 16k+ expressions (measured ~10s over 241k
+        # probes at 2^20 bits). A numpy array produces ONE folded ArrayType
+        # literal (~3x faster; sizing below cuts the rest).
+        import numpy as np
+
+        bits = F.lit(np.asarray(bits, dtype=np.int64))
+    bits_col = bits
+    # UNROLLED conjunction, not forall/transform: higher-order functions
+    # evaluate their lambdas interpreted and materialize the positions
+    # array per row, which dominated the probe (~7s over a few million
+    # shingles at sf0.1); num_hashes static conjuncts of plain expressions
+    # stay inside whole-stage codegen (~3x faster, same predicate).
+    pred = None
+    for i in range(num_hashes):
+        p = F.pmod(F.xxhash64(F.col(shingle_col), F.lit(i)), F.lit(num_bits))
+        hit = (
             F.element_at(bits_col, (p / 64).cast("int") + 1)
-            .bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")))
+            .bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int"))
+            )
             != 0
-        ),
-    )
+        )
+        pred = hit if pred is None else (pred & hit)
+    return pred
+
+
+def bloom_sized_bits(n_keys: int) -> int:
+    """Bitmap size for ~14.4 bits/key (fpp ~1e-3 at k=5), rounded up to a
+    power of two, floored at 2^14 — the sizing RULE as code, computed from
+    the eval suite's measured cardinality rather than pinned (an oversized
+    bitmap costs probe time linearly in nwords; an undersized one costs
+    re-verification work on false positives, never correctness)."""
+    return max(1 << 14, 1 << max(0, (14 * max(n_keys, 1) - 1).bit_length()))
 
 
 def benchmark_overlap_bloom(
@@ -496,7 +527,7 @@ def benchmark_overlap_bloom(
     test_shingles: DataFrame,
     id_col: str = "doc_id",
     shingle_col: str = "shingle",
-    num_bits: int = 1 << 20,
+    num_bits: int | None = None,
     num_hashes: int = 5,
 ) -> DataFrame:
     """``benchmark_overlap`` with a Bloom-join prefilter — IDENTICAL output
@@ -509,17 +540,18 @@ def benchmark_overlap_bloom(
     side fitting Spark's broadcast threshold — a full eval-suite shingle
     relation can be tens of GB, forcing a shuffle of the ENTIRE corpus'
     shingles. Here the exchange into the join carries only true hits +
-    fpp * |train| rows (~0.1% at default sizing) while the broadcast is a
+    fpp * |train| rows (~0.1% at default sizing) while the inlined literal is a
     fixed few-MB bitmap; the per-doc totals side stays a map-combinable
     count over the unfiltered input, so reported ``n_shingles`` /
     ``contamination`` are unchanged. This is the hand-rolled twin of
     Spark's InjectRuntimeFilter bloom (which only self-activates on 10 GB+
     plans and never across this two-relation shape)."""
+    if num_bits is None:
+        n_test = test_shingles.select(shingle_col).distinct().count()
+        num_bits = bloom_sized_bits(n_test)
     bloom = shingle_bloom(test_shingles, shingle_col, num_bits, num_hashes)
-    survivors = (
-        train_shingles.crossJoin(F.broadcast(bloom))
-        .where(bloom_contains(shingle_col, "bloom_bits", num_bits, num_hashes))
-        .drop("bloom_bits")
+    survivors = train_shingles.where(
+        bloom_contains(shingle_col, bloom, num_bits, num_hashes)
     )
     skey = F.substring(F.md5(F.col(shingle_col)), 1, 16).alias("__sk")
     train = survivors.select(F.col(id_col), skey)

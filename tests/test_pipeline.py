@@ -207,11 +207,7 @@ def test_bloom_prefilter_no_false_negatives_and_exact_equivalence(spark):
     # even at an aggressively small bitmap (forced false positives).
     for bits in (1 << 10, 1 << 16):
         bloom = D.shingle_bloom(test, num_bits=bits)
-        misses = (
-            test.crossJoin(F.broadcast(bloom))
-            .where(~D.bloom_contains(num_bits=bits))
-            .count()
-        )
+        misses = test.where(~D.bloom_contains(bits=bloom, num_bits=bits)).count()
         assert misses == 0, f"bloom lost inserted keys at num_bits={bits}"
 
     # (b) exact equivalence, including at the tiny bitmap where nearly
@@ -227,17 +223,13 @@ def test_bloom_prefilter_no_false_negatives_and_exact_equivalence(spark):
 
 def test_bloom_prefilter_drops_most_of_a_disjoint_train_side(spark):
     """Selectivity: with a train side sharing nothing with the eval set, the
-    broadcast bloom must reject (almost) every train shingle at the scan —
+    inlined bloom must reject (almost) every train shingle at the scan —
     the whole point of the prefilter at 100 TB. At 14+ bits/key the false-
     positive rate is ~1e-3, so 500 disjoint shingles admit at most a few."""
     train = spark.createDataFrame([Row(doc_id=i % 7, shingle=f"train-{i}") for i in range(500)])
     test = spark.createDataFrame([Row(doc_id=100 + i, shingle=f"test-{i}") for i in range(200)])
     bloom = D.shingle_bloom(test, num_bits=1 << 15)
-    survivors = (
-        train.crossJoin(F.broadcast(bloom))
-        .where(D.bloom_contains(num_bits=1 << 15))
-        .count()
-    )
+    survivors = train.where(D.bloom_contains(bits=bloom, num_bits=1 << 15)).count()
     assert survivors <= 5, f"bloom admitted {survivors}/500 disjoint keys"
     assert D.benchmark_overlap_bloom(train, test, num_bits=1 << 15).count() == 0
 
