@@ -219,6 +219,47 @@ def merge_stream_into_table(
     return writer.start()
 
 
+def indexed_upsert(idx, guard_id: str = "default"):
+    """The foreachBatch body for ``merge_stream_into_indexed_table``,
+    exposed for direct testing: applies a micro-batch THROUGH a
+    SecondaryIndex as one stamped maintenance transaction
+    (``SecondaryIndex.update(batch, stamp=)`` — tombstone-old / base-merge
+    / insert-new, each sub-write guarded by its own derived layer stamp).
+    The batch-applied check reads the LAST sub-stamp (``<stamp>_xi``): the
+    insert only ever commits after the earlier jobs, so its stamp is the
+    transaction's commit record. A replayed batch whose earlier jobs
+    committed but whose insert did not re-runs exactly the missing jobs —
+    Structured Streaming's replay IS the index's documented repair path,
+    closing the stale window automatically at the next restart."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        stamp = f"g{guard_id}_b{batch_id}"
+        if f"{stamp}_xi" in idx.tbl.applied_stamps():
+            return
+        if not batch_df.isEmpty():
+            idx.update(batch_df, stamp=stamp)
+
+    return apply
+
+
+def merge_stream_into_indexed_table(
+    stream: DataFrame, idx, checkpoint_dir: str, available_now: bool = False
+):
+    """Stream mutations into an INDEXED KeyedTable: every micro-batch runs
+    the write-side index maintenance (``SecondaryIndex.update``) as a
+    stamped retry-idempotent transaction, so the table AND its secondary
+    index stay exactly-once consistent under micro-batch replay, and a
+    crash between the maintenance jobs self-repairs on the stream's own
+    replay of that batch id. Stamps are namespaced per checkpoint (see
+    guard_id_for). Returns the StreamingQuery (caller awaits/stops)."""
+    writer = stream.writeStream.foreachBatch(
+        indexed_upsert(idx, guard_id=guard_id_for(checkpoint_dir))
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_agg(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -40,6 +40,62 @@ def test_stream_merge_into_table(spark, tmp_path, source_dir):
     assert final["c"] == (1, 30)
 
 
+def test_stream_merge_through_secondary_index(spark, tmp_path):
+    """Streaming ingest THROUGH a secondary index: a real availableNow
+    micro-batch stream of value-moving upserts keeps the base table AND
+    the index exactly-once consistent; a replayed batch is a strict no-op
+    on both tables; and a crash between the maintenance jobs (only the
+    stale-delete committed) self-repairs when the guarded body re-runs
+    with the same batch id — the stream's replay IS the repair path."""
+    from spark_on_hbase_spark.index import SecondaryIndex
+
+    table = KeyedTable(spark, str(tmp_path / "base"), key_col="key", ts_col="ts", num_partitions=2)
+    table.create(
+        spark.createDataFrame(
+            [Row(key="a", ts=0, color="red"), Row(key="b", ts=0, color="red")]
+        )
+    )
+    idx = SecondaryIndex(table, "color", str(tmp_path / "idx"), num_partitions=2).build()
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [Row(key="a", ts=1, color="blue"), Row(key="c", ts=1, color="red")]
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = ST.merge_stream_into_indexed_table(
+        ST.file_stream(spark, str(src), "key string, ts bigint, color string"),
+        idx,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    assert {r["key"] for r in idx.lookup("red").collect()} == {"b", "c"}
+    assert {r["key"] for r in idx.lookup("blue").collect()} == {"a"}
+
+    # replay batch 0 directly: strict no-op on BOTH tables
+    guard = ST.guard_id_for(str(tmp_path / "ckpt"))
+    body = ST.indexed_upsert(idx, guard_id=guard)
+    batch0 = spark.createDataFrame(
+        [Row(key="a", ts=1, color="blue"), Row(key="c", ts=1, color="red")]
+    )
+    seqs = (table.snapshot_seq(), idx.tbl.snapshot_seq())
+    body(batch0, 0)
+    assert (table.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
+
+    # crash window: batch 1's stale-delete commits, then the "stream"
+    # re-runs the guarded body for the same batch id — must converge
+    batch1 = spark.createDataFrame([Row(key="b", ts=2, color="green")])
+    idx._guarded(idx.tbl.delete, idx._stale(batch1), f"g{guard}_b1", "_xd")
+    assert idx.lookup("green").count() == 0  # honest mid-crash staleness
+    body(batch1, 1)
+    assert {r["key"] for r in idx.lookup("green").collect()} == {"b"}
+    assert idx.lookup("red").count() == 1  # c only
+    # and replaying batch 1 once more is a no-op
+    seqs = (table.snapshot_seq(), idx.tbl.snapshot_seq())
+    body(batch1, 1)
+    assert (table.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
+
+
 def test_windowed_agg_stream_matches_batch(spark, tmp_path):
     rows = [
         Row(ts="2024-01-01 00:10:00", event_type="x", value=1.0),
