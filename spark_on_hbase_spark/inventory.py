@@ -671,6 +671,7 @@ _ROTATED_OUT_R06 = [
     "keyed_point_read",
     "secondary_index_covered_lookup",
     "secondary_index_range_scan",
+    "streaming_indexed_upsert",
     # -- newly out: r05-green, unchanged, pytest-pinned --------------------
     "scan_required_columns",
     "filter_comparison",

@@ -1679,3 +1679,69 @@ def secondary_index_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.lookup_range(1900000, 3100000)
     )
     return out.select("key", "name", "bal")
+
+
+@query(
+    "streaming_indexed_upsert",
+    """
+    WITH cur AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CASE WHEN c_custkey % 10 = 3 THEN 77 ELSE c_nationkey END AS nation
+        FROM customer
+    )
+    SELECT key, name, nation FROM cur WHERE nation IN (5, 77)
+    """,
+    doc="Exactly-once streaming ingest THROUGH a secondary index "
+    "(streaming.merge_stream_into_indexed_table): the mutation batch "
+    "(keys %%10=3 move to nation 77) arrives via a REAL availableNow "
+    "foreachBatch micro-batch stream, whose sink runs the write-side "
+    "index maintenance as a stamped transaction (tombstone-old / "
+    "base-merge / insert-new, each sub-write guarded by a derived layer "
+    "stamp namespaced per checkpoint). The result is read index-first: "
+    "lookup(5) UNION ALL lookup(77) — a missed insert loses a moved row, "
+    "a skipped tombstone duplicates one under the old nation, and a "
+    "double-applied batch cannot occur (replay is a strict no-op, pinned "
+    "in tests/test_streaming.py) — any divergence breaks the rows+hash "
+    "match vs the oracle's effective-state filter.",
+    tags=("table", "mutation", "streaming"),
+)
+def streaming_indexed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark import streaming as ST
+    from spark_on_hbase_spark.index import SecondaryIndex
+
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_idx_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        spark, os.path.join(root, "base"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "nation", os.path.join(root, "idx")).build()
+    # the mutation batch arrives as a FILE STREAM micro-batch
+    rows.where(F.col("key") % 10 == 3).select(
+        "key", "name", F.lit(77).cast("bigint").alias("nation"),
+        F.lit(200).cast("int").alias("ts"),
+    ).coalesce(1).write.parquet(os.path.join(root, "src"))
+    q = ST.merge_stream_into_indexed_table(
+        ST.file_stream(
+            spark, os.path.join(root, "src"),
+            "key bigint, name string, nation bigint, ts int",
+        ),
+        idx,
+        os.path.join(root, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    out = idx.lookup(5).unionByName(idx.lookup(77))
+    return out.select("key", "name", "nation")
