@@ -194,6 +194,46 @@ class SecondaryIndex:
             "left_semi",
         )
 
+    # -- consistency tooling -------------------------------------------------
+
+    def scrutiny(self) -> DataFrame:
+        """Index consistency audit (Phoenix's IndexScrutinyTool): compare
+        the stored entries against the entries the CURRENT base implies,
+        one full-outer set difference on ikey. Returns (ikey, status) with
+        status 'missing' (a live base row has no entry — a lookup would
+        silently drop it) or 'orphaned' (an entry points at a row that no
+        longer exists or no longer carries that value — a lookup would
+        resurrect or duplicate). Empty result == consistent. Two
+        table-sized scans, zero writes — the audit you run after suspecting
+        writes bypassed the index."""
+        expected = self._entries(self.base.df()).select("ikey")
+        actual = self.tbl.df().select("ikey")
+        missing = expected.join(actual, "ikey", "left_anti").select(
+            "ikey", F.lit("missing").alias("status")
+        )
+        orphaned = actual.join(expected, "ikey", "left_anti").select(
+            "ikey", F.lit("orphaned").alias("status")
+        )
+        return missing.unionByName(orphaned)
+
+    def repair(self) -> dict:
+        """Reconcile the index to the CURRENT base (Phoenix's scrutiny
+        repair): tombstone orphaned entries, insert missing ones — two
+        audit scans but O(divergence) writes, so fixing a few
+        behind-the-back rows never rewrites the index. Covered columns are
+        refreshed too (a stale covered value makes the whole entry diverge
+        on nothing — ikey matches — so covered staleness is repaired by
+        rewriting entries whose ikey is fine; to keep the audit O(set
+        difference) this targets KEY divergence, the kind that changes
+        lookup results). Returns {'missing': n, 'orphaned': n}."""
+        expected = self._entries(self.base.df())
+        actual = self.tbl.df().select("ikey")
+        missing = expected.join(actual, "ikey", "left_anti")
+        orphaned = actual.join(expected.select("ikey"), "ikey", "left_anti")
+        n_orphaned = self.tbl.delete(orphaned)
+        n_missing = self.tbl.update(missing)
+        return {"missing": n_missing, "orphaned": n_orphaned}
+
     # -- lifecycle ---------------------------------------------------------
 
     def build(self) -> "SecondaryIndex":

@@ -401,6 +401,31 @@ def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
         )
 
 
+def test_scrutiny_detects_and_repair_reconciles_a_staled_index(spark, tmp_path):
+    """Phoenix's IndexScrutinyTool as code: writes that bypass the index
+    leave divergence the audit must name exactly — the moved row's old
+    entry is 'orphaned', its new entry is 'missing', a deleted row's
+    entry is 'orphaned' — and repair() reconciles with O(divergence)
+    writes, after which lookups are correct and a second audit is empty."""
+    tbl, idx = _fixture(spark, tmp_path)
+
+    # behind the index's back: move key 1 red->blue, delete key 3
+    tbl.update(spark.createDataFrame([Row(key=1, name="a2", color="blue", ts=200)]))
+    tbl.delete(spark.createDataFrame([Row(key=3)]))
+
+    audit = {(r["ikey"], r["status"]) for r in idx.scrutiny().collect()}
+    assert audit == {
+        ("red\x1f1", "orphaned"),   # stale entry under the old value
+        ("blue\x1f1", "missing"),   # moved row unindexed
+        ("blue\x1f3", "orphaned"),  # deleted row's entry survives
+    }
+    counts = idx.repair()
+    assert counts == {"missing": 1, "orphaned": 2}
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2}
+    assert {r["key"] for r in idx.lookup("blue").collect()} == {1}
+    assert idx.scrutiny().count() == 0
+
+
 def test_direct_base_write_stales_the_index_as_documented(spark, tmp_path):
     """Mutating the base WITHOUT the index (HBase-behind-Phoenix's-back)
     leaves the index stale: the old-value lookup still returns the moved
