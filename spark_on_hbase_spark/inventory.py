@@ -672,6 +672,7 @@ _ROTATED_OUT_R06 = [
     "secondary_index_covered_lookup",
     "secondary_index_range_scan",
     "streaming_indexed_upsert",
+    "secondary_index_repair",
     # -- newly out: r05-green, unchanged, pytest-pinned --------------------
     "scan_required_columns",
     "filter_comparison",

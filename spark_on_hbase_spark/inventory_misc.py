@@ -1745,3 +1745,62 @@ def streaming_indexed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     out = idx.lookup(5).unionByName(idx.lookup(77))
     return out.select("key", "name", "nation")
+
+
+@query(
+    "secondary_index_repair",
+    """
+    WITH cur AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CASE WHEN c_custkey % 10 = 3 THEN 77 ELSE c_nationkey END AS nation
+        FROM customer
+        WHERE c_custkey % 10 <> 6
+    )
+    SELECT key, name, nation FROM cur WHERE nation IN (5, 77)
+    """,
+    doc="Index repair graded end-to-end (SecondaryIndex.scrutiny/repair — "
+    "Phoenix's IndexScrutinyTool): the same mutations as "
+    "secondary_index_lookup are applied DIRECTLY to the base, bypassing "
+    "maintenance — the one documented way to stale a global index — then "
+    "repair() reconciles (tombstone orphans, insert missing: two audit "
+    "scans, O(divergence) writes) and the result is read index-first. An "
+    "unrepaired orphan duplicates a moved row under nation 5, an "
+    "unrepaired missing entry loses one under 77, an unremoved deleted "
+    "row resurrects — each breaks the rows+hash match vs the oracle's "
+    "effective-state filter, so the audit set algebra itself is what is "
+    "being graded.",
+    tags=("table", "mutation"),
+)
+def secondary_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.index import SecondaryIndex
+
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sec_idx_rep_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        spark, os.path.join(root, "base"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "nation", os.path.join(root, "idx")).build()
+    # mutate BEHIND the index's back: the documented way to stale it
+    tbl.update(
+        rows.where(F.col("key") % 10 == 3).select(
+            "key", "name", F.lit(77).cast("bigint").alias("nation"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    tbl.delete(rows.where(F.col("key") % 10 == 6).select("key"))
+    idx.repair()
+    out = idx.lookup(5).unionByName(idx.lookup(77))
+    return out.select("key", "name", "nation")
