@@ -353,8 +353,31 @@ def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
     idx = SecondaryIndex(tbl, "score", str(tmp_path / "mi"), num_partitions=4).build()
 
     for ts in range(1, 19):
-        op = rng.choice(["update", "update", "update", "delete", "compact"])
-        if op == "update":
+        op = rng.choice(["update", "update", "update", "put", "put", "delete", "compact"])
+        if op == "put":
+            # partial writes through the index: value-only puts (existing
+            # keys move buckets, brand-new keys appear), name-only puts
+            # (index untouched), both with coalesce-overlay semantics
+            if rng.random() < 0.5:
+                batch = [(k, rng.randint(-50, 50)) for k in rng.sample(keyspace, rng.randint(1, 20))]
+                idx.put(
+                    spark.createDataFrame(
+                        [Row(key=k, score=s, ts=ts) for k, s in batch]
+                    )
+                )
+                for k, s in batch:
+                    name = model[k][0] if k in model else None
+                    model[k] = (name, s)
+            else:
+                batch = [(k, f"p{k}v{ts}") for k in rng.sample(sorted(model), rng.randint(1, 10))]
+                idx.put(
+                    spark.createDataFrame(
+                        [Row(key=k, name=n, ts=ts) for k, n in batch]
+                    )
+                )
+                for k, n in batch:
+                    model[k] = (n, model[k][1])
+        elif op == "update":
             batch = [
                 (k, f"n{k}v{ts}", rng.randint(-50, 50))
                 for k in rng.sample(keyspace, rng.randint(1, 30))
