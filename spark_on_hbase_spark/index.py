@@ -47,9 +47,24 @@ from spark_on_hbase_spark.table import KeyedTable
 _SEP = "\x1f"
 
 _INTEGRAL = frozenset({"tinyint", "smallint", "int", "bigint"})
+_FLOATING = frozenset({"float", "double"})
+_DECIMAL_RE = __import__("re").compile(r"decimal\((\d+),(\d+)\)")
 
 # 2^63: offset-binary bias for the order-preserving integral encoding
 _I64_BIAS = Decimal(9223372036854775808)
+
+
+def _order_preserving(dtype: str) -> bool:
+    """Whether _ord_encode is order-preserving for this dtype — when it is
+    NOT (float/double, decimal wider than 18 digits), range probes cannot
+    use encoded ikey bounds for pruning and fall back to a full index scan
+    with the exact typed predicate (correct, unpruned)."""
+    if dtype in _FLOATING:
+        return False
+    m = _DECIMAL_RE.fullmatch(dtype)
+    if m and int(m.group(1)) > 18:
+        return False
+    return True
 
 
 def _ord_encode(col, dtype: str):
@@ -66,12 +81,21 @@ def _ord_encode(col, dtype: str):
       FULL bigint domain, negatives included — index RANGE scans prune
       files by parquet footer stats.
     - date/timestamp: ISO-8601 cast, naturally order-preserving.
+    - decimal(p<=18, s): scaled to an exact integer, then offset-binary —
+      range scans prune like integrals.
     - string: identity.
-    - float/double: plain cast — equality lookups work; range scans over
-      floating-point indexed columns are NOT order-correct (index a scaled
-      integral instead, e.g. cents)."""
-    if dtype in _INTEGRAL:
-        biased = col.cast("bigint").cast("decimal(20,0)") + F.lit(_I64_BIAS)
+    - float/double and decimal(p>18): plain cast — NOT order-preserving;
+      equality lookups still work (exact typed re-filter), and range scans
+      fall back to an unpruned index scan (see _order_preserving)."""
+    m = _DECIMAL_RE.fullmatch(dtype)
+    if dtype in _INTEGRAL or (m and int(m.group(1)) <= 18):
+        v = col
+        if m:
+            # decimal(p<=18, s): scale to an exact integer first — the
+            # identity cast would sort '-1.00' above '-9.00' and '10.'
+            # below '9.'; p<=18 guarantees the scaled value fits bigint
+            v = (col.cast(f"decimal(19,{m.group(2)})") * F.lit(10 ** int(m.group(2))))
+        biased = v.cast("bigint").cast("decimal(20,0)") + F.lit(_I64_BIAS)
         return F.lpad(biased.cast("decimal(20,0)").cast("string"), 20, "0")
     return col.cast("string")
 
@@ -228,8 +252,16 @@ class SecondaryIndex:
         lookup results). Returns {'missing': n, 'orphaned': n}."""
         expected = self._entries(self.base.df())
         actual = self.tbl.df().select("ikey")
-        missing = expected.join(actual, "ikey", "left_anti")
-        orphaned = actual.join(expected.select("ikey"), "ikey", "left_anti")
+        # localCheckpoint BEFORE writing: the anti-join plans are pinned to
+        # the index table's current layer directories, and the delete below
+        # can trigger auto-compaction, which removes those directories —
+        # the un-checkpointed `missing` plan would then fail (or worse,
+        # silently re-read folded state). Divergence is O(small) by
+        # assumption, so materializing it is cheap.
+        missing = expected.join(actual, "ikey", "left_anti").localCheckpoint()
+        orphaned = (
+            actual.join(expected.select("ikey"), "ikey", "left_anti").localCheckpoint()
+        )
         n_orphaned = self.tbl.delete(orphaned)
         n_missing = self.tbl.update(missing)
         return {"missing": n_missing, "orphaned": n_orphaned}
@@ -261,10 +293,20 @@ class SecondaryIndex:
         consistent state. Ordering makes the read-before-write safe under
         retry: the stale-entry read only ever executes before the base
         mutation has landed (afterwards its stamp is present and the
-        delete is skipped), so it can never tombstone the NEW entries."""
-        self._guarded(self.tbl.delete, self._stale(batch), stamp, "_xd")
+        delete is skipped), so it can never tombstone the NEW entries.
+
+        Maintenance honors the base's LWW ts gate: batch rows OLDER than
+        the stored row (which the base fold rejects) touch the index not
+        at all — see _winners."""
+        self._guarded(
+            self.tbl.delete, lambda: self._stale_entry_keys(self._winners(batch)),
+            stamp, "_xd",
+        )
         n = self._guarded(self.base.update, lambda: batch, stamp, "")
-        self._guarded(self.tbl.update, lambda: self._entries(batch), stamp, "_xi")
+        self._guarded(
+            self.tbl.update, lambda: self._entries(self._winners(batch)),
+            stamp, "_xi",
+        )
         return n if n is not None else 0
 
     def delete(self, keys: DataFrame, stamp: str | None = None) -> int:
@@ -290,11 +332,22 @@ class SecondaryIndex:
         if not set(batch.columns) & set(self.cols + self.include):
             n = self._guarded(self.base.put, lambda: batch, stamp, "")
             return n if n is not None else 0
-        self._guarded(self.tbl.delete, self._stale(batch), stamp, "_xd")
+        # the LWW ts gate applies to puts too (a stale-ts put is rejected
+        # per-cell by the SPARSE fold): maintain entries only for winners.
+        # A batch without a ts column cannot be gated — it is applied as-is
+        # (matching a fold that has no ts to compare).
+        gated = (
+            (lambda: self._winners(batch))
+            if self.base.ts_col in batch.columns
+            else (lambda: batch)
+        )
+        self._guarded(
+            self.tbl.delete, lambda: self._stale_entry_keys(gated()), stamp, "_xd"
+        )
         n = self._guarded(self.base.put, lambda: batch, stamp, "")
         self._guarded(
             self.tbl.update,
-            lambda: self._entries(self._post_put_rows(batch)),
+            lambda: self._entries(self._post_put_rows(gated())),
             stamp,
             "_xi",
         )
@@ -321,6 +374,26 @@ class SecondaryIndex:
 
     def _stale(self, touched: DataFrame):
         return lambda: self._stale_entry_keys(touched)
+
+    def _winners(self, batch: DataFrame) -> DataFrame:
+        """Batch rows that WIN the base's last-writer-wins resolution
+        against the stored rows: no current version, or batch ts >= stored
+        ts (ties go to the batch, the fold's rule). Maintenance must touch
+        ONLY winners — the base fold silently rejects a stale-ts batch
+        row, so tombstoning its current entry / inserting its (rejected)
+        value would diverge the index from the table. Evaluated lazily per
+        sub-write and retry-safe: after the base write lands, a winner's
+        stored ts IS its batch ts (>= still holds) and a loser still
+        loses."""
+        keyc, tsc = self.base.key_col, self.base.ts_col
+        cur = self._current_rows(batch).select(
+            F.col(keyc), F.col(tsc).alias("__cur_ts")
+        )
+        return (
+            batch.join(cur, keyc, "left")
+            .where(F.col("__cur_ts").isNull() | (F.col(tsc) >= F.col("__cur_ts")))
+            .drop("__cur_ts")
+        )
 
     def _guarded(self, write, make_batch, stamp: str | None, suffix: str):
         """Run one maintenance sub-write, skipping it when its derived
@@ -358,8 +431,9 @@ class SecondaryIndex:
             raise ValueError(
                 f"lookup takes 1..{len(self.cols)} leading values, got {len(values)}"
             )
+        exact = self._typed_pred(values)
         prefix = self._prefix_enc(values)
-        return self._read(prefix, prefix, covered)
+        return self._read(prefix, prefix, covered, exact)
 
     def lookup_range(self, lo, hi, prefix: tuple = (), covered: bool = False) -> DataFrame:
         """Base rows whose indexed column is in ``[lo, hi]`` (inclusive) —
@@ -378,12 +452,37 @@ class SecondaryIndex:
         if len(prefix) >= len(self.cols):
             raise ValueError("prefix must leave at least one column for the range")
         pos = len(prefix)
+        exact = self._typed_pred(prefix) if prefix else None
+        rng = (F.col(self.cols[pos]) >= F.lit(lo)) & (F.col(self.cols[pos]) <= F.lit(hi))
+        exact = rng if exact is None else (exact & rng)
+        if not _order_preserving(self._dtype_of(pos)):
+            # encoded bounds would EXCLUDE true matches for these types —
+            # scan the index unpruned; the typed predicate is the truth
+            return self._read(None, None, covered, exact)
         lo_enc, hi_enc = self._enc(F.lit(lo), pos), self._enc(F.lit(hi), pos)
         if prefix:
             pfx = self._prefix_enc(prefix)
             lo_enc = F.concat(pfx, F.lit(_SEP), lo_enc)
             hi_enc = F.concat(pfx, F.lit(_SEP), hi_enc)
-        return self._read(lo_enc, hi_enc, covered)
+        return self._read(lo_enc, hi_enc, covered, exact)
+
+    def _dtype_of(self, pos: int) -> str:
+        if self._dtypes is None:
+            self._enc(F.lit(None), 0)  # force dtype resolution
+        return self._dtypes[self.cols[pos]]
+
+    def _typed_pred(self, values) -> "F.Column":
+        """Exact predicate on the ORIGINAL typed columns stored in every
+        entry — the truth the encoded ikey bounds only approximate. Applied
+        post-fold on the probe, it makes lookups exact for every dtype and
+        every string content (control chars below the separator, the
+        separator itself, astral-plane chars: all cases where framed string
+        bounds over- or under-shoot)."""
+        pred = None
+        for i, v in enumerate(values):
+            c = F.col(self.cols[i]) == F.lit(v)
+            pred = c if pred is None else (pred & c)
+        return pred
 
     def _prefix_enc(self, values) -> "F.Column":
         """SEP-joined encodings of the given leading values (no trailing
@@ -395,21 +494,28 @@ class SecondaryIndex:
             parts.append(self._enc(F.lit(v), i))
         return F.concat(*parts) if len(parts) > 1 else parts[0]
 
-    def _read(self, lo_enc, hi_enc, covered: bool) -> DataFrame:
-        """Probe the index for encoded values in [lo_enc, hi_enc] via an
-        IKEY range (range_read): ikey >= lo_enc ++ SEP and ikey <= hi_enc
-        ++ SEP ++ U+FFFF brackets exactly the entries whose value prefix is
-        in the interval (SEP sorts below every other char, so no longer
-        value can sneak under the bounds). The predicate MUST be on ikey,
-        not ivalue: tombstone rows carry only the key (other columns NULL),
-        so a per-layer ivalue filter would drop the tombstones and
-        resurrect deleted entries, while post-fold filtering (the naive
-        alternative) cannot prune files at all. ikey is value-determined,
-        so the key-range read keeps every surviving entry's full history."""
-        probe = self.tbl.range_read(
-            F.concat(lo_enc, F.lit(_SEP)),
-            F.concat(hi_enc, F.lit(_SEP + "\uffff")),
-        )
+    def _read(self, lo_enc, hi_enc, covered: bool, exact=None) -> DataFrame:
+        """Probe the index: a conservative IKEY range prunes layers/files
+        (range_read — the predicate MUST be on ikey, not ivalue: tombstone
+        rows carry only the key, so a per-layer ivalue filter would drop
+        the tombstones and resurrect deleted entries), then the exact TYPED
+        predicate on the stored original columns decides membership
+        post-fold. The bounds never exclude a true match: lower = lo_enc
+        with NO separator suffix, so variable-width string values extending
+        the lo prefix (including ones containing chars below the separator,
+        e.g. tabs) stay inside; upper = hi_enc + chr(0x20), which every
+        entry of a value <= hi stays under because its ikey continues with
+        the 0x1f separator — even when trailing components carry
+        astral-plane chars that would sort above a U+FFFF sentinel in UTF-8
+        byte order. Anything the bounds falsely admit, ``exact`` removes.
+        ``lo_enc=None`` skips pruning entirely — the fallback for encodings
+        that are not order-preserving (float ranges)."""
+        if lo_enc is None:
+            probe = self.tbl.df()
+        else:
+            probe = self.tbl.range_read(lo_enc, F.concat(hi_enc, F.lit("\x20")))
+        if exact is not None:
+            probe = probe.where(exact)
         if covered:
             return probe.select(
                 F.col("base_key").alias(self.base.key_col),

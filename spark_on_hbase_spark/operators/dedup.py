@@ -441,7 +441,7 @@ def shingle_bloom(
     the classic Bloom-join). Deterministic for the oracle: the final
     consumer re-verifies exactly, so DuckDB never needs to replay the hash
     family."""
-    nwords = num_bits // 64
+    nwords = (num_bits + 63) // 64  # ceil: positions reach num_bits-1
     positions = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.pmod(F.xxhash64(F.col(shingle_col), i), F.lit(num_bits)),

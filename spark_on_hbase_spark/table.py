@@ -308,13 +308,7 @@ class KeyedTable:
         With ``ttl`` set, rows whose resolved ``ts_col`` is older than
         ``now_fn() - ttl`` are filtered (and physically dropped at the next
         compaction, which rewrites only what this scan returns)."""
-        layers = self._layers()
-        if as_of_layer is not None:
-            layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
-        if not layers:
-            raise FileNotFoundError(f"no table at {self.path}")
-        frames = [self.spark.read.parquet(str(p)) for p in layers]
-        return self._resolve(frames)
+        return self._layer_frames(None, as_of_layer)
 
     def _resolve(self, frames: list[DataFrame]) -> DataFrame:
         """Merge ordered layer frames into the visible-row relation: LWW /
@@ -346,6 +340,24 @@ class KeyedTable:
 
         return select_required(self.df(), *columns)
 
+    def _layer_frames(self, pred, as_of_layer: int | None) -> DataFrame:
+        """Layer frames with a KEY-DETERMINED predicate applied per layer
+        BEFORE the merge, resolved into the visible-row relation. Shared by
+        point_read / range_read (df() is the pred=None case): the caller
+        guarantees the predicate has the same truth value for every version
+        of a key (key IN-lists, key ranges), so per-layer filtering keeps
+        each surviving key's full history — including tombstones, which
+        carry the key."""
+        layers = self._layers()
+        if as_of_layer is not None:
+            layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
+        if not layers:
+            raise FileNotFoundError(f"no table at {self.path}")
+        frames = [self.spark.read.parquet(str(p)) for p in layers]
+        if pred is not None:
+            frames = [f.where(pred) for f in frames]
+        return self._resolve(frames)
+
     def point_read(self, keys: list, as_of_layer: int | None = None) -> DataFrame:
         """Multi-get: the merged view restricted to the given key LITERALS
         (HBase's Get/multiget — HBaseTable.scala's point-read path, the op
@@ -361,14 +373,7 @@ class KeyedTable:
         Callers with an unbounded/unknown key set should use a broadcast
         semi-join against ``df()`` instead (J1 territory); this path is for
         driver-known batches (index maintenance, point lookups)."""
-        layers = self._layers()
-        if as_of_layer is not None:
-            layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
-        if not layers:
-            raise FileNotFoundError(f"no table at {self.path}")
-        pred = _in_list_pred(self.key_col, keys)
-        frames = [self.spark.read.parquet(str(p)).where(pred) for p in layers]
-        return self._resolve(frames)
+        return self._layer_frames(_in_list_pred(self.key_col, keys), as_of_layer)
 
     def range_read(self, lower, upper, as_of_layer: int | None = None) -> DataFrame:
         """Key-range scan: the merged view restricted to keys in
@@ -380,15 +385,8 @@ class KeyedTable:
         correctness is preserved because a KEY predicate keeps each
         surviving key's full history (tombstones included: tombstone rows
         carry the key)."""
-        layers = self._layers()
-        if as_of_layer is not None:
-            layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
-        if not layers:
-            raise FileNotFoundError(f"no table at {self.path}")
         k = F.col(self.key_col)
-        pred = (k >= lower) & (k <= upper)
-        frames = [self.spark.read.parquet(str(p)).where(pred) for p in layers]
-        return self._resolve(frames)
+        return self._layer_frames((k >= lower) & (k <= upper), as_of_layer)
 
     # -- mutations ---------------------------------------------------------
 

@@ -50,7 +50,7 @@ def test_index_lookup_tracks_value_moves_and_deletes(spark, tmp_path):
         idx.lookup("blue", covered=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "GreaterThanOrEqual(ikey,blue\x1f" in plan
+    assert "GreaterThanOrEqual(ikey,blue)" in plan
 
 
 def test_index_skips_null_values_until_set(spark, tmp_path):
@@ -281,7 +281,7 @@ def test_composite_index_leading_edge_probes(spark, tmp_path):
         idx.lookup("blue", covered=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "GreaterThanOrEqual(ikey,blue\x1f" in plan
+    assert "GreaterThanOrEqual(ikey,blue)" in plan
 
 
 def test_stamped_maintenance_converges_under_crash_and_replay(spark, tmp_path):
@@ -422,6 +422,104 @@ def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
         assert got_keys == sorted(
             k for k, (_, s) in model.items() if lo <= s <= hi
         )
+
+
+def test_stale_ts_mutations_through_index_honor_lww(spark, tmp_path):
+    """The base's LWW fold silently rejects a batch row OLDER than the
+    stored row; index maintenance must reject it too, or lookups diverge
+    from the table (the entry moves while the row does not). Covers
+    update() and put(); a fresh-ts mutation afterwards still applies."""
+    tbl, idx = _fixture(spark, tmp_path)
+
+    # stale update: ts 50 < stored 100 — base keeps red, index must too
+    idx.update(spark.createDataFrame([Row(key=1, name="aX", color="blue", ts=50)]))
+    assert {r["key"] for r in idx.lookup("red").collect()} == {1, 2}
+    assert {r["key"] for r in idx.lookup("blue").collect()} == {3}
+    row = tbl.point_read([1]).collect()[0]
+    assert (row["name"], row["color"], row["ts"]) == ("a", "red", 100)
+
+    # stale put: same gate on the partial-write path
+    idx.put(spark.createDataFrame([Row(key=2, color="blue", ts=10)]))
+    assert {r["key"] for r in idx.lookup("red").collect()} == {1, 2}
+
+    # equal-ts batch WINS (ties to the batch, the fold's rule)
+    idx.update(spark.createDataFrame([Row(key=1, name="a2", color="blue", ts=100)]))
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2}
+    assert {r["key"] for r in idx.lookup("blue").collect()} == {1, 3}
+
+
+def test_repair_survives_auto_compaction_mid_repair(spark, tmp_path):
+    """repair()'s missing-entry plan must not be pinned to index layer
+    files: with the index sitting at compact_threshold, the orphan delete
+    triggers auto-compaction which REMOVES those directories before the
+    insert job runs — the divergence is checkpointed first, so the repair
+    still lands (this exact sequence crashed with FileNotFound before)."""
+    rows = spark.createDataFrame(
+        [Row(key=i, name=f"n{i}", color="red", ts=100) for i in range(1, 7)]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "cb"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "color", str(tmp_path / "ci"), num_partitions=2)
+    idx.tbl.compact_threshold = 3
+    idx.build()
+    # pile index layers up to the threshold via maintained updates
+    idx.update(spark.createDataFrame([Row(key=1, name="n1", color="blue", ts=200)]))
+    # stale it behind the back: next repair's delete will tip compaction
+    tbl.update(spark.createDataFrame([Row(key=2, name="n2", color="blue", ts=300)]))
+    counts = idx.repair()
+    assert counts == {"missing": 1, "orphaned": 1}
+    assert {r["key"] for r in idx.lookup("blue").collect()} == {1, 2}
+    assert idx.scrutiny().count() == 0
+
+
+def test_string_index_edge_values_tab_sep_and_astral(spark, tmp_path):
+    """String-typed index probes are EXACT for hostile content: values
+    containing chars below the separator (tab), the separator itself, and
+    astral-plane chars — the encoded ikey bounds are only a pruning
+    superset, the typed post-filter decides membership."""
+    rows = spark.createDataFrame(
+        [
+            Row(key=1, v="ab", ts=100),
+            Row(key=2, v="ab\tz", ts=100),       # tab: sorts below \x1f
+            Row(key=3, v="a\x1fb", ts=100),      # contains the separator
+            Row(key=4, v="ac", ts=100),
+            Row(key=5, v="a\U0001F600x", ts=100),  # astral plane
+            Row(key=6, v="aa", ts=100),
+        ]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "sb"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "v", str(tmp_path / "si"), num_partitions=2).build()
+
+    # equality never admits the separator-bearing sibling ('a' vs 'a\x1fb')
+    idx2 = SecondaryIndex(tbl, "v", str(tmp_path / "si"), num_partitions=2)
+    assert {r["key"] for r in idx2.lookup("ab").collect()} == {1}
+    assert {r["key"] for r in idx2.lookup("a\x1fb").collect()} == {3}
+    # range [ab, ac]: must include 'ab\tz' (tab < sep would have dropped it
+    # under SEP-framed lower bounds) and exclude 'aa'/'a\x1fb'
+    got = {r["key"] for r in idx2.lookup_range("ab", "ac").collect()}
+    assert got == {1, 2, 4}
+    # astral value is reachable
+    assert {r["key"] for r in idx2.lookup("a\U0001F600x").collect()} == {5}
+
+
+def test_decimal_index_range_is_numeric(spark, tmp_path):
+    """decimal(p<=18,s) indexed columns scale to exact integers before the
+    offset-binary encoding, so range scans are numeric — the identity-cast
+    trap would sort '-1.00' above '-9.00' and break both signs."""
+    from decimal import Decimal as D
+
+    rows = spark.createDataFrame(
+        [(i, D(v), 100) for i, v in enumerate(["-9.00", "-1.50", "0.25", "9.00", "10.00"])],
+        "key bigint, bal decimal(10,2), ts int",
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "db"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "bal", str(tmp_path / "di"), num_partitions=2).build()
+    got = sorted(str(r["bal"]) for r in idx.lookup_range(D("-9.00"), D("0.25")).collect())
+    assert got == ["-1.50", "-9.00", "0.25"]
+    got = sorted(str(r["bal"]) for r in idx.lookup_range(D("9.00"), D("10.00")).collect())
+    assert got == ["10.00", "9.00"]
 
 
 def test_scrutiny_detects_and_repair_reconciles_a_staled_index(spark, tmp_path):

@@ -205,7 +205,9 @@ def test_bloom_prefilter_no_false_negatives_and_exact_equivalence(spark):
 
     # (a) zero false negatives: every test shingle passes its own bloom,
     # even at an aggressively small bitmap (forced false positives).
-    for bits in (1 << 10, 1 << 16):
+    # 100: not a multiple of 64 — pins the ceil'd word count (the floor'd
+    # version IndexError'd on positions landing in the last partial word)
+    for bits in (100, 1 << 10, 1 << 16):
         bloom = D.shingle_bloom(test, num_bits=bits)
         misses = test.where(~D.bloom_contains(bits=bloom, num_bits=bits)).count()
         assert misses == 0, f"bloom lost inserted keys at num_bits={bits}"
