@@ -297,7 +297,12 @@ class SecondaryIndex:
 
         Maintenance honors the base's LWW ts gate: batch rows OLDER than
         the stored row (which the base fold rejects) touch the index not
-        at all — see _winners."""
+        at all — see _winners.
+
+        Returns rows applied by THIS call's base write; on a stamped retry
+        whose base sub-write already committed in a previous attempt, the
+        skipped write reports 0 (the rows were counted when they actually
+        landed)."""
         self._guarded(
             self.tbl.delete, lambda: self._stale_entry_keys(self._winners(batch)),
             stamp, "_xd",
@@ -426,7 +431,12 @@ class SecondaryIndex:
 
         On a composite index, pass 1..len(cols) values: a LEADING PREFIX
         probe (Phoenix's leading-edge rule) -- unfixed trailing columns
-        match everything."""
+        match everything.
+
+        POINT-IN-TIME semantics (like ``KeyedTable.df``, which pins the
+        layer list when called): the uncovered path resolves the matched
+        key set at CALL time — a lookup constructed before a mutation
+        answers with pre-mutation state. Re-call after mutating."""
         if not 1 <= len(values) <= len(self.cols):
             raise ValueError(
                 f"lookup takes 1..{len(self.cols)} leading values, got {len(values)}"
