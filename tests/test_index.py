@@ -503,6 +503,32 @@ def test_string_index_edge_values_tab_sep_and_astral(spark, tmp_path):
     assert {r["key"] for r in idx2.lookup("a\U0001F600x").collect()} == {5}
 
 
+def test_timestamp_index_range_is_chronological(spark, tmp_path):
+    """timestamp-typed indexed columns encode as ISO-8601 casts, which are
+    order-preserving including sub-second fractions of different printed
+    widths ('…00' < '…00.1' as prefix-extension)."""
+    import datetime as dt
+
+    ts = [
+        dt.datetime(2023, 12, 31, 23, 59, 59),
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 0, 0, 100000),
+        dt.datetime(2024, 6, 15, 12, 0, 0),
+        dt.datetime(2025, 1, 1, 0, 0, 0),
+    ]
+    rows = spark.createDataFrame(
+        [(i, t, 100) for i, t in enumerate(ts)], "key bigint, seen timestamp, ts int"
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "tb"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "seen", str(tmp_path / "ti"), num_partitions=2).build()
+    got = sorted(
+        r["key"] for r in idx.lookup_range(ts[1], ts[3]).collect()
+    )
+    assert got == [1, 2, 3]  # fractional row inside, year boundaries out
+    assert {r["key"] for r in idx.lookup(ts[2]).collect()} == {2}
+
+
 def test_decimal_index_range_is_numeric(spark, tmp_path):
     """decimal(p<=18,s) indexed columns scale to exact integers before the
     offset-binary encoding, so range scans are numeric — the identity-cast
