@@ -673,6 +673,7 @@ _ROTATED_OUT_R06 = [
     "secondary_index_range_scan",
     "streaming_indexed_upsert",
     "secondary_index_repair",
+    "dup_substring_census",
     # -- newly out: r05-green, unchanged, pytest-pinned --------------------
     "scan_required_columns",
     "filter_comparison",

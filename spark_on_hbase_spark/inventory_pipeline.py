@@ -2309,6 +2309,74 @@ def span_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_W = 12  # Lee et al. window in words
+
+
+def _substr_wins_sql(w: int) -> str:
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(w))
+    return f"""
+    words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i AS pos, md5({parts}) AS fp
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {w} + 2)) AS i
+              FROM words WHERE len(ws) >= {w})
+    )
+    """
+
+
+@query(
+    "dup_substring_census",
+    f"""
+    WITH {_substr_wins_sql(_SUBSTR_W)},
+    dupfp AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1),
+    dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN dupfp USING (fp)),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SUBSTR_W}
+                    THEN 1 ELSE 0 END AS new_span
+        FROM dup
+    ),
+    sp AS (
+        SELECT doc_id, pos,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM marked
+    ),
+    islands AS (
+        SELECT doc_id, span_id, MIN(pos) AS mn, MAX(pos) AS mx
+        FROM sp GROUP BY doc_id, span_id
+    )
+    SELECT i.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(mx - mn + {_SUBSTR_W}) AS BIGINT) AS dup_words
+    FROM islands i JOIN words w ON i.doc_id = w.doc_id
+    GROUP BY i.doc_id, len(w.ws)
+    """,
+    doc="Exact-substring duplication census (dedup.dup_substring_stats — "
+    "Lee et al. 2022's suffix-array dedup re-expressed relationally): "
+    "overlapping 12-word fingerprints at EVERY alignment (stride 1, "
+    "unlike span_dedup_census's fixed C4 lines), cross-document "
+    "duplicated positions, then MAXIMAL duplicated spans per document "
+    "via gaps-and-islands — overlapping/adjacent windows merge, so "
+    "dup_words counts each duplicated word exactly once. Per surviving "
+    "document: word count, maximal-span count, duplicated word mass. "
+    "The oracle replays the identical alignment/merge algebra, so an "
+    "off-by-one in window starts, a missed merge of adjacent spans, or "
+    "within-doc repeats leaking in (only >1-distinct-doc fingerprints "
+    "count) each breaks the value hash.",
+    tags=("pipeline", "dedup", "text"),
+)
+def dup_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.dup_substring_stats(docs, window=_SUBSTR_W)
+
+
 @query(
     "temperature_mixture_census",
     """

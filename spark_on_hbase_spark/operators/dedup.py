@@ -572,6 +572,85 @@ def benchmark_overlap_bloom(
     )
 
 
+def dup_substring_stats(
+    df: DataFrame,
+    window: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication census — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    suffix-array technique re-expressed relationally: overlapping
+    ``window``-word fingerprints at EVERY alignment (stride 1, unlike
+    span_dup_stats' fixed non-overlapping C4 lines), cross-document
+    duplicated positions, then maximal duplicated SPANS per document via
+    gaps-and-islands (two window functions) — overlapping/adjacent
+    windows merge, so ``dup_words`` counts each duplicated word once.
+
+    Returns (id, n_words, n_dup_spans, dup_words) for documents with at
+    least one cross-document duplicated span. Within-document repeats are
+    repetition, not duplication (text.repetition_signals); a span counts
+    only if its fingerprint occurs in >1 distinct document.
+
+    Shape at 100 TB: the window explode is n_words rows per document —
+    the technique's inherent cost (a suffix array is the same order);
+    everything after is one fingerprint hash-agg, a re-join on the same
+    key, and one per-document sort bounded by that document's duplicated
+    positions. The fingerprint-frequency table is the storable artifact
+    (build once, probe per batch, like the LSH corpus index)."""
+    from pyspark.sql import Window
+
+    from spark_on_hbase_spark.operators.text import words_expr
+
+    w = window
+    words = df.select(
+        F.col(id_col), words_expr(text_col).alias("__ws")
+    ).where(F.size("__ws") >= w)
+    wins = words.select(
+        F.col(id_col),
+        F.size("__ws").cast("bigint").alias("__nw"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - w + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("__ws", i, w))).alias("fp"),
+                ),
+            )
+        ).alias("__w"),
+    ).select(id_col, "__nw", "__w.pos", "__w.fp")
+    dup_fp = wins.groupBy("fp").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    ).where(F.col("__nd") > 1).select("fp")
+    dup = wins.join(dup_fp, "fp").select(id_col, "__nw", "pos")
+    order = Window.partitionBy(id_col).orderBy("pos")
+    lagged = F.lag("pos").over(order)
+    marked = dup.withColumn(
+        "__new",
+        F.when(lagged.isNull() | (F.col("pos") - lagged > w), 1).otherwise(0),
+    )
+    sp = marked.withColumn(
+        "__sid",
+        F.sum("__new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = sp.groupBy(id_col, "__nw", "__sid").agg(
+        F.min("pos").alias("__mn"), F.max("pos").alias("__mx")
+    )
+    return (
+        islands.groupBy(id_col, "__nw")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("__mx") - F.col("__mn") + w).cast("bigint").alias("dup_words"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__nw").alias("n_words"),
+            "n_dup_spans",
+            "dup_words",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-document span (line) dedup — the C4 / RefinedWeb gate
 # ---------------------------------------------------------------------------

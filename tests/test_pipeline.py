@@ -901,6 +901,73 @@ def test_audio_energy_hash_near_dup(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_dup_substring_stats_matches_bruteforce(spark):
+    """Differential check of the Lee-et-al. window census against a plain
+    Python reference on a constructed corpus: maximal spans must merge
+    overlapping AND adjacent windows, within-doc repeats must not count,
+    and per-document duplicated word mass must be exact."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    shared_a = [f"s{i}" for i in range(20)]   # 20-word shared run
+    shared_b = [f"t{i}" for i in range(12)]   # exactly one window
+    docs = []
+    for d in range(6):
+        words = [rng.choice(vocab) for _ in range(80)]
+        if d in (0, 2):
+            words[10:10] = shared_a
+        if d in (1, 2):
+            words[50:50] = shared_b
+        if d == 4:  # within-doc repeat only: must NOT count
+            words[5:5] = shared_b  # appears once here, once in docs 1/2
+        docs.append((d, " ".join(words)))
+    # make doc 4's copy within-doc-only by renaming its tokens
+    docs[4] = (4, docs[4][1].replace("t", "u") + " " + docs[4][1].replace("t", "u"))
+
+    W = 12
+
+    def brute(texts):
+        wins = {}
+        for did, text in texts:
+            ws = text.split()
+            for i in range(len(ws) - W + 1):
+                wins.setdefault(tuple(ws[i:i + W]), set()).add(did)
+        out = {}
+        for did, text in texts:
+            ws = text.split()
+            pos = [
+                i + 1
+                for i in range(len(ws) - W + 1)
+                if len(wins[tuple(ws[i:i + W])]) > 1
+            ]
+            if not pos:
+                continue
+            spans = []
+            for p in pos:
+                if spans and p - spans[-1][1] <= W:
+                    spans[-1][1] = p
+                else:
+                    spans.append([p, p])
+            out[did] = (
+                len(ws),
+                len(spans),
+                sum(mx - mn + W for mn, mx in spans),
+            )
+        return out
+
+    want = brute(docs)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_dup_spans"], r["dup_words"])
+        for r in D.dup_substring_stats(
+            spark.createDataFrame(docs, "doc_id bigint, text string")
+        ).collect()
+    }
+    assert got == want
+    assert 4 not in got                    # within-doc repeat excluded
+    assert got[0][2] >= 20 and got[2][2] >= 20  # the 20-word run merged
+
+
 def test_span_dup_stats_extremes(spark):
     """Boundary properties: a corpus of mutual clones has every span
     duplicated; a disjoint-vocabulary corpus has none; and within-doc
