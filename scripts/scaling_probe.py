@@ -59,10 +59,10 @@ TARGETS = [
     # secondary-index maintenance (fixed batch through the index while the
     # indexed table scales — the probe body below).
     "secondary_index_maintain",
-    # decontamination_bloom is deliberately NOT probed: the replica builder
+    # decontamination_bloom and dup_substring_census are deliberately NOT probed: the replica builder
     # appends " rN" only at text END, so all interior 5-grams are identical
-    # across replicas and every replica is a planted eval-contamination of
-    # every other — the probe would measure that data artifact's quadratic
+    # across replicas and every replica is a planted eval-contamination (and an
+    # exact-substring duplicate) of every other — the probe would measure that data artifact's quadratic
     # pair fanout, not the kernel (whose stages — bloom agg, prefiltered
     # semi-join, per-doc counts — are each linear in their input).
     "kcore_peel_census",

@@ -598,6 +598,30 @@ def dup_substring_stats(
     key, and one per-document sort bounded by that document's duplicated
     positions. The fingerprint-frequency table is the storable artifact
     (build once, probe per batch, like the LSH corpus index)."""
+    islands = _dup_islands(df, window, text_col, id_col)
+    return (
+        islands.groupBy(id_col, "__nw", )
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("__mx") - F.col("__mn") + window).cast("bigint").alias("dup_words"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__nw").alias("n_words"),
+            "n_dup_spans",
+            "dup_words",
+        )
+    )
+
+
+def _dup_islands(
+    df: DataFrame, window: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __nw, __sid, __mn, __mx): maximal cross-document duplicated
+    spans per document as 1-based window-START intervals — the shared core
+    of the census (dup_substring_stats) and the removal
+    (remove_dup_substrings). Covered word positions of an island are
+    __mn .. __mx + window - 1."""
     from pyspark.sql import Window
 
     from spark_on_hbase_spark.operators.text import words_expr
@@ -633,20 +657,54 @@ def dup_substring_stats(
         "__sid",
         F.sum("__new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    islands = sp.groupBy(id_col, "__nw", "__sid").agg(
+    return sp.groupBy(id_col, "__nw", "__sid").agg(
         F.min("pos").alias("__mn"), F.max("pos").alias("__mx")
     )
+
+
+def remove_dup_substrings(
+    df: DataFrame,
+    window: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of the Lee et al. pipeline: cut every word covered
+    by a maximal cross-document duplicated span (BOTH copies, the paper's
+    policy) and re-join the survivors — returns (id, text) with the
+    cleaned text (documents without duplication pass through verbatim;
+    whitespace normalizes to single spaces, the same tokenization the
+    detector used). Word positions are filtered against the per-document
+    collected span list with index-aware HOFs — no second pass over
+    fingerprints, the islands are the only extra state."""
+    w = window
+    islands = _dup_islands(df, w, text_col, id_col)
+    spans = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("__mn", "__mx")).alias("__spans")
+    )
+    from spark_on_hbase_spark.operators.text import words_expr
+
     return (
-        islands.groupBy(id_col, "__nw")
-        .agg(
-            F.count("*").cast("bigint").alias("n_dup_spans"),
-            F.sum(F.col("__mx") - F.col("__mn") + w).cast("bigint").alias("dup_words"),
-        )
+        df.join(spans, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("__nw").alias("n_words"),
-            "n_dup_spans",
-            "dup_words",
+            F.when(F.col("__spans").isNull(), F.col(text_col))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        words_expr(text_col),
+                        # two-arg HOF lambda receives (element, 0-based index);
+                        # island [__mn, __mx] covers 1-based word positions
+                        # __mn .. __mx + window - 1
+                        lambda x, i: ~F.exists(
+                            F.col("__spans"),
+                            lambda s: (i + 1 >= s["__mn"])
+                            & (i + 1 <= s["__mx"] + F.lit(w) - 1),
+                        ),
+                    ),
+                )
+            )
+            .alias(text_col),
         )
     )
 

@@ -968,6 +968,49 @@ def test_dup_substring_stats_matches_bruteforce(spark):
     assert got[0][2] >= 20 and got[2][2] >= 20  # the 20-word run merged
 
 
+def test_remove_dup_substrings_cuts_exactly_the_spans(spark):
+    """The removal half of the Lee et al. pipeline: every word covered by a
+    maximal duplicated span is cut from BOTH copies, nothing else moves,
+    and documents without cross-doc duplication pass through verbatim."""
+    shared = " ".join(f"s{i}" for i in range(15))  # > one window
+    docs = [
+        (0, "alpha beta " + shared + " gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three " + shared + " four five six seven eight nine ten"),
+        (2, "totally unrelated words only here " + " ".join(f"u{i}" for i in range(12))),
+    ]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in D.remove_dup_substrings(
+            spark.createDataFrame(docs, "doc_id bigint, text string")
+        ).collect()
+    }
+    W = 12
+
+    def brute(texts):
+        wins = {}
+        for did, text in texts:
+            ws = text.split()
+            for i in range(len(ws) - W + 1):
+                wins.setdefault(tuple(ws[i:i + W]), set()).add(did)
+        res = {}
+        for did, text in texts:
+            ws = text.split()
+            covered = set()
+            for i in range(len(ws) - W + 1):
+                if len(wins[tuple(ws[i:i + W])]) > 1:
+                    covered.update(range(i, i + W))
+            if covered:
+                res[did] = " ".join(w for j, w in enumerate(ws) if j not in covered)
+            else:
+                res[did] = text  # verbatim passthrough
+        return res
+
+    assert out == brute(docs)
+    assert out[2] == docs[2][1]            # untouched doc verbatim
+    assert "s0" not in out[0] and "s14" not in out[1]  # both copies cut
+    assert out[0].startswith("alpha beta") and "kappa" in out[0]
+
+
 def test_span_dup_stats_extremes(spark):
     """Boundary properties: a corpus of mutual clones has every span
     duplicated; a disjoint-vocabulary corpus has none; and within-doc
