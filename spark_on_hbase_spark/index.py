@@ -35,6 +35,7 @@ indexed column is NULL simply has no entry and is invisible to lookups.
 
 from __future__ import annotations
 
+import re
 from decimal import Decimal
 
 from pyspark.sql import DataFrame
@@ -48,7 +49,7 @@ _SEP = "\x1f"
 
 _INTEGRAL = frozenset({"tinyint", "smallint", "int", "bigint"})
 _FLOATING = frozenset({"float", "double"})
-_DECIMAL_RE = __import__("re").compile(r"decimal\((\d+),(\d+)\)")
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
 
 # 2^63: offset-binary bias for the order-preserving integral encoding
 _I64_BIAS = Decimal(9223372036854775808)
@@ -304,7 +305,7 @@ class SecondaryIndex:
         skipped write reports 0 (the rows were counted when they actually
         landed)."""
         self._guarded(
-            self.tbl.delete, lambda: self._stale_entry_keys(self._winners(batch)),
+            self.tbl.delete, lambda: self._stale_winner_entry_keys(batch),
             stamp, "_xd",
         )
         n = self._guarded(self.base.update, lambda: batch, stamp, "")
@@ -341,14 +342,14 @@ class SecondaryIndex:
         # per-cell by the SPARSE fold): maintain entries only for winners.
         # A batch without a ts column cannot be gated — it is applied as-is
         # (matching a fold that has no ts to compare).
-        gated = (
-            (lambda: self._winners(batch))
-            if self.base.ts_col in batch.columns
-            else (lambda: batch)
+        has_ts = self.base.ts_col in batch.columns
+        gated = (lambda: self._winners(batch)) if has_ts else (lambda: batch)
+        stale = (
+            (lambda: self._stale_winner_entry_keys(batch))
+            if has_ts
+            else (lambda: self._stale_entry_keys(batch))
         )
-        self._guarded(
-            self.tbl.delete, lambda: self._stale_entry_keys(gated()), stamp, "_xd"
-        )
+        self._guarded(self.tbl.delete, stale, stamp, "_xd")
         n = self._guarded(self.base.put, lambda: batch, stamp, "")
         self._guarded(
             self.tbl.update,
@@ -379,6 +380,19 @@ class SecondaryIndex:
 
     def _stale(self, touched: DataFrame):
         return lambda: self._stale_entry_keys(touched)
+
+    def _stale_winner_entry_keys(self, batch: DataFrame) -> DataFrame:
+        """Index keys of the CURRENT entries that the batch's winning rows
+        will replace — ONE point-read of the touched keys, ts-gated against
+        the batch's per-key max ts (losing batch rows leave their current
+        entries alone, exactly as the base fold leaves their rows alone).
+        The _xd sub-write's read: deriving this from _winners would
+        point-read the base twice per sub-write for the same answer."""
+        keyc, tsc = self.base.key_col, self.base.ts_col
+        cur = self._current_rows(batch)
+        bts = batch.groupBy(keyc).agg(F.max(tsc).alias("__b_ts"))
+        win_cur = cur.join(bts, keyc).where(F.col("__b_ts") >= F.col(tsc)).drop("__b_ts")
+        return self._entries(win_cur).select("ikey")
 
     def _winners(self, batch: DataFrame) -> DataFrame:
         """Batch rows that WIN the base's last-writer-wins resolution
@@ -442,6 +456,12 @@ class SecondaryIndex:
                 f"lookup takes 1..{len(self.cols)} leading values, got {len(values)}"
             )
         exact = self._typed_pred(values)
+        if not all(_order_preserving(self._dtype_of(i)) for i in range(len(values))):
+            # float / wide-decimal encodings are printed casts: the
+            # literal's string form can differ from the stored one, so
+            # encoded equality bounds could miss the true match — scan
+            # unpruned, the typed predicate is the truth
+            return self._read(None, None, covered, exact)
         prefix = self._prefix_enc(values)
         return self._read(prefix, prefix, covered, exact)
 
@@ -465,9 +485,27 @@ class SecondaryIndex:
         exact = self._typed_pred(prefix) if prefix else None
         rng = (F.col(self.cols[pos]) >= F.lit(lo)) & (F.col(self.cols[pos]) <= F.lit(hi))
         exact = rng if exact is None else (exact & rng)
-        if not _order_preserving(self._dtype_of(pos)):
-            # encoded bounds would EXCLUDE true matches for these types —
-            # scan the index unpruned; the typed predicate is the truth
+        unpruned_range = not _order_preserving(self._dtype_of(pos))
+        if (
+            not unpruned_range
+            and isinstance(hi, str)
+            and any(ord(ch) < 0x20 for ch in hi)
+        ):
+            # string hi bounds containing chars below 0x20 (tab, newline,
+            # the separator): a true-match value that is a proper PREFIX of
+            # hi has ikey = value ++ 0x1f ++ key, which sorts ABOVE any
+            # hi ++ suffix bound at hi's low char — no finite encoded upper
+            # bound is a superset, so fall back to the exact predicate
+            unpruned_range = True
+        if unpruned_range:
+            if prefix and all(
+                _order_preserving(self._dtype_of(i)) for i in range(len(prefix))
+            ):
+                # the order-preserving LEADING prefix still prunes (its
+                # equality framing is content-safe); only the range column
+                # is left entirely to the typed predicate
+                pfx = self._prefix_enc(prefix)
+                return self._read(pfx, pfx, covered, exact)
             return self._read(None, None, covered, exact)
         lo_enc, hi_enc = self._enc(F.lit(lo), pos), self._enc(F.lit(hi), pos)
         if prefix:
@@ -490,7 +528,10 @@ class SecondaryIndex:
         bounds over- or under-shoot)."""
         pred = None
         for i, v in enumerate(values):
-            c = F.col(self.cols[i]) == F.lit(v)
+            # cast the literal to the COLUMN's dtype: comparing a float
+            # column against a python-float (double) literal promotes the
+            # column and 0.1f != 0.1d — equality would silently miss
+            c = F.col(self.cols[i]) == F.lit(v).cast(self._dtype_of(i))
             pred = c if pred is None else (pred & c)
         return pred
 

@@ -503,6 +503,59 @@ def test_string_index_edge_values_tab_sep_and_astral(spark, tmp_path):
     assert {r["key"] for r in idx2.lookup("a\U0001F600x").collect()} == {5}
 
 
+def test_float_and_wide_decimal_probes_are_exact(spark, tmp_path):
+    """Non-order-preserving encodings (float/double, decimal wider than 18
+    digits) must still answer exactly: equality can't rely on printed-cast
+    bounds (0.1f != 0.1d after promotion; literal scale differs from
+    stored), so those probes scan unpruned with the typed predicate —
+    and a composite range over (string prefix, float) still prunes on the
+    order-preserving prefix."""
+    from decimal import Decimal as D
+
+    rows = spark.createDataFrame(
+        [(1, "red", 0.1, D("1.50"), 100), (2, "red", 0.25, D("2.00"), 100),
+         (3, "blue", 0.1, D("1.50"), 100)],
+        "key bigint, grp string, score float, bal decimal(20,2), ts int",
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "fb"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+
+    fidx = SecondaryIndex(tbl, ["grp", "score"], str(tmp_path / "fi"), num_partitions=2).build()
+    # float equality through the typed predicate (0.1 stored as float32)
+    assert {r["key"] for r in fidx.lookup("red", 0.1).collect()} == {1}
+    # composite float range with an order-preserving prefix: correct, and
+    # the prefix still prunes (ikey bounds present in the plan)
+    got = {r["key"] for r in fidx.lookup_range(0.05, 0.2, prefix=("red",)).collect()}
+    assert got == {1}
+    plan = (
+        fidx.lookup_range(0.05, 0.2, prefix=("red",), covered=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the metadata printer truncates the literal; the pushed ikey bound
+    # being present at all proves the prefix pruned (the float fallback
+    # without a prefix pushes nothing)
+    assert "GreaterThanOrEqual(ik" in plan
+
+    didx = SecondaryIndex(tbl, "bal", str(tmp_path / "wi"), num_partitions=2).build()
+    assert {r["key"] for r in didx.lookup(D("1.5")).collect()} == {1, 3}
+
+
+def test_string_range_with_low_char_hi_bound_is_exact(spark, tmp_path):
+    """A range hi bound CONTAINING a char below 0x20 (tab): a true-match
+    value that is a proper prefix of hi would sort above any encoded
+    hi++suffix bound — the probe must fall back to the exact predicate and
+    still return it."""
+    rows = spark.createDataFrame(
+        [Row(key=1, v="ab", ts=100), Row(key=2, v="ab\tz", ts=100),
+         Row(key=3, v="ac", ts=100), Row(key=4, v="aa", ts=100)]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "lb"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "v", str(tmp_path / "li"), num_partitions=2).build()
+    got = {r["key"] for r in idx.lookup_range("ab", "ab\tz").collect()}
+    assert got == {1, 2}  # 'ab' is a proper prefix of hi and must survive
+
+
 def test_timestamp_index_range_is_chronological(spark, tmp_path):
     """timestamp-typed indexed columns encode as ISO-8601 casts, which are
     order-preserving including sub-second fractions of different printed
