@@ -315,11 +315,44 @@ class SecondaryIndex:
         )
         return n if n is not None else 0
 
-    def delete(self, keys: DataFrame, stamp: str | None = None) -> int:
-        """Row delete through the index: entries first, then the rows.
-        ``stamp``: same retry-idempotence contract as ``update``."""
+    def delete(
+        self,
+        keys: DataFrame,
+        columns: list[str] | None = None,
+        stamp: str | None = None,
+    ) -> int:
+        """Row delete through the index (entries first, then the rows), or
+        — with ``columns`` — a CELL delete (HBase DeleteColumn through the
+        index): nulling an INDEXED column removes the keys' entries (the
+        NULL convention — the rows become invisible to lookups), nulling
+        only COVERED columns re-points the entries at the post-delete rows
+        (tombstone + reinsert with the nulled value), and nulling columns
+        the index never sees is exactly ``base.delete``. ``stamp``: same
+        retry-idempotence contract as ``update``."""
+        if not columns:
+            self._guarded(self.tbl.delete, self._stale(keys), stamp, "_xd")
+            n = self._guarded(self.base.delete, lambda: keys, stamp, "")
+            return n if n is not None else 0
+        affected = set(columns) & set(self.cols + self.include)
+        if not affected:
+            n = self._guarded(
+                self.base.delete, lambda: keys, stamp, "", columns=columns
+            )
+            return n if n is not None else 0
         self._guarded(self.tbl.delete, self._stale(keys), stamp, "_xd")
-        n = self._guarded(self.base.delete, lambda: keys, stamp, "")
+        n = self._guarded(self.base.delete, lambda: keys, stamp, "", columns=columns)
+        if not set(columns) & set(self.cols):
+            # only covered columns nulled: rows keep their index keys, so
+            # re-insert entries from the POST-delete rows (evaluated lazily
+            # after the base write — the same retry-safe overlay timing as
+            # put; an indexed-column delete instead leaves no entries, per
+            # the NULL convention)
+            self._guarded(
+                self.tbl.update,
+                lambda: self._entries(self._current_rows(keys)),
+                stamp,
+                "_xi",
+            )
         return n if n is not None else 0
 
     def put(self, batch: DataFrame, stamp: str | None = None) -> int:
@@ -414,18 +447,19 @@ class SecondaryIndex:
             .drop("__cur_ts")
         )
 
-    def _guarded(self, write, make_batch, stamp: str | None, suffix: str):
+    def _guarded(self, write, make_batch, stamp: str | None, suffix: str, **kw):
         """Run one maintenance sub-write, skipping it when its derived
         stamp already rides a layer (or the compaction-preserved manifest)
         of the target table — `make_batch` is lazy so a skipped step never
-        evaluates its read either."""
+        evaluates its read either. Extra kwargs forward to the write (e.g.
+        ``columns=`` for cell deletes)."""
         if stamp is None:
-            return write(make_batch())
+            return write(make_batch(), **kw)
         derived = f"{stamp}{suffix}" if suffix else stamp
         table = write.__self__
         if derived in table.applied_stamps():
             return None
-        return write(make_batch(), stamp=derived)
+        return write(make_batch(), stamp=derived, **kw)
 
     # -- reads ---------------------------------------------------------------
 

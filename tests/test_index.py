@@ -230,6 +230,51 @@ def test_put_through_index_maintains_entries(spark, tmp_path):
     assert (tbl.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
 
 
+def test_cell_delete_through_index(spark, tmp_path):
+    """HBase DeleteColumn through the index: nulling the INDEXED column
+    removes the key's entries (NULL convention — invisible to lookups,
+    base row survives), nulling only a COVERED column re-points entries at
+    the post-delete rows (covered reads see the null), and nulling an
+    unrelated column never touches the index. Stamped replays are
+    no-ops."""
+    rows = spark.createDataFrame(
+        [
+            Row(key=1, name="a", color="red", note="x", ts=100),
+            Row(key=2, name="b", color="red", note="y", ts=100),
+            Row(key=3, name="c", color="blue", note="z", ts=100),
+        ]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "cd"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, "color", str(tmp_path / "cdi"), num_partitions=2, include=["name"]
+    ).build()
+
+    # null the INDEXED column of key 1: entry gone, base row survives
+    idx.delete(spark.createDataFrame([Row(key=1)]), columns=["color"])
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2}
+    live = tbl.point_read([1]).collect()[0]
+    assert live["name"] == "a" and live["color"] is None
+
+    # null only the COVERED column of key 2: entry re-pointed, covered
+    # read sees the null, lookup still finds the key
+    idx.delete(spark.createDataFrame([Row(key=2)]), columns=["name"])
+    cov = idx.lookup("red", covered=True).collect()
+    assert [(r["key"], r["name"]) for r in cov] == [(2, None)]
+
+    # unrelated column: no index maintenance at all
+    seq = idx.tbl.snapshot_seq()
+    idx.delete(spark.createDataFrame([Row(key=3)]), columns=["note"])
+    assert idx.tbl.snapshot_seq() == seq
+    assert {r["key"] for r in idx.lookup("blue").collect()} == {3}
+
+    # stamped replay of a cell delete: strict no-op on both tables
+    idx.delete(spark.createDataFrame([Row(key=3)]), columns=["name"], stamp="cd1")
+    seqs = (tbl.snapshot_seq(), idx.tbl.snapshot_seq())
+    idx.delete(spark.createDataFrame([Row(key=3)]), columns=["name"], stamp="cd1")
+    assert (tbl.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
+
+
 def test_composite_index_leading_edge_probes(spark, tmp_path):
     """Composite (multi-column) index over (color: string, score: bigint):
     full-tuple equality, leading-prefix equality (Phoenix's leading-edge
