@@ -355,6 +355,40 @@ class SecondaryIndex:
             )
         return n if n is not None else 0
 
+    def increment(
+        self,
+        batch: DataFrame,
+        counter_col: str,
+        delta_col: str = "delta",
+        stamp: str | None = None,
+    ) -> int:
+        """Counter increment through the index (HBase's server-side add):
+        when ``counter_col`` is neither indexed nor covered this is exactly
+        ``base.increment``; otherwise the usual triple runs, with the new
+        entries read from the POST-increment rows — increments fold at
+        merge-on-read, so a lazy point-read after the base write IS the
+        post-state, and re-reading it on a stamped retry yields the same
+        entries (the additive layer is already down; the read is
+        idempotent). No LWW gate: increments are unconditional adds."""
+        if counter_col not in set(self.cols + self.include):
+            n = self._guarded(
+                self.base.increment, lambda: batch, stamp, "",
+                counter_col=counter_col, delta_col=delta_col,
+            )
+            return n if n is not None else 0
+        self._guarded(self.tbl.delete, self._stale(batch), stamp, "_xd")
+        n = self._guarded(
+            self.base.increment, lambda: batch, stamp, "",
+            counter_col=counter_col, delta_col=delta_col,
+        )
+        self._guarded(
+            self.tbl.update,
+            lambda: self._entries(self._current_rows(batch)),
+            stamp,
+            "_xi",
+        )
+        return n if n is not None else 0
+
     def put(self, batch: DataFrame, stamp: str | None = None) -> int:
         """Cell-level put through the index: batch columns overwrite (nulls
         keep stored values — the SPARSE fold's contract), absent columns

@@ -275,6 +275,48 @@ def test_cell_delete_through_index(spark, tmp_path):
     assert (tbl.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
 
 
+def test_increment_through_index_moves_buckets(spark, tmp_path):
+    """Counter increments through the index: the entry follows the folded
+    post-increment value (read lazily after the additive layer lands), an
+    increment of an un-indexed counter skips maintenance, and a stamped
+    replay is a strict no-op — the non-idempotent mutation the stamps
+    exist for."""
+    rows = spark.createDataFrame(
+        [Row(key=1, score=10, other=0, ts=100), Row(key=2, score=20, other=0, ts=100)]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "ib"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, "score", str(tmp_path / "ii"), num_partitions=2).build()
+
+    idx.increment(
+        spark.createDataFrame([Row(key=1, delta=5, ts=200)]), counter_col="score"
+    )
+    assert {r["key"] for r in idx.lookup(15).collect()} == {1}
+    assert idx.lookup(10).count() == 0  # old entry tombstoned
+    assert {r["key"] for r in idx.lookup_range(14, 21).collect()} == {1, 2}
+
+    # un-indexed counter: no index maintenance
+    seq = idx.tbl.snapshot_seq()
+    idx.increment(
+        spark.createDataFrame([Row(key=2, delta=7, ts=300)]), counter_col="other"
+    )
+    assert idx.tbl.snapshot_seq() == seq
+
+    # stamped replay of the non-idempotent add: strict no-op, value intact
+    idx.increment(
+        spark.createDataFrame([Row(key=2, delta=3, ts=400)]),
+        counter_col="score", stamp="i1",
+    )
+    assert {r["key"] for r in idx.lookup(23).collect()} == {2}
+    seqs = (tbl.snapshot_seq(), idx.tbl.snapshot_seq())
+    idx.increment(
+        spark.createDataFrame([Row(key=2, delta=3, ts=400)]),
+        counter_col="score", stamp="i1",
+    )
+    assert (tbl.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
+    assert {r["key"] for r in idx.lookup(23).collect()} == {2}  # not 26
+
+
 def test_composite_index_leading_edge_probes(spark, tmp_path):
     """Composite (multi-column) index over (color: string, score: bigint):
     full-tuple equality, leading-prefix equality (Phoenix's leading-edge
