@@ -415,7 +415,8 @@ def test_stamped_maintenance_converges_under_crash_and_replay(spark, tmp_path):
 
 def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
     """Model-based check of the whole LSM + index stack: a seeded random
-    sequence of value-moving upserts, row deletes, and compactions (of the
+    sequence of value-moving upserts, partial puts, counter increments,
+    row deletes, indexed-column cell deletes, and compactions (of the
     base, the index table, or both — including mid-sequence, so the fold
     and the post-compact single-layer path both serve reads) must leave
     the table, the index entries, and every read path (full scan, multiget
@@ -440,8 +441,32 @@ def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
     idx = SecondaryIndex(tbl, "score", str(tmp_path / "mi"), num_partitions=4).build()
 
     for ts in range(1, 19):
-        op = rng.choice(["update", "update", "update", "put", "put", "delete", "compact"])
-        if op == "put":
+        op = rng.choice(
+            ["update", "update", "update", "put", "put", "delete",
+             "incr", "celldel", "compact"]
+        )
+        if op == "incr" and any(v[1] is not None for v in model.values()):
+            # counter add through the index: entries follow the folded value
+            cands = [k for k, v in model.items() if v[1] is not None]
+            batch = [(k, rng.randint(-9, 9)) for k in rng.sample(cands, min(len(cands), rng.randint(1, 12)))]
+            idx.increment(
+                spark.createDataFrame(
+                    [Row(key=k, delta=d, ts=ts) for k, d in batch]
+                ),
+                counter_col="score",
+            )
+            for k, d in batch:
+                model[k] = (model[k][0], model[k][1] + d)
+        elif op == "celldel" and model:
+            # null the indexed column: rows leave the index, stay in the base
+            victims = rng.sample(sorted(model), rng.randint(1, 6))
+            idx.delete(
+                spark.createDataFrame([Row(key=k) for k in victims], "key int"),
+                columns=["score"],
+            )
+            for k in victims:
+                model[k] = (model[k][0], None)
+        elif op == "put":
             # partial writes through the index: value-only puts (existing
             # keys move buckets, brand-new keys appear), name-only puts
             # (index untouched), both with coalesce-overlay semantics
@@ -491,9 +516,10 @@ def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
     got = {r["key"]: (r["name"], r["score"]) for r in tbl.df().collect()}
     assert got == model
 
-    # index entries == exactly the model's live rows (no stale, no lost)
+    # index entries == exactly the model's live rows with a non-null
+    # indexed value (celldel'd rows leave the index, stay in the base)
     ent = {(r["base_key"], r["score"]) for r in idx.tbl.df().collect()}
-    assert ent == {(k, s) for k, (_, s) in model.items()}
+    assert ent == {(k, s) for k, (_, s) in model.items() if s is not None}
 
     # multiget point_read over a mixed live/dead probe set
     probe = rng.sample(keyspace, 40)
@@ -507,7 +533,7 @@ def test_randomized_mutation_storm_matches_dict_model(spark, tmp_path):
     for lo, hi in ((-10, 10), (-50, -25), (49, 50)):
         got_keys = sorted(r["key"] for r in idx.lookup_range(lo, hi).collect())
         assert got_keys == sorted(
-            k for k, (_, s) in model.items() if lo <= s <= hi
+            k for k, (_, s) in model.items() if s is not None and lo <= s <= hi
         )
 
 
