@@ -48,6 +48,7 @@ def main() -> None:
     # three O(batch) layer appends; stamp= makes the triple retry-idempotent
     idx.update(spark.createDataFrame([Row(key=2, name="bob", balance=-5, ts=200)]), stamp="batch1")
     idx.put(spark.createDataFrame([Row(key=4, balance=40, ts=300)]))  # partial row
+    idx.increment(spark.createDataFrame([Row(key=1, delta=100, ts=350)]), counter_col="balance")
     idx.delete(spark.createDataFrame([Row(key=3)]))
     print("after mutations, [-200,40] ->",
           sorted(r["name"] for r in idx.lookup_range(-200, 40).collect()))
