@@ -230,6 +230,34 @@ def test_put_through_index_maintains_entries(spark, tmp_path):
     assert (tbl.snapshot_seq(), idx.tbl.snapshot_seq()) == seqs
 
 
+def test_oversized_batches_degrade_to_semi_join(spark, tmp_path, monkeypatch):
+    """The driver-collect ceiling (MAX_POINT_READ_KEYS) forced to 1: every
+    multiget in the stack — uncovered lookups, maintenance reads, the LWW
+    winners gate — degrades to the broadcast semi-join and must return
+    results identical to the point-read path."""
+    tbl, idx = _fixture(spark, tmp_path)
+    monkeypatch.setattr(SecondaryIndex, "MAX_POINT_READ_KEYS", 1)
+
+    # uncovered lookup matching >1 key: fallback read path
+    assert {r["key"] for r in idx.lookup("red").collect()} == {1, 2}
+
+    # maintenance with a >1-key batch: stale reads + winners via semi-join
+    idx.update(
+        spark.createDataFrame(
+            [Row(key=1, name="a2", color="blue", ts=200),
+             Row(key=2, name="b2", color="blue", ts=50)]  # ts 50 LOSES
+        )
+    )
+    assert {r["key"] for r in idx.lookup("red").collect()} == {2}  # loser stays
+    assert {r["key"] for r in idx.lookup("blue").collect()} == {1, 3}
+    row = tbl.df().where(F.col("key") == 2).collect()[0]
+    assert (row["name"], row["ts"]) == ("b", 100)  # base rejected the loser too
+
+    # row delete with a >1-key batch
+    idx.delete(spark.createDataFrame([Row(key=1), Row(key=3)]))
+    assert idx.lookup("blue").count() == 0
+
+
 def test_cell_delete_through_index(spark, tmp_path):
     """HBase DeleteColumn through the index: nulling the INDEXED column
     removes the key's entries (NULL convention — invisible to lookups,
