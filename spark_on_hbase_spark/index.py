@@ -31,6 +31,12 @@ Phoenix's back does.
 
 NULL indexed values are skipped (SQL-index convention): a row whose
 indexed column is NULL simply has no entry and is invisible to lookups.
+
+Functional (expression) indexes: materialize the expression as a base
+column and index that — every mutation path here carries whole rows or
+coalesce-overlays, so a computed column maintained by the writer gets
+exactly the same guarantees, without the index needing to know the
+expression's input columns.
 """
 
 from __future__ import annotations
