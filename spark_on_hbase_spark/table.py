@@ -310,11 +310,21 @@ class KeyedTable:
         compaction, which rewrites only what this scan returns)."""
         return self._layer_frames(None, as_of_layer)
 
-    def _resolve(self, frames: list[DataFrame]) -> DataFrame:
+    def _resolve(self, frames: list[DataFrame], force_fold: bool = False) -> DataFrame:
         """Merge ordered layer frames into the visible-row relation: LWW /
         kind fold, tombstone removal, TTL filter. Shared by ``df()`` and
-        the range-scoped compaction (which folds only the dirty slice)."""
-        if len(frames) == 1:
+        the range-scoped compaction (which folds only the dirty slice).
+
+        The single-frame passthrough is legal ONLY when the frame is a
+        folded base layer (unique keys, ROW kind) — the df() path, where a
+        lone layer is always the base. A lone DELTA layer must still fold:
+        its __kind markers are instructions, not rows (a CELLDEL frame
+        passed through verbatim would surface its all-null marker rows as
+        live data), and a ROW delta may carry in-batch duplicate keys that
+        need the within-layer LWW dedup. Callers that can hand over a bare
+        delta (``_compact_dirty``) pass ``force_fold=True``; the _KIND
+        check below catches kind-stamped frames on every path."""
+        if len(frames) == 1 and not force_fold and _KIND not in frames[0].columns:
             merged = frames[0]
         elif any(_KIND in f.columns for f in frames):
             # sparse-put / increment-delta / cell-delete layers present:
@@ -350,6 +360,18 @@ class KeyedTable:
         carry the key."""
         layers = self._layers()
         if as_of_layer is not None:
+            # dirty compaction unlinks individual part-files from old base
+            # layers, so any layer-prefix read predating it would be a
+            # PARTIAL snapshot (the surviving files of a mutilated layer) —
+            # fail loudly, like full compaction does when history folds away
+            horizon = Path(self.path) / "_history_horizon"
+            if horizon.exists() and as_of_layer < int(horizon.read_text()):
+                raise ValueError(
+                    f"as_of_layer={as_of_layer} predates the last dirty "
+                    f"compaction (horizon {horizon.read_text()}): the "
+                    f"compaction rewrote part of that snapshot's base "
+                    f"layer, so the historical state is no longer readable"
+                )
             layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
         if not layers:
             raise FileNotFoundError(f"no table at {self.path}")
@@ -621,18 +643,33 @@ class KeyedTable:
                     if lo is not None and not (hi < dlo or lo > dhi)
                 ]
         # fold the dirty slice exactly like df(): overlapping base files as
-        # the OLDEST frame, then the delta layers in seq order
+        # the OLDEST frame, then the delta layers in seq order. force_fold:
+        # a lone delta frame (no dirty base file) must still run the kind
+        # fold — its markers are instructions, not rows
         frames = []
         if dirty_files:
             frames.append(self.spark.read.parquet(*[str(f) for f in dirty_files]))
         frames += [self.spark.read.parquet(str(p)) for p in deltas]
-        merged = self._resolve(frames)
+        merged = self._resolve(frames, force_fold=True)
         merged = merged.localCheckpoint()  # sever lineage from removed files
         self._persist_stamps(deltas)
-        if not merged.isEmpty():
-            self._write_layer(merged, "base")
-        for p in deltas:
-            shutil.rmtree(p, ignore_errors=True)
+        # always write the folded layer, even when the fold emptied the
+        # dirty slice (all-tombstone case): an empty base layer is readable
+        # (zero-row part-files carry the schema) and keeps the horizon seq
+        # recorded below pointing at a real layer, so snapshot_seq() and
+        # df(as_of_layer=snapshot_seq()) stay consistent
+        horizon = self._next_seq()
+        self._write_layer(merged, "base")
+        # history before this point is now partially folded away: record the
+        # horizon BEFORE removing anything, so a crash mid-cleanup can never
+        # serve a silent partial snapshot to df(as_of_layer=<old seq>)
+        (Path(self.path) / "_history_horizon").write_text(str(horizon))
+        # cleanup order is crash-safety-critical: the superseded dirty base
+        # part-files must go BEFORE the delta layers that tombstone them —
+        # the reverse order, interrupted between the two, would leave an old
+        # base row visible with its tombstone gone (deleted-row resurrection).
+        # Crash after the unlinks: old clean base + deltas + folded base
+        # reads correctly (the folded base, highest seq, wins the fold).
         for f in dirty_files:
             f.unlink(missing_ok=True)
         # a base dir whose every part-file was consumed is no longer a
@@ -640,6 +677,8 @@ class KeyedTable:
         for b, _r in base_ranges:
             if not any(b.glob("*.parquet")):
                 shutil.rmtree(b, ignore_errors=True)
+        for p in deltas:
+            shutil.rmtree(p, ignore_errors=True)
         return True
 
 

@@ -3,6 +3,8 @@ last-writer-wins by ts, cell-level put, pre-aggregated increment, row/column
 deletes, copy — the HBase behaviors re-expressed as deterministic merge
 writes (table.py)."""
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -523,3 +525,96 @@ def test_dirty_compaction_falls_back_for_string_keys(spark, tmp_path):
     assert len(layers) == 1 and layers[0].name.startswith("base-")
     got = {r["k"]: r["v"] for r in t.df().collect()}
     assert got["k005"] == 99 and len(got) == 20
+
+
+def test_dirty_compact_cell_delete_of_absent_keys_invents_no_rows(spark, tmp_path):
+    """A lone CELLDEL delta whose keys overlap NO base part-file must still
+    run the kind fold under scope='dirty': the marker rows are instructions,
+    not data — passing them through verbatim would surface all-null rows
+    for keys that never existed."""
+    t = KeyedTable(
+        spark, str(tmp_path / "cd_tbl"), key_col="k", ts_col="ts",
+        num_partitions=2, compact_threshold=50,
+    )
+    t.create(spark.createDataFrame([Row(k=i, ts=0, v=i) for i in range(10)]))
+    # cell-delete keys far outside the base key range -> zero dirty files
+    t.delete(spark.createDataFrame([Row(k=500), Row(k=501)]), columns=["v"])
+    t.compact(scope="dirty")
+    got = {r["k"] for r in t.df().collect()}
+    assert got == set(range(10)), "absent-key cell-deletes must not invent rows"
+    assert all(not p.name.startswith("delta-") for p in t._layers())
+
+
+def test_dirty_compact_lone_delta_dedups_in_batch_duplicates(spark, tmp_path):
+    """A lone ROW delta overlapping no base file must still get within-layer
+    LWW dedup under scope='dirty' — a passthrough would write both versions
+    of a duplicated key into the folded base."""
+    t = KeyedTable(
+        spark, str(tmp_path / "dup_tbl"), key_col="k", ts_col="ts",
+        num_partitions=2, compact_threshold=50,
+    )
+    t.create(spark.createDataFrame([Row(k=i, ts=0, v=i) for i in range(10)]))
+    t.update(
+        spark.createDataFrame([Row(k=500, ts=1, v=-1), Row(k=500, ts=2, v=-2)])
+    )
+    t.compact(scope="dirty")
+    got = [r for r in t.df().where(F.col("k") == 500).collect()]
+    assert len(got) == 1 and got[0]["v"] == -2 and got[0]["ts"] == 2
+
+
+def test_dirty_compact_crash_before_delta_cleanup_resurrects_nothing(spark, tmp_path, monkeypatch):
+    """Cleanup order is crash-safety-critical: superseded dirty base files
+    go BEFORE the delta layers that tombstone them. Simulate a crash after
+    the unlinks but before the delta rmtree — the deleted key must stay
+    deleted (old order left the base row visible with its tombstone gone),
+    and a re-run finishes the job."""
+    import spark_on_hbase_spark.table as tbl
+
+    t = KeyedTable(
+        spark, str(tmp_path / "crash_tbl"), key_col="k", ts_col="ts",
+        num_partitions=4, compact_threshold=50,
+    )
+    t.create(spark.createDataFrame([Row(k=i, ts=0, v=i) for i in range(1000)]))
+    t.delete(spark.createDataFrame([Row(k=5)]))
+    expected = {r["k"] for r in t.df().collect()}
+    assert 5 not in expected
+
+    real_rmtree = tbl.shutil.rmtree
+
+    def crashing_rmtree(path, *a, **kw):
+        if Path(path).name.startswith("delta-"):
+            raise RuntimeError("simulated crash before delta cleanup")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(tbl.shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.compact(scope="dirty")
+    monkeypatch.undo()
+
+    # mid-crash state reads correctly: tombstone delta still present, the
+    # superseded base file already gone -> no resurrection
+    assert {r["k"] for r in t.df().collect()} == expected
+    # and the interrupted compaction is re-runnable to a clean state
+    t.compact(scope="dirty")
+    assert {r["k"] for r in t.df().collect()} == expected
+    assert all(not p.name.startswith("delta-") for p in t._layers())
+
+
+def test_time_travel_past_dirty_compaction_raises(spark, tmp_path):
+    """Dirty compaction unlinks part-files from old base layers, so a
+    layer-prefix read predating it would be a silent PARTIAL snapshot —
+    it must fail loudly instead (full compaction already does, by leaving
+    no layers at the old seqs)."""
+    t = KeyedTable(
+        spark, str(tmp_path / "tt_tbl"), key_col="k", ts_col="ts",
+        num_partitions=4, compact_threshold=50,
+    )
+    t.create(spark.createDataFrame([Row(k=i, ts=0, v=i) for i in range(1000)]))
+    s0 = t.snapshot_seq()
+    t.update(spark.createDataFrame([Row(k=i, ts=1, v=-i) for i in range(10)]))
+    t.compact(scope="dirty")
+    with pytest.raises(ValueError, match="dirty"):
+        t.df(as_of_layer=s0)
+    # current reads are unaffected, including as-of the new snapshot
+    assert t.df().count() == 1000
+    assert t.df(as_of_layer=t.snapshot_seq()).count() == 1000
