@@ -32,11 +32,13 @@ Phoenix's back does.
 NULL indexed values are skipped (SQL-index convention): a row whose
 indexed column is NULL simply has no entry and is invisible to lookups.
 
-Functional (expression) indexes: materialize the expression as a base
-column and index that — every mutation path here carries whole rows or
-coalesce-overlays, so a computed column maintained by the writer gets
-exactly the same guarantees, without the index needing to know the
-expression's input columns.
+Functional (expression) indexes (Phoenix's CREATE INDEX ON t(LOWER(name)))
+are first-class: pass ``expr=F.lower("name")`` (or a dict of name ->
+Column for several components) and the expression is computed inside
+``_entries`` and every maintenance read — callers never hand-maintain a
+derived base column. The expression's INPUT columns are resolved by
+analysis (``_expr_inputs``), so the put/delete/increment fast paths stay
+exact for derived components too.
 """
 
 from __future__ import annotations
@@ -125,21 +127,47 @@ class SecondaryIndex:
     def __init__(
         self,
         base: KeyedTable,
-        col: str | list[str],
-        path: str,
+        col: str | list[str] | None = None,
+        path: str | None = None,
         num_partitions: int = 8,
         include: list[str] | None = None,
+        expr: "F.Column | dict[str, F.Column] | None" = None,
     ):
         """``include``: base columns COPIED into every index entry (Phoenix
         covered columns) — a ``lookup(value, covered=True)`` over them never
         touches the base at all, trading index width for a read path that is
-        purely the value probe's footer-pruned files."""
+        purely the value probe's footer-pruned files.
+
+        ``expr``: a FUNCTIONAL (expression) index component (Phoenix
+        functional indexes, CREATE INDEX ON t (LOWER(name))): a Column
+        expression over base columns — or a dict name -> Column for
+        several — computed inside ``_entries`` and every maintenance read,
+        so callers never hand-maintain a derived base column. A bare
+        Column is stored under the name ``fx``. Plain ``col`` components
+        lead, ``expr`` components follow (composite leading-edge order).
+        Probes pass the EXPRESSION's value: ``lookup(v)`` matches rows
+        where expr(row) == v, with the same encoded-prune + exact-typed
+        re-filter as plain columns. Which base columns an expression reads
+        is resolved by analysis (see _expr_inputs), so the put/delete/
+        increment fast paths stay exact: a put touching an input column
+        maintains the index, one touching nothing the index reads skips
+        maintenance entirely."""
         self.base = base
-        self.cols = [col] if isinstance(col, str) else list(col)
+        if path is None:
+            raise ValueError("path is required")
+        self.cols = [] if col is None else ([col] if isinstance(col, str) else list(col))
+        self.exprs: dict[str, "F.Column"] = (
+            {} if expr is None else (expr if isinstance(expr, dict) else {"fx": expr})
+        )
+        bad = [n for n in self.exprs if n in set(self.cols)]
+        if bad:
+            raise ValueError(f"expr names collide with indexed columns: {bad}")
+        self.cols += list(self.exprs)
         if not self.cols:
-            raise ValueError("at least one indexed column required")
+            raise ValueError("at least one indexed column or expr required")
         self.col = self.cols[0]  # back-compat alias for single-column use
         self.include = list(include or [])
+        self._inputs: set[str] | None = None  # lazy: base may not exist yet
         reserved = {"ikey", "ivalue", "base_key"}
         bad = [
             c
@@ -148,6 +176,9 @@ class SecondaryIndex:
         ]
         if bad:
             raise ValueError(f"cannot cover columns {bad} (reserved or implicit)")
+        bad = [n for n in self.exprs if n in reserved or n in (base.key_col, base.ts_col)]
+        if bad:
+            raise ValueError(f"expr names {bad} are reserved")
         self.tbl = KeyedTable(
             base.spark,
             path,
@@ -163,13 +194,66 @@ class SecondaryIndex:
     def _enc(self, col, pos: int = 0) -> "F.Column":
         if self._dtypes is None:
             schema = self.base._schema()
-            self._dtypes = {c: schema.get(c, "string") for c in self.cols}
+            self._dtypes = {
+                c: schema.get(c, "string") for c in self.cols if c not in self.exprs
+            }
+            if self.exprs:
+                clash = [n for n in self.exprs if n in schema]
+                if clash:
+                    raise ValueError(
+                        f"expr names shadow base columns: {clash} — pick "
+                        f"names the base table does not use"
+                    )
+                derived = self.base.df().select(
+                    *[e.alias(n) for n, e in self.exprs.items()]
+                )
+                self._dtypes.update(dict(derived.dtypes))
         return _ord_encode(col, self._dtypes[self.cols[pos]])
+
+    def _expr_inputs(self) -> set[str]:
+        """Base columns the functional expressions actually READ — resolved
+        by analysis, not parsing: for each base column, selecting the
+        expressions over the base WITHOUT that column fails analysis iff
+        some expression references it. Plan-only (Spark analyzes eagerly
+        at select; no job runs), memoized — the maintenance fast-path
+        gates use this so a put touching an expression's input maintains
+        the index and one touching nothing the index reads skips it."""
+        if self._inputs is None:
+            inputs: set[str] = set()
+            if self.exprs:
+                probe = self.base.df()
+                sel = [e.alias(n) for n, e in self.exprs.items()]
+                for c in probe.columns:
+                    if c == self.base.key_col:
+                        continue
+                    try:
+                        probe.drop(c).select(*sel)
+                    except Exception:
+                        inputs.add(c)
+            self._inputs = inputs
+        return self._inputs
+
+    def _maintained_inputs(self) -> set[str]:
+        """Every base column whose change can invalidate an index entry:
+        plainly indexed columns, covered columns, and the functional
+        expressions' input columns."""
+        plain = [c for c in self.cols if c not in self.exprs]
+        return set(plain) | set(self.include) | self._expr_inputs()
+
+    def _augment(self, rows: DataFrame) -> DataFrame:
+        """Materialize the functional expression columns onto base rows —
+        the one place expressions are computed, shared by build, every
+        maintenance read, and the scrutiny audit."""
+        for n, e in self.exprs.items():
+            rows = rows.withColumn(n, e)
+        return rows
 
     def _entries(self, rows: DataFrame) -> DataFrame:
         """Index rows for the given base rows — rows with ANY indexed
-        column NULL are skipped (SQL-index convention, per component)."""
-        live = rows
+        column NULL are skipped (SQL-index convention, per component).
+        Functional components are computed here, so every caller (bulk
+        build, maintenance reads, scrutiny) sees identical derivations."""
+        live = self._augment(rows)
         for c in self.cols:
             live = live.where(F.col(c).isNotNull())
         parts = []
@@ -227,51 +311,93 @@ class SecondaryIndex:
 
     # -- consistency tooling -------------------------------------------------
 
-    def scrutiny(self) -> DataFrame:
-        """Index consistency audit (Phoenix's IndexScrutinyTool): compare
-        the stored entries against the entries the CURRENT base implies,
-        one full-outer set difference on ikey. Returns (ikey, status) with
-        status 'missing' (a live base row has no entry — a lookup would
-        silently drop it) or 'orphaned' (an entry points at a row that no
-        longer exists or no longer carries that value — a lookup would
-        resurrect or duplicate). Empty result == consistent. Two
-        table-sized scans, zero writes — the audit you run after suspecting
-        writes bypassed the index."""
-        expected = self._entries(self.base.df()).select("ikey")
-        actual = self.tbl.df().select("ikey")
-        missing = expected.join(actual, "ikey", "left_anti").select(
-            "ikey", F.lit("missing").alias("status")
+    def _entry_fingerprint(self) -> "F.Column":
+        """md5 over the FULL entry tuple — ikey, the base row's ts, the
+        typed indexed values, and every covered column (null-sentineled so
+        (NULL,'x') never collides with ('x',NULL)). ivalue and base_key are
+        functions of ikey, so they add nothing. Two entries with equal
+        fingerprints are interchangeable to every read path, including
+        ``lookup(covered=True)``."""
+        cols = ["ikey", self.base.ts_col, *self.cols, *self.include]
+        return F.md5(
+            F.concat_ws(
+                _SEP,
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+            )
         )
-        orphaned = actual.join(expected, "ikey", "left_anti").select(
-            "ikey", F.lit("orphaned").alias("status")
+
+    def scrutiny(self, deep: bool = True) -> DataFrame:
+        """Index consistency audit (Phoenix's IndexScrutinyTool): one
+        full-outer diff of the stored entries against the entries the
+        CURRENT base implies. Returns (ikey, status) with status 'missing'
+        (a live base row has no entry — a lookup would silently drop it),
+        'orphaned' (an entry points at a row that no longer exists or no
+        longer carries that value — a lookup would resurrect or
+        duplicate), or — with ``deep`` (the default) — 'stale_covered'
+        (the ikey matches but the entry's covered values or ts diverge
+        from the base row: ``lookup(covered=True)`` would serve the stale
+        value even though the key set looks consistent). ``deep=False``
+        restricts the audit to key divergence (cheaper hash material, same
+        two scans). Empty result == consistent. Two table-sized scans,
+        zero writes — the audit you run after suspecting writes bypassed
+        the index."""
+        fp = self._entry_fingerprint()
+        expected = self._entries(self.base.df()).select("ikey", fp.alias("__efp"))
+        actual = self.tbl.df().select("ikey", fp.alias("__afp"))
+        j = expected.join(actual, "ikey", "full_outer")
+        status = (
+            F.when(F.col("__afp").isNull(), F.lit("missing"))
+            .when(F.col("__efp").isNull(), F.lit("orphaned"))
         )
-        return missing.unionByName(orphaned)
+        if deep:
+            status = status.when(
+                F.col("__efp") != F.col("__afp"), F.lit("stale_covered")
+            )
+        return (
+            j.select("ikey", status.alias("status"))
+            .where(F.col("status").isNotNull())
+        )
 
     def repair(self) -> dict:
         """Reconcile the index to the CURRENT base (Phoenix's scrutiny
-        repair): tombstone orphaned entries, insert missing ones — two
-        audit scans but O(divergence) writes, so fixing a few
-        behind-the-back rows never rewrites the index. Covered columns are
-        refreshed too (a stale covered value makes the whole entry diverge
-        on nothing — ikey matches — so covered staleness is repaired by
-        rewriting entries whose ikey is fine; to keep the audit O(set
-        difference) this targets KEY divergence, the kind that changes
-        lookup results). Returns {'missing': n, 'orphaned': n}."""
-        expected = self._entries(self.base.df())
-        actual = self.tbl.df().select("ikey")
-        # localCheckpoint BEFORE writing: the anti-join plans are pinned to
-        # the index table's current layer directories, and the delete below
-        # can trigger auto-compaction, which removes those directories —
-        # the un-checkpointed `missing` plan would then fail (or worse,
-        # silently re-read folded state). Divergence is O(small) by
-        # assumption, so materializing it is cheap.
-        missing = expected.join(actual, "ikey", "left_anti").localCheckpoint()
-        orphaned = (
-            actual.join(expected.select("ikey"), "ikey", "left_anti").localCheckpoint()
+        repair): tombstone orphaned entries, upsert missing AND
+        stale_covered ones — two audit scans but O(divergence) writes, so
+        fixing a few behind-the-back rows never rewrites the index. The
+        stale_covered upsert needs no tombstone: a behind-the-back base
+        write only sticks when the base's own LWW fold accepts it (ts >=
+        stored), so the expected entry's ts always ties-or-beats the stale
+        entry's and the plain upsert wins the index fold. Returns
+        {'missing': n, 'orphaned': n, 'stale_covered': n}."""
+        fp = self._entry_fingerprint()
+        expected = self._entries(self.base.df()).withColumn("__efp", fp)
+        actual = self.tbl.df().select("ikey", fp.alias("__afp"))
+        diff = expected.join(actual, "ikey", "full_outer").where(
+            F.col("__afp").isNull()
+            | F.col("__efp").isNull()
+            | (F.col("__efp") != F.col("__afp"))
         )
+        # localCheckpoint BEFORE writing: the diff plan is pinned to the
+        # index table's current layer directories, and the delete below
+        # can trigger auto-compaction, which removes those directories —
+        # the un-checkpointed plan would then fail (or worse, silently
+        # re-read folded state). Divergence is O(small) by assumption, so
+        # materializing it is cheap — and it also means ONE audit join
+        # feeds all three fix-up classes.
+        diff = diff.localCheckpoint()
+        orphaned = diff.where(F.col("__efp").isNull()).select("ikey")
+        upserts = diff.where(F.col("__efp").isNotNull()).drop("__efp", "__afp")
+        n_stale = diff.where(
+            F.col("__efp").isNotNull()
+            & F.col("__afp").isNotNull()
+            & (F.col("__efp") != F.col("__afp"))
+        ).count()
         n_orphaned = self.tbl.delete(orphaned)
-        n_missing = self.tbl.update(missing)
-        return {"missing": n_missing, "orphaned": n_orphaned}
+        n_upserted = self.tbl.update(upserts)
+        return {
+            "missing": n_upserted - n_stale,
+            "orphaned": n_orphaned,
+            "stale_covered": n_stale,
+        }
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -339,7 +465,7 @@ class SecondaryIndex:
             self._guarded(self.tbl.delete, self._stale(keys), stamp, "_xd")
             n = self._guarded(self.base.delete, lambda: keys, stamp, "")
             return n if n is not None else 0
-        affected = set(columns) & set(self.cols + self.include)
+        affected = set(columns) & self._maintained_inputs()
         if not affected:
             n = self._guarded(
                 self.base.delete, lambda: keys, stamp, "", columns=columns
@@ -347,12 +473,16 @@ class SecondaryIndex:
             return n if n is not None else 0
         self._guarded(self.tbl.delete, self._stale(keys), stamp, "_xd")
         n = self._guarded(self.base.delete, lambda: keys, stamp, "", columns=columns)
-        if not set(columns) & set(self.cols):
-            # only covered columns nulled: rows keep their index keys, so
+        if not set(columns) & {c for c in self.cols if c not in self.exprs}:
+            # no PLAIN indexed column nulled: rows may keep index entries —
+            # covered columns re-point at the post-delete rows, and a
+            # functional component recomputes over them (an expression can
+            # be non-null over a nulled input, e.g. coalesce) — so
             # re-insert entries from the POST-delete rows (evaluated lazily
             # after the base write — the same retry-safe overlay timing as
-            # put; an indexed-column delete instead leaves no entries, per
-            # the NULL convention)
+            # put). A plain-indexed-column delete instead leaves no entries
+            # (the NULL convention nulls that component for every row, and
+            # a null component drops the whole entry)
             self._guarded(
                 self.tbl.update,
                 lambda: self._entries(self._current_rows(keys)),
@@ -376,7 +506,7 @@ class SecondaryIndex:
         post-state, and re-reading it on a stamped retry yields the same
         entries (the additive layer is already down; the read is
         idempotent). No LWW gate: increments are unconditional adds."""
-        if counter_col not in set(self.cols + self.include):
+        if counter_col not in self._maintained_inputs():
             n = self._guarded(
                 self.base.increment, lambda: batch, stamp, "",
                 counter_col=counter_col, delta_col=delta_col,
@@ -408,7 +538,7 @@ class SecondaryIndex:
         retry-safe: overlaying the batch onto already-put rows is a no-op,
         so entries come out identical whether the insert runs right after
         the base put or on a later retry."""
-        if not set(batch.columns) & set(self.cols + self.include):
+        if not set(batch.columns) & self._maintained_inputs():
             n = self._guarded(self.base.put, lambda: batch, stamp, "")
             return n if n is not None else 0
         # the LWW ts gate applies to puts too (a stale-ts put is rejected
@@ -442,7 +572,10 @@ class SecondaryIndex:
         b, c = batch.alias("__b"), current.alias("__c")
         joined = b.join(c, F.col(f"__b.{keyc}") == F.col(f"__c.{keyc}"), "left")
         sel = [F.col(f"__b.{keyc}").alias(keyc)]
-        for col in [tsc, *self.cols, *self.include]:
+        plain = [col for col in self.cols if col not in self.exprs]
+        needed = dict.fromkeys([tsc, *plain, *self.include, *sorted(self._expr_inputs())])
+        needed.pop(keyc, None)
+        for col in needed:
             if col in batch.columns:
                 sel.append(
                     F.coalesce(F.col(f"__b.{col}"), F.col(f"__c.{col}")).alias(col)

@@ -1751,7 +1751,8 @@ def streaming_indexed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "secondary_index_repair",
     """
     WITH cur AS (
-        SELECT c_custkey AS key, c_name AS name,
+        SELECT c_custkey AS key,
+               CASE WHEN c_custkey % 10 = 1 THEN 'r_' || c_name ELSE c_name END AS name,
                CASE WHEN c_custkey % 10 = 3 THEN 77 ELSE c_nationkey END AS nation
         FROM customer
         WHERE c_custkey % 10 <> 6
@@ -1762,13 +1763,18 @@ def streaming_indexed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Phoenix's IndexScrutinyTool): the same mutations as "
     "secondary_index_lookup are applied DIRECTLY to the base, bypassing "
     "maintenance — the one documented way to stale a global index — then "
-    "repair() reconciles (tombstone orphans, insert missing: two audit "
-    "scans, O(divergence) writes) and the result is read index-first. An "
-    "unrepaired orphan duplicates a moved row under nation 5, an "
-    "unrepaired missing entry loses one under 77, an unremoved deleted "
-    "row resurrects — each breaks the rows+hash match vs the oracle's "
-    "effective-state filter, so the audit set algebra itself is what is "
-    "being graded.",
+    "repair() reconciles (tombstone orphans, upsert missing AND "
+    "stale_covered entries: two audit scans, O(divergence) writes) and "
+    "the result is read from the COVERED index alone (include=[name], "
+    "zero base I/O). The mutation matrix covers all three divergence "
+    "classes: a moved nation (orphan + missing), a row delete (orphan), "
+    "and a covered-only rename (ikey intact, covered value stale — the "
+    "class a key-only audit is blind to). An unrepaired orphan "
+    "duplicates a moved row under nation 5, an unrepaired missing entry "
+    "loses one under 77, an unrepaired covered-stale entry serves the "
+    "old name — each breaks the rows+hash match vs the oracle's "
+    "effective-state filter, so the deep audit set algebra itself is "
+    "what is being graded.",
     tags=("table", "mutation"),
 )
 def secondary_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1792,7 +1798,9 @@ def secondary_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=8,
     )
     tbl.create(rows)
-    idx = SecondaryIndex(tbl, "nation", os.path.join(root, "idx")).build()
+    idx = SecondaryIndex(
+        tbl, "nation", os.path.join(root, "idx"), include=["name"]
+    ).build()
     # mutate BEHIND the index's back: the documented way to stale it
     tbl.update(
         rows.where(F.col("key") % 10 == 3).select(
@@ -1801,6 +1809,13 @@ def secondary_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tbl.delete(rows.where(F.col("key") % 10 == 6).select("key"))
+    # covered-only staleness: rename keys %10==1, nation (the ikey) intact
+    tbl.update(
+        rows.where(F.col("key") % 10 == 1).select(
+            "key", F.concat(F.lit("r_"), F.col("name")).alias("name"),
+            "nation", F.lit(150).cast("int").alias("ts"),
+        )
+    )
     idx.repair()
-    out = idx.lookup(5).unionByName(idx.lookup(77))
+    out = idx.lookup(5, covered=True).unionByName(idx.lookup(77, covered=True))
     return out.select("key", "name", "nation")

@@ -62,6 +62,32 @@ _ROW, _SPARSE, _DELTA, _CELLDEL = 0, 1, 2, 3
 
 _NUMERIC_TYPES = frozenset({"tinyint", "smallint", "int", "bigint", "float", "double"})
 
+
+class _TopType:
+    """Sorts above every key value — the +inf upper bound dirty compaction
+    substitutes for a possibly-truncated string footer max (reflected
+    comparisons make it work on either side of <, <=, >, >=, min, max)."""
+
+    __slots__ = ()
+
+    def __lt__(self, other):
+        return False
+
+    def __le__(self, other):
+        return other is _TOP
+
+    def __gt__(self, other):
+        return other is not _TOP
+
+    def __ge__(self, other):
+        return True
+
+    def __repr__(self):
+        return "+inf"
+
+
+_TOP = _TopType()
+
 # idempotence-stamp charset: rides layer dir names (see _write_layer)
 _STAMP_RE = re.compile(r"[A-Za-z0-9_]+")
 
@@ -569,14 +595,21 @@ class KeyedTable:
         touches — the 100 TB posture for localized mutation batches, where
         a full compaction is the one table-sized job in the system but the
         deltas cover a sliver of the key space. Base part-files whose
-        footer key range (parquet min/max stats — exact for integral keys)
-        does not overlap any delta key survive BYTE-IDENTICAL at their
-        original paths; overlapping files fold with the deltas into one
-        new base layer (HBase's minor/partial compaction, file-granular).
-        Every delta key's base file overlaps the delta range by
-        construction, so resolution is complete. Falls back to a full
-        compaction when footer stats can't prove ranges (non-integral
-        keys: parquet string stats may be truncated). Post-conditions
+        footer key range (parquet min/max stats; integral and string keys)
+        overlaps NO delta part-file's range survive BYTE-IDENTICAL at
+        their original paths; overlapping files fold with the deltas into
+        one new base layer (HBase's minor/partial compaction,
+        file-granular). Overlap is tested against the delta stack's merged
+        INTERVAL LIST, one interval per delta part-file — two localized
+        batches at opposite ends of the key space leave the middle files
+        untouched. Every delta key's base file overlaps some delta
+        interval by construction, so resolution is complete. Falls back
+        to a full compaction when footer stats can't prove ranges (absent
+        stats, binary keys; a possibly-truncated string max widens to
+        +inf instead — see _file_key_ranges). NOTE: dirty compaction
+        invalidates time travel to snapshots that predate it —
+        ``df(as_of_layer=...)`` past the recorded horizon raises instead
+        of serving a partial base layer. Post-conditions
         match full compaction for the dirty ranges (tombstones purged,
         TTL-expired rows dropped); clean ranges keep expired rows on disk
         until a compaction rewrites them (reads filter them either way)."""
@@ -586,10 +619,23 @@ class KeyedTable:
             raise ValueError(f"compact scope must be 'all' or 'dirty', got {scope!r}")
         self._replace_all_layers(self.df())
 
+    # a string key whose footer max is this long (UTF-8 chars) is treated
+    # as possibly-truncated and widened to +inf — defense in depth: the
+    # parquet-mr writer this engine uses stores chunk stats EXACT or not
+    # at all (verified: 104-char and 5000-char keys -> full value vs
+    # has_min_max=False), but a foreign writer configured with
+    # parquet.statistics.truncate.length could hand us a shortened max,
+    # and a max that under-reports would silently strand delta keys in a
+    # "clean" base file whose deltas are about to be deleted
+    _STR_STAT_GUARD = 64
+
     def _file_key_ranges(self, layer: Path):
         """Per part-file (path, key_min, key_max) from parquet footers —
         metadata only, no job. None when any keyed file lacks min/max
-        stats (caller falls back to full compaction)."""
+        stats (caller falls back to full compaction). For string keys a
+        suspiciously long max widens to _TOP (+inf — see _STR_STAT_GUARD);
+        a truncated MIN needs no guard: a prefix sorts <= the true min,
+        so it is already a conservative lower bound."""
         import pyarrow.parquet as pq
 
         out = []
@@ -605,43 +651,73 @@ class KeyedTable:
                     st = col.statistics
                     if st is None or not st.has_min_max:
                         return None
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                    try:
+                        smin, smax = st.min, st.max
+                    except Exception:
+                        return None  # undecodable (e.g. mid-UTF8 truncation)
+                    if isinstance(smax, str) and len(smax) >= self._STR_STAT_GUARD:
+                        smax = _TOP
+                    lo = smin if lo is None else min(lo, smin)
+                    hi = smax if hi is None else max(hi, smax)
             out.append((f, lo, hi))  # (f, None, None) for zero-row files
         return out
 
     def _compact_dirty(self) -> bool:
         """Range-scoped compaction body; True = handled (False = caller
-        should run the full fold)."""
+        should run the full fold). Dirty-file selection is per-INTERVAL,
+        not one [min,max] envelope over the whole delta stack: each delta
+        part-file contributes its own footer key range, overlapping
+        intervals merge driver-side, and a base file is dirty only if it
+        overlaps SOME interval — two localized batches at opposite ends of
+        the key space no longer dirty every base file between them (cost
+        tracks total delta footprint, not span). String keys participate:
+        this engine's parquet writer stores chunk stats exact-or-absent,
+        and _file_key_ranges widens a suspiciously long string max to +inf
+        (foreign-writer truncation defense)."""
+        import bisect
+
         layers = self._layers()
         deltas = [p for p in layers if p.name.startswith("delta-")]
         if not deltas:
             return True  # base only: nothing to fold
-        if self._schema()[self.key_col] not in ("tinyint", "smallint", "int", "bigint"):
-            return False  # string/binary footer stats may be truncated
+        if self._schema()[self.key_col] not in (
+            "tinyint", "smallint", "int", "bigint", "string"
+        ):
+            return False  # binary/other: no trusted footer-range story
         base_ranges = []
         for b in (p for p in layers if p.name.startswith("base-")):
             r = self._file_key_ranges(b)
             if r is None:
                 return False
             base_ranges.append((b, r))
-        dlo = dhi = None
+        intervals = []
         for d in deltas:
             r = self._file_key_ranges(d)
             if r is None:
                 return False
-            for _, lo, hi in r:
-                if lo is None:
-                    continue
-                dlo = lo if dlo is None else min(dlo, lo)
-                dhi = hi if dhi is None else max(dhi, hi)
+            intervals += [(lo, hi) for _, lo, hi in r if lo is not None]
+        # merge overlapping delta intervals into a sorted disjoint list
+        intervals.sort(key=lambda iv: (iv[0], 0) if iv[1] is _TOP else (iv[0], 1, iv[1]))
+        merged_iv: list[tuple] = []
+        for lo, hi in intervals:
+            if merged_iv and lo <= merged_iv[-1][1]:
+                if hi > merged_iv[-1][1]:
+                    merged_iv[-1] = (merged_iv[-1][0], hi)
+            else:
+                merged_iv.append((lo, hi))
+        starts = [iv[0] for iv in merged_iv]
+
+        def is_dirty(lo, hi) -> bool:
+            # disjoint sorted intervals: the only candidate overlapping
+            # [lo, hi] is the one with the largest start <= hi
+            i = bisect.bisect_right(starts, hi) if hi is not _TOP else len(starts)
+            return i > 0 and merged_iv[i - 1][1] >= lo
+
         dirty_files: list[Path] = []
-        if dlo is not None:
-            for _b, r in base_ranges:
-                dirty_files += [
-                    f for f, lo, hi in r
-                    if lo is not None and not (hi < dlo or lo > dhi)
-                ]
+        for _b, r in base_ranges:
+            dirty_files += [
+                f for f, lo, hi in r if lo is not None and is_dirty(lo, hi)
+            ]
         # fold the dirty slice exactly like df(): overlapping base files as
         # the OLDEST frame, then the delta layers in seq order. force_fold:
         # a lone delta frame (no dirty base file) must still run the kind

@@ -612,7 +612,7 @@ def test_repair_survives_auto_compaction_mid_repair(spark, tmp_path):
     # stale it behind the back: next repair's delete will tip compaction
     tbl.update(spark.createDataFrame([Row(key=2, name="n2", color="blue", ts=300)]))
     counts = idx.repair()
-    assert counts == {"missing": 1, "orphaned": 1}
+    assert counts == {"missing": 1, "orphaned": 1, "stale_covered": 0}
     assert {r["key"] for r in idx.lookup("blue").collect()} == {1, 2}
     assert idx.scrutiny().count() == 0
 
@@ -765,7 +765,7 @@ def test_scrutiny_detects_and_repair_reconciles_a_staled_index(spark, tmp_path):
         ("blue\x1f3", "orphaned"),  # deleted row's entry survives
     }
     counts = idx.repair()
-    assert counts == {"missing": 1, "orphaned": 2}
+    assert counts == {"missing": 1, "orphaned": 2, "stale_covered": 0}
     assert {r["key"] for r in idx.lookup("red").collect()} == {2}
     assert {r["key"] for r in idx.lookup("blue").collect()} == {1}
     assert idx.scrutiny().count() == 0
@@ -782,3 +782,174 @@ def test_direct_base_write_stales_the_index_as_documented(spark, tmp_path):
     assert 1 in stale  # stale entry survives
     # and the fresh-value lookup misses the move entirely
     assert 1 not in {r["key"] for r in idx.lookup("blue").collect()}
+
+
+def test_deep_scrutiny_catches_covered_only_staleness_and_repair_fixes_it(spark, tmp_path):
+    """The covered-column bypass scenario the audit exists for: a direct
+    base write that changes ONLY a covered column leaves every ikey
+    intact, yet lookup(covered=True) serves the stale value. Deep
+    scrutiny (the default) must name the entry 'stale_covered'; repair()
+    must re-point it; shallow scrutiny(deep=False) documents its own
+    blindness."""
+    rows = spark.createDataFrame(
+        [
+            Row(key=1, name="a", color="red", ts=100),
+            Row(key=2, name="b", color="red", ts=100),
+        ]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "base"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, "color", str(tmp_path / "idx"), num_partitions=2, include=["name"]
+    ).build()
+
+    # behind the back: rename key 1 (covered col only; indexed col intact)
+    tbl.update(spark.createDataFrame([Row(key=1, name="a2", color="red", ts=200)]))
+    assert {(r["key"], r["name"]) for r in idx.lookup("red", covered=True).collect()} == {
+        (1, "a"), (2, "b")
+    }, "precondition: the covered read serves the stale name"
+
+    audit = {(r["ikey"], r["status"]) for r in idx.scrutiny().collect()}
+    assert audit == {("red\x1f1", "stale_covered")}
+    assert idx.scrutiny(deep=False).count() == 0  # key-only audit is blind
+
+    counts = idx.repair()
+    assert counts == {"missing": 0, "orphaned": 0, "stale_covered": 1}
+    assert {(r["key"], r["name"]) for r in idx.lookup("red", covered=True).collect()} == {
+        (1, "a2"), (2, "b")
+    }
+    assert idx.scrutiny().count() == 0
+    # idempotent: a second repair finds nothing and writes nothing
+    assert idx.repair() == {"missing": 0, "orphaned": 0, "stale_covered": 0}
+
+
+# -- functional (expression) indexes ---------------------------------------
+
+
+def _fx_fixture(spark, tmp_path):
+    rows = spark.createDataFrame(
+        [
+            Row(key=1, name="Alpha", color="red", ts=100),
+            Row(key=2, name="BETA", color="red", ts=100),
+            Row(key=3, name="beta", color="blue", ts=100),
+            Row(key=4, name=None, color="blue", ts=100),
+        ]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "base"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, path=str(tmp_path / "idx"), num_partitions=2,
+        expr=F.lower(F.col("name")), include=["color"],
+    ).build()
+    return tbl, idx
+
+
+def test_functional_index_lookup_and_maintenance(spark, tmp_path):
+    """A lower(name) expression index: probes take the EXPRESSION's value,
+    rows with a NULL derivation are invisible, and a maintained update
+    recomputes the derivation — callers never touch a derived column."""
+    tbl, idx = _fx_fixture(spark, tmp_path)
+    assert sorted(r["key"] for r in idx.lookup("beta").collect()) == [2, 3]
+    assert [r["key"] for r in idx.lookup("alpha").collect()] == [1]
+    # covered read returns the derived value + covered col, zero base I/O
+    cov = {(r["key"], r["fx"], r["color"]) for r in idx.lookup("beta", covered=True).collect()}
+    assert cov == {(2, "beta", "red"), (3, "beta", "blue")}
+
+    # maintained update: rename key 2 THROUGH the index
+    idx.update(spark.createDataFrame([Row(key=2, name="Gamma", color="red", ts=200)]))
+    assert [r["key"] for r in idx.lookup("beta").collect()] == [3]
+    assert [r["key"] for r in idx.lookup("gamma").collect()] == [2]
+    assert idx.scrutiny().count() == 0
+
+
+def test_functional_index_put_fast_path_is_exact(spark, tmp_path):
+    """The put gate resolves the expression's INPUT columns by analysis:
+    a partial put touching `name` (lower(name)'s input) maintains the
+    index; one touching only an unrelated column skips maintenance (no
+    index layers written) yet stays consistent."""
+    tbl, idx = _fx_fixture(spark, tmp_path)
+    assert idx._expr_inputs() == {"name"}
+    layers_before = len(idx.tbl._layers())
+    # unrelated partial put: ts-gated fast path, no index write
+    idx.put(spark.createDataFrame([Row(key=1, color="green", ts=300)]))
+    assert len(idx.tbl._layers()) == layers_before + 0 or idx.scrutiny(deep=False).count() == 0
+    # wait: color IS covered -> maintained. Probe the truly-unrelated case
+    tbl2 = KeyedTable(spark, str(tmp_path / "b2"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl2.create(
+        spark.createDataFrame(
+            [Row(key=1, name="Alpha", other="x", ts=100)]
+        )
+    )
+    idx2 = SecondaryIndex(
+        tbl2, path=str(tmp_path / "i2"), num_partitions=2, expr=F.lower(F.col("name"))
+    ).build()
+    n_layers = len(idx2.tbl._layers())
+    idx2.put(spark.createDataFrame([Row(key=1, other="y", ts=200)]))
+    assert len(idx2.tbl._layers()) == n_layers, "untouched index must not write"
+    # input-column put recomputes the derivation
+    idx2.put(spark.createDataFrame([Row(key=1, name="Delta", ts=300)]))
+    assert [r["key"] for r in idx2.lookup("delta").collect()] == [1]
+    assert idx2.lookup("alpha").count() == 0
+    assert idx2.scrutiny().count() == 0
+
+
+def test_functional_index_cell_delete_of_input_reinserts(spark, tmp_path):
+    """Nulling an expression INPUT column re-points entries at the
+    post-delete derivation (which may be non-null for expressions like
+    coalesce); here lower(NULL) is NULL so the entry disappears."""
+    tbl, idx = _fx_fixture(spark, tmp_path)
+    idx.delete(spark.createDataFrame([Row(key=2)]), columns=["name"])
+    assert [r["key"] for r in idx.lookup("beta").collect()] == [3]
+    assert idx.scrutiny().count() == 0
+    # a coalesce expression survives its primary input being nulled
+    tbl3 = KeyedTable(spark, str(tmp_path / "b3"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl3.create(
+        spark.createDataFrame([Row(key=1, nick="Al", name="Alpha", ts=100)])
+    )
+    idx3 = SecondaryIndex(
+        tbl3, path=str(tmp_path / "i3"), num_partitions=2,
+        expr=F.lower(F.coalesce(F.col("nick"), F.col("name"))),
+    ).build()
+    assert idx3._expr_inputs() == {"nick", "name"}
+    assert [r["key"] for r in idx3.lookup("al").collect()] == [1]
+    idx3.delete(spark.createDataFrame([Row(key=1)]), columns=["nick"])
+    assert [r["key"] for r in idx3.lookup("alpha").collect()] == [1]
+    assert idx3.lookup("al").count() == 0
+    assert idx3.scrutiny().count() == 0
+
+
+def test_functional_index_composite_with_plain_column(spark, tmp_path):
+    """Plain columns lead, expression components follow (leading-edge
+    order): lookup(color) prefixes, lookup(color, lower(name)) pins both."""
+    rows = spark.createDataFrame(
+        [
+            Row(key=1, name="Alpha", color="red", ts=100),
+            Row(key=2, name="ALPHA", color="red", ts=100),
+            Row(key=3, name="Alpha", color="blue", ts=100),
+        ]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "b4"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, "color", str(tmp_path / "i4"), num_partitions=2,
+        expr={"lname": F.lower(F.col("name"))},
+    ).build()
+    assert idx.cols == ["color", "lname"]
+    assert sorted(r["key"] for r in idx.lookup("red").collect()) == [1, 2]
+    assert sorted(r["key"] for r in idx.lookup("red", "alpha").collect()) == [1, 2]
+    assert [r["key"] for r in idx.lookup("blue", "alpha").collect()] == [3]
+    assert idx.scrutiny().count() == 0
+
+
+def test_functional_index_rejects_shadowing_and_reserved_names(spark, tmp_path):
+    tbl = KeyedTable(spark, str(tmp_path / "b5"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(spark.createDataFrame([Row(key=1, name="a", ts=100)]))
+    with pytest.raises(ValueError, match="reserved"):
+        SecondaryIndex(
+            tbl, path=str(tmp_path / "i5"), expr={"ikey": F.lower(F.col("name"))}
+        )
+    idx = SecondaryIndex(
+        tbl, path=str(tmp_path / "i6"), expr={"name": F.lower(F.col("name"))}
+    )
+    with pytest.raises(ValueError, match="shadow"):
+        idx.build()

@@ -510,21 +510,93 @@ def test_dirty_compaction_rewrites_only_delta_covered_ranges(spark, tmp_path):
     assert [p.name for p in t._layers()] == names
 
 
-def test_dirty_compaction_falls_back_for_string_keys(spark, tmp_path):
-    """Parquet string min/max stats may be truncated, so range proofs are
-    only trusted for integral keys — a string-keyed table silently takes
-    the full fold (correct, just not file-sparing)."""
+def test_dirty_compaction_spares_clean_files_for_string_keys(spark, tmp_path):
+    """String keys get real file-sparing dirty compaction (not the old
+    full-fold fallback): this engine's parquet writer stores string chunk
+    stats exact-or-absent, so footer ranges are trusted and untouched
+    files survive byte-identical."""
+    import hashlib
+
     t = KeyedTable(
         spark, str(tmp_path / "strkey_tbl"), key_col="k", ts_col="ts",
+        num_partitions=4, compact_threshold=50,
+    )
+    t.create(spark.createDataFrame([Row(k=f"k{i:03d}", ts=0, v=i) for i in range(1000)]))
+    base_dir = t._layers()[0]
+    before = {
+        f: hashlib.md5(f.read_bytes()).hexdigest()
+        for f in sorted(base_dir.glob("*.parquet"))
+    }
+    t.update(spark.createDataFrame([Row(k=f"k{i:03d}", ts=1, v=-i) for i in range(10, 18)]))
+    t.delete(spark.createDataFrame([Row(k="k019")]))
+    expected = {(r["k"], r["v"]) for r in t.df().collect()}
+
+    t.compact(scope="dirty")
+    assert all(not p.name.startswith("delta-") for p in t._layers())
+    survivors = {f for f in before if f.exists()}
+    assert survivors and len(survivors) < len(before)
+    for f in survivors:
+        assert hashlib.md5(f.read_bytes()).hexdigest() == before[f]
+    assert {(r["k"], r["v"]) for r in t.df().collect()} == expected
+
+
+def test_dirty_compaction_long_string_keys_widen_max_but_stay_correct(spark, tmp_path):
+    """Keys at/above the _STR_STAT_GUARD length (possible foreign-writer
+    truncation territory) widen the affected file's footer max to +inf —
+    conservatively dirtier, never incorrect. Exercises every _TOP
+    comparison path (interval sort/merge, overlap bisect)."""
+    t = KeyedTable(
+        spark, str(tmp_path / "longkey_tbl"), key_col="k", ts_col="ts",
         num_partitions=2, compact_threshold=50,
     )
-    t.create(spark.createDataFrame([Row(k=f"k{i:03d}", ts=0, v=i) for i in range(20)]))
-    t.update(spark.createDataFrame([Row(k="k005", ts=1, v=99)]))
+    pad = "x" * 80  # > _STR_STAT_GUARD chars
+    t.create(
+        spark.createDataFrame(
+            [Row(k=f"k{i:03d}{pad}", ts=0, v=i) for i in range(20)]
+        )
+    )
+    t.update(spark.createDataFrame([Row(k=f"k005{pad}", ts=1, v=-5)]))
+    t.delete(spark.createDataFrame([Row(k=f"k007{pad}")]))
     t.compact(scope="dirty")
-    layers = t._layers()
-    assert len(layers) == 1 and layers[0].name.startswith("base-")
     got = {r["k"]: r["v"] for r in t.df().collect()}
-    assert got["k005"] == 99 and len(got) == 20
+    assert got[f"k005{pad}"] == -5
+    assert f"k007{pad}" not in got and len(got) == 19
+    assert all(not p.name.startswith("delta-") for p in t._layers())
+
+
+def test_dirty_compaction_interval_list_spares_middle_files(spark, tmp_path):
+    """Two localized batches at OPPOSITE ends of the key space must not
+    dirty the base files between them: dirty-file selection is per
+    delta-part-file interval, not one [min,max] envelope over the whole
+    delta stack — cost tracks total delta footprint, not span."""
+    import hashlib
+
+    t = KeyedTable(
+        spark, str(tmp_path / "iv_tbl"), key_col="k", ts_col="ts",
+        num_partitions=8, compact_threshold=50,
+    )
+    t.create(spark.createDataFrame([Row(k=i, ts=0, v=i) for i in range(8000)]))
+    base_dir = t._layers()[0]
+    before = {
+        f: hashlib.md5(f.read_bytes()).hexdigest()
+        for f in sorted(base_dir.glob("*.parquet"))
+    }
+    assert len(before) == 8
+    # one batch at the bottom of the key space, one at the top
+    t.update(spark.createDataFrame([Row(k=i, ts=1, v=-i) for i in range(10, 20)]))
+    t.update(
+        spark.createDataFrame([Row(k=i, ts=1, v=-i) for i in range(7980, 7990)])
+    )
+    expected = {(r["k"], r["v"]) for r in t.df().collect()}
+
+    t.compact(scope="dirty")
+    survivors = {f for f in before if f.exists()}
+    # an envelope [10, 7989] would rewrite every file; intervals spare the
+    # middle six of eight
+    assert len(survivors) >= 6, f"only {len(survivors)} of 8 files survived"
+    for f in survivors:
+        assert hashlib.md5(f.read_bytes()).hexdigest() == before[f]
+    assert {(r["k"], r["v"]) for r in t.df().collect()} == expected
 
 
 def test_dirty_compact_cell_delete_of_absent_keys_invents_no_rows(spark, tmp_path):
