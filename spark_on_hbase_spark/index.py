@@ -721,6 +721,73 @@ class SecondaryIndex:
             hi_enc = F.concat(pfx, F.lit(_SEP), hi_enc)
         return self._read(lo_enc, hi_enc, covered, exact)
 
+    # skip-scan prefix budget: more distinct leading tuples than this and
+    # the union-of-ranges plan stops paying for itself — degrade to one
+    # full index scan with the exact typed predicate (still index-only)
+    MAX_SKIP_PREFIXES = 1000
+
+    def lookup_skip(self, covered: bool = False, **fixed) -> DataFrame:
+        """Phoenix's OTHER signature read, the SKIP SCAN: probe a
+        non-leading composite column WITHOUT fixing the columns before it
+        — ``idx.lookup_skip(col2=v)`` on an index over (col1, col2). A
+        B-tree (and this index's sorted-ikey layout) cannot range-prune
+        such a probe directly; the skip scan recovers pruning by
+        ENUMERATING the distinct leading-column tuples (one scan of the
+        index itself — never the base), then probing each enumerated
+        prefix as an ikey range, all ranges OR-ed into ONE index read so
+        parquet footer stats prune to the files covering any matched
+        prefix. ``fixed`` maps column names (plain or functional) to
+        equality values; any subset may be fixed — unfixed columns BEFORE
+        the last fixed one are enumerated, trailing unfixed columns match
+        everything (leading-edge semantics on each enumerated prefix).
+
+        Degradations, all index-only (the base is still never predicate-
+        scanned): more than MAX_SKIP_PREFIXES distinct leading tuples, or
+        a non-order-preserving encoding among the prefix columns, fall
+        back to one full index scan with the exact typed predicate.
+
+        At 100 TB this is the low-leading-cardinality weapon: an index on
+        (region, user_id) probed by user_id reads |regions| prefix ranges
+        — O(|regions| + result) files — instead of scanning the table or
+        the whole index."""
+        unknown = [c for c in fixed if c not in self.cols]
+        if unknown:
+            raise ValueError(f"not indexed columns: {unknown} (index is {self.cols})")
+        if not fixed:
+            raise ValueError("lookup_skip needs at least one column=value")
+        pos = {c: self.cols.index(c) for c in fixed}
+        last = max(pos.values())
+        exact = None
+        for c, v in fixed.items():
+            p = F.col(c) == F.lit(v).cast(self._dtype_of(pos[c]))
+            exact = p if exact is None else (exact & p)
+        enum_cols = [c for c in self.cols[:last] if c not in fixed]
+        if not enum_cols:
+            # the fixed set IS a leading prefix — a plain leading-edge probe
+            return self.lookup(
+                *[fixed[c] for c in self.cols[: last + 1]], covered=covered
+            )
+        if not all(_order_preserving(self._dtype_of(i)) for i in range(last + 1)):
+            return self._finish(self.tbl.df().where(exact), covered)
+        # enumerate distinct leading tuples FROM THE INDEX, constrained by
+        # whatever fixed columns fall inside the prefix
+        prefix_cols = self.cols[: last + 1]
+        src = self.tbl.df().select(*prefix_cols)
+        for c, v in fixed.items():
+            src = src.where(F.col(c) == F.lit(v).cast(self._dtype_of(pos[c])))
+        tuples = src.distinct().limit(self.MAX_SKIP_PREFIXES + 1).collect()
+        if len(tuples) > self.MAX_SKIP_PREFIXES:
+            return self._finish(self.tbl.df().where(exact), covered)
+        if not tuples:
+            return self._finish(self.tbl.df().where(exact & F.lit(False)), covered)
+        k, pred = F.col("ikey"), None
+        for r in tuples:
+            pfx = self._prefix_enc([r[c] for c in prefix_cols])
+            rng = (k >= pfx) & (k <= F.concat(pfx, F.lit("\x20")))
+            pred = rng if pred is None else (pred | rng)
+        probe = self.tbl._layer_frames(pred, None).where(exact)
+        return self._finish(probe, covered)
+
     def _dtype_of(self, pos: int) -> str:
         if self._dtypes is None:
             self._enc(F.lit(None), 0)  # force dtype resolution
@@ -774,6 +841,12 @@ class SecondaryIndex:
             probe = self.tbl.range_read(lo_enc, F.concat(hi_enc, F.lit("\x20")))
         if exact is not None:
             probe = probe.where(exact)
+        return self._finish(probe, covered)
+
+    def _finish(self, probe: DataFrame, covered: bool) -> DataFrame:
+        """Turn a resolved index-entry probe into the caller's result:
+        covered -> answer from the entries alone; uncovered -> multiget
+        the base for the matched keys."""
         if covered:
             return probe.select(
                 F.col("base_key").alias(self.base.key_col),

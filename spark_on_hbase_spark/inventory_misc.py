@@ -1434,11 +1434,154 @@ def grouped_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Shared secondary-index fixture (VERDICT r6 item 8): the index read
+# queries used to rebuild table+index+mutation-matrix PER RUN (~5-9s each,
+# ~37s of the round-6 bench total), so their timings measured fixture
+# construction, not the read path. The fixture is now built ONCE per
+# (session, sf_dir) — memoized on the on-disk root, pre-paid by a bench
+# WARMER so it lands under "builds" — and the queries are pure reads over
+# the post-mutation state. The mutation matrices still run (once, through
+# the index, so maintenance is still what the answers depend on); repair
+# and streaming keep private fixtures because they stale/mutate state per
+# run. keyed_point_read's (index-free) table rides along.
+# ---------------------------------------------------------------------------
+
+_SEC_IDX_FIXTURE_DONE: set[str] = set()
+
+
+def _sec_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    from spark_on_hbase_spark.index import SecondaryIndex
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sec_idx_fix_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    tbl_nation = KeyedTable(
+        spark, os.path.join(root, "nation_base"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    idx_nation = SecondaryIndex(
+        tbl_nation, "nation", os.path.join(root, "nation_idx"), include=["name"]
+    )
+    tbl_bal = KeyedTable(
+        spark, os.path.join(root, "bal_base"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    idx_bal = SecondaryIndex(tbl_bal, "bal", os.path.join(root, "bal_idx"))
+    tbl_point = KeyedTable(
+        spark, os.path.join(root, "point"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    tbl_fx = KeyedTable(
+        spark, os.path.join(root, "fx_base"), key_col="key", ts_col="ts",
+        num_partitions=8,
+    )
+    idx_fx = SecondaryIndex(
+        tbl_fx, path=os.path.join(root, "fx_idx"),
+        expr={"last": F.substring(F.col("name"), -1, 1)},
+    )
+    # composite (nation, band) index for the skip scan — built AFTER the
+    # nation mutation matrix (read-only over the post-mutation state)
+    idx_comp = SecondaryIndex(
+        tbl_nation, ["nation", "band"], os.path.join(root, "comp_idx")
+    )
+    if root not in _SEC_IDX_FIXTURE_DONE:
+        shutil.rmtree(root, ignore_errors=True)
+        cust = load(spark, sf_dir, "customer")
+        # nation-indexed table (covered): rename+move %10==3 -> 77, delete %10==6
+        rows = cust.select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            (F.col("c_custkey") % 13).cast("bigint").alias("band"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+        tbl_nation.create(rows)
+        idx_nation.build()
+        idx_nation.update(
+            rows.where(F.col("key") % 10 == 3).select(
+                "key",
+                F.concat(F.lit("renamed #"), F.col("key").cast("string")).alias("name"),
+                F.lit(77).cast("bigint").alias("nation"),
+                "band",
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        idx_nation.delete(rows.where(F.col("key") % 10 == 6).select("key"))
+        idx_comp.build()
+        # functional-index table: append '#Z' to names %8==3 THROUGH the
+        # expression index (last-char derivation recomputed by maintenance),
+        # row-delete %8==5
+        frows = cust.select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+        tbl_fx.create(frows)
+        idx_fx.build()
+        idx_fx.update(
+            frows.where(F.col("key") % 8 == 3).select(
+                "key",
+                F.concat(F.col("name"), F.lit("#Z")).alias("name"),
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        idx_fx.delete(frows.where(F.col("key") % 8 == 5).select("key"))
+        # bal-indexed table: +2,000,000 cents for %9==4, delete %9==7
+        brows = cust.select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+        tbl_bal.create(brows)
+        idx_bal.build()
+        idx_bal.update(
+            brows.where(F.col("key") % 9 == 4).select(
+                "key", "name",
+                (F.col("bal") + F.lit(2000000)).alias("bal"),
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        idx_bal.delete(brows.where(F.col("key") % 9 == 7).select("key"))
+        # index-free multiget table: rename %7==2 at ts 200, tombstone %7==5
+        prows = cust.select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+        tbl_point.create(prows)
+        tbl_point.update(
+            prows.where(F.col("key") % 7 == 2).select(
+                "key",
+                F.concat(F.lit("moved #"), F.col("key").cast("string")).alias("name"),
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        tbl_point.delete(prows.where(F.col("key") % 7 == 5).select("key"))
+        _SEC_IDX_FIXTURE_DONE.add(root)
+    return {
+        "idx_nation": idx_nation,
+        "idx_bal": idx_bal,
+        "tbl_point": tbl_point,
+        "idx_fx": idx_fx,
+        "idx_comp": idx_comp,
+    }
+
+
+warmer("sec_index_fixture")(_sec_index_fixture)
+
+
 @query(
     "secondary_index_lookup",
     """
     WITH cur AS (
-        SELECT c_custkey AS key, c_name AS name,
+        SELECT c_custkey AS key,
+               CASE WHEN c_custkey % 10 = 3
+                    THEN 'renamed #' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_name END AS name,
                CASE WHEN c_custkey % 10 = 3 THEN 77 ELSE c_nationkey END AS nation
         FROM customer
         WHERE c_custkey % 10 <> 6
@@ -1462,36 +1605,7 @@ def grouped_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("table", "join", "mutation"),
 )
 def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_on_hbase_spark.index import SecondaryIndex
-
-    cust = load(spark, sf_dir, "customer")
-    rows = cust.select(
-        F.col("c_custkey").alias("key"),
-        F.col("c_name").alias("name"),
-        F.col("c_nationkey").cast("bigint").alias("nation"),
-        F.lit(100).cast("int").alias("ts"),
-    )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"sec_idx_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        spark, os.path.join(root, "base"), key_col="key", ts_col="ts",
-        num_partitions=8,
-    )
-    tbl.create(rows)
-    idx = SecondaryIndex(tbl, "nation", os.path.join(root, "idx_nation")).build()
-    # value-changing upsert THROUGH the index: nation -> 77 at ts 200
-    idx.update(
-        rows.where(F.col("key") % 10 == 3).select(
-            "key", "name", F.lit(77).cast("bigint").alias("nation"),
-            F.lit(200).cast("int").alias("ts"),
-        )
-    )
-    # row delete THROUGH the index
-    idx.delete(rows.where(F.col("key") % 10 == 6).select("key"))
+    idx = _sec_index_fixture(spark, sf_dir)["idx_nation"]
     out = idx.lookup(5).unionByName(idx.lookup(77))
     return out.select("key", "name", "nation")
 
@@ -1530,28 +1644,7 @@ _POINT_READ_KEYS = list(range(2, 1500, 13))
     tags=("table", "mutation"),
 )
 def keyed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
-    rows = cust.select(
-        F.col("c_custkey").alias("key"),
-        F.col("c_name").alias("name"),
-        F.lit(100).cast("int").alias("ts"),
-    )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"point_read_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(spark, root, key_col="key", ts_col="ts", num_partitions=8)
-    tbl.create(rows)
-    tbl.update(
-        rows.where(F.col("key") % 7 == 2).select(
-            "key",
-            F.concat(F.lit("moved #"), F.col("key").cast("string")).alias("name"),
-            F.lit(200).cast("int").alias("ts"),
-        )
-    )
-    tbl.delete(rows.where(F.col("key") % 7 == 5).select("key"))
+    tbl = _sec_index_fixture(spark, sf_dir)["tbl_point"]
     return tbl.point_read(_POINT_READ_KEYS).select("key", "name", "ts")
 
 
@@ -1581,38 +1674,7 @@ def keyed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("table", "mutation"),
 )
 def secondary_index_covered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_on_hbase_spark.index import SecondaryIndex
-
-    cust = load(spark, sf_dir, "customer")
-    rows = cust.select(
-        F.col("c_custkey").alias("key"),
-        F.col("c_name").alias("name"),
-        F.col("c_nationkey").cast("bigint").alias("nation"),
-        F.lit(100).cast("int").alias("ts"),
-    )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"sec_idx_cov_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        spark, os.path.join(root, "base"), key_col="key", ts_col="ts",
-        num_partitions=8,
-    )
-    tbl.create(rows)
-    idx = SecondaryIndex(
-        tbl, "nation", os.path.join(root, "idx"), include=["name"]
-    ).build()
-    idx.update(
-        rows.where(F.col("key") % 10 == 3).select(
-            "key",
-            F.concat(F.lit("renamed #"), F.col("key").cast("string")).alias("name"),
-            F.lit(77).cast("bigint").alias("nation"),
-            F.lit(200).cast("int").alias("ts"),
-        )
-    )
-    idx.delete(rows.where(F.col("key") % 10 == 6).select("key"))
+    idx = _sec_index_fixture(spark, sf_dir)["idx_nation"]
     out = idx.lookup(5, covered=True).unionByName(idx.lookup(77, covered=True))
     return out.select("key", "nation", "name")
 
@@ -1646,39 +1708,79 @@ def secondary_index_covered_lookup(spark: SparkSession, sf_dir: str) -> DataFram
     tags=("table", "mutation"),
 )
 def secondary_index_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_on_hbase_spark.index import SecondaryIndex
-
-    cust = load(spark, sf_dir, "customer")
-    rows = cust.select(
-        F.col("c_custkey").alias("key"),
-        F.col("c_name").alias("name"),
-        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal"),
-        F.lit(100).cast("int").alias("ts"),
-    )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"sec_idx_rng_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        spark, os.path.join(root, "base"), key_col="key", ts_col="ts",
-        num_partitions=8,
-    )
-    tbl.create(rows)
-    idx = SecondaryIndex(tbl, "bal", os.path.join(root, "idx")).build()
-    idx.update(
-        rows.where(F.col("key") % 9 == 4).select(
-            "key", "name",
-            (F.col("bal") + F.lit(2000000)).alias("bal"),
-            F.lit(200).cast("int").alias("ts"),
-        )
-    )
-    idx.delete(rows.where(F.col("key") % 9 == 7).select("key"))
+    idx = _sec_index_fixture(spark, sf_dir)["idx_bal"]
     out = idx.lookup_range(-50000, 50000).unionByName(
         idx.lookup_range(1900000, 3100000)
     )
     return out.select("key", "name", "bal")
+
+
+@query(
+    "secondary_index_functional_lookup",
+    """
+    WITH cur AS (
+        SELECT c_custkey AS key,
+               CASE WHEN c_custkey % 8 = 3 THEN c_name || '#Z' ELSE c_name END AS name
+        FROM customer
+        WHERE c_custkey % 8 <> 5
+    )
+    SELECT key, name FROM cur
+    WHERE substr(name, length(name), 1) IN ('Z', '4')
+    """,
+    doc="FUNCTIONAL (expression) index under mutation (SecondaryIndex("
+    "expr={'last': substring(name, -1, 1)}) — Phoenix's CREATE INDEX ON "
+    "t(expr)): the index key is a DERIVED value the base table never "
+    "stores, computed inside _entries and every maintenance read. The "
+    "mutation appends '#Z' to names %%8=3 THROUGH the index — maintenance "
+    "must recompute the derivation (tombstone the old last-char entry, "
+    "insert under 'Z'); %%8=5 rows are deleted. The query probes "
+    "lookup('Z') UNION ALL lookup('4'): a maintenance path that forgot to "
+    "recompute the expression leaves renamed rows under their old digit "
+    "(loses them from 'Z', duplicates nothing under '4' — either breaks "
+    "the rows+hash match vs the oracle's substr() recomputation). The "
+    "expression's input column is resolved by analysis (index.py "
+    "_expr_inputs), so partial puts touching `name` maintain the index "
+    "while unrelated puts skip it.",
+    tags=("table", "mutation"),
+)
+def secondary_index_functional_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _sec_index_fixture(spark, sf_dir)["idx_fx"]
+    out = idx.lookup("Z").unionByName(idx.lookup("4"))
+    return out.select("key", "name")
+
+
+@query(
+    "secondary_index_skip_scan",
+    """
+    WITH cur AS (
+        SELECT c_custkey AS key,
+               CASE WHEN c_custkey % 10 = 3
+                    THEN 'renamed #' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_name END AS name,
+               CASE WHEN c_custkey % 10 = 3 THEN 77 ELSE c_nationkey END AS nation,
+               CAST(c_custkey % 13 AS BIGINT) AS band
+        FROM customer
+        WHERE c_custkey % 10 <> 6
+    )
+    SELECT key, name, nation, band FROM cur WHERE band = 6
+    """,
+    doc="SKIP SCAN on a composite (nation, band) index (SecondaryIndex."
+    "lookup_skip — Phoenix's SkipScanFilter): probe band=6 WITHOUT fixing "
+    "the leading nation column, which a plain B-tree/leading-edge probe "
+    "cannot prune at all. The skip scan enumerates the distinct nations "
+    "from the INDEX itself (never the base), turns each into an encoded "
+    "ikey prefix range, and ORs all ~26 ranges into ONE index read whose "
+    "parquet footer stats prune to the files covering any matched prefix; "
+    "the exact typed predicate then decides membership post-fold. Runs "
+    "over the shared post-mutation fixture (renames+moves %%10=3, deletes "
+    "%%10=6), so the enumeration must see the moved rows' nation 77 "
+    "prefix too — a stale enumeration or a mis-framed range boundary "
+    "drops or duplicates rows and breaks the rows+hash match.",
+    tags=("table", "join"),
+)
+def secondary_index_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _sec_index_fixture(spark, sf_dir)["idx_comp"]
+    return idx.lookup_skip(band=6).select("key", "name", "nation", "band")
 
 
 @query(

@@ -953,3 +953,85 @@ def test_functional_index_rejects_shadowing_and_reserved_names(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="shadow"):
         idx.build()
+
+
+# -- skip scan --------------------------------------------------------------
+
+
+def test_skip_scan_probes_non_leading_column(spark, tmp_path):
+    """Phoenix's skip scan: on an index over (color, score), probe
+    score=v WITHOUT color — the leading values are enumerated from the
+    index itself and each prefix becomes an ikey range, OR-ed into one
+    index read. Correct vs the base filter; the covered plan never
+    references the base table's files."""
+    rows = spark.createDataFrame(
+        [
+            Row(key=i, name=f"n{i}", color=c, score=i % 5, ts=100)
+            for i, c in enumerate(
+                ["red", "blue", "green", "red", "blue", "green", "red", "blue"]
+            )
+        ]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "base"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, ["color", "score"], str(tmp_path / "idx"), num_partitions=2).build()
+
+    want = sorted(r["key"] for r in tbl.df().where(F.col("score") == 3).collect())
+    got = sorted(r["key"] for r in idx.lookup_skip(score=3).collect())
+    assert got == want and got  # non-empty
+
+    # covered skip scan: index files only — the base path never appears
+    cov = idx.lookup_skip(score=3, covered=True)
+    assert sorted(r["key"] for r in cov.collect()) == want
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+    assert str(tmp_path / "base") not in plan, "skip scan must not read the base"
+    assert "ikey" in plan  # the OR-of-ranges probe is on the sort key
+
+    # maintenance keeps skip-scan answers fresh
+    idx.update(spark.createDataFrame([Row(key=0, name="n0", color="red", score=3, ts=200)]))
+    assert sorted(r["key"] for r in idx.lookup_skip(score=3).collect()) == sorted(
+        set(want) | {0}
+    )
+
+
+def test_skip_scan_degradations_stay_correct(spark, tmp_path):
+    """Budget and encodability degradations fall back to one exact-typed
+    full index scan (still never the base); a fully-fixed leading prefix
+    delegates to the plain leading-edge lookup."""
+    rows = spark.createDataFrame(
+        [Row(key=i, name=f"n{i}", color=f"c{i % 7}", score=i % 3, ts=100) for i in range(42)]
+    )
+    tbl = KeyedTable(spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl.create(rows)
+    idx = SecondaryIndex(tbl, ["color", "score"], str(tmp_path / "i"), num_partitions=2).build()
+    want = sorted(r["key"] for r in tbl.df().where(F.col("score") == 1).collect())
+
+    # prefix budget exceeded -> full index scan fallback, same answer
+    idx.MAX_SKIP_PREFIXES = 3  # 7 distinct colors > 3
+    assert sorted(r["key"] for r in idx.lookup_skip(score=1).collect()) == want
+    idx.MAX_SKIP_PREFIXES = SecondaryIndex.MAX_SKIP_PREFIXES
+    assert sorted(r["key"] for r in idx.lookup_skip(score=1).collect()) == want
+
+    # fixing the WHOLE leading prefix delegates to lookup()
+    both = sorted(
+        r["key"] for r in idx.lookup_skip(color="c1", score=1).collect()
+    )
+    assert both == sorted(r["key"] for r in idx.lookup("c1", 1).collect())
+
+    # probing a value no row has
+    assert idx.lookup_skip(score=99).count() == 0
+
+    # unknown column rejected
+    with pytest.raises(ValueError, match="not indexed"):
+        idx.lookup_skip(nope=1)
+
+    # float leading column (non-order-preserving) -> exact-scan fallback
+    tbl2 = KeyedTable(spark, str(tmp_path / "b2"), key_col="key", ts_col="ts", num_partitions=2)
+    tbl2.create(
+        spark.createDataFrame(
+            [Row(key=i, w=float(i % 2) + 0.5, score=i % 3, ts=100) for i in range(12)]
+        )
+    )
+    idx2 = SecondaryIndex(tbl2, ["w", "score"], str(tmp_path / "i2"), num_partitions=2).build()
+    want2 = sorted(r["key"] for r in tbl2.df().where(F.col("score") == 2).collect())
+    assert sorted(r["key"] for r in idx2.lookup_skip(score=2).collect()) == want2
