@@ -95,6 +95,58 @@ def main():
         )
         emb.unpersist()
         corpus.unpersist()
+
+    # ---- clustered regime (VERDICT r6 item 6): the md5-derived clustered
+    # corpus the ann_clustered_* queries grade — the regime real embedding
+    # corpora live in, vs the adversarial near-random fixture above.
+    N, K = 4096, 32
+    emb = V.clustered_corpus(spark, N, n_clusters=K).persist()
+    emb.count()
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    nq = queries.count()
+    brute = by_query(V.brute_force_topk(emb, queries, k=10))
+    B = V.adaptive_num_planes(N)
+    print(f"== clustered corpus: n={N} k_clusters={K} queries={nq} B_auto={B}")
+    for T in (224, 96, 48):
+        kw = dict(k=10, num_planes=B, dim=64, num_tables=6, probe_width=10,
+                  probe_total=T, plane_pool=V.LSH_PLANE_POOL)
+        t0 = time.time()
+        d = by_query(V.lsh_margin_topk(emb, queries, **kw))
+        wall = time.time() - t0
+        frac = (
+            V.lsh_margin_topk(emb, queries, return_candidates=True, **kw).count()
+            / nq / N
+        )
+        tag = " (graded)" if T == 96 else ""
+        print(
+            f"  LSH margin-probe T={T:3d}{tag:9s} recall={recall(d, brute):.3f} "
+            f"frac={frac:.3f} wall={wall:.1f}s"
+        )
+    corpus = emb.select("vec_id", V.quantize_expr("embedding").alias("__v")).cache()
+    seeds = corpus.where(F.col("vec_id") % 64 == 0)
+    refined = V.kmeans_refine(corpus, seeds, iters=2)
+    for label, cents, npb in (
+        ("IVF seeds  nprobe=2", seeds, 2),
+        ("IVF trained nprobe=1", refined, 1),
+        ("IVF trained nprobe=2 (graded)", refined, 2),
+    ):
+        t0 = time.time()
+        d = by_query(
+            V.ivf_topk(emb, queries, cents, k=10, nprobe=npb,
+                       centroids_quantized=True)
+        )
+        wall = time.time() - t0
+        frac = (
+            V.ivf_topk(emb, queries, cents, k=10, nprobe=npb,
+                       centroids_quantized=True, return_candidates=True).count()
+            / nq / N
+        )
+        print(
+            f"  {label:30s} recall={recall(d, brute):.3f} "
+            f"frac={frac:.3f} wall={wall:.1f}s"
+        )
+    emb.unpersist()
+    corpus.unpersist()
     spark.stop()
 
 

@@ -663,9 +663,11 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 # driver-grading-window). Each pop/re-insert moves a query to the dict's
 # tail, preserving this list's order there.
 _ROTATED_OUT_R07 = [
-    # -- newly out: r06-green agg/window family, kernels unchanged
-    # (funnel_conversion + event_volume_anomaly stay IN — the window has
-    # exactly two spare slots after the 12 must-grade rows moved in) ------
+    # -- newly out: r06-green agg/window family, kernels unchanged ---------
+    # (funnel_conversion + event_volume_anomaly were the window's two
+    # spare slots until the clustered-ANN pair took them)
+    "funnel_conversion",
+    "event_volume_anomaly",
     "cohort_retention",
     "tumbling_window_agg",
     "sliding_window_agg",

@@ -171,6 +171,91 @@ def bucket_sql(qvec_sql: str, planes: list[list[int]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def clustered_corpus(
+    spark,
+    n: int,
+    n_clusters: int = 32,
+    dim: int = 64,
+    scale: int = 6,
+    noise: int = 2,
+    tag: str = "cc",
+) -> DataFrame:
+    """Deterministic synthetic CLUSTERED embedding corpus — the regime real
+    embedding models produce (SCALE.md §ANN: the parquet fixture's
+    near-random vectors are the adversarial floor; production corpora
+    cluster, which is what makes sub-linear ANN work at all). Vector i
+    belongs to cluster c = i mod n_clusters; every component is a small
+    INTEGER:
+
+        vec(i)[j] = center(c)[j] + eta(i, j)
+        center(c)[j] = +-scale   (sign of an md5 nibble of 'tag-c-c-j')
+        eta(i, j) in [-noise, +noise]  (md5 nibble of 'tag-n-i-j', mod)
+
+    Intra-cluster cosine ~ scale^2*dim / (scale^2*dim + E[eta^2]*dim)
+    (~0.93 at the defaults), inter-cluster ~ N(0, 1/sqrt(dim)) — strong,
+    tunable separation. All-integer values mean quantization is exact and
+    every downstream dot/norm replays bit-identically, so the corpus is
+    ORACLE-REPLAYABLE: ``clustered_corpus_sql`` derives the same rows in
+    DuckDB from the same md5 bits (no fixture file, no literal matrices).
+    Generation is pure column expressions over ``spark.range(n)`` — at 100
+    TB you'd read a real corpus instead; this exists so clustered-regime
+    recall is measurable and gradable."""
+    period = 2 * noise + 1
+    ids = spark.range(n).select(F.col("id").alias("vec_id"))
+    c = (F.col("vec_id") % n_clusters).cast("string")
+
+    def nib(s: Column) -> Column:
+        return F.conv(F.substring(F.md5(s), 1, 1), 16, 10).cast("int")
+
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.when(
+                nib(F.concat_ws("-", F.lit(f"{tag}-c"), c, j.cast("string"))) < 8,
+                F.lit(scale),
+            ).otherwise(F.lit(-scale))
+            + nib(
+                F.concat_ws(
+                    "-", F.lit(f"{tag}-n"), F.col("vec_id").cast("string"),
+                    j.cast("string"),
+                )
+            )
+            % period
+            - noise
+        ).cast("float"),
+    )
+    return ids.select("vec_id", emb.alias("embedding"))
+
+
+def clustered_corpus_sql(
+    n: int,
+    n_clusters: int = 32,
+    dim: int = 64,
+    scale: int = 6,
+    noise: int = 2,
+    tag: str = "cc",
+) -> str:
+    """DuckDB twin of ``clustered_corpus``: a CTE body producing identical
+    (vec_id, embedding) rows from the same md5 nibbles. Single-hex-digit
+    parsing is instr('0123..f', ch)-1 here vs conv(ch, 16, 10) on the
+    Spark side — different spellings, the same value."""
+    period = 2 * noise + 1
+
+    def nib(s: str) -> str:
+        return f"(instr('0123456789abcdef', substr(md5({s}), 1, 1)) - 1)"
+
+    ctr = nib(
+        f"'{tag}-c-' || CAST(i % {n_clusters} AS VARCHAR) || '-' || CAST(j AS VARCHAR)"
+    )
+    eta = nib(f"'{tag}-n-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)")
+    return (
+        f"SELECT i AS vec_id, list_transform(range({dim}), j -> "
+        f"CAST(CASE WHEN {ctr} < 8 THEN {scale} ELSE -{scale} END "
+        f"+ ({eta} % {period}) - {noise} AS FLOAT)) AS embedding "
+        f"FROM (SELECT unnest(range({n})) AS i)"
+    )
+
+
 LSH_PLANE_POOL = 16  # per-table plane pool width for the adaptive-B scheme
 
 
@@ -448,6 +533,7 @@ def lsh_margin_topk(
     probe_width: int = 10,
     probe_total: int = 224,
     plane_pool: int = LSH_PLANE_POOL,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """ANN top-k with QUERY-DIRECTED ordered multi-probe (the full Lv et
     al. VLDB'07 construction, upgrading ``lsh_topk``'s blind ±2-bit
@@ -601,6 +687,8 @@ def lsh_margin_topk(
         .join(cb, ["__t", "__bucket"])
         .where(F.col("query_id") != F.col(id_col))
     )
+    if return_candidates:  # frontier instrumentation: the scored-pair set
+        return cand.select("query_id", id_col).distinct()
     scored = cand.select(
         "query_id",
         id_col,
@@ -785,6 +873,7 @@ def ivf_topk(
     centroids_quantized: bool = False,
     corpus_assigned: DataFrame | None = None,
     queries_assigned: DataFrame | None = None,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """IVF ANN top-k: corpus partitioned by nearest-centroid cell; each
     query probes its ``nprobe`` nearest cells. At 100 TB the cell id is the
@@ -839,10 +928,15 @@ def ivf_topk(
     query_cells = probe.select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
     )
-    scored = (
+    joined = (
         F.broadcast(query_cells)
         .join(corpus_cells, "centroid_id")
         .where(F.col("query_id") != F.col(id_col))
+    )
+    if return_candidates:  # frontier instrumentation: the scored-pair set
+        return joined.select("query_id", id_col).distinct()
+    scored = (
+        joined
         .select(
             "query_id",
             id_col,

@@ -439,6 +439,89 @@ def test_ann_recall_floors_on_fixture_corpus(spark, sf_dir):
     assert r_ivf[1] <= r_ivf[2] <= r_ivf[4]
 
 
+def test_ann_clustered_recall_floor(spark):
+    """The CLUSTERED-regime frontier (VERDICT r6 item 6): on the md5-derived
+    clustered corpus (the regime real embedding models produce — the parquet
+    fixture's near-random vectors are the adversarial floor), the graded
+    configs must clear recall >= 0.9 at <= 10% candidate fraction. Measured
+    (SCALE.md §ANN clustered table): LSH B=11/L=6/w=10/T=96 recall 1.000 at
+    7.9%; IVF 64 seed cells nprobe=2 recall 0.970 at 9.5%. Floors leave
+    headroom for plane-pool/seed perturbations but a bucketing or probe bug
+    that leaks candidates (fraction) or drops neighbors (recall) fails."""
+    from spark_on_hbase_spark.inventory_pipeline import (
+        _CLU_B, _CLU_K, _CLU_N, _CLU_NPROBE, _CLU_SEED_MOD, _CLU_T, _CLU_W,
+        _LSH_L, _LSH_POOL,
+    )
+
+    emb = V.clustered_corpus(spark, _CLU_N, n_clusters=_CLU_K).persist()
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    nq = queries.count()
+
+    def by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    brute = by_query(V.brute_force_topk(emb, queries, k=10))
+
+    def recall(d):
+        return sum(len(d.get(q, set()) & b) / len(b) for q, b in brute.items()) / len(brute)
+
+    lsh_kw = dict(
+        k=10, num_planes=_CLU_B, dim=64, num_tables=_LSH_L,
+        probe_width=_CLU_W, probe_total=_CLU_T, plane_pool=_LSH_POOL,
+    )
+    r_lsh = recall(by_query(V.lsh_margin_topk(emb, queries, **lsh_kw)))
+    f_lsh = (
+        V.lsh_margin_topk(emb, queries, return_candidates=True, **lsh_kw).count()
+        / nq / _CLU_N
+    )
+    assert r_lsh >= 0.90, f"clustered LSH recall collapsed: {r_lsh}"
+    assert f_lsh <= 0.10, f"clustered LSH candidate fraction leaked: {f_lsh}"
+
+    # trained IVF, the graded config: 2 Lloyd iterations over the md5
+    # seeds (unrefined seeds measure 0.893 @ 14% — uneven cells)
+    corpus = emb.select("vec_id", V.quantize_expr("embedding").alias("__v"))
+    seeds = corpus.where(F.col("vec_id") % _CLU_SEED_MOD == 0)
+    refined = V.kmeans_refine(corpus, seeds, iters=2)
+    r_ivf = recall(
+        by_query(
+            V.ivf_topk(emb, queries, refined, k=10, nprobe=_CLU_NPROBE,
+                       centroids_quantized=True)
+        )
+    )
+    f_ivf = (
+        V.ivf_topk(emb, queries, refined, k=10, nprobe=_CLU_NPROBE,
+                   centroids_quantized=True, return_candidates=True).count()
+        / nq / _CLU_N
+    )
+    emb.unpersist()
+    assert r_ivf >= 0.90, f"clustered IVF recall collapsed: {r_ivf}"
+    assert f_ivf <= 0.10, f"clustered IVF candidate fraction leaked: {f_ivf}"
+
+
+def test_clustered_corpus_is_deterministic_and_clustered(spark):
+    """The generator itself: same rows on re-derivation (no RNG state), and
+    the advertised geometry — intra-cluster cosine far above inter."""
+    a = V.clustered_corpus(spark, 128, n_clusters=8).collect()
+    b = V.clustered_corpus(spark, 128, n_clusters=8).collect()
+    assert sorted((r["vec_id"], list(r["embedding"])) for r in a) == sorted(
+        (r["vec_id"], list(r["embedding"])) for r in b
+    )
+    import numpy as np
+
+    M = np.array([list(r["embedding"]) for r in sorted(a, key=lambda r: r["vec_id"])])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    ids = np.arange(128)
+    same = np.equal.outer(ids % 8, ids % 8) & ~np.eye(128, dtype=bool)
+    diff = ~np.equal.outer(ids % 8, ids % 8)
+    assert cos[same].mean() > 0.85
+    assert cos[diff].mean() < 0.15
+    assert cos[same].mean() > cos[diff].mean() + 0.5
+
+
 def test_pandas_cosine_kernel_matches_expressions(vectors):
     """The Arrow-batched numpy kernel and the JVM expression kernel must be
     bit-identical (both compute exact int64 dot/norms + the same IEEE ops)."""
