@@ -66,6 +66,15 @@ TARGETS = [
     # pair fanout, not the kernel (whose stages — bloom agg, prefiltered
     # semi-join, per-doc counts — are each linear in their input).
     "kcore_peel_census",
+    # round-7: the skip scan (fixed high-cardinality probe against a
+    # scaling composite index — cost must track |leading prefixes| +
+    # result, both ~fixed), deep scrutiny (two table-sized audit scans —
+    # must track data growth, not pairs), and the clustered-regime ANN
+    # kernel (corpus AND queries scale together; adaptive B + fixed probe
+    # budget must keep per-query candidates ~flat).
+    "secondary_index_skip_scan",
+    "secondary_index_deep_scrutiny",
+    "ann_clustered_lsh",
 ]
 
 
@@ -178,11 +187,87 @@ def _secondary_index_maintain(spark, sf: str) -> int:
     return idx.lookup(target, covered=True).count()
 
 
+def _skip_scan_fixture(spark, sf: str):
+    """Shared (per-scale) composite-index fixture for the skip-scan and
+    deep-scrutiny probes: documents keyed table with a 26-ary leading
+    column and a high-cardinality second column, indexed on both."""
+    import hashlib
+
+    from spark_on_hbase_spark.index import SecondaryIndex
+    from spark_on_hbase_spark.table import KeyedTable
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.col("doc_id").alias("k"))
+        .withColumn("grp", (F.col("k") % 26).cast("bigint"))
+        .withColumn("band", (F.col("k") % 100003).cast("bigint"))
+        .withColumn("ts", F.lit(0))
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = KeyedTable(
+        spark, f"/tmp/skipscan_{tag}/base", key_col="k", ts_col="ts",
+        num_partitions=8,
+    )
+    fresh = not base.exists()
+    if fresh:
+        base.create(docs)
+    idx = SecondaryIndex(base, ["grp", "band"], f"/tmp/skipscan_{tag}/idx")
+    if fresh:
+        idx.build()
+    return idx
+
+
+def _secondary_index_skip_scan(spark, sf: str) -> int:
+    """Custom probe target: SKIP SCAN against a scaling composite index.
+    lookup_skip(band=v) fixes the high-cardinality SECOND column without
+    the 26-ary leading one: cost is O(enumerate 26 prefixes + 26 pruned
+    ikey ranges + O(result) base multiget), every term ~fixed while the
+    table grows 30x — warm growth must stay ~flat. A probe that secretly
+    scans the whole index (or base) tracks data growth instead."""
+    idx = _skip_scan_fixture(spark, sf)
+    # band values present at every scale (doc ids start at 0; replica
+    # shifts are multiples of 10M, and 10M % 100003 keeps hits existing)
+    return idx.lookup_skip(band=41).count()
+
+
+def _secondary_index_deep_scrutiny(spark, sf: str) -> int:
+    """Custom probe target: DEEP SCRUTINY (the r7 covered-staleness audit)
+    over a scaling index. Two table-sized scans diffed on md5(ikey,
+    covered, indexed) — cost must track data growth (~1x ratio), never
+    pairs; a quadratic set-difference plan blows the ratio immediately."""
+    idx = _skip_scan_fixture(spark, sf)
+    return idx.scrutiny(deep=True).count()
+
+
+def _ann_clustered_lsh(spark, sf: str) -> int:
+    """Custom probe target: the clustered-regime graded LSH kernel with
+    corpus AND query batch scaling together (the law that killed fixed-B:
+    candidate mass per query must stay ~flat as B=auto grows with log2 n).
+    Corpus size derives from the probe scale (4096 at sf0.1, 4096 x R at
+    the replica scale); probe budget and tables stay the graded config."""
+    import re
+
+    from spark_on_hbase_spark.operators import similarity as V
+
+    m = re.search(r"_x(\d+)$", sf.rstrip("/"))
+    n = 4096 * (int(m.group(1)) if m else 1)
+    emb = V.clustered_corpus(spark, n, n_clusters=32 * (4 if m else 1))
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    b = V.adaptive_num_planes(n)
+    return V.lsh_margin_topk(
+        emb, queries, k=10, num_planes=b, dim=64, num_tables=6,
+        probe_width=10, probe_total=96, plane_pool=V.LSH_PLANE_POOL,
+    ).count()
+
+
 # custom (non-registry) probe bodies: called instead of QUERIES[name]
 CUSTOM = {
     "lsm_mutation_storm": _lsm_mutation_storm,
     "lsm_dirty_compact": _lsm_dirty_compact,
     "secondary_index_maintain": _secondary_index_maintain,
+    "secondary_index_skip_scan": _secondary_index_skip_scan,
+    "secondary_index_deep_scrutiny": _secondary_index_deep_scrutiny,
+    "ann_clustered_lsh": _ann_clustered_lsh,
 }
 
 # key shift per replica, chosen far above any real key range
