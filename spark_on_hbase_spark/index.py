@@ -43,6 +43,9 @@ exact for derived components too.
 
 from __future__ import annotations
 
+import itertools
+import json
+import os
 import re
 from decimal import Decimal
 
@@ -61,6 +64,14 @@ _DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
 
 # 2^63: offset-binary bias for the order-preserving integral encoding
 _I64_BIAS = Decimal(9223372036854775808)
+
+# dtypes whose Python values round-trip EXACTLY through json.dump/load —
+# the eligibility bar for the skip-scan guidepost dictionary (a lossy
+# round-trip would re-encode to a different ikey prefix and silently miss
+# rows; dates/decimals/floats stay on the live-enumeration path)
+_GUIDEPOST_DTYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "string", "boolean"}
+)
 
 
 def _order_preserving(dtype: str) -> bool:
@@ -392,7 +403,7 @@ class SecondaryIndex:
             & (F.col("__efp") != F.col("__afp"))
         ).count()
         n_orphaned = self.tbl.delete(orphaned)
-        n_upserted = self.tbl.update(upserts)
+        n_upserted = self.tbl.update(self._noted_entries(lambda: upserts)())
         return {
             "missing": n_upserted - n_stale,
             "orphaned": n_orphaned,
@@ -403,8 +414,16 @@ class SecondaryIndex:
 
     def build(self) -> "SecondaryIndex":
         """One shuffle over the base's merged view — the bulk index build
-        (Phoenix's CREATE INDEX ASYNC + IndexTool MR job, as one write)."""
+        (Phoenix's CREATE INDEX ASYNC + IndexTool MR job, as one write).
+        The skip-scan guidepost sidecar is reset first (a crash mid-build
+        leaves no stale dictionary lying around) and derived fresh from
+        the built index after — one column-pruned scan, build-time only."""
+        try:
+            os.remove(self._guidepost_path())
+        except OSError:
+            pass
         self.tbl.create(self._entries(self.base.df()))
+        self._refresh_guideposts()
         return self
 
     def drop(self) -> None:
@@ -442,7 +461,8 @@ class SecondaryIndex:
         )
         n = self._guarded(self.base.update, lambda: batch, stamp, "")
         self._guarded(
-            self.tbl.update, lambda: self._entries(self._winners(batch)),
+            self.tbl.update,
+            self._noted_entries(lambda: self._entries(self._winners(batch))),
             stamp, "_xi",
         )
         return n if n is not None else 0
@@ -485,7 +505,7 @@ class SecondaryIndex:
             # a null component drops the whole entry)
             self._guarded(
                 self.tbl.update,
-                lambda: self._entries(self._current_rows(keys)),
+                self._noted_entries(lambda: self._entries(self._current_rows(keys))),
                 stamp,
                 "_xi",
             )
@@ -519,7 +539,7 @@ class SecondaryIndex:
         )
         self._guarded(
             self.tbl.update,
-            lambda: self._entries(self._current_rows(batch)),
+            self._noted_entries(lambda: self._entries(self._current_rows(batch))),
             stamp,
             "_xi",
         )
@@ -556,7 +576,9 @@ class SecondaryIndex:
         n = self._guarded(self.base.put, lambda: batch, stamp, "")
         self._guarded(
             self.tbl.update,
-            lambda: self._entries(self._post_put_rows(gated())),
+            self._noted_entries(
+                lambda: self._entries(self._post_put_rows(gated()))
+            ),
             stamp,
             "_xi",
         )
@@ -726,6 +748,162 @@ class SecondaryIndex:
     # full index scan with the exact typed predicate (still index-only)
     MAX_SKIP_PREFIXES = 1000
 
+    # guidepost dictionary cap PER COLUMN: a leading column with more
+    # distinct values than this stops being tracked (overflow) — skip
+    # scans on it fall back to live enumeration, which has its own budget
+    GUIDEPOST_CAP = 4096
+
+    # -- skip-scan guideposts ------------------------------------------------
+    #
+    # Phoenix keeps table statistics ("guideposts", SYSTEM.STATS) so its
+    # SkipScanFilter can enumerate leading-column values without scanning.
+    # Ours is a tiny JSON sidecar next to the index table's layers: the
+    # distinct values of every ENUMERABLE leading column (everything
+    # before the last component — the only positions a skip scan ever
+    # enumerates), maintained union-only. The invariant that makes it
+    # safe: the sidecar is ALWAYS a superset of the leading values present
+    # in live entries, because (a) every entries-insert path unions the
+    # batch's values BEFORE the entries layer lands — a crash between the
+    # two leaves only harmless extra prefixes (empty probe ranges), never
+    # an entry the skip scan cannot find — and (b) deletes never shrink it
+    # (stale values probe empty ranges, pruned for free by footer stats).
+    # Supersets cost nothing correctness-wise: the exact typed predicate
+    # re-filters every probe. At 100 TB this turns the skip scan's
+    # enumeration from one column-pruned index scan per probe into a
+    # metadata read — O(|dict| x fixed + result) total.
+
+    def _guidepost_path(self) -> str:
+        return os.path.join(self.tbl.path, "_guideposts.json")
+
+    def _guidepost_cols(self) -> list[str]:
+        """Leading columns eligible for guidepost tracking: all components
+        before the LAST one, restricted to exactly-JSON-round-tripping
+        dtypes (see _GUIDEPOST_DTYPES)."""
+        if len(self.cols) < 2:
+            return []
+        return [
+            c
+            for i, c in enumerate(self.cols[:-1])
+            if self._dtype_of(i) in _GUIDEPOST_DTYPES
+        ]
+
+    def _load_guideposts(self) -> dict | None:
+        try:
+            with open(self._guidepost_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _save_guideposts(self, gp: dict) -> None:
+        tmp = self._guidepost_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(gp, f)
+        os.replace(tmp, self._guidepost_path())
+
+    def _union_guideposts(self, new_vals: dict[str, list | None]) -> None:
+        """Union freshly-observed leading-column values into the sidecar
+        (``None`` for a column = cardinality overflow: mark it untracked).
+        Called BEFORE the entries that carry these values land — see the
+        section comment for why that order is the safe one."""
+        gp = self._load_guideposts() or {"cols": {}}
+        changed = False
+        for c, vals in new_vals.items():
+            ent = gp["cols"].setdefault(c, {"values": [], "overflow": False})
+            if ent["overflow"]:
+                continue
+            if vals is None:
+                gp["cols"][c] = {"values": [], "overflow": True}
+                changed = True
+                continue
+            seen = set(ent["values"])
+            add = [v for v in vals if v not in seen]
+            if not add:
+                continue
+            if len(seen) + len(add) > self.GUIDEPOST_CAP:
+                gp["cols"][c] = {"values": [], "overflow": True}
+            else:
+                ent["values"].extend(add)
+            changed = True
+        if changed:
+            self._save_guideposts(gp)
+
+    def _collect_leading(self, df: DataFrame, gcols: list[str]) -> dict:
+        """Distinct values per guidepost column of ``df`` (entry rows),
+        ``None`` = overflow. Bounded driver/executor memory: a
+        countDistinct pre-pass keeps collect_set off any column whose
+        in-batch cardinality already exceeds the cap."""
+        counts = df.agg(
+            *[F.countDistinct(F.col(c)).alias(c) for c in gcols]
+        ).first()
+        keep = [c for c in gcols if counts[c] <= self.GUIDEPOST_CAP]
+        out: dict[str, list | None] = {c: None for c in gcols if c not in keep}
+        if keep:
+            row = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in keep]).first()
+            out.update({c: list(row[c]) for c in keep})
+        return out
+
+    def _noted_entries(self, make_entries):
+        """Wrap an entries-producing thunk so the guidepost sidecar is
+        unioned before the insert job runs. The entries are materialized
+        once (localCheckpoint) so the union's aggregation and the layer
+        write share a single evaluation of the maintenance read."""
+
+        def wrapped():
+            e = make_entries()
+            gcols = self._guidepost_cols()
+            if not gcols:
+                return e
+            e = e.localCheckpoint(eager=True)
+            self._union_guideposts(self._collect_leading(e, gcols))
+            return e
+
+        return wrapped
+
+    def _refresh_guideposts(self) -> None:
+        """Recompute the sidecar FROM the index table (one column-pruned
+        scan) — build-time only; maintenance uses the O(batch) union."""
+        gcols = self._guidepost_cols()
+        if not gcols:
+            return
+        vals = self._collect_leading(self.tbl.df(), gcols)
+        gp = {"cols": {}}
+        for c in gcols:
+            gp["cols"][c] = (
+                {"values": [], "overflow": True}
+                if vals[c] is None
+                else {"values": vals[c], "overflow": False}
+            )
+        self._save_guideposts(gp)
+
+    def _guidepost_tuples(self, prefix_cols: list[str], fixed: dict):
+        """Skip-scan prefix tuples from the sidecar alone — zero index
+        I/O. Returns a list of value-lists ordered like ``prefix_cols``,
+        or ``None`` when the sidecar cannot answer (missing, an
+        overflowed/untracked column, or a cross product past the probe
+        budget — the caller then live-enumerates, whose fixed-column
+        constraints may still fit the budget)."""
+        gp = self._load_guideposts()
+        if gp is None:
+            return None
+        per_col, total = [], 1
+        for c in prefix_cols:
+            if c in fixed:
+                per_col.append([fixed[c]])
+                continue
+            ent = gp.get("cols", {}).get(c)
+            if ent is None or ent.get("overflow"):
+                return None
+            vals = sorted(ent["values"])
+            per_col.append(vals)
+            total *= len(vals)
+            if total > self.MAX_SKIP_PREFIXES:
+                return None
+        if any(not v for v in per_col):
+            # a tracked column with zero recorded values: no live entry
+            # can carry it (every insert unions first) — empty result
+            return []
+        return [list(t) for t in itertools.product(*per_col)]
+
     def lookup_skip(self, covered: bool = False, **fixed) -> DataFrame:
         """Phoenix's OTHER signature read, the SKIP SCAN: probe a
         non-leading composite column WITHOUT fixing the columns before it
@@ -740,6 +918,14 @@ class SecondaryIndex:
         equality values; any subset may be fixed — unfixed columns BEFORE
         the last fixed one are enumerated, trailing unfixed columns match
         everything (leading-edge semantics on each enumerated prefix).
+
+        The enumeration itself is normally FREE: the guidepost sidecar
+        (Phoenix's SYSTEM.STATS guideposts — see the guidepost section
+        below) records every leading column's distinct values as index
+        metadata, maintained union-first by every entries insert, so the
+        prefix set is a metadata read, not an index scan. Live
+        enumeration (one column-pruned index scan) remains the fallback
+        for missing/overflowed sidecars and non-JSON-exact dtypes.
 
         Degradations, all index-only (the base is still never predicate-
         scanned): more than MAX_SKIP_PREFIXES distinct leading tuples, or
@@ -769,24 +955,36 @@ class SecondaryIndex:
             )
         if not all(_order_preserving(self._dtype_of(i)) for i in range(last + 1)):
             return self._finish(self.tbl.df().where(exact), covered)
-        # enumerate distinct leading tuples FROM THE INDEX, constrained by
-        # whatever fixed columns fall inside the prefix
         prefix_cols = self.cols[: last + 1]
-        src = self.tbl.df().select(*prefix_cols)
-        for c, v in fixed.items():
-            src = src.where(F.col(c) == F.lit(v).cast(self._dtype_of(pos[c])))
-        tuples = src.distinct().limit(self.MAX_SKIP_PREFIXES + 1).collect()
-        if len(tuples) > self.MAX_SKIP_PREFIXES:
+        # prefix tuples from the GUIDEPOST sidecar when it can answer —
+        # zero index I/O — else live-enumerate from the index itself
+        tuples = self._guidepost_tuples(prefix_cols, fixed)
+        if tuples is None:
+            tuples = self._enumerate_leading(prefix_cols, fixed, pos)
+        if tuples is None:  # live enumeration over budget too
             return self._finish(self.tbl.df().where(exact), covered)
         if not tuples:
             return self._finish(self.tbl.df().where(exact & F.lit(False)), covered)
         k, pred = F.col("ikey"), None
-        for r in tuples:
-            pfx = self._prefix_enc([r[c] for c in prefix_cols])
+        for vals in tuples:
+            pfx = self._prefix_enc(vals)
             rng = (k >= pfx) & (k <= F.concat(pfx, F.lit("\x20")))
             pred = rng if pred is None else (pred | rng)
         probe = self.tbl._layer_frames(pred, None).where(exact)
         return self._finish(probe, covered)
+
+    def _enumerate_leading(self, prefix_cols: list[str], fixed: dict, pos: dict):
+        """Live skip-scan enumeration: distinct leading tuples FROM THE
+        INDEX (one column-pruned scan — never the base), constrained by
+        whatever fixed columns fall inside the prefix. Returns value-lists
+        ordered like ``prefix_cols``, or ``None`` past the budget."""
+        src = self.tbl.df().select(*prefix_cols)
+        for c, v in fixed.items():
+            src = src.where(F.col(c) == F.lit(v).cast(self._dtype_of(pos[c])))
+        rows = src.distinct().limit(self.MAX_SKIP_PREFIXES + 1).collect()
+        if len(rows) > self.MAX_SKIP_PREFIXES:
+            return None
+        return [[r[c] for c in prefix_cols] for r in rows]
 
     def _dtype_of(self, pos: int) -> str:
         if self._dtypes is None:

@@ -1035,3 +1035,180 @@ def test_skip_scan_degradations_stay_correct(spark, tmp_path):
     idx2 = SecondaryIndex(tbl2, ["w", "score"], str(tmp_path / "i2"), num_partitions=2).build()
     want2 = sorted(r["key"] for r in tbl2.df().where(F.col("score") == 2).collect())
     assert sorted(r["key"] for r in idx2.lookup_skip(score=2).collect()) == want2
+
+
+# -- skip-scan guideposts ----------------------------------------------------
+
+
+def _forbid_live_enumeration(monkeypatch):
+    def boom(self, *a, **k):
+        raise AssertionError("live enumeration ran — guideposts should answer")
+
+    monkeypatch.setattr(SecondaryIndex, "_enumerate_leading", boom)
+
+
+def test_skip_scan_guideposts_answer_without_scanning_the_index(
+    spark, tmp_path, monkeypatch
+):
+    """The guidepost sidecar makes skip-scan enumeration a metadata read:
+    with live enumeration disabled outright, the probe still answers —
+    and stays correct after every maintenance path introduces NEW leading
+    values (the union-first invariant), including a value with a control
+    char below the ikey separator."""
+    rows = spark.createDataFrame(
+        [
+            Row(key=i, name=f"n{i}", color=c, score=i % 4, ts=100)
+            for i, c in enumerate(
+                ["red", "blue", "red", "b\tad", "green", "red", "blue", "green"]
+            )
+        ]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["color", "score"], str(tmp_path / "i"), num_partitions=2
+    ).build()
+    _forbid_live_enumeration(monkeypatch)
+
+    def check(score):
+        want = sorted(
+            r["key"] for r in tbl.df().where(F.col("score") == score).collect()
+        )
+        got = sorted(r["key"] for r in idx.lookup_skip(score=score).collect())
+        assert got == want
+
+    check(1)
+    check(3)
+    # whole-row update introduces a brand-new leading value
+    idx.update(
+        spark.createDataFrame(
+            [Row(key=10, name="x", color="violet", score=1, ts=100)]
+        )
+    )
+    check(1)
+    # cell-level put introduces another (sparse row: name stays absent)
+    idx.put(spark.createDataFrame([Row(key=11, color="amber", score=1, ts=100)]))
+    check(1)
+    # repair after a behind-the-back base write unions its leading value
+    tbl.update(
+        spark.createDataFrame(
+            [Row(key=12, name="y", color="ochre", score=1, ts=100)]
+        )
+    )
+    idx.repair()
+    check(1)
+    # row delete shrinks answers but never the (superset-safe) sidecar
+    idx.delete(spark.createDataFrame([Row(key=10)]))
+    check(1)
+
+
+def test_guidepost_union_lands_before_the_entries(spark, tmp_path, monkeypatch):
+    """Crash between the sidecar union and the entries insert leaves only
+    a harmless extra value (an empty probe range) — never an entry the
+    skip scan cannot enumerate. Pinned at the exact boundary: the index
+    table's insert raises AFTER the union ran; the sidecar already knows
+    the value, and the stamped retry converges."""
+    import pytest as _pytest
+
+    rows = spark.createDataFrame(
+        [Row(key=i, name=f"n{i}", color="red", score=i % 2, ts=100) for i in range(4)]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["color", "score"], str(tmp_path / "i"), num_partitions=2
+    ).build()
+
+    real = KeyedTable.update
+    state = {"crashed": False}
+
+    def flaky(self, *a, **k):
+        if self is idx.tbl and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("crash in _xi")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(KeyedTable, "update", flaky)
+    batch = spark.createDataFrame(
+        [Row(key=20, name="z", color="teal", score=1, ts=100)]
+    )
+    with _pytest.raises(RuntimeError, match="crash"):
+        idx.update(batch, stamp="gp1")
+    gp = idx._load_guideposts()
+    assert "teal" in gp["cols"]["color"]["values"], (
+        "sidecar must be unioned BEFORE the entries insert"
+    )
+    idx.update(batch, stamp="gp1")  # retry re-runs only the crashed job
+    _forbid_live_enumeration(monkeypatch)
+    want = sorted(r["key"] for r in tbl.df().where(F.col("score") == 1).collect())
+    assert sorted(r["key"] for r in idx.lookup_skip(score=1).collect()) == want
+    assert 20 in want
+
+
+def test_guidepost_overflow_falls_back_to_live_enumeration(spark, tmp_path):
+    """A leading column past GUIDEPOST_CAP distinct values is marked
+    overflowed (tracking stops — the sidecar stays tiny) and skip scans
+    on it fall back to live enumeration, answers unchanged."""
+    rows = spark.createDataFrame(
+        [
+            Row(key=i, name=f"n{i}", color=f"c{i}", score=i % 3, ts=100)
+            for i in range(9)
+        ]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["color", "score"], str(tmp_path / "i"), num_partitions=2
+    )
+    idx.GUIDEPOST_CAP = 4  # 9 distinct colors > 4
+    idx.build()
+    gp = idx._load_guideposts()
+    assert gp["cols"]["color"]["overflow"] and not gp["cols"]["color"]["values"]
+    want = sorted(r["key"] for r in tbl.df().where(F.col("score") == 1).collect())
+    assert sorted(r["key"] for r in idx.lookup_skip(score=1).collect()) == want
+    # maintenance on an overflowed column stays a no-op (and correct)
+    idx.update(
+        spark.createDataFrame(
+            [Row(key=30, name="w", color="c999", score=1, ts=100)]
+        )
+    )
+    assert idx._load_guideposts()["cols"]["color"]["overflow"]
+    want = sorted(r["key"] for r in tbl.df().where(F.col("score") == 1).collect())
+    assert sorted(r["key"] for r in idx.lookup_skip(score=1).collect()) == want
+
+
+def test_build_resets_a_stale_guidepost_sidecar(spark, tmp_path, monkeypatch):
+    """Rebuilding derives the sidecar fresh from the built index — a
+    corrupt or stale dictionary (e.g. missing a live value, which would
+    silently drop rows) cannot survive a build."""
+    import json as _json
+
+    rows = spark.createDataFrame(
+        [
+            Row(key=i, name=f"n{i}", color=c, score=i % 2, ts=100)
+            for i, c in enumerate(["red", "blue", "green", "red"])
+        ]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["color", "score"], str(tmp_path / "i"), num_partitions=2
+    ).build()
+    with open(idx._guidepost_path(), "w") as f:
+        _json.dump({"cols": {"color": {"values": ["bogus"], "overflow": False}}}, f)
+    idx.drop()
+    idx.build()
+    _forbid_live_enumeration(monkeypatch)
+    want = sorted(r["key"] for r in tbl.df().where(F.col("score") == 0).collect())
+    assert sorted(r["key"] for r in idx.lookup_skip(score=0).collect()) == want
+    assert set(idx._load_guideposts()["cols"]["color"]["values"]) == {
+        "red", "blue", "green"
+    }
