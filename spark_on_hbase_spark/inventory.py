@@ -665,7 +665,12 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 _ROTATED_OUT_R07 = [
     # -- newly out: r06-green agg/window family, kernels unchanged ---------
     # (funnel_conversion + event_volume_anomaly were the window's two
-    # spare slots until the clustered-ANN pair took them)
+    # spare slots until the clustered-ANN pair took them; pool_count +
+    # triangle_count made room for the late-r7 semantic_dedup_census +
+    # dsir_importance_topk pair — both r06-green, graph/agg kernels
+    # untouched this round, pytest-pinned)
+    "pool_count",
+    "triangle_count",
     "funnel_conversion",
     "event_volume_anomaly",
     "cohort_retention",

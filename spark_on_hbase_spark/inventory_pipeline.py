@@ -2997,6 +2997,208 @@ def audio_energy_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup + DSIR (round 7): the two published corpus-curation operators
+# that sit between near-dup removal and mixture selection in modern
+# pre-training pipelines — semantic (cluster-scoped embedding) dedup, and
+# importance resampling toward a target distribution.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.99
+
+_SEMDEDUP_CACHE: dict = {}
+
+
+def _semdedup_index(spark: SparkSession, sf_dir: str):
+    """Memoized SemDeDup cluster index over the CONSTRUCTED embedding
+    corpus (vec_corpus: base ∪ exact clones ∪ perturbed — the triangles
+    give the dedup known structure): 2 Lloyd iterations over sqrt-scaled
+    seeds + the full corpus assignment, persisted per (session, sf_dir).
+    Clustering is INDEX BUILD (the ivf_kmeans_index lesson: before that
+    memo the 30x probe measured training re-running inside every query
+    call); the seed modulus derives from the corpus's own count, which the
+    oracle replays via _IVF_SEED_MOD_SQL over the same corpus CTE."""
+    import math
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEMDEDUP_CACHE:
+        for stale in [k for k in _SEMDEDUP_CACHE if k != key]:
+            if stale[0] == key[0]:
+                for df in _SEMDEDUP_CACHE[stale]:
+                    df.unpersist()
+            del _SEMDEDUP_CACHE[stale]
+        corpus = vec_corpus(spark, sf_dir)
+        n = max(corpus.count(), 4)
+        mod = int(2 ** math.ceil(math.log2(math.sqrt(n))))
+        seeds = corpus.where(F.col("vec_id") % mod == 0)
+        refined = V.kmeans_refine(
+            corpus, seeds, iters=2, id_col="vec_id", qvec_col="v"
+        )
+        assigned = V.ivf_assign(corpus, refined, "vec_id", "v").persist()
+        assigned.count()
+        _SEMDEDUP_CACHE[key] = (refined, assigned)
+    return _SEMDEDUP_CACHE[key]
+
+
+_SD_CCOS = V.COSINE_SQL.format(
+    dot=V.dot_sql("a.v", "c.cv"), na=V.norm2_sql("a.v"), nb=V.norm2_sql("c.cv")
+)
+_SD_PAIR = V.COSINE_SQL.format(
+    dot=V.dot_sql("x.v", "y.v"), na=V.norm2_sql("x.v"), nb=V.norm2_sql("y.v")
+)
+
+
+@query(
+    "semantic_dedup_census",
+    f"""
+    WITH {VECS_SQL},
+    base_vecs AS (SELECT vec_id, v FROM vecs),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM base_vecs
+           WHERE vec_id % {_IVF_SEED_MOD_SQL} = 0),
+    {_KM_STEP_SQL.format(i=1, prev=0, d2=_ivf_d2('b.v', 'c.cv'))},
+    {_KM_STEP_SQL.format(i=2, prev=1, d2=_ivf_d2('b.v', 'c.cv'))},
+    final_assign AS MATERIALIZED (
+        SELECT vec_id, v, cid AS centroid_id FROM (
+            SELECT b.vec_id, b.v, c.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_ivf_d2('b.v', 'c.cv')}, c.cid) AS rn
+            FROM base_vecs b CROSS JOIN c2 c
+        ) WHERE rn = 1
+    ),
+    ccos AS MATERIALIZED (
+        SELECT a.vec_id, a.v, a.centroid_id, {_SD_CCOS} AS centroid_cos
+        FROM final_assign a JOIN c2 c ON c.cid = a.centroid_id
+    ),
+    drops AS (
+        SELECT DISTINCT x.vec_id
+        FROM ccos x JOIN ccos y
+          ON y.centroid_id = x.centroid_id AND y.vec_id <> x.vec_id
+        WHERE {_SD_PAIR} >= {_SEMDEDUP_TAU}
+          AND (y.centroid_cos < x.centroid_cos
+               OR (y.centroid_cos = x.centroid_cos AND y.vec_id < x.vec_id))
+    )
+    SELECT c.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM ccos c LEFT JOIN drops d USING (vec_id)
+    GROUP BY c.centroid_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup as cluster-scoped "
+    "embedding near-dup removal over the constructed corpus — k-means "
+    "cluster (the memoized 2-iteration Lloyd index, bit-exact integer "
+    "training so the oracle replays it), compare pairs only WITHIN a "
+    "cluster, keep the member with the LOWEST centroid cosine (the "
+    "paper's diversity policy, here in deterministic dominance form). "
+    "Every clone/perturbed triangle must collapse to exactly one kept "
+    "vector for the census to hash. Pair work is cluster-scoped, never "
+    "corpus-wide; at production scale cells are sized to fixed occupancy "
+    "(centroid count n/B) making total pair work linear — see "
+    "similarity.semantic_dedup.",
+    tags=("similarity", "embedding", "dedup", "kmeans"),
+)
+def semantic_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refined, assigned = _semdedup_index(spark, sf_dir)
+    verdicts = V.semantic_dedup(
+        assigned, refined, threshold=_SEMDEDUP_TAU, id_col="vec_id", qvec_col="v"
+    )
+    return verdicts.groupBy("centroid_id").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+def _dsir_ilog(dialect: str):
+    return lambda s: T.ilog2fp_sql(s, dialect)
+
+
+_DSIR_M = T.DSIR_BUCKETS
+_ILD = _dsir_ilog("duck")
+
+
+@query(
+    "dsir_importance_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_concat(
+                   ws, [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]
+               )) AS g
+        FROM toks
+    ),
+    gb AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(md5(g), 1, 8)) AS UBIGINT)
+                    % {_DSIR_M} AS BIGINT) AS bucket
+        FROM grams
+    ),
+    braw AS (SELECT bucket, COUNT(*) AS cs FROM gb GROUP BY bucket),
+    btgt AS (
+        SELECT bucket, COUNT(*) AS ct
+        FROM gb JOIN (SELECT doc_id FROM documents WHERE lang = 'en') USING (doc_id)
+        GROUP BY bucket
+    ),
+    dense AS (
+        SELECT CAST(s AS BIGINT) AS bucket,
+               COALESCE(cs, 0) AS cs, COALESCE(ct, 0) AS ct
+        FROM (SELECT unnest(generate_series(0, {_DSIR_M - 1})) AS s)
+        LEFT JOIN braw ON s = braw.bucket
+        LEFT JOIN btgt ON s = btgt.bucket
+    ),
+    tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ct) AS BIGINT) AS nt
+            FROM dense),
+    w AS (
+        SELECT bucket,
+               ({_ILD('ct + 1')} - {_ILD(f'nt + {_DSIR_M}')})
+             - ({_ILD('cs + 1')} - {_ILD(f'ns + {_DSIR_M}')}) AS qlr
+        FROM dense CROSS JOIN tot
+    ),
+    sc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(qlr) AS BIGINT) AS dsir_q
+        FROM gb JOIN w USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, d.lang, sc.n_grams, sc.dsir_q,
+           CAST(row_number() OVER (ORDER BY sc.dsir_q DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM sc JOIN documents d USING (doc_id)
+    QUALIFY rank <= 32
+    """,
+    doc="DSIR importance ranking (Xie et al. 2023, arXiv:2302.03169): two "
+    "hashed unigram+bigram bag-of-ngrams LMs (raw corpus vs the English "
+    "target slice), per-bucket quantized log-likelihood-ratio weights, "
+    "per-doc exact integer importance scores, top-32 — the ranking the "
+    "paper's Gumbel resampler samples from. The determinism work is the "
+    "fixed-point log2 (text.ilog2fp_sql: bit_length + integer div — no "
+    "libm, so the quantized weights are bit-identical across engines at "
+    "any count magnitude). Two linear corpus passes build an O(m) model; "
+    "scoring is one explode + m-row broadcast join + one per-doc hash "
+    "aggregation — the 100 TB shape the paper argues for.",
+    tags=("text", "pipeline", "dsir"),
+)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    weights = T.dsir_weights(docs, target)
+    scored = T.dsir_scores(docs, weights)
+    win = Window.orderBy(F.col("dsir_q").desc(), F.col("doc_id"))
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .where(F.col("rank") <= 32)
+        .select("doc_id", "lang", "n_grams", "dsir_q", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Memoized-relation warmers (bench "builds" attribution; see inventory.warmer)
 # — each populates AND materializes one shared memo so per-query bench times
 # measure the query kernel, stable under registry reordering.
@@ -3021,5 +3223,6 @@ warmer("clusters_embedding")(
 warmer("lsh_corpus_index")(_lsh_corpus)
 warmer("ivf_assigned")(_ivf_assigned)
 warmer("ivf_kmeans_index")(_ivf_kmeans_index)
+warmer("semdedup_index")(_semdedup_index)
 warmer("curation_stats")(_curation_stats)
 warmer("ahash_signatures")(_ahash_sigs)

@@ -982,3 +982,86 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication as CLUSTER-SCOPED embedding near-dup removal — k-means
+    cluster the corpus, compare pairs only WITHIN a cluster (the paper's
+    central trick: semantic duplicates land in the same cluster, so the
+    candidate bound is the cluster, never the corpus), and among each
+    near-dup set keep the entry with the LOWEST cosine similarity to its
+    cluster centroid (the paper's diversity-preserving keep policy).
+
+    The greedy paper algorithm is order-dependent; this is its
+    deterministic dominance form: ``x`` is dropped iff some same-cluster
+    neighbor ``y`` has pair-cosine >= threshold AND strictly lower
+    centroid-cosine (ties by smaller id). Every comparison is IEEE ops
+    over exact quantized integers (cosine_expr), so the verdict is
+    bit-identical across engines and the whole operator sits under the
+    value-hash oracle.
+
+    Inputs are the TRAINED IVF index pieces (``ivf_assign`` /
+    ``kmeans_refine`` — the memoized index build the ANN queries already
+    share): ``assigned`` = (id, qvec, centroid_id), ``centroids`` =
+    (id, qvec). Returns (id, centroid_id, centroid_cos, kept).
+
+    Shape at scale: one broadcast join for centroid cosines + one
+    cluster-keyed self-join — pair work is sum of cluster sizes squared.
+    With the house sqrt(n) cell rule that is n^1.5 worst-case; at corpus
+    scale size cells to a FIXED occupancy B (centroid count n/B — the
+    paper runs ~110k clusters for 5B docs for exactly this reason), which
+    makes total pair work n*B, linear; the keep policy is partition-
+    agnostic so the knob changes no code here."""
+    c = centroids.select(
+        F.col(id_col).alias("__cc_id"), F.col(qvec_col).alias("__cv")
+    )
+    ccos = assigned.join(
+        F.broadcast(c), F.col("centroid_id") == F.col("__cc_id")
+    ).select(
+        F.col(id_col),
+        F.col(qvec_col),
+        F.col("centroid_id"),
+        cosine_expr(
+            dot_expr(F.col(qvec_col), F.col("__cv")),
+            norm2_expr(F.col(qvec_col)),
+            norm2_expr(F.col("__cv")),
+        ).alias("centroid_cos"),
+    )
+    a = ccos.select(
+        F.col(id_col).alias("__ida"), F.col(qvec_col).alias("__va"),
+        F.col("centroid_id").alias("__cida"), F.col("centroid_cos").alias("__ca"),
+    )
+    b = ccos.select(
+        F.col(id_col).alias("__idb"), F.col(qvec_col).alias("__vb"),
+        F.col("centroid_id").alias("__cidb"), F.col("centroid_cos").alias("__cb"),
+    )
+    pair_cos = cosine_expr(
+        dot_expr(F.col("__va"), F.col("__vb")),
+        norm2_expr(F.col("__va")),
+        norm2_expr(F.col("__vb")),
+    )
+    dropped = (
+        a.join(b, (F.col("__cida") == F.col("__cidb")) & (F.col("__ida") != F.col("__idb")))
+        .where(pair_cos >= F.lit(threshold))
+        .where(
+            (F.col("__cb") < F.col("__ca"))
+            | ((F.col("__cb") == F.col("__ca")) & (F.col("__idb") < F.col("__ida")))
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return ccos.join(
+        dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "centroid_id",
+        "centroid_cos",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )

@@ -502,3 +502,133 @@ def quality_model_score(
         ).alias("quality_score"),
         (F.col("__s") > 0).alias("kept"),
     )
+
+
+# -- DSIR: data selection via importance resampling --------------------------
+
+DSIR_BUCKETS = 1024  # hashed n-gram feature space (the paper uses 10k)
+DSIR_QUANT = 1 << 20  # fixed-point log2 units (2^-20 bits per step)
+
+
+def ilog2fp_sql(n_sql: str, dialect: str, quant: int = DSIR_QUANT) -> str:
+    """Fixed-point log2 of a POSITIVE integer expression, exact INTEGER
+    arithmetic in both engines: log2(n) ~ (b-1) + (n / 2^(b-1) - 1) for
+    b = bit_length(n) — the float-bit-trick mantissa approximation
+    (monotone, max error 0.0861 bits), quantized to 1/quant units. No
+    libm: Spark and DuckDB log() may differ in the last ulp, and a
+    quantization floor sitting on such a boundary would flip — whereas
+    length(bin(n)) and integer `div` / `//` are exact at any int64
+    magnitude, so this fragment is bit-identical across engines (paired
+    goldens in tests/test_pipeline.py)."""
+    b = f"length(bin(CAST({n_sql} AS BIGINT)))"
+    if dialect == "spark":
+        div = f"((CAST({n_sql} AS BIGINT) * {quant}) div shiftleft(CAST(1 AS BIGINT), {b} - 1))"
+    else:
+        div = f"((CAST({n_sql} AS BIGINT) * {quant}) // (CAST(1 AS BIGINT) << ({b} - 1)))"
+    return f"(CAST({b} - 1 AS BIGINT) * {quant} + {div} - {quant})"
+
+
+def dsir_bucket_expr(gram: Column, m: int = DSIR_BUCKETS) -> Column:
+    """Hashed n-gram feature id: md5-derived 32-bit hash mod m — the
+    hashed-LM feature map, identical in Spark/DuckDB/Python."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint") % m
+
+
+def _dsir_grams(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """One row per unigram+bigram occurrence (lowercased, whitespace
+    words), carrying ``keep`` columns. The words array is projected first
+    so ngrams_from_words never re-tokenizes per gram index."""
+    base = df.select(*keep, words_expr(F.lower(F.col(text_col))).alias("__ws"))
+    return base.select(
+        *keep,
+        F.explode(
+            F.concat(F.col("__ws"), ngrams_from_words(F.col("__ws"), 2))
+        ).alias("__g"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    m: int = DSIR_BUCKETS,
+    quant: int = DSIR_QUANT,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): two
+    hashed bag-of-ngrams LMs — the raw (source) corpus and the target
+    corpus — and per feature bucket the quantized log-likelihood ratio
+
+        qlr(f) = qlog2[(c_t(f)+1)/(N_t+m)] - qlog2[(c_s(f)+1)/(N_s+m)]
+
+    (add-one smoothing; qlog2 = the exact fixed-point ilog2fp_sql, so the
+    whole table is integers and cross-engine exact). All m buckets are
+    densified (spark.range), so scoring never meets an absent feature.
+    Returns (bucket, qlr) — m rows, broadcastable anywhere.
+
+    Shape at scale: two explode + hash-aggregate passes (combiner-
+    friendly, keyed on m buckets) + one m-row join; the model is O(m)
+    regardless of corpus size — the paper's point: estimating the
+    importance sampler needs only hashed n-gram counts, one linear pass
+    per corpus."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _dsir_grams(df, text_col, [])
+            .select(dsir_bucket_expr(F.col("__g"), m).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    spark = raw.sparkSession
+    dense = spark.range(m).select(F.col("id").alias("bucket"))
+    joined = (
+        dense.join(counts(raw, "__cs"), "bucket", "left")
+        .join(counts(target, "__ct"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("__cs", F.lit(0)).alias("__cs"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("__cs").alias("__ns"), F.sum("__ct").alias("__nt")
+    )
+    ilog = lambda s: ilog2fp_sql(s, "spark", quant)  # noqa: E731
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "qlr",
+            F.expr(
+                f"({ilog('__ct + 1')} - {ilog(f'__nt + {m}')}) - "
+                f"({ilog('__cs + 1')} - {ilog(f'__ns + {m}')})"
+            ),
+        )
+        .select("bucket", "qlr")
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score documents with a ``dsir_weights`` table: per doc the exact
+    integer sum of its unigram+bigram buckets' qlr — the (quantized)
+    log importance weight log2[p_target(doc)/p_raw(doc)] the paper's
+    resampler exponentiates. Higher = more target-like; downstream either
+    takes the top slice (deterministic) or Gumbel-samples proportionally.
+    One explode -> m-row broadcast join -> one per-doc hash aggregation;
+    docs with no words have no grams and are absent (lm_likelihood's
+    convention). Returns (id, n_grams, dsir_q)."""
+    grams = _dsir_grams(df, text_col, [id_col]).select(
+        id_col, dsir_bucket_expr(F.col("__g"), m).alias("bucket")
+    )
+    return (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("qlr").alias("dsir_q"),
+        )
+    )

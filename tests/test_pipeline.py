@@ -1307,3 +1307,83 @@ def test_quality_model_score_matches_python_reference(spark):
         assert r["kept"] == (s > 0)
     # same token, different case -> same feature (lowering happens first)
     assert w_of("fox") == w_of("fox")
+
+
+# -- SemDeDup + DSIR (round 7) ----------------------------------------------
+
+
+def test_semantic_dedup_keeps_lowest_centroid_cos_per_group(spark):
+    """SemDeDup keep policy on a hand-built cluster: three near-identical
+    vectors (pairwise cosine > τ) plus one unrelated vector. Exactly one
+    of the triangle survives, and it is the member with the LOWEST cosine
+    to its centroid; the unrelated vector is untouched."""
+    base = [100, 100, 100, 100]
+    tri = [
+        Row(vec_id=1, v=[x * 10 for x in base]),        # scaled: cos=1 to centroid dir
+        Row(vec_id=2, v=[x * 10 for x in base]),        # exact clone of 1
+        Row(vec_id=3, v=[1001, 999, 1000, 1000]),       # perturbed
+        Row(vec_id=9, v=[1000, -1000, 1000, -1000]),    # unrelated
+    ]
+    vecs = spark.createDataFrame(tri, "vec_id bigint, v array<bigint>")
+    cents = spark.createDataFrame(
+        [Row(vec_id=0, v=[1000, 1000, 1000, 1000]),
+         Row(vec_id=7, v=[1000, -1000, 1000, -1000])],
+        "vec_id bigint, v array<bigint>",
+    )
+    assigned = V.ivf_assign(vecs, cents, "vec_id", "v")
+    out = V.semantic_dedup(assigned, cents, threshold=0.99, id_col="vec_id", qvec_col="v")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[9]["kept"] is True  # unrelated: alone in its cluster
+    kept_tri = [i for i in (1, 2, 3) if rows[i]["kept"]]
+    assert len(kept_tri) == 1
+    # the survivor has the minimal (centroid_cos, vec_id) in the group
+    cc = {i: rows[i]["centroid_cos"] for i in (1, 2, 3)}
+    want = min((1, 2, 3), key=lambda i: (cc[i], i))
+    assert kept_tri == [want]
+
+
+def test_ilog2fp_matches_engines_and_bounds_error(spark):
+    """The fixed-point log2 fragment evaluates to the SAME integer in
+    Spark and DuckDB for values across the int64 range, and its value is
+    within the documented 0.0861-bit error of true log2."""
+    import math
+
+    import duckdb
+
+    from spark_on_hbase_spark.operators import text as T
+
+    ns = [1, 2, 3, 5, 7, 1023, 1024, 1025, 10**6, 10**12, 2**40 + 12345]
+    sdf = spark.createDataFrame([(n,) for n in ns], "n bigint").select(
+        "n", F.expr(T.ilog2fp_sql("n", "spark")).alias("q")
+    )
+    got_spark = {r["n"]: r["q"] for r in sdf.collect()}
+    duck = duckdb.connect()
+    duck_expr = T.ilog2fp_sql("n", "duck")
+    got_duck = dict(
+        duck.execute(
+            f"SELECT n, {duck_expr} FROM (SELECT unnest(?) AS n)", [ns]
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+    for n in ns:
+        approx = got_spark[n] / T.DSIR_QUANT
+        assert abs(approx - math.log2(n)) <= 0.0861 + 1 / T.DSIR_QUANT
+
+
+def test_dsir_scores_rank_target_like_docs_first(spark):
+    """DSIR importance scoring on a hand-built corpus: docs made of the
+    target's n-grams outscore docs made of source-only n-grams."""
+    from spark_on_hbase_spark.operators import text as T
+
+    raw = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta",
+             "delta epsilon zeta", "alpha beta", "epsilon zeta"]
+        )]
+    )
+    target = raw.where(F.col("text").startswith("alpha"))
+    w = T.dsir_weights(raw, target)
+    assert w.count() == T.DSIR_BUCKETS  # densified model
+    scores = {r["doc_id"]: r["dsir_q"] for r in T.dsir_scores(raw, w).collect()}
+    # every alpha-doc outscores every delta-doc
+    assert min(scores[0], scores[1], scores[4]) > max(scores[2], scores[3], scores[5])

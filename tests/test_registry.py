@@ -18,6 +18,7 @@ _MUST_GRADE_R07 = {
     # round-7 new
     "secondary_index_functional_lookup", "secondary_index_skip_scan",
     "ann_clustered_lsh_topk", "ann_clustered_ivf_topk",
+    "semantic_dedup_census", "dsir_importance_topk",
     # kernels changed after their r06 grading: table.py (lone-delta fold,
     # cleanup order, time travel, interval-list + string-key dirty
     # compaction), streaming ingest, the ANN family (similarity.py)
