@@ -75,6 +75,13 @@ TARGETS = [
     "secondary_index_skip_scan",
     "secondary_index_deep_scrutiny",
     "ann_clustered_lsh",
+    # round-7 late: DSIR importance ranking (two linear hashed-ngram
+    # passes build an O(m) model, scoring is one explode + m-row
+    # broadcast join + per-doc agg + WindowGroupLimit top-k — every
+    # stage linear in the corpus, so warm growth must track data).
+    # SemDeDup is deliberately NOT probed: cluster-scoped pairwise is
+    # ~n^1.5 by design (the paper's own regime) — see similarity.py.
+    "dsir_importance_topk",
 ]
 
 

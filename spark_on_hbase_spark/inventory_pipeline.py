@@ -3115,6 +3115,31 @@ def _dsir_ilog(dialect: str):
 _DSIR_M = T.DSIR_BUCKETS
 _ILD = _dsir_ilog("duck")
 
+_DSIR_CACHE: dict = {}
+
+
+@build("dsir_buckets")
+def _dsir_buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached (doc_id, bucket) hashed-ngram relation — build-gate entry."""
+    return T.dsir_buckets(load(spark, sf_dir, "documents"))
+
+
+def _dsir_buckets_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized dsir_buckets relation: the ONE tokenize+hash corpus pass
+    the raw LM, the target LM (slice semi-join) and per-doc scoring all
+    derive from — before this memo the query's plan re-scanned documents
+    six times (one per gram-consuming branch)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DSIR_CACHE:
+        for stale in [k for k in _DSIR_CACHE if k != key]:
+            if stale[0] == key[0]:
+                _DSIR_CACHE[stale].unpersist()
+            del _DSIR_CACHE[stale]
+        gb = _dsir_buckets_build(spark, sf_dir).persist()
+        gb.count()
+        _DSIR_CACHE[key] = gb
+    return _DSIR_CACHE[key]
+
 
 @query(
     "dsir_importance_topk",
@@ -3185,13 +3210,15 @@ _ILD = _dsir_ilog("duck")
 def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    weights = T.dsir_weights(docs, target)
-    scored = T.dsir_scores(docs, weights)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    gb = _dsir_buckets_memo(spark, sf_dir)
+    weights = T.dsir_weights_from_buckets(
+        gb, docs.where(F.col("lang") == "en").select("doc_id")
+    )
+    scored = T.dsir_scores(None, weights, buckets=gb)
     win = Window.orderBy(F.col("dsir_q").desc(), F.col("doc_id"))
     return (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        scored.join(docs, "doc_id")
         .withColumn("rank", F.row_number().over(win).cast("bigint"))
         .where(F.col("rank") <= 32)
         .select("doc_id", "lang", "n_grams", "dsir_q", "rank")
@@ -3224,5 +3251,6 @@ warmer("lsh_corpus_index")(_lsh_corpus)
 warmer("ivf_assigned")(_ivf_assigned)
 warmer("ivf_kmeans_index")(_ivf_kmeans_index)
 warmer("semdedup_index")(_semdedup_index)
+warmer("dsir_buckets")(_dsir_buckets_memo)
 warmer("curation_stats")(_curation_stats)
 warmer("ahash_signatures")(_ahash_sigs)

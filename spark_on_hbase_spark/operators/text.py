@@ -589,6 +589,12 @@ def dsir_weights(
             F.coalesce("__ct", F.lit(0)).alias("__ct"),
         )
     )
+    return _dsir_qlr(joined, m, quant)
+
+
+def _dsir_qlr(joined: DataFrame, m: int, quant: int) -> DataFrame:
+    """(bucket, __cs, __ct) -> (bucket, qlr): the smoothed quantized
+    log-likelihood-ratio weights, shared by both model builders."""
     totals = joined.agg(
         F.sum("__cs").alias("__ns"), F.sum("__ct").alias("__nt")
     )
@@ -606,12 +612,62 @@ def dsir_weights(
     )
 
 
+def dsir_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """One row per (doc, hashed unigram+bigram occurrence) — the single
+    tokenize+hash pass everything DSIR needs derives from. Worth
+    memoizing: the raw-LM counts, the target-LM counts (when the target
+    is a corpus slice) AND per-doc scoring all consume this relation, so
+    sharing it turns DSIR into ONE corpus scan plus small aggregations."""
+    return _dsir_grams(df, text_col, [id_col]).select(
+        id_col, dsir_bucket_expr(F.col("__g"), m).alias("bucket")
+    )
+
+
+def dsir_weights_from_buckets(
+    buckets: DataFrame,
+    target_ids: DataFrame,
+    id_col: str = "doc_id",
+    m: int = DSIR_BUCKETS,
+    quant: int = DSIR_QUANT,
+) -> DataFrame:
+    """Target-is-a-slice fast path of ``dsir_weights``: when the target
+    corpus is a subset of the raw corpus (the common curation setup —
+    'resample the crawl toward its curated slice'), both hashed LMs
+    derive from ONE ``dsir_buckets`` relation: raw counts aggregate it
+    directly, target counts aggregate it through an id semi-join — no
+    second tokenize+hash pass over the text."""
+    spark = buckets.sparkSession
+    braw = buckets.groupBy("bucket").agg(F.count("*").alias("__cs"))
+    btgt = (
+        buckets.join(target_ids.select(id_col), id_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("__ct"))
+    )
+    dense = spark.range(m).select(F.col("id").alias("bucket"))
+    joined = (
+        dense.join(braw, "bucket", "left")
+        .join(btgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("__cs", F.lit(0)).alias("__cs"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+    )
+    return _dsir_qlr(joined, m, quant)
+
+
 def dsir_scores(
     df: DataFrame,
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     m: int = DSIR_BUCKETS,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents with a ``dsir_weights`` table: per doc the exact
     integer sum of its unigram+bigram buckets' qlr — the (quantized)
@@ -620,9 +676,13 @@ def dsir_scores(
     takes the top slice (deterministic) or Gumbel-samples proportionally.
     One explode -> m-row broadcast join -> one per-doc hash aggregation;
     docs with no words have no grams and are absent (lm_likelihood's
-    convention). Returns (id, n_grams, dsir_q)."""
-    grams = _dsir_grams(df, text_col, [id_col]).select(
-        id_col, dsir_bucket_expr(F.col("__g"), m).alias("bucket")
+    convention). Pass ``buckets`` (a ``dsir_buckets`` relation, usually
+    the shared memo) to skip re-tokenizing. Returns (id, n_grams,
+    dsir_q)."""
+    grams = (
+        buckets
+        if buckets is not None
+        else dsir_buckets(df, text_col, id_col, m)
     )
     return (
         grams.join(F.broadcast(weights), "bucket")

@@ -1212,3 +1212,86 @@ def test_build_resets_a_stale_guidepost_sidecar(spark, tmp_path, monkeypatch):
     assert set(idx._load_guideposts()["cols"]["color"]["values"]) == {
         "red", "blue", "green"
     }
+
+
+def test_guidepost_skip_scan_survives_mutation_storm(spark, tmp_path, monkeypatch):
+    """The union-first guidepost invariant under the full mutation matrix:
+    a seeded random sequence of updates, partial puts, row deletes, cell
+    deletes and compactions against a COMPOSITE (band, score) index, then
+    lookup_skip(score=v) — with live enumeration disabled, so only the
+    sidecar can answer — must equal the dict model's filter for every
+    probed value. Any insert path that forgets to union its leading
+    values first shows up here as silently missing rows."""
+    import random
+
+    rng = random.Random(11)
+    keyspace = list(range(150))
+    model: dict[int, tuple[int, int]] = {}  # key -> (band, score)
+
+    first = [(k, rng.randint(0, 6), rng.randint(-20, 20)) for k in rng.sample(keyspace, 90)]
+    rows = spark.createDataFrame(
+        [Row(key=k, band=b, score=s, ts=0) for k, b, s in first]
+    )
+    model.update({k: (b, s) for k, b, s in first})
+    tbl = KeyedTable(
+        spark, str(tmp_path / "gb"), key_col="key", ts_col="ts",
+        num_partitions=4, compact_threshold=50,
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["band", "score"], str(tmp_path / "gi"), num_partitions=4
+    ).build()
+
+    for ts in range(1, 13):
+        op = rng.choice(["update", "update", "put", "delete", "celldel", "compact"])
+        if op == "update":
+            # new bands appear over time (band range widens with ts)
+            batch = [
+                (k, rng.randint(0, 6 + ts), rng.randint(-20, 20))
+                for k in rng.sample(keyspace, rng.randint(1, 20))
+            ]
+            idx.update(
+                spark.createDataFrame(
+                    [Row(key=k, band=b, score=s, ts=ts) for k, b, s in batch]
+                )
+            )
+            model.update({k: (b, s) for k, b, s in batch})
+        elif op == "put" and model:
+            batch = [
+                (k, rng.randint(-20, 20))
+                for k in rng.sample(sorted(model), rng.randint(1, 10))
+            ]
+            idx.put(
+                spark.createDataFrame(
+                    [Row(key=k, score=s, ts=ts) for k, s in batch]
+                )
+            )
+            for k, s in batch:
+                model[k] = (model[k][0], s)
+        elif op == "delete":
+            victims = rng.sample(keyspace, rng.randint(1, 10))
+            idx.delete(spark.createDataFrame([Row(key=k) for k in victims], "key int"))
+            for k in victims:
+                model.pop(k, None)
+        elif op == "celldel" and model:
+            victims = rng.sample(sorted(model), rng.randint(1, 5))
+            idx.delete(
+                spark.createDataFrame([Row(key=k) for k in victims], "key int"),
+                columns=["score"],
+            )
+            for k in victims:
+                model[k] = (model[k][0], None)
+        else:
+            tbl.compact()
+            idx.tbl.compact()
+
+    def boom(self, *a, **k):
+        raise AssertionError("live enumeration ran — sidecar must answer")
+
+    monkeypatch.setattr(SecondaryIndex, "_enumerate_leading", boom)
+    for v in (-20, -3, 0, 7, 20, rng.randint(-20, 20)):
+        got = sorted(r["key"] for r in idx.lookup_skip(score=v).collect())
+        want = sorted(
+            k for k, (_, s) in model.items() if s is not None and s == v
+        )
+        assert got == want, f"score={v}"
