@@ -53,6 +53,14 @@ def main() -> None:
     print("after mutations, [-200,40] ->",
           sorted(r["name"] for r in idx.lookup_range(-200, 40).collect()))
 
+    # composite index + SKIP SCAN: probe the second column without fixing
+    # the first — leading tuples come from the guidepost sidecar (a stats
+    # dictionary maintained by every insert), so enumeration is a metadata
+    # read, not an index scan
+    cidx = SecondaryIndex(tbl, ["name", "balance"], f"{work}/idx_nb").build()
+    print("skip scan balance == 40 (no name fixed) ->",
+          sorted(r["key"] for r in cidx.lookup_skip(balance=40).collect()))
+
     # stale it behind the index's back, then audit + repair
     tbl.update(spark.createDataFrame([Row(key=1, name="ada", balance=500, ts=400)]))
     print("scrutiny:", sorted((r["ikey"], r["status"]) for r in idx.scrutiny().collect()))

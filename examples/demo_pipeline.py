@@ -122,6 +122,16 @@ def main() -> None:
     rebalanced = SC.temperature_mixture_sample(full, "lang", id_col="doc_id")
     print("temperature mixture (alpha=0.5) keeps:", rebalanced.count(), "docs")
 
+    # 4d. DSIR importance resampling: rank the crawl by similarity to its
+    # English slice (hashed unigram+bigram LMs, exact fixed-point log2)
+    gb = T.dsir_buckets(full)
+    w = T.dsir_weights_from_buckets(
+        gb, full.where(F.col("lang") == "en").select("doc_id")
+    )
+    dsir = T.dsir_scores(None, w, buckets=gb)
+    print("most target-like docs (DSIR):",
+          [r["doc_id"] for r in dsir.orderBy(F.col("dsir_q").desc(), "doc_id").limit(3).collect()])
+
     # 5. embedding ANN over the vector table (multi-probe sign-LSH: 4
     # 8-plane tables, each query also probes its 8 single-bit bucket flips)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
