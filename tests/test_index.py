@@ -1295,3 +1295,49 @@ def test_guidepost_skip_scan_survives_mutation_storm(spark, tmp_path, monkeypatc
             k for k, (_, s) in model.items() if s is not None and s == v
         )
         assert got == want, f"score={v}"
+
+
+def test_guidepost_skip_scan_over_functional_component(spark, tmp_path, monkeypatch):
+    """Skip scan fixing a FUNCTIONAL second component — probe by the
+    derived value, enumerate the plain leading column from the sidecar
+    (live enumeration disabled). Maintenance through update() recomputes
+    the derivation AND unions the new leading value first."""
+    rows = spark.createDataFrame(
+        [
+            Row(key=i, name=n, grp=i % 3, ts=100)
+            for i, n in enumerate(["apple", "pear", "plum", "fig", "apricot", "peach"])
+        ]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl,
+        ["grp"],
+        str(tmp_path / "i"),
+        num_partitions=2,
+        expr={"initial": F.substring(F.col("name"), 1, 1)},
+    ).build()
+    monkeypatch.setattr(
+        SecondaryIndex,
+        "_enumerate_leading",
+        lambda self, *a, **k: (_ for _ in ()).throw(AssertionError("live enum ran")),
+    )
+
+    def check(initial):
+        want = sorted(
+            r["key"]
+            for r in tbl.df().where(F.substring("name", 1, 1) == initial).collect()
+        )
+        got = sorted(r["key"] for r in idx.lookup_skip(initial=initial).collect())
+        assert got == want
+
+    check("p")  # pear, plum, peach across grps 1, 2, 5%3=2
+    check("a")
+    # a new leading grp value arrives through maintenance; its row must be
+    # skip-scannable immediately (union-first)
+    idx.update(
+        spark.createDataFrame([Row(key=10, name="prune", grp=9, ts=200)])
+    )
+    check("p")
