@@ -73,6 +73,28 @@ _GUIDEPOST_DTYPES = frozenset(
     {"tinyint", "smallint", "int", "bigint", "string", "boolean"}
 )
 
+_INT_RANGES = {
+    "tinyint": (-(1 << 7), (1 << 7) - 1),
+    "smallint": (-(1 << 15), (1 << 15) - 1),
+    "int": (-(1 << 31), (1 << 31) - 1),
+    "bigint": (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def _fits_dtype(v, dtype: str) -> bool:
+    """Does the Python probe value land in the column's domain unchanged
+    by the cast the exact predicate applies? (Out-of-range ints WRAP
+    under Spark's non-ANSI cast — such probes must take the live path,
+    whose filter sees the same wrapped value the predicate does.)"""
+    if dtype in _INT_RANGES:
+        lo, hi = _INT_RANGES[dtype]
+        return (
+            isinstance(v, int) and not isinstance(v, bool) and lo <= v <= hi
+        )
+    if dtype == "boolean":
+        return isinstance(v, bool)
+    return isinstance(v, str)
+
 
 def _order_preserving(dtype: str) -> bool:
     """Whether _ord_encode is order-preserving for this dtype — when it is
@@ -143,6 +165,7 @@ class SecondaryIndex:
         num_partitions: int = 8,
         include: list[str] | None = None,
         expr: "F.Column | dict[str, F.Column] | None" = None,
+        guideposts: bool = True,
     ):
         """``include``: base columns COPIED into every index entry (Phoenix
         covered columns) — a ``lookup(value, covered=True)`` over them never
@@ -178,6 +201,7 @@ class SecondaryIndex:
             raise ValueError("at least one indexed column or expr required")
         self.col = self.cols[0]  # back-compat alias for single-column use
         self.include = list(include or [])
+        self.guideposts = guideposts
         self._inputs: set[str] | None = None  # lazy: base may not exist yet
         reserved = {"ikey", "ivalue", "base_key"}
         bad = [
@@ -778,8 +802,13 @@ class SecondaryIndex:
     def _guidepost_cols(self) -> list[str]:
         """Leading columns eligible for guidepost tracking: all components
         before the LAST one, restricted to exactly-JSON-round-tripping
-        dtypes (see _GUIDEPOST_DTYPES)."""
-        if len(self.cols) < 2:
+        dtypes (see _GUIDEPOST_DTYPES). Empty when the index was opened
+        with ``guideposts=False`` (the opt-out for write-heavy workloads
+        that never skip-scan: it removes the per-batch materialize+union
+        from every maintenance write AND disables sidecar reads — all
+        handles of one index must agree on the setting, or a non-
+        maintaining writer would stale the sidecar other handles trust)."""
+        if not self.guideposts or len(self.cols) < 2:
             return []
         return [
             c
@@ -804,8 +833,19 @@ class SecondaryIndex:
         """Union freshly-observed leading-column values into the sidecar
         (``None`` for a column = cardinality overflow: mark it untracked).
         Called BEFORE the entries that carry these values land — see the
-        section comment for why that order is the safe one."""
-        gp = self._load_guideposts() or {"cols": {}}
+        section comment for why that order is the safe one.
+
+        REFUSES to create a sidecar that does not exist: a batch-only
+        dictionary would be treated as authoritative and silently drop
+        every pre-existing row from skip scans (the caller heals a
+        missing sidecar by deriving it from the FULL index first — see
+        _noted_entries). Single-writer contract: the sidecar is a
+        read-modify-write file, like the rest of the engine's layer-
+        sequence allocation — concurrent writers to one index are
+        unsupported engine-wide."""
+        gp = self._load_guideposts()
+        if gp is None:
+            return
         changed = False
         for c, vals in new_vals.items():
             ent = gp["cols"].setdefault(c, {"values": [], "overflow": False})
@@ -827,11 +867,23 @@ class SecondaryIndex:
         if changed:
             self._save_guideposts(gp)
 
-    def _collect_leading(self, df: DataFrame, gcols: list[str]) -> dict:
+    def _collect_leading(
+        self, df: DataFrame, gcols: list[str], small: bool = False
+    ) -> dict:
         """Distinct values per guidepost column of ``df`` (entry rows),
-        ``None`` = overflow. Bounded driver/executor memory: a
-        countDistinct pre-pass keeps collect_set off any column whose
-        in-batch cardinality already exceeds the cap."""
+        ``None`` = overflow. ``small`` (maintenance batches, O(batch) by
+        contract) collects everything in ONE aggregation and caps driver-
+        side; the table-sized path (_refresh_guideposts) runs a
+        countDistinct pre-pass first so collect_set never materializes a
+        high-cardinality column's full distinct set."""
+        if small:
+            row = df.agg(
+                *[F.collect_set(F.col(c)).alias(c) for c in gcols]
+            ).first()
+            return {
+                c: (None if len(row[c]) > self.GUIDEPOST_CAP else list(row[c]))
+                for c in gcols
+            }
         counts = df.agg(
             *[F.countDistinct(F.col(c)).alias(c) for c in gcols]
         ).first()
@@ -853,8 +905,15 @@ class SecondaryIndex:
             gcols = self._guidepost_cols()
             if not gcols:
                 return e
+            if self._load_guideposts() is None:
+                # missing sidecar (pre-guidepost index dir, or a build()
+                # that crashed between create and refresh): heal by
+                # deriving from the FULL pre-insert index — one column-
+                # pruned scan, once — so the union below extends a
+                # complete dictionary, never a batch-only one
+                self._refresh_guideposts()
             e = e.localCheckpoint(eager=True)
-            self._union_guideposts(self._collect_leading(e, gcols))
+            self._union_guideposts(self._collect_leading(e, gcols, small=True))
             return e
 
         return wrapped
@@ -882,12 +941,21 @@ class SecondaryIndex:
         overflowed/untracked column, or a cross product past the probe
         budget — the caller then live-enumerates, whose fixed-column
         constraints may still fit the budget)."""
+        if not self.guideposts:
+            return None
         gp = self._load_guideposts()
         if gp is None:
             return None
         per_col, total = [], 1
         for c in prefix_cols:
             if c in fixed:
+                if not _fits_dtype(fixed[c], self._dtype_of(self.cols.index(c))):
+                    # the exact predicate CASTS the probe value (wrapping
+                    # out-of-range ints, non-ANSI), but the guidepost path
+                    # would encode it raw and probe ranges the wrapped
+                    # value's entries never occupy — let the live path
+                    # (which filters by the cast value) answer instead
+                    return None
                 per_col.append([fixed[c]])
                 continue
             ent = gp.get("cols", {}).get(c)

@@ -517,14 +517,29 @@ def ilog2fp_sql(n_sql: str, dialect: str, quant: int = DSIR_QUANT) -> str:
     (monotone, max error 0.0861 bits), quantized to 1/quant units. No
     libm: Spark and DuckDB log() may differ in the last ulp, and a
     quantization floor sitting on such a boundary would flip — whereas
-    length(bin(n)) and integer `div` / `//` are exact at any int64
-    magnitude, so this fragment is bit-identical across engines (paired
-    goldens in tests/test_pipeline.py)."""
+    length(bin(n)), shifts, and integer `div` / `//` are exact at any
+    int64 magnitude, so this fragment is bit-identical across engines
+    (paired goldens in tests/test_pipeline.py).
+
+    Overflow guard: ``n * quant`` would overflow int64 for n >= 2^43
+    (DuckDB raises; non-ANSI Spark silently wraps — found by a review
+    pass probing the '100 TB gram counts' claim), so mantissas wider
+    than 43 bits are shifted down by s = b - 43 first: the dropped low
+    bits perturb the mantissa ratio by < 2^-42, far below the 1/quant
+    quantization step, and both engines drop the SAME bits so
+    cross-engine identity is preserved by construction."""
     b = f"length(bin(CAST({n_sql} AS BIGINT)))"
+    s = f"greatest({b} - 43, 0)"
     if dialect == "spark":
-        div = f"((CAST({n_sql} AS BIGINT) * {quant}) div shiftleft(CAST(1 AS BIGINT), {b} - 1))"
+        div = (
+            f"((shiftright(CAST({n_sql} AS BIGINT), {s}) * {quant}) div "
+            f"shiftleft(CAST(1 AS BIGINT), {b} - 1 - {s}))"
+        )
     else:
-        div = f"((CAST({n_sql} AS BIGINT) * {quant}) // (CAST(1 AS BIGINT) << ({b} - 1)))"
+        div = (
+            f"(((CAST({n_sql} AS BIGINT) >> {s}) * {quant}) // "
+            f"(CAST(1 AS BIGINT) << ({b} - 1 - {s})))"
+        )
     return f"(CAST({b} - 1 AS BIGINT) * {quant} + {div} - {quant})"
 
 

@@ -1341,3 +1341,86 @@ def test_guidepost_skip_scan_over_functional_component(spark, tmp_path, monkeypa
         spark.createDataFrame([Row(key=10, name="prune", grp=9, ts=200)])
     )
     check("p")
+
+
+def test_maintenance_heals_a_missing_guidepost_sidecar(spark, tmp_path, monkeypatch):
+    """An index with live entries but NO sidecar (pre-guidepost dir, or a
+    build() that crashed between create and refresh): the first
+    maintenance write must derive the dictionary from the FULL index
+    before unioning its batch — a batch-only bootstrap would silently
+    drop every pre-existing row from skip scans (review-pass repro)."""
+    import os
+
+    rows = spark.createDataFrame(
+        [
+            Row(key=i, name=f"n{i}", color=c, score=1, ts=100)
+            for i, c in enumerate(["red", "blue", "green"])
+        ]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["color", "score"], str(tmp_path / "i"), num_partitions=2
+    ).build()
+    os.remove(idx._guidepost_path())  # simulate the crash window
+
+    idx.update(
+        spark.createDataFrame([Row(key=10, name="x", color="violet", score=1, ts=200)])
+    )
+    _forbid_live_enumeration(monkeypatch)
+    got = sorted(r["key"] for r in idx.lookup_skip(score=1).collect())
+    assert got == [0, 1, 2, 10], "pre-existing rows must survive the heal"
+
+
+def test_skip_scan_out_of_range_fixed_value_never_lies(spark, tmp_path):
+    """A probe value outside the fixed column's dtype domain: under ANSI
+    (this session's default) the exact predicate's cast RAISES — in both
+    paths, never a silent empty result; _fits_dtype additionally keeps
+    the guidepost path from answering with raw-encoded ranges, which
+    under a non-ANSI session would silently miss the wrapped value's
+    rows while the live path's cast-then-filter found them."""
+    import pytest as _pytest
+
+    rows = spark.createDataFrame(
+        [Row(key=i, grp=i % 3, band=4464, ts=100) for i in range(6)],
+        "key int, grp smallint, band smallint, ts bigint",
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["grp", "band"], str(tmp_path / "i"), num_partitions=2
+    ).build()
+    # the declined guidepost path and the live path agree: loud overflow
+    assert idx._guidepost_tuples(["grp", "band"], {"band": 70000}) is None
+    with _pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        idx.lookup_skip(band=70000).collect()
+    # in-range probes answer from the sidecar
+    assert sorted(r["key"] for r in idx.lookup_skip(band=4464).collect()) == [
+        0, 1, 2, 3, 4, 5,
+    ]
+
+
+def test_guideposts_opt_out_disables_maintenance_and_reads(spark, tmp_path):
+    """guideposts=False: no sidecar is created or consulted; skip scans
+    use live enumeration and stay correct."""
+    rows = spark.createDataFrame(
+        [Row(key=i, grp=i % 3, band=i, ts=100) for i in range(6)]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["grp", "band"], str(tmp_path / "i"), num_partitions=2,
+        guideposts=False,
+    ).build()
+    import os
+
+    assert not os.path.exists(idx._guidepost_path())
+    idx.update(spark.createDataFrame([Row(key=10, grp=7, band=3, ts=200)]))
+    assert not os.path.exists(idx._guidepost_path())
+    assert sorted(r["key"] for r in idx.lookup_skip(band=3).collect()) == [3, 10]

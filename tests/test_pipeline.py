@@ -1352,7 +1352,11 @@ def test_ilog2fp_matches_engines_and_bounds_error(spark):
 
     from spark_on_hbase_spark.operators import text as T
 
-    ns = [1, 2, 3, 5, 7, 1023, 1024, 1025, 10**6, 10**12, 2**40 + 12345]
+    ns = [1, 2, 3, 5, 7, 1023, 1024, 1025, 10**6, 10**12, 2**40 + 12345,
+          # >= 2^43: the naive n*quant would overflow int64 (DuckDB raises,
+          # non-ANSI Spark wraps) — the shift-down guard must keep both
+          # engines exact and identical up to the top of the int64 range
+          2**43, 2**43 + 1, 2**50 + 7, 2**62 + 999]
     sdf = spark.createDataFrame([(n,) for n in ns], "n bigint").select(
         "n", F.expr(T.ilog2fp_sql("n", "spark")).alias("q")
     )
