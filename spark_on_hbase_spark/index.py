@@ -256,11 +256,14 @@ class SecondaryIndex:
         if self._inputs is None:
             inputs: set[str] = set()
             if self.exprs:
+                # the KEY column is probed too: an expression reading only
+                # the key (e.g. a key-bucket index) must register it, or
+                # put/increment batches — which always carry the key —
+                # would take the no-maintenance fast path and create rows
+                # with no index entry (review-pass finding)
                 probe = self.base.df()
                 sel = [e.alias(n) for n, e in self.exprs.items()]
                 for c in probe.columns:
-                    if c == self.base.key_col:
-                        continue
                     try:
                         probe.drop(c).select(*sel)
                     except Exception:
@@ -348,16 +351,28 @@ class SecondaryIndex:
 
     def _entry_fingerprint(self) -> "F.Column":
         """md5 over the FULL entry tuple — ikey, the base row's ts, the
-        typed indexed values, and every covered column (null-sentineled so
-        (NULL,'x') never collides with ('x',NULL)). ivalue and base_key are
-        functions of ikey, so they add nothing. Two entries with equal
-        fingerprints are interchangeable to every read path, including
-        ``lookup(covered=True)``."""
+        typed indexed values, and every covered column. Each field is
+        hashed to a FIXED-WIDTH 32-hex token first and the tokens
+        concatenated without a separator: a separator-joined hash is
+        boundary-ambiguous — ('a\\x1fb','c') and ('a','b\\x1fc') join
+        identically (and collide in ikey too) yet store DIFFERENT typed
+        values that the exact lookup predicate distinguishes, so a
+        joined hash left scrutiny blind to that divergence (review-pass
+        finding); likewise a value equal to a null-sentinel literal
+        collided with NULL. NULL fields become a 32-char token outside
+        the hex alphabet, unambiguous by construction. ivalue and
+        base_key are functions of ikey, so they add nothing. Two entries
+        with equal fingerprints are interchangeable to every read path,
+        including ``lookup(covered=True)``."""
         cols = ["ikey", self.base.ts_col, *self.cols, *self.include]
         return F.md5(
-            F.concat_ws(
-                _SEP,
-                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+            F.concat(
+                *[
+                    F.coalesce(
+                        F.md5(F.col(c).cast("string")), F.lit("n" * 32)
+                    )
+                    for c in cols
+                ]
             )
         )
 
@@ -372,11 +387,12 @@ class SecondaryIndex:
         (the ikey matches but the entry's covered values or ts diverge
         from the base row: ``lookup(covered=True)`` would serve the stale
         value even though the key set looks consistent). ``deep=False``
-        restricts the audit to key divergence (cheaper hash material, same
-        two scans). Empty result == consistent. Two table-sized scans,
-        zero writes — the audit you run after suspecting writes bypassed
-        the index."""
-        fp = self._entry_fingerprint()
+        restricts the audit to key existence — no tuple is hashed at all
+        (a review pass caught the old code computing the full fingerprint
+        and merely ignoring it), same two scans. Empty result ==
+        consistent. Two table-sized scans, zero writes — the audit you
+        run after suspecting writes bypassed the index."""
+        fp = self._entry_fingerprint() if deep else F.lit("1")
         expected = self._entries(self.base.df()).select("ikey", fp.alias("__efp"))
         actual = self.tbl.df().select("ikey", fp.alias("__afp"))
         j = expected.join(actual, "ikey", "full_outer")
@@ -396,12 +412,18 @@ class SecondaryIndex:
     def repair(self) -> dict:
         """Reconcile the index to the CURRENT base (Phoenix's scrutiny
         repair): tombstone orphaned entries, upsert missing AND
-        stale_covered ones — two audit scans but O(divergence) writes, so
-        fixing a few behind-the-back rows never rewrites the index. The
-        stale_covered upsert needs no tombstone: a behind-the-back base
-        write only sticks when the base's own LWW fold accepts it (ts >=
-        stored), so the expected entry's ts always ties-or-beats the stale
-        entry's and the plain upsert wins the index fold. Returns
+        stale_covered ones — two audit scans but O(divergence) writes for
+        the orphan/missing classes, so fixing a few behind-the-back rows
+        never rewrites the index. Stale entries additionally tombstone +
+        COMPACT the index first: a behind-the-back delete + compact +
+        lower-ts reinsert leaves the base live at a ts BELOW the stored
+        entry's (found by a review pass — the old docstring claimed
+        expected ts 'always ties-or-beats', which delete+compact breaks),
+        and the index fold would reject the lower-ts upsert while a bare
+        tombstone (null ts = now) would beat the reinsert too; folding
+        the tombstone away first lets the expected entry land as a fresh
+        row whatever its ts. The compaction runs only when staleness was
+        actually found, so the common repair stays O(divergence). Returns
         {'missing': n, 'orphaned': n, 'stale_covered': n}."""
         fp = self._entry_fingerprint()
         expected = self._entries(self.base.df()).withColumn("__efp", fp)
@@ -421,12 +443,16 @@ class SecondaryIndex:
         diff = diff.localCheckpoint()
         orphaned = diff.where(F.col("__efp").isNull()).select("ikey")
         upserts = diff.where(F.col("__efp").isNotNull()).drop("__efp", "__afp")
-        n_stale = diff.where(
+        stale = diff.where(
             F.col("__efp").isNotNull()
             & F.col("__afp").isNotNull()
             & (F.col("__efp") != F.col("__afp"))
-        ).count()
+        )
+        n_stale = stale.count()
         n_orphaned = self.tbl.delete(orphaned)
+        if n_stale:
+            self.tbl.delete(stale.select("ikey"))
+            self.tbl.compact()
         n_upserted = self.tbl.update(self._noted_entries(lambda: upserts)())
         return {
             "missing": n_upserted - n_stale,
@@ -549,8 +575,15 @@ class SecondaryIndex:
         merge-on-read, so a lazy point-read after the base write IS the
         post-state, and re-reading it on a stamped retry yields the same
         entries (the additive layer is already down; the read is
-        idempotent). No LWW gate: increments are unconditional adds."""
-        if counter_col not in self._maintained_inputs():
+        idempotent). No LWW gate: increments are unconditional adds.
+
+        The key-column check mirrors put's gate: when a functional
+        component reads the KEY, an increment that CREATES a row (HBase
+        increments upsert) must index it even though the counter column
+        itself is nothing the index reads — skipping maintenance left the
+        new row invisible to lookups (review-pass finding)."""
+        maintained = self._maintained_inputs()
+        if counter_col not in maintained and self.base.key_col not in maintained:
             n = self._guarded(
                 self.base.increment, lambda: batch, stamp, "",
                 counter_col=counter_col, delta_col=delta_col,

@@ -627,6 +627,14 @@ class KeyedTable:
     # parquet.statistics.truncate.length could hand us a shortened max,
     # and a max that under-reports would silently strand delta keys in a
     # "clean" base file whose deltas are about to be deleted
+    # Why 64 is sound HERE and only here: every layer under a KeyedTable
+    # path is written by _write_layer (this engine's Spark writer, whose
+    # parquet stats truncation threshold is 64) — layers are not an
+    # interchange format. A FOREIGN file dropped into the layer dir could
+    # carry a max truncated at a shorter length and defeat the guard
+    # (spared base file -> resurrected deletes); that is out of contract,
+    # same as hand-editing a layer, and create()/copy() never import
+    # foreign parquet verbatim.
     _STR_STAT_GUARD = 64
 
     def _file_key_ranges(self, layer: Path):
@@ -713,19 +721,36 @@ class KeyedTable:
             i = bisect.bisect_right(starts, hi) if hi is not _TOP else len(starts)
             return i > 0 and merged_iv[i - 1][1] >= lo
 
+        dirty_by_layer: list[tuple[Path, list[Path]]] = []
         dirty_files: list[Path] = []
-        for _b, r in base_ranges:
-            dirty_files += [
-                f for f, lo, hi in r if lo is not None and is_dirty(lo, hi)
-            ]
-        # fold the dirty slice exactly like df(): overlapping base files as
-        # the OLDEST frame, then the delta layers in seq order. force_fold:
-        # a lone delta frame (no dirty base file) must still run the kind
-        # fold — its markers are instructions, not rows
-        frames = []
-        if dirty_files:
-            frames.append(self.spark.read.parquet(*[str(f) for f in dirty_files]))
-        frames += [self.spark.read.parquet(str(p)) for p in deltas]
+        for b, r in base_ranges:
+            files = [f for f, lo, hi in r if lo is not None and is_dirty(lo, hi)]
+            if files:
+                dirty_by_layer.append((b, files))
+                dirty_files += files
+        # fold the dirty slice exactly like df(): every contributing layer
+        # is ITS OWN frame, interleaved with the deltas in true layer-seq
+        # order. Merging all dirty base files into one oldest frame was
+        # wrong across GENERATIONS (review-pass finding): a crash between
+        # the folded-base write and the dirty-file unlinks leaves the old
+        # base file AND the already-folded base both present, and a retry
+        # that reads them as one frame picks a nondeterministic ROW winner
+        # between the ts-equal generations, then re-applies the still-
+        # present deltas on top (double-applied increments). Per-layer
+        # frames in seq order keep the retry idempotent: old base -> delta
+        # -> folded base resolves to the folded value. force_fold: a lone
+        # delta frame (no dirty base file) must still run the kind fold —
+        # its markers are instructions, not rows
+        contributing: list[tuple[Path, list[Path] | None]] = [
+            (b, files) for b, files in dirty_by_layer
+        ] + [(d, None) for d in deltas]
+        contributing.sort(key=lambda t: t[0].name.rsplit("-", 1)[-1])
+        frames = [
+            self.spark.read.parquet(*[str(f) for f in files])
+            if files is not None
+            else self.spark.read.parquet(str(p))
+            for p, files in contributing
+        ]
         merged = self._resolve(frames, force_fold=True)
         merged = merged.localCheckpoint()  # sever lineage from removed files
         self._persist_stamps(deltas)

@@ -870,10 +870,13 @@ def test_functional_index_put_fast_path_is_exact(spark, tmp_path):
     tbl, idx = _fx_fixture(spark, tmp_path)
     assert idx._expr_inputs() == {"name"}
     layers_before = len(idx.tbl._layers())
-    # unrelated partial put: ts-gated fast path, no index write
+    # color is COVERED, so this partial put MUST maintain (re-point the
+    # entries at the new covered value) — and leave the index deep-clean
     idx.put(spark.createDataFrame([Row(key=1, color="green", ts=300)]))
-    assert len(idx.tbl._layers()) == layers_before + 0 or idx.scrutiny(deep=False).count() == 0
-    # wait: color IS covered -> maintained. Probe the truly-unrelated case
+    assert len(idx.tbl._layers()) > layers_before, "covered-column put must write"
+    assert idx.scrutiny(deep=True).count() == 0
+    assert [r["color"] for r in idx.lookup("alpha", covered=True).collect()] == ["green"]
+    # the truly-unrelated case: a column neither indexed, covered, nor read
     tbl2 = KeyedTable(spark, str(tmp_path / "b2"), key_col="key", ts_col="ts", num_partitions=2)
     tbl2.create(
         spark.createDataFrame(
@@ -1424,3 +1427,94 @@ def test_guideposts_opt_out_disables_maintenance_and_reads(spark, tmp_path):
     idx.update(spark.createDataFrame([Row(key=10, grp=7, band=3, ts=200)]))
     assert not os.path.exists(idx._guidepost_path())
     assert sorted(r["key"] for r in idx.lookup_skip(band=3).collect()) == [3, 10]
+
+
+def test_repair_wins_even_when_base_ts_moved_backwards(spark, tmp_path):
+    """Behind the back: delete -> compact (tombstone folded away) ->
+    reinsert at a LOWER ts. The base is live at ts 50 while the stored
+    entry carries ts 100 — a plain repair upsert loses the index LWW fold
+    and a bare tombstone would beat the lower-ts reinsert too; repair
+    must tombstone + compact the stale slice so the expected entry lands
+    (review-pass finding: repair used to report success while the stale
+    covered value kept being served, re-flagged forever)."""
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(
+        spark.createDataFrame([Row(key=1, name="a", color="red", ts=100)])
+    )
+    idx = SecondaryIndex(
+        tbl, "color", str(tmp_path / "i"), include=["name"], num_partitions=2
+    ).build()
+    tbl.delete(spark.createDataFrame([Row(key=1)], "key bigint"))
+    tbl.compact()
+    tbl.update(spark.createDataFrame([Row(key=1, name="b", color="red", ts=50)]))
+    assert [r["status"] for r in idx.scrutiny(deep=True).collect()] == [
+        "stale_covered"
+    ]
+    out = idx.repair()
+    assert out["stale_covered"] == 1
+    assert [r["name"] for r in idx.lookup("red", covered=True).collect()] == ["b"]
+    assert idx.scrutiny(deep=True).count() == 0
+
+
+def test_key_only_functional_index_maintains_on_put(spark, tmp_path):
+    """A functional index whose expression reads ONLY the key (a
+    key-bucket index): a cell put creating a brand-new row must maintain
+    it — the old input-resolution skipped the key column, so such puts
+    took the no-maintenance fast path and created rows with no entry
+    (review-pass finding)."""
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(
+        spark.createDataFrame([Row(key=i, other="x", ts=100) for i in range(4)])
+    )
+    idx = SecondaryIndex(
+        tbl, path=str(tmp_path / "i"), num_partitions=2,
+        expr={"kmod": F.col("key") % 10},
+    ).build()
+    assert "key" in idx._maintained_inputs()
+    idx.put(spark.createDataFrame([Row(key=19, other="y", ts=200)]))
+    assert [r["key"] for r in idx.lookup(9).collect()] == [19]
+    assert idx.scrutiny(deep=True).count() == 0
+    # a row created via increment on a NON-key counter still indexes its key
+    tbl2 = KeyedTable(
+        spark, str(tmp_path / "b2"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl2.create(spark.createDataFrame([Row(key=1, cnt=0, ts=100)]))
+    idx2 = SecondaryIndex(
+        tbl2, path=str(tmp_path / "i2"), num_partitions=2,
+        expr={"kmod": F.col("key") % 10},
+    ).build()
+    idx2.increment(
+        spark.createDataFrame([Row(key=7, delta=3, ts=200)]), counter_col="cnt"
+    )
+    assert [r["key"] for r in idx2.lookup(7).collect()] == [7]
+    assert idx2.scrutiny(deep=True).count() == 0
+
+
+def test_deep_scrutiny_distinguishes_null_from_sentinel_value(spark, tmp_path):
+    """Fingerprint null-handling: a covered value changing from NULL to a
+    string the old separator-joined hash used as its null sentinel
+    ('\\x00') was invisible to deep scrutiny (fp collision, review-pass
+    finding); per-field fixed-width hashing flags it."""
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(
+        spark.createDataFrame(
+            [Row(key=1, name=None, color="red", ts=100)],
+            "key bigint, name string, color string, ts bigint",
+        )
+    )
+    idx = SecondaryIndex(
+        tbl, "color", str(tmp_path / "i"), include=["name"], num_partitions=2
+    ).build()
+    tbl.put(spark.createDataFrame([Row(key=1, name="\x00", ts=200)]))
+    assert [r["status"] for r in idx.scrutiny(deep=True).collect()] == [
+        "stale_covered"
+    ]
+    idx.repair()
+    assert [r["name"] for r in idx.lookup("red", covered=True).collect()] == ["\x00"]
+    assert idx.scrutiny(deep=True).count() == 0

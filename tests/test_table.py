@@ -690,3 +690,48 @@ def test_time_travel_past_dirty_compaction_raises(spark, tmp_path):
     # current reads are unaffected, including as-of the new snapshot
     assert t.df().count() == 1000
     assert t.df(as_of_layer=t.snapshot_seq()).count() == 1000
+
+
+def test_dirty_compact_retry_after_crash_mid_write_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the folded-base write and the dirty-file unlinks:
+    the old base generation, the delta stack, AND the freshly-folded base
+    all coexist. A retry must fold them per-layer in seq order — the old
+    one-frame merge picked a nondeterministic winner between the ts-equal
+    generations and re-applied the increment delta on top (counter 15
+    becoming 20, review-pass finding)."""
+    import pytest as _pytest
+
+    from pyspark.sql import Row
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), key_col="key", ts_col="ts",
+        num_partitions=2, compact_threshold=50,
+    )
+    tbl.create(
+        spark.createDataFrame([Row(key=k, cnt=10, ts=100) for k in range(8)])
+    )
+    tbl.increment(
+        spark.createDataFrame([Row(key=1, delta=5, ts=200)]), counter_col="cnt"
+    )
+
+    real = KeyedTable._write_layer
+
+    def crash_after_base_write(self, df, kind, **kw):
+        n = real(self, df, kind, **kw)
+        if kind == "base":
+            raise RuntimeError("crash after folded-base write")
+        return n
+
+    monkeypatch.setattr(KeyedTable, "_write_layer", crash_after_base_write)
+    with _pytest.raises(RuntimeError, match="crash"):
+        tbl.compact(scope="dirty")
+    monkeypatch.setattr(KeyedTable, "_write_layer", real)
+
+    # the crashed state still reads correctly...
+    assert {r["key"]: r["cnt"] for r in tbl.df().collect()}[1] == 15
+    # ...and the RETRY converges to the same answer, exactly once
+    tbl.compact(scope="dirty")
+    got = {r["key"]: r["cnt"] for r in tbl.df().collect()}
+    assert got[1] == 15 and all(got[k] == 10 for k in got if k != 1)
