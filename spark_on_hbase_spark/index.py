@@ -268,6 +268,22 @@ class SecondaryIndex:
                         probe.drop(c).select(*sel)
                     except Exception:
                         inputs.add(c)
+                # coalesce/constant-style expressions are NON-NULL even
+                # when every input is: a row-creating batch that carries
+                # none of the inputs still mints an entry (fx='?'), so
+                # the KEY — present in every batch — must gate
+                # maintenance for such indexes (second review pass: the
+                # first key-column fix covered only key-READING exprs).
+                # Probed once on an all-null row; null-on-null exprs
+                # (lower, substring, arithmetic) keep their fast path.
+                schema = self.base._schema()
+                null_row = self.base.spark.createDataFrame(
+                    [tuple(None for _ in schema)],
+                    ", ".join(f"`{c}` {t}" for c, t in schema.items()),
+                )
+                probed = null_row.select(*sel).first()
+                if any(v is not None for v in probed):
+                    inputs.add(self.base.key_col)
             self._inputs = inputs
         return self._inputs
 
@@ -422,8 +438,18 @@ class SecondaryIndex:
         and the index fold would reject the lower-ts upsert while a bare
         tombstone (null ts = now) would beat the reinsert too; folding
         the tombstone away first lets the expected entry land as a fresh
-        row whatever its ts. The compaction runs only when staleness was
-        actually found, so the common repair stays O(divergence). Returns
+        row whatever its ts. The fold is compact(scope='dirty') — only
+        index files overlapping the stale tombstones rewrite — and runs
+        only when staleness was actually found, so repair stays
+        O(divergence) (plus the two audit scans) in every class.
+
+        NOT atomic (Phoenix's scrutiny repair is an offline MR job for
+        the same reason): a crash between the stale-slice fold and the
+        upsert leaves the affected rows invisible to index reads — worse
+        than the stale values they had — until repair RE-RUNS, which
+        converges: the crashed state re-classifies as plain 'missing'
+        and takes the upsert-only path (pinned by
+        test_crashed_repair_rerun_converges). Returns
         {'missing': n, 'orphaned': n, 'stale_covered': n}."""
         fp = self._entry_fingerprint()
         expected = self._entries(self.base.df()).withColumn("__efp", fp)
@@ -452,7 +478,7 @@ class SecondaryIndex:
         n_orphaned = self.tbl.delete(orphaned)
         if n_stale:
             self.tbl.delete(stale.select("ikey"))
-            self.tbl.compact()
+            self.tbl.compact(scope="dirty")
         n_upserted = self.tbl.update(self._noted_entries(lambda: upserts)())
         return {
             "missing": n_upserted - n_stale,

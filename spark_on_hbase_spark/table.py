@@ -741,16 +741,20 @@ class KeyedTable:
         # -> folded base resolves to the folded value. force_fold: a lone
         # delta frame (no dirty base file) must still run the kind fold —
         # its markers are instructions, not rows
-        contributing: list[tuple[Path, list[Path] | None]] = [
-            (b, files) for b, files in dirty_by_layer
-        ] + [(d, None) for d in deltas]
-        contributing.sort(key=lambda t: t[0].name.rsplit("-", 1)[-1])
-        frames = [
-            self.spark.read.parquet(*[str(f) for f in files])
-            if files is not None
-            else self.spark.read.parquet(str(p))
-            for p, files in contributing
-        ]
+        # `layers` (from _layers()) is already NUMERICALLY seq-sorted —
+        # reuse that order rather than re-deriving it from dir names: a
+        # name-suffix sort would key STAMPED layers (delta-NNNNNN-<stamp>)
+        # by their stamp string, folding them out of order (silent LWW
+        # flips, double-applied increments on stamped-batch retries)
+        dirty_for = dict(dirty_by_layer)
+        frames = []
+        for p in layers:
+            if p in dirty_for:
+                frames.append(
+                    self.spark.read.parquet(*[str(f) for f in dirty_for[p]])
+                )
+            elif p in deltas:
+                frames.append(self.spark.read.parquet(str(p)))
         merged = self._resolve(frames, force_fold=True)
         merged = merged.localCheckpoint()  # sever lineage from removed files
         self._persist_stamps(deltas)

@@ -1518,3 +1518,74 @@ def test_deep_scrutiny_distinguishes_null_from_sentinel_value(spark, tmp_path):
     idx.repair()
     assert [r["name"] for r in idx.lookup("red", covered=True).collect()] == ["\x00"]
     assert idx.scrutiny(deep=True).count() == 0
+
+
+def test_constant_on_null_functional_index_maintains_row_creation(spark, tmp_path):
+    """An expression NON-NULL over all-null inputs (coalesce to a
+    default): a put creating a row that carries NONE of the inputs still
+    mints an entry (fx='?'), so it must maintain — the key-reading-only
+    gate missed this class (second review-pass repro)."""
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(
+        spark.createDataFrame([Row(key=1, name="Alpha", other="x", ts=100)])
+    )
+    idx = SecondaryIndex(
+        tbl, path=str(tmp_path / "i"), num_partitions=2,
+        expr={"fx": F.coalesce(F.lower(F.col("name")), F.lit("?"))},
+    ).build()
+    idx.put(spark.createDataFrame([Row(key=9, other="y", ts=200)]))
+    assert [r["key"] for r in idx.lookup("?").collect()] == [9]
+    assert idx.scrutiny(deep=True).count() == 0
+    # null-on-null expressions keep their fast path: no index write for a
+    # row the expression maps to NULL (no entry by the NULL convention)
+    tbl2 = KeyedTable(
+        spark, str(tmp_path / "b2"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl2.create(spark.createDataFrame([Row(key=1, name="Alpha", other="x", ts=100)]))
+    idx2 = SecondaryIndex(
+        tbl2, path=str(tmp_path / "i2"), num_partitions=2,
+        expr=F.lower(F.col("name")),
+    ).build()
+    n_layers = len(idx2.tbl._layers())
+    idx2.put(spark.createDataFrame([Row(key=9, other="y", ts=200)]))
+    assert len(idx2.tbl._layers()) == n_layers
+    assert idx2.scrutiny(deep=True).count() == 0
+
+
+def test_crashed_repair_rerun_converges(spark, tmp_path, monkeypatch):
+    """repair() is not atomic: a crash between the stale-slice fold and
+    the upsert leaves affected rows invisible to index reads. The pinned
+    contract: a RE-RUN converges (the crashed state re-classifies as
+    'missing' and takes the upsert-only path)."""
+    import pytest as _pytest
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(spark.createDataFrame([Row(key=1, name="a", color="red", ts=100)]))
+    idx = SecondaryIndex(
+        tbl, "color", str(tmp_path / "i"), include=["name"], num_partitions=2
+    ).build()
+    tbl.delete(spark.createDataFrame([Row(key=1)], "key bigint"))
+    tbl.compact()
+    tbl.update(spark.createDataFrame([Row(key=1, name="b", color="red", ts=50)]))
+
+    real = KeyedTable.update
+
+    def crash_on_upsert(self, *a, **kw):
+        if self is idx.tbl:
+            raise RuntimeError("crash before the repair upsert")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(KeyedTable, "update", crash_on_upsert)
+    with _pytest.raises(RuntimeError, match="crash"):
+        idx.repair()
+    monkeypatch.setattr(KeyedTable, "update", real)
+    # the crashed window: row invisible to index reads (documented)
+    assert idx.lookup("red").count() == 0
+    out = idx.repair()
+    assert out["missing"] == 1 and out["stale_covered"] == 0
+    assert [r["name"] for r in idx.lookup("red", covered=True).collect()] == ["b"]
+    assert idx.scrutiny(deep=True).count() == 0

@@ -735,3 +735,57 @@ def test_dirty_compact_retry_after_crash_mid_write_is_idempotent(
     tbl.compact(scope="dirty")
     got = {r["key"]: r["cnt"] for r in tbl.df().collect()}
     assert got[1] == 15 and all(got[k] == 10 for k in got if k != 1)
+
+
+def test_dirty_compact_folds_stamped_layers_in_seq_order(spark, tmp_path, monkeypatch):
+    """Layer frames must order by SEQ even when layer dirs carry stamp
+    suffixes (delta-NNNNNN-<stamp>, the streaming sink's shape): a
+    name-suffix sort keyed stamped layers by their stamp string, folding
+    them out of order — a ts-tie then resolved to the WRONG writer, and a
+    stamped-batch crash retry double-applied increments (second
+    review-pass repro)."""
+    from pyspark.sql import Row
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), key_col="key", ts_col="ts",
+        num_partitions=2, compact_threshold=50,
+    )
+    tbl.create(spark.createDataFrame([Row(key=k, v="A", ts=100) for k in range(4)]))
+    # stamped layer first (suffix 'zz' sorts above any digit string)
+    tbl.update(
+        spark.createDataFrame([Row(key=1, v="B", ts=200)]), stamp="zz"
+    )
+    tbl.update(spark.createDataFrame([Row(key=1, v="C", ts=200)]))  # ts tie
+    assert {r["key"]: r["v"] for r in tbl.df().collect()}[1] == "C"
+    tbl.compact(scope="dirty")
+    assert {r["key"]: r["v"] for r in tbl.df().collect()}[1] == "C", (
+        "dirty compaction changed the resolved value: stamped layer folded "
+        "out of seq order"
+    )
+
+    # stamped-increment crash retry stays idempotent too
+    tbl2 = KeyedTable(
+        spark, str(tmp_path / "t2"), key_col="key", ts_col="ts",
+        num_partitions=2, compact_threshold=50,
+    )
+    tbl2.create(spark.createDataFrame([Row(key=k, cnt=10, ts=100) for k in range(4)]))
+    tbl2.increment(
+        spark.createDataFrame([Row(key=1, delta=5, ts=200)]),
+        counter_col="cnt", stamp="g7",
+    )
+    real = KeyedTable._write_layer
+
+    def crash_after_base_write(self, df, kind, **kw):
+        n = real(self, df, kind, **kw)
+        if kind == "base":
+            raise RuntimeError("crash after folded-base write")
+        return n
+
+    monkeypatch.setattr(KeyedTable, "_write_layer", crash_after_base_write)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash"):
+        tbl2.compact(scope="dirty")
+    monkeypatch.setattr(KeyedTable, "_write_layer", real)
+    tbl2.compact(scope="dirty")
+    assert {r["key"]: r["cnt"] for r in tbl2.df().collect()}[1] == 15
