@@ -249,8 +249,9 @@ class SecondaryIndex:
         """Base columns the functional expressions actually READ — resolved
         by analysis, not parsing: for each base column, selecting the
         expressions over the base WITHOUT that column fails analysis iff
-        some expression references it. Plan-only (Spark analyzes eagerly
-        at select; no job runs), memoized — the maintenance fast-path
+        some expression references it. The analysis loop is plan-only;
+        one tiny one-row job (the all-null probe below) runs in addition,
+        and the whole result is memoized — the maintenance fast-path
         gates use this so a put touching an expression's input maintains
         the index and one touching nothing the index reads skips it."""
         if self._inputs is None:
@@ -274,15 +275,23 @@ class SecondaryIndex:
                 # the KEY — present in every batch — must gate
                 # maintenance for such indexes (second review pass: the
                 # first key-column fix covered only key-READING exprs).
-                # Probed once on an all-null row; null-on-null exprs
-                # (lower, substring, arithmetic) keep their fast path.
-                schema = self.base._schema()
-                null_row = self.base.spark.createDataFrame(
-                    [tuple(None for _ in schema)],
-                    ", ".join(f"`{c}` {t}" for c, t in schema.items()),
-                )
-                probed = null_row.select(*sel).first()
-                if any(v is not None for v in probed):
+                # Probed ONCE on an all-null row (the one real job on
+                # this otherwise plan-only path; memoized with the
+                # inputs); null-on-null exprs (lower, substring,
+                # arithmetic) keep their fast path. An expression that
+                # RAISES on null input (a strict UDF) resolves
+                # conservatively: the key gates, maintenance always runs
+                # — correctness over the fast path.
+                struct = self.base.df().schema
+                try:
+                    null_row = self.base.spark.createDataFrame(
+                        [tuple(None for _ in struct.fields)], struct
+                    )
+                    probed = null_row.select(*sel).first()
+                    nonnull_on_null = any(v is not None for v in probed)
+                except Exception:
+                    nonnull_on_null = True
+                if nonnull_on_null:
                     inputs.add(self.base.key_col)
             self._inputs = inputs
         return self._inputs
@@ -441,7 +450,11 @@ class SecondaryIndex:
         row whatever its ts. The fold is compact(scope='dirty') — only
         index files overlapping the stale tombstones rewrite — and runs
         only when staleness was actually found, so repair stays
-        O(divergence) (plus the two audit scans) in every class.
+        O(divergence) (plus the two audit scans) whenever the index's
+        parquet footers can prove key ranges; ikeys too long for footer
+        stats inherit dirty compaction's full-fold fallback, making a
+        stale-covered repair O(index) on such tables (orphan/missing
+        repairs never compact and stay O(divergence) regardless).
 
         NOT atomic (Phoenix's scrutiny repair is an offline MR job for
         the same reason): a crash between the stale-slice fold and the
