@@ -375,8 +375,8 @@ class SecondaryIndex:
     # -- consistency tooling -------------------------------------------------
 
     def _entry_fingerprint(self) -> "F.Column":
-        """md5 over the FULL entry tuple — ikey, the base row's ts, the
-        typed indexed values, and every covered column. Each field is
+        """md5 over every READ-OBSERVABLE entry field — ikey, the typed
+        indexed values, and every covered column. Each field is
         hashed to a FIXED-WIDTH 32-hex token first and the tokens
         concatenated without a separator: a separator-joined hash is
         boundary-ambiguous — ('a\\x1fb','c') and ('a','b\\x1fc') join
@@ -386,10 +386,18 @@ class SecondaryIndex:
         finding); likewise a value equal to a null-sentinel literal
         collided with NULL. NULL fields become a 32-char token outside
         the hex alphabet, unambiguous by construction. ivalue and
-        base_key are functions of ikey, so they add nothing. Two entries
-        with equal fingerprints are interchangeable to every read path,
-        including ``lookup(covered=True)``."""
-        cols = ["ikey", self.base.ts_col, *self.cols, *self.include]
+        base_key are functions of ikey, so they add nothing — and the
+        entry's stored ts is deliberately EXCLUDED (advisor finding):
+        no read path serves it (covered reads return indexed + covered
+        columns only), and the put/increment fast paths legitimately
+        skip maintenance for batches touching no maintained column
+        while still bumping the base row's resolved ts, so a ts-bearing
+        fingerprint branded every such ordinary write 'stale_covered'
+        and sent repair() into a needless tombstone + dirty compaction
+        of a consistent index. Two entries with equal fingerprints are
+        interchangeable to every read path, including
+        ``lookup(covered=True)``."""
+        cols = ["ikey", *self.cols, *self.include]
         return F.md5(
             F.concat(
                 *[
@@ -409,9 +417,12 @@ class SecondaryIndex:
         'orphaned' (an entry points at a row that no longer exists or no
         longer carries that value — a lookup would resurrect or
         duplicate), or — with ``deep`` (the default) — 'stale_covered'
-        (the ikey matches but the entry's covered values or ts diverge
-        from the base row: ``lookup(covered=True)`` would serve the stale
-        value even though the key set looks consistent). ``deep=False``
+        (the ikey matches but the entry's typed indexed or covered values
+        diverge from the base row: ``lookup(covered=True)`` would serve
+        the stale value even though the key set looks consistent; ts
+        divergence alone is NOT staleness — no read serves the entry's
+        ts, and fast-path writes bump the base ts without touching the
+        index by design). ``deep=False``
         restricts the audit to key existence — no tuple is hashed at all
         (a review pass caught the old code computing the full fingerprint
         and merely ignoring it), same two scans. Empty result ==
@@ -901,11 +912,56 @@ class SecondaryIndex:
             json.dump(gp, f)
         os.replace(tmp, self._guidepost_path())
 
-    def _union_guideposts(self, new_vals: dict[str, list | None]) -> None:
+    def _tuple_cols(self) -> list[str]:
+        """Leading columns eligible for TUPLE tracking: the sidecar's
+        per-column value sets answer a skip scan with their CROSS PRODUCT,
+        which over-probes when the live tuple set is sparse (advisor
+        finding: two ~30-value leading columns ⇒ ~900 mostly-empty probe
+        ranges where live enumeration would find the few real tuples — or
+        worse, a budget overflow that pushes a tiny-tuple index onto the
+        slower live/full-scan paths). So the sidecar ALSO records the
+        distinct observed leading-column TUPLES, maintained by the same
+        union-first discipline, and the skip scan prefers them. Tuples are
+        tracked only when EVERY enumerable leading position round-trips
+        JSON exactly — a partial tuple cannot be probed."""
+        gcols = self._guidepost_cols()
+        if gcols and gcols == list(self.cols[:-1]):
+            return gcols
+        return []
+
+    def _collect_leading_tuples(
+        self, df: DataFrame, tcols: list[str], small: bool = False
+    ):
+        """Distinct leading tuples of ``df`` (entry rows) as value-lists,
+        or ``None`` on cardinality overflow. The table-sized path caps via
+        limit(CAP+1); maintenance batches (O(batch) by contract) collect
+        one set-aggregate of the struct."""
+        if small:
+            row = df.agg(
+                F.collect_set(F.struct(*[F.col(c) for c in tcols])).alias("t")
+            ).first()
+            if len(row["t"]) > self.GUIDEPOST_CAP:
+                return None
+            return [[r[c] for c in tcols] for r in row["t"]]
+        rows = (
+            df.select(*tcols).distinct().limit(self.GUIDEPOST_CAP + 1).collect()
+        )
+        if len(rows) > self.GUIDEPOST_CAP:
+            return None
+        return [[r[c] for c in tcols] for r in rows]
+
+    _NO_TUPLES = object()  # sentinel: caller tracks no tuple record
+
+    def _union_guideposts(
+        self, new_vals: dict[str, list | None], new_tuples=_NO_TUPLES
+    ) -> None:
         """Union freshly-observed leading-column values into the sidecar
-        (``None`` for a column = cardinality overflow: mark it untracked).
-        Called BEFORE the entries that carry these values land — see the
-        section comment for why that order is the safe one.
+        (``None`` for a column = cardinality overflow: mark it untracked),
+        plus — when tuple tracking is on — the observed leading TUPLES
+        (``None`` = overflow; the _NO_TUPLES default leaves the tuple
+        record untouched). Called BEFORE the entries that carry these
+        values land — see the section comment for why that order is the
+        safe one.
 
         REFUSES to create a sidecar that does not exist: a batch-only
         dictionary would be treated as authoritative and silently drop
@@ -936,6 +992,40 @@ class SecondaryIndex:
             else:
                 ent["values"].extend(add)
             changed = True
+        if new_tuples is not self._NO_TUPLES:
+            tcols = self._tuple_cols()
+            trec = gp.get("tuples")
+            if trec is None or trec.get("cols") != tcols:
+                # pre-tuple sidecar (or a component change): no complete
+                # tuple history exists and a batch-only record would be a
+                # NON-superset (silently dropping pre-existing rows from
+                # skip scans) — heal by deriving the record from the FULL
+                # pre-insert index, one column-pruned scan, once (the same
+                # discipline _noted_entries applies to a missing sidecar);
+                # the batch's own tuples union in below
+                tvals = self._collect_leading_tuples(self.tbl.df(), tcols)
+                trec = (
+                    {"cols": tcols, "values": [], "overflow": True}
+                    if tvals is None
+                    else {"cols": tcols, "values": tvals, "overflow": False}
+                )
+                gp["tuples"] = trec
+                changed = True
+            if not trec["overflow"]:
+                if new_tuples is None:
+                    gp["tuples"] = {"cols": tcols, "values": [], "overflow": True}
+                    changed = True
+                else:
+                    seen_t = {tuple(t) for t in trec["values"]}
+                    add_t = [t for t in new_tuples if tuple(t) not in seen_t]
+                    if add_t:
+                        if len(seen_t) + len(add_t) > self.GUIDEPOST_CAP:
+                            gp["tuples"] = {
+                                "cols": tcols, "values": [], "overflow": True,
+                            }
+                        else:
+                            trec["values"].extend(add_t)
+                        changed = True
         if changed:
             self._save_guideposts(gp)
 
@@ -985,7 +1075,13 @@ class SecondaryIndex:
                 # complete dictionary, never a batch-only one
                 self._refresh_guideposts()
             e = e.localCheckpoint(eager=True)
-            self._union_guideposts(self._collect_leading(e, gcols, small=True))
+            tcols = self._tuple_cols()
+            self._union_guideposts(
+                self._collect_leading(e, gcols, small=True),
+                self._collect_leading_tuples(e, tcols, small=True)
+                if tcols
+                else self._NO_TUPLES,
+            )
             return e
 
         return wrapped
@@ -1004,6 +1100,14 @@ class SecondaryIndex:
                 if vals[c] is None
                 else {"values": vals[c], "overflow": False}
             )
+        tcols = self._tuple_cols()
+        if tcols:
+            tvals = self._collect_leading_tuples(self.tbl.df(), tcols)
+            gp["tuples"] = (
+                {"cols": tcols, "values": [], "overflow": True}
+                if tvals is None
+                else {"cols": tcols, "values": tvals, "overflow": False}
+            )
         self._save_guideposts(gp)
 
     def _guidepost_tuples(self, prefix_cols: list[str], fixed: dict):
@@ -1018,16 +1122,48 @@ class SecondaryIndex:
         gp = self._load_guideposts()
         if gp is None:
             return None
+        for c in prefix_cols:
+            if c in fixed and not _fits_dtype(
+                fixed[c], self._dtype_of(self.cols.index(c))
+            ):
+                # the exact predicate CASTS the probe value (wrapping
+                # out-of-range ints, non-ANSI), but the guidepost path
+                # would encode it raw and probe ranges the wrapped
+                # value's entries never occupy — let the live path
+                # (which filters by the cast value) answer instead
+                return None
+        # Preferred source: the observed-TUPLE record (advisor finding —
+        # the per-column cross product over-probes sparse tuple sets:
+        # two ~30-value leading columns give ~900 mostly-empty ranges, or
+        # a budget overflow, where the live tuple set may be tiny). The
+        # record covers cols[:-1]; project it onto prefix_cols, filter by
+        # the fixed equalities, dedupe — exactly the live enumeration's
+        # answer, from metadata alone.
+        trec = gp.get("tuples")
+        if trec and not trec.get("overflow") and trec.get("cols"):
+            tcols = trec["cols"]
+            if all(c in tcols or c in fixed for c in prefix_cols):
+                seen, out = set(), []
+                pos_in = {c: i for i, c in enumerate(tcols)}
+                for t in trec["values"]:
+                    if any(
+                        c in pos_in and t[pos_in[c]] != fixed[c] for c in fixed
+                    ):
+                        continue
+                    proj = tuple(
+                        t[pos_in[c]] if c in pos_in else fixed[c]
+                        for c in prefix_cols
+                    )
+                    if proj not in seen:
+                        seen.add(proj)
+                        out.append(list(proj))
+                if len(out) > self.MAX_SKIP_PREFIXES:
+                    return None
+                out.sort(key=lambda vs: tuple((v is None, v) for v in vs))
+                return out
         per_col, total = [], 1
         for c in prefix_cols:
             if c in fixed:
-                if not _fits_dtype(fixed[c], self._dtype_of(self.cols.index(c))):
-                    # the exact predicate CASTS the probe value (wrapping
-                    # out-of-range ints, non-ANSI), but the guidepost path
-                    # would encode it raw and probe ranges the wrapped
-                    # value's entries never occupy — let the live path
-                    # (which filters by the cast value) answer instead
-                    return None
                 per_col.append([fixed[c]])
                 continue
             ent = gp.get("cols", {}).get(c)
@@ -1194,9 +1330,19 @@ class SecondaryIndex:
         # index scan -> MULTIGET the base (HBase's actual uncovered-index
         # read): when the matched key set is driver-collectable, point_read
         # turns the base side into O(result) footer-pruned file reads.
-        # Oversized results degrade to a broadcast-key semi-join -- the base
-        # still never shuffles, but its scan is table-sized (AQE's runtime
-        # bloom below the scan is the cluster-side mitigation).
+        # Oversized results (> MAX_POINT_READ_KEYS = 100k: past that an
+        # IN-list literal bloats the plan and the driver pays
+        # O(batch) collection twice) degrade to a broadcast-key semi-join
+        # bounded by the matched keys' [min, max] RANGE, collected as two
+        # scalars and pushed into the base scan as a BETWEEN — parquet
+        # footer stats then prune every base file outside the matched key
+        # span, so clustered matches (time-prefixed keys, tenant ranges)
+        # still read O(span) files, not the table. The base never shuffles
+        # either way. (Spark 4.1 will NOT inject a runtime bloom below the
+        # broadcast semi-join — verified live: InjectRuntimeFilter declines
+        # broadcast-side builds — so the range bound is carried explicitly;
+        # a uniformly-spread match keeps a table-sized scan, which is the
+        # honest cost of selecting >100k uncovered rows.)
         matched = [
             r[0]
             for r in probe.select("base_key")
@@ -1205,7 +1351,11 @@ class SecondaryIndex:
         ]
         if len(matched) <= self.MAX_POINT_READ_KEYS:
             return self.base.point_read(matched)
-        keys = probe.select(F.col("base_key").alias(self.base.key_col))
-        return self.base.df().join(
-            F.broadcast(keys), self.base.key_col, "left_semi"
+        keyc = self.base.key_col
+        keys = probe.select(F.col("base_key").alias(keyc)).localCheckpoint(
+            eager=True
+        )
+        lo, hi = keys.agg(F.min(keyc), F.max(keyc)).first()
+        return self.base.df().where(F.col(keyc).between(F.lit(lo), F.lit(hi))).join(
+            F.broadcast(keys), keyc, "left_semi"
         )

@@ -1009,6 +1009,71 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_SW = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+
+
+@query(
+    "gopher_quality_filter",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WS_SQL} AS ws,
+               length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars,
+               len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, len(ws) AS n_words, n_wchars, n_symbols,
+               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               len(list_filter([{_GOPHER_SW}],
+                   s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+                   AS n_stop
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+           (n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words)
+               AS r_meanlen,
+           (5 * n_alpha >= 4 * n_words) AS r_alpha,
+           (10 * n_symbols <= n_words) AS r_symbol,
+           (n_stop >= 2) AS r_stop,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words)
+            AND (5 * n_alpha >= 4 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (n_stop >= 2)) AS keep
+    FROM m
+    """,
+    doc="Gopher document-level quality rules (Rae et al. 2021, "
+    "arXiv:2112.11446 A1.1, public) as an auditable per-rule verdict "
+    "relation: word-count bounds, exact mean-word-length bounds (total "
+    "non-whitespace chars / words — not the single-space approximation), "
+    ">=80%% alphabetic words, symbol-to-word ratio, >=2 distinct "
+    "stopwords, plus the conjunction `keep`. Every ratio threshold is an "
+    "integer CROSS-MULTIPLICATION (5*alpha >= 4*words, ...), so the "
+    "graded values are int64/boolean with no float for the engines to "
+    "disagree on. One projection over one scan; the word array is "
+    "computed once and shared by all five rules — at 100 TB this is the "
+    "cheapest possible shape, a map-only pass with full predicate/column "
+    "pushdown and zero shuffles.",
+    tags=("text",),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = T.gopher_rules(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "r_wordcount",
+        "r_meanlen",
+        "r_alpha",
+        "r_symbol",
+        "r_stop",
+        "keep",
+    )
+
+
 @query(
     "quality_model_score",
     f"""
@@ -3216,11 +3281,18 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         gb, docs.where(F.col("lang") == "en").select("doc_id")
     )
     scored = T.dsir_scores(None, weights, buckets=gb)
+    # Global top-32 via orderBy().limit() — plans TakeOrderedAndProject, so
+    # only 32 rows per map task reach the driver-side merge; the rank window
+    # then runs over the ALREADY-LIMITED 32 survivors (never an un-trimmed
+    # SinglePartition window over the full per-doc score relation).
+    top = (
+        scored.join(docs, "doc_id")
+        .orderBy(F.col("dsir_q").desc(), F.col("doc_id"))
+        .limit(32)
+    )
     win = Window.orderBy(F.col("dsir_q").desc(), F.col("doc_id"))
     return (
-        scored.join(docs, "doc_id")
-        .withColumn("rank", F.row_number().over(win).cast("bigint"))
-        .where(F.col("rank") <= 32)
+        top.withColumn("rank", F.row_number().over(win).cast("bigint"))
         .select("doc_id", "lang", "n_grams", "dsir_q", "rank")
     )
 

@@ -112,6 +112,54 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021,
+    arXiv:2112.11446, Appendix A1.1 — public), each surfaced as its own
+    boolean so downstream curation can audit WHICH rule gated a document,
+    plus the conjunction ``keep``:
+
+    - ``r_wordcount``: 50 <= word count <= 100,000;
+    - ``r_meanlen``:   3 <= mean word length <= 10, with the mean taken
+      over EXACT counts — total non-whitespace characters / word count
+      (the single-space approximation in quality_score is not used here);
+    - ``r_alpha``:     >= 80% of words contain an alphabetic character;
+    - ``r_symbol``:    symbol-to-word ratio ('#' or '...') <= 0.1;
+    - ``r_stop``:      >= 2 DISTINCT stopwords from the house list (the
+      paper requires 2 of its 8-word list; ours is the same shape).
+
+    Every ratio threshold is evaluated by integer CROSS-MULTIPLICATION
+    (5*alpha >= 4*words, 10*sym <= words, bounds on wchars vs words), so
+    the verdicts are pure int64 comparisons — no float round-trip exists
+    for the two engines to disagree on. One projection over one scan;
+    the word array is computed once and shared by all five rules."""
+    ws = words_expr(text_col)
+    lower_ws = F.transform(ws, F.lower)
+    n_words = F.size(ws)
+    # exact word-character total: every non-whitespace char is in a word
+    n_wchars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop_distinct = F.size(
+        F.filter(sw, lambda s: F.array_contains(lower_ws, s))
+    )
+    r_wordcount = (n_words >= 50) & (n_words <= 100_000)
+    r_meanlen = (n_wchars >= 3 * n_words) & (n_wchars <= 10 * n_words)
+    r_alpha = (5 * n_alpha_words) >= (4 * n_words)
+    r_symbol = (10 * n_symbols) <= n_words
+    r_stop = n_stop_distinct >= 2
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_alpha.alias("r_alpha"),
+        r_symbol.alias("r_symbol"),
+        r_stop.alias("r_stop"),
+        (r_wordcount & r_meanlen & r_alpha & r_symbol & r_stop).alias("keep"),
+    )
+
+
 def ngram_occurrence_stats(
     base: DataFrame, n: int, prefix: str, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -889,6 +889,13 @@ def test_functional_index_put_fast_path_is_exact(spark, tmp_path):
     n_layers = len(idx2.tbl._layers())
     idx2.put(spark.createDataFrame([Row(key=1, other="y", ts=200)]))
     assert len(idx2.tbl._layers()) == n_layers, "untouched index must not write"
+    # advisor finding (r7): the fast path bumps the base row's resolved ts
+    # without writing the index — deep scrutiny must still read consistent
+    # (the fingerprint excludes the unobservable entry ts), not brand every
+    # ordinary unrelated-column put 'stale_covered'
+    assert idx2.scrutiny(deep=True).count() == 0, (
+        "fast-path put falsely flagged stale_covered"
+    )
     # input-column put recomputes the derivation
     idx2.put(spark.createDataFrame([Row(key=1, name="Delta", ts=300)]))
     assert [r["key"] for r in idx2.lookup("delta").collect()] == [1]
@@ -1589,3 +1596,126 @@ def test_crashed_repair_rerun_converges(spark, tmp_path, monkeypatch):
     assert out["missing"] == 1 and out["stale_covered"] == 0
     assert [r["name"] for r in idx.lookup("red", covered=True).collect()] == ["b"]
     assert idx.scrutiny(deep=True).count() == 0
+
+
+def test_guidepost_tuples_probe_observed_tuples_not_cross_product(
+    spark, tmp_path, monkeypatch
+):
+    """Advisor finding (r7): per-column guidepost sets answer a skip scan
+    with their CROSS PRODUCT — k sparse leading columns of ~n values each
+    cost n^k mostly-empty probe ranges where the live tuple set has only n
+    members. The sidecar now records observed leading TUPLES and the skip
+    scan prefers them: a (grp, band, score) index whose (grp, band) pairs
+    are diagonal (grp i only ever pairs with band i) must probe exactly the
+    |observed| prefixes, not |grp| x |band|."""
+    n = 8
+    rows = spark.createDataFrame(
+        [
+            Row(key=i, grp=f"g{i % n}", band=i % n, score=i % 3, ts=100)
+            for i in range(4 * n)
+        ]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["grp", "band", "score"], str(tmp_path / "i"), num_partitions=2
+    ).build()
+    _forbid_live_enumeration(monkeypatch)
+
+    tuples = idx._guidepost_tuples(["grp", "band", "score"], {"score": 1})
+    assert tuples is not None
+    # diagonal pairs only: n observed (grp, band) tuples, never n*n
+    assert len(tuples) == n
+    assert all(g == f"g{b}" for g, b, _ in tuples)
+    want = sorted(r["key"] for r in tbl.df().where(F.col("score") == 1).collect())
+    assert sorted(r["key"] for r in idx.lookup_skip(score=1).collect()) == want
+
+    # maintenance introduces a brand-new tuple — union-first keeps the
+    # record a superset and the probe exact
+    idx.update(
+        spark.createDataFrame([Row(key=100, grp="g0", band=7, score=1, ts=100)])
+    )
+    tuples = idx._guidepost_tuples(["grp", "band", "score"], {"score": 1})
+    assert ["g0", 7, 1] in tuples and len(tuples) == n + 1
+    want = sorted(
+        r["key"] for r in tbl.df().where(F.col("score") == 1).collect()
+    )
+    assert sorted(r["key"] for r in idx.lookup_skip(score=1).collect()) == want
+
+    # partially-fixed probe filters the record by the fixed equality
+    tuples = idx._guidepost_tuples(["grp", "band", "score"], {"grp": "g0", "score": 1})
+    assert sorted(t[1] for t in tuples) == [0, 7]
+
+
+def test_pre_tuple_sidecar_heals_from_the_full_index(spark, tmp_path, monkeypatch):
+    """A sidecar written before tuple tracking existed (no 'tuples' key)
+    has no complete tuple history — a batch-only record would be a
+    non-superset and silently drop pre-existing rows from skip scans.
+    The first maintenance write heals it by deriving the record from the
+    FULL pre-insert index (one column-pruned scan, once — the missing-
+    sidecar discipline), then unions the batch's tuples."""
+    rows = spark.createDataFrame(
+        [Row(key=i, grp=f"g{i % 3}", band=i % 3, score=i % 2, ts=100) for i in range(9)]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=2
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, ["grp", "band", "score"], str(tmp_path / "i"), num_partitions=2
+    ).build()
+    gp = idx._load_guideposts()
+    del gp["tuples"]  # simulate the r7-era sidecar
+    idx._save_guideposts(gp)
+    idx.update(
+        spark.createDataFrame([Row(key=50, grp="g9", band=9, score=0, ts=100)])
+    )
+    trec = idx._load_guideposts()["tuples"]
+    assert not trec["overflow"]
+    got = {tuple(t) for t in trec["values"]}
+    assert ("g9", 9) in got, "the batch's new tuple must union in"
+    assert ("g0", 0) in got, "pre-existing tuples must survive the heal"
+    _forbid_live_enumeration(monkeypatch)
+    want = sorted(r["key"] for r in tbl.df().where(F.col("score") == 0).collect())
+    assert sorted(r["key"] for r in idx.lookup_skip(score=0).collect()) == want
+
+
+def test_oversized_uncovered_lookup_bounds_the_base_scan(spark, tmp_path, monkeypatch):
+    """VERDICT r7 item 3: when an uncovered lookup matches more keys than
+    MAX_POINT_READ_KEYS, the degraded broadcast semi-join must not scan the
+    base unbounded — the matched keys' [min, max] range is pushed into the
+    base scan (PushedFilters shows the BETWEEN bounds, so parquet footers
+    prune files outside the span; Spark injects no runtime bloom below a
+    broadcast build, verified live). Correctness pinned against a direct
+    base filter."""
+    from spark_on_hbase_spark import plans
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "b"), key_col="key", ts_col="ts", num_partitions=4
+    )
+    tbl.create(
+        spark.range(2000).select(
+            F.col("id").alias("key"),
+            (F.col("id") % 4).alias("color"),
+            F.concat(F.lit("n"), F.col("id")).alias("name"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+    )
+    idx = SecondaryIndex(
+        tbl, "color", str(tmp_path / "i"), num_partitions=4
+    ).build()
+    monkeypatch.setattr(SecondaryIndex, "MAX_POINT_READ_KEYS", 10)
+    out = idx.lookup(2)
+    plan = plans.formatted_plan(out)
+    # the range bound reached a parquet scan's pushed filters
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "GreaterThanOrEqual(key," in pushed and "LessThanOrEqual(key," in pushed, (
+        f"degraded path lost the base-scan key-range bound:\n{pushed}"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    want = sorted(
+        r["key"] for r in tbl.df().where(F.col("color") == 2).collect()
+    )
+    assert sorted(r["key"] for r in out.collect()) == want

@@ -1,8 +1,8 @@
 """Grading-window invariants: the correctness driver grades only the FIRST
 50 registry entries per round, so registration order is part of the
-contract (see inventory._ROTATED_OUT_R07)."""
+contract (see inventory._ROTATED_OUT_R08)."""
 
-from spark_on_hbase_spark.inventory import _ROTATED_OUT_R07, QUERIES
+from spark_on_hbase_spark.inventory import _ROTATED_OUT_R08, QUERIES
 
 # Round-7 must-grade set (VERDICT r6 item 1 + this round's changes): every
 # never-driver-graded query (the round-6 ten plus the four new round-7
@@ -29,11 +29,11 @@ _MUST_GRADE_R07 = {
 
 
 def test_rotation_list_sizes_the_window_exactly():
-    assert len(_ROTATED_OUT_R07) == len(QUERIES) - 50, (
+    assert len(_ROTATED_OUT_R08) == len(QUERIES) - 50, (
         "rotated-out list must equal total-50: when adding a graded query, "
         "rotate one more freshly-green name out (inventory.py invariant note)"
     )
-    assert len(set(_ROTATED_OUT_R07)) == len(_ROTATED_OUT_R07), (
+    assert len(set(_ROTATED_OUT_R08)) == len(_ROTATED_OUT_R08), (
         "duplicate name in the rotated-out list: a dup inflates the length "
         "check while silently shrinking the tail by one"
     )
@@ -42,7 +42,7 @@ def test_rotation_list_sizes_the_window_exactly():
 def test_rotated_names_exist_and_sit_in_the_tail():
     names = list(QUERIES)
     tail = set(names[50:])
-    for n in _ROTATED_OUT_R07:
+    for n in _ROTATED_OUT_R08:
         assert n in QUERIES, f"rotated name {n} not registered"
         assert n in tail, f"{n} listed as rotated out but inside the window"
 
