@@ -89,6 +89,10 @@ TARGETS = [
     # O(batch) while the indexed table scales).
     "semantic_dedup_fixedocc",
     "functional_index_maintain",
+    # round-8 late: ROW-bloom multiget (per-layer blocked-Bloom sidecars;
+    # probe cost must track the PROBE, not the table — absent keys must
+    # read no data file at any scale).
+    "bloom_point_read",
 ]
 
 
@@ -301,6 +305,39 @@ def _semantic_dedup_fixedocc(spark, sf: str) -> int:
     return verdicts.where(~F.col("kept")).count()
 
 
+def _bloom_point_read(spark, sf: str) -> int:
+    """Custom probe target (round 8): ROW-Bloom multiget against a scaling
+    LSM stack. Fixture (kept per scale, read-only after build — the
+    skip-scan discipline): documents-keyed table with bloom=True plus three
+    FULL-KEYSPACE delta batches, so footer min/max prunes nothing across
+    layers and only the per-layer blocked-Bloom sidecars can skip files.
+    The probe is a fixed 120-key batch, half of it ABSENT (ids in the
+    0..10M replica-shift gap, absent at every scale): present keys must
+    read ~one file per holding layer, absent keys no data file at all, so
+    warm growth must stay ~flat while the table grows 30x. A probe that
+    secretly scans the stack tracks data growth instead."""
+    import hashlib
+
+    from spark_on_hbase_spark.table import KeyedTable
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.col("doc_id").alias("k"), "text")
+        .withColumn("ts", F.lit(0))
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    tbl = KeyedTable(
+        spark, f"/tmp/bloompr_{tag}/t", key_col="k", ts_col="ts",
+        num_partitions=8, bloom=True,
+    )
+    if not tbl.exists():
+        tbl.create(docs)
+        for i in (1, 2, 3):
+            tbl.update(docs.where(F.col("k") % 113 == i).withColumn("ts", F.lit(i)))
+    keys = list(range(0, 600, 10)) + [9_999_001 + i for i in range(60)]
+    return tbl.point_read(keys).count()
+
+
 def _skip_scan_fixture(spark, sf: str):
     """Shared (per-scale) composite-index fixture for the skip-scan and
     deep-scrutiny probes: documents keyed table with a 26-ary leading
@@ -384,6 +421,7 @@ CUSTOM = {
     "ann_clustered_lsh": _ann_clustered_lsh,
     "semantic_dedup_fixedocc": _semantic_dedup_fixedocc,
     "functional_index_maintain": _functional_index_maintain,
+    "bloom_point_read": _bloom_point_read,
 }
 
 # key shift per replica, chosen far above any real key range

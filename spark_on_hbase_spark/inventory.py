@@ -666,14 +666,17 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 #     changes sit under them), secondary_index_repair (deep-scrutiny
 #     fingerprint dropped the unobservable entry ts), and
 #     streaming_indexed_upsert (index maintenance path).
-# Rotated out to make room (2 new slots — streaming_interval_join_attrib
-# and gopher_quality_filter register in-window by file position):
-# simhash_dedup + text_repetition, both r07-driver-green, their kernels
-# (operators/dedup.py; the repetition section of operators/text.py)
-# untouched this round, both pytest-pinned
+# Rotated out to make room (4 new slots — streaming_interval_join_attrib,
+# streaming_late_data_drop, gopher_quality_filter and bloom_point_read
+# register in-window by file position): simhash_dedup + text_repetition +
+# text_lang_id + quality_model_score, all r07-driver-green, their kernels
+# (operators/dedup.py; the repetition / lang-id / hashed-classifier
+# sections of operators/text.py) untouched this round, all pytest-pinned
 # (test_pipeline.py::test_simhash_block_pairing_matches_python_reference,
-# ::test_repetition_signals_flag_looping_text); simhash also carries a
-# 30x probe row.
+# ::test_repetition_signals_flag_looping_text,
+# ::test_lang_id_argmax_and_tiebreak,
+# ::test_quality_model_score_matches_python_reference); simhash also
+# carries a 30x probe row.
 # INVARIANT: len(this list) == len(QUERIES) - 50 — when adding a graded
 # query, rotate one more freshly-green name out (see memory:
 # driver-grading-window). Each pop/re-insert moves a query to the dict's
@@ -682,6 +685,8 @@ _ROTATED_OUT_R08 = [
     # -- newly out: r07-driver-green, kernels untouched in r8 --------------
     "simhash_dedup",
     "text_repetition",
+    "text_lang_id",
+    "quality_model_score",
     # -- out since r07: r06-green agg/window family, kernels unchanged -----
     "pool_count",
     "triangle_count",

@@ -1507,9 +1507,25 @@ def _sec_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
     a concurrent session either wins the rename or reads the winner's
     complete root; a crash mid-build leaves only an unreferenced staging
     dir. Storage is plain parquet layers, so re-opening by path is free."""
+    # the root tag carries the INPUT's identity too (customer.parquet
+    # mtime+size — for a multi-file parquet dir, summed over its files):
+    # the fixture outlives sessions and rounds, and a driver that
+    # regenerates the testdata in place would otherwise keep serving a
+    # fixture built from the old rows
+    src = os.path.join(sf_dir, "customer.parquet")
+    parts = (
+        [os.path.join(src, f) for f in sorted(os.listdir(src))]
+        if os.path.isdir(src)
+        else [src]
+    )
+    stats = [os.stat(p) for p in parts if os.path.isfile(p)]
+    src_tag = (
+        f"{max((int(s.st_mtime) for s in stats), default=0)}_"
+        f"{sum(s.st_size for s in stats)}"
+    )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"sec_idx_fix_v{_SEC_IDX_FIXTURE_VERSION}_{sf_tag(sf_dir)}",
+        f"sec_idx_fix_v{_SEC_IDX_FIXTURE_VERSION}_{sf_tag(sf_dir)}_{src_tag}",
     )
     marker = os.path.join(root, "_COMPLETE")
     if root in _SEC_IDX_FIXTURE_DONE or os.path.exists(marker):
@@ -1679,6 +1695,90 @@ _POINT_READ_KEYS = list(range(2, 1500, 13))
 def keyed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _sec_index_fixture(spark, sf_dir)["tbl_point"]
     return tbl.point_read(_POINT_READ_KEYS).select("key", "name", "ts")
+
+
+_BLOOM_PROBE_KEYS = list(range(3, 1500, 17)) + [10_000_001, 10_000_002, 10_000_003]
+
+
+@query(
+    "bloom_point_read",
+    f"""
+    WITH cur AS (
+        SELECT c_custkey AS key,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                 + CASE WHEN c_custkey % 11 = 4 THEN 1000000
+                        WHEN c_custkey % 13 = 6 THEN 2000000
+                        ELSE 0 END AS bal,
+               CASE WHEN c_custkey % 11 = 4 THEN 300
+                    WHEN c_custkey % 13 = 6 THEN 200
+                    ELSE 100 END AS ts
+        FROM customer
+        WHERE c_custkey % 17 <> 9
+    )
+    SELECT key, bal, ts FROM cur
+    WHERE key IN ({", ".join(str(k) for k in _BLOOM_PROBE_KEYS)})
+    """,
+    doc="HBase multi-Get with ROW BLOOM FILTERS (KeyedTable bloom=True — "
+    "the reference's BloomType.ROW column-family attribute, "
+    "misc/HBaseAdminUtils.scala:89-100, declared by every demo table): "
+    "create customers keyed by custkey, apply two full-keyspace update "
+    "batches (%%13=6 at ts 200, then %%11=4 at ts 300 — note 858's class "
+    "is decided by the LATER batch) and a tombstone batch (%%17=9), then "
+    "multiget a fixed probe set that includes three ABSENT keys. Every "
+    "delta layer spans the whole keyspace, so footer min/max stats prune "
+    "nothing across layers — the regime HBase keeps per-HFile blooms "
+    "for. Each layer's blocked-Bloom sidecar (Putze et al. 2007; one "
+    "md5-chosen 64-bit word, K=4 bits, 10 bits/key, probed by a "
+    "word-equi-join whose In(word) filter footer-prunes the sidecar scan "
+    "to O(keys)) proves most files key-free: present keys read ~one file "
+    "per layer that holds them, absent keys read no data file at all. "
+    "The fold result must be bit-identical to the plain path (updated "
+    "rows at their newest version, tombstoned rows absent) — pruning "
+    "pinned in tests/test_table.py; a false negative loses a row and "
+    "breaks the rows+hash match.",
+    tags=("table", "mutation"),
+)
+def bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _bloom_pr_fixture(spark, sf_dir)
+    return tbl.point_read(_BLOOM_PROBE_KEYS).select("key", "bal", "ts")
+
+
+def _bloom_pr_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
+    """bloom_point_read's mutated bloom=True table — registered as a
+    warmer so bench times the one-time build under `builds` and the query
+    row measures the probed read alone."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bloom_pr_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+    )
+    tbl = KeyedTable(
+        spark, root, key_col="key", ts_col="ts", num_partitions=8, bloom=True
+    )
+    if not tbl.exists():
+        cust = load(spark, sf_dir, "customer")
+        rows = cust.select(
+            F.col("c_custkey").alias("key"),
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+        tbl.create(rows)
+        tbl.update(
+            rows.where(F.col("key") % 13 == 6).select(
+                "key", (F.col("bal") + 2000000).alias("bal"),
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        tbl.update(
+            rows.where(F.col("key") % 11 == 4).select(
+                "key", (F.col("bal") + 1000000).alias("bal"),
+                F.lit(300).cast("int").alias("ts"),
+            )
+        )
+        tbl.delete(rows.where(F.col("key") % 17 == 9).select("key"))
+    return tbl
+
+
+warmer("bloom_pr_fixture")(_bloom_pr_fixture)
 
 
 @query(
@@ -1975,9 +2075,101 @@ def streaming_interval_join_attrib(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("interval-join stream did not drain in 300s")
         open(done, "w").write("ok")
     return spark.read.parquet(out_dir).select("user_id", "buy_id", "click_id")
+
+
+@query(
+    "streaming_late_data_drop",
+    """
+    WITH wmf AS (
+        SELECT max(ts) - INTERVAL 10 DAY AS w FROM events WHERE event_id % 3 = 0
+    ),
+    surv AS (
+        SELECT ts FROM events WHERE event_id % 3 IN (0, 1)
+        UNION ALL
+        SELECT ts FROM events WHERE event_id % 3 = 2 AND ts >= (SELECT w FROM wmf)
+    ),
+    fwm AS (SELECT max(ts) - INTERVAL 10 DAY AS w FROM events)
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM surv
+    GROUP BY 1
+    HAVING time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY <= (SELECT w FROM fwm)
+    """,
+    doc="The watermark LATE-DATA-DROP and exactly-once-emission contract "
+    "under the hard oracle signal — the state-eviction guarantee that was "
+    "pytest-only until r8. A REAL 3-batch file stream (event_id %% 3, "
+    "mtime-ordered, maxFilesPerTrigger=1, availableNow) drives a "
+    "watermarked (10-day) 1-day tumbling count in append mode into a "
+    "parquet sink. The oracle encodes Spark's exact TWO-WATERMARK "
+    "semantics, verified against live checkpoint offsets: the late-row "
+    "filter of micro-batch N uses batch N-1's EVICTION watermark — so "
+    "batch 1 drops nothing (filter wm still 0), batch 2 drops its rows "
+    "older than max(batch-0 ts) - 10d, and the trailing no-data batch "
+    "emits exactly the windows whose end <= max(all ts) - 10d, each "
+    "window ONCE (a row for an already-evicted window is provably below "
+    "the filter watermark, so replays cannot double-count). A kernel "
+    "that dropped nothing, dropped against the wrong batch's watermark, "
+    "or re-emitted an evicted window breaks the rows+hash match. At "
+    "100 TB/day this contract IS the state bound: (watermark + window) "
+    "of history per key and not a byte more.",
+    tags=("streaming", "window"),
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_ld_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+    )
+    out_dir = os.path.join(root, "out")
+    done = os.path.join(root, "_STREAMED")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("ts", "user_id", "event_id")
+        src = os.path.join(root, "src")
+        os.makedirs(src, exist_ok=True)
+        for b in range(3):
+            tmp = os.path.join(root, f"tmp{b}")
+            ev.where(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(src, f"b{b}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+            # batch order IS the contract here: FileStreamSource admits
+            # files by (mtime, path) — pin both so b0 < b1 < b2 always
+            os.utime(
+                os.path.join(src, f"b{b}.parquet"),
+                (1_000_000 + b * 1000, 1_000_000 + b * 1000),
+            )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("ts timestamp, user_id bigint, event_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 days")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select(F.col("w.start").alias("day"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("late-drop stream did not drain in 300s")
+        open(done, "w").write("ok")
+    return spark.read.parquet(out_dir).select("day", "n")
 
 
 @query(

@@ -46,6 +46,7 @@ sort — the same single-shuffle shape as the reference's HFile load.
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 from pathlib import Path
@@ -92,6 +93,15 @@ _TOP = _TopType()
 _STAMP_RE = re.compile(r"[A-Za-z0-9_]+")
 
 
+def _uri_to_path(p: str) -> str:
+    """file:-scheme URI (what _metadata.file_path yields) -> local path."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
 def _in_list_pred(col_name: str, keys: list):
     """``col IN (<literals>)`` built as ONE parsed SQL expression for
     integral key lists — ``Column.isin(ks)`` costs a py4j round-trip per
@@ -130,6 +140,7 @@ class KeyedTable:
         compact_threshold: int = 8,
         ttl: int | None = None,
         now_fn=None,
+        bloom: bool = False,
     ):
         """``ttl``: rows whose ``ts_col`` is older than ``now - ttl`` are
         invisible to reads and physically purged by compaction — the
@@ -138,7 +149,18 @@ class KeyedTable:
         examples/graph/HGraphTable.scala:23-25). ``ts_col`` must be in the
         same unit as ``now_fn()`` (default: epoch seconds via time.time) for
         TTL to be meaningful; ``now_fn`` is injectable so tests and replay
-        jobs are deterministic."""
+        jobs are deterministic.
+
+        ``bloom``: maintain per-layer ROW Bloom sidecars and let
+        ``point_read`` skip part-files that provably lack every probed
+        key — the reference's ``BloomType.ROW`` column-family attribute
+        (misc/HBaseAdminUtils.scala:89-100; the demo tables all declare
+        ROW or ROWCOL blooms), realized for the LSM-on-Parquet layout.
+        See the Bloom section below for the design; reads NEVER depend on
+        sidecar freshness (a stale or missing sidecar only means less
+        pruning). ROWCOL has no separate realization: qualifier-level
+        pruning is what Parquet's columnar layout + column pruning already
+        give every read."""
         self.spark = spark
         self.path = str(path)
         self.key_col = key_col
@@ -146,6 +168,7 @@ class KeyedTable:
         self.num_partitions = num_partitions
         self.compact_threshold = compact_threshold
         self.ttl = ttl
+        self.bloom = bloom
         if now_fn is None:
             import time as _time
 
@@ -216,7 +239,10 @@ class KeyedTable:
         out, obs = _observed_count(out)
         out.write.mode("overwrite").parquet(str(tmp))
         tmp.rename(target)
-        return int(obs.get["n"])
+        n = int(obs.get["n"])
+        if self.bloom:
+            self._write_bloom(target, n)
+        return n
 
     def _stamp_of(self, layer: Path) -> str | None:
         parts = layer.name.split("-", 2)
@@ -246,6 +272,7 @@ class KeyedTable:
         self._write_layer(df, "base")
         for p in old:
             shutil.rmtree(p, ignore_errors=True)
+            self._drop_bloom(p)
 
     def _persist_stamps(self, layers: list[Path]) -> None:
         stamps = [s for p in layers if (s := self._stamp_of(p))]
@@ -376,14 +403,9 @@ class KeyedTable:
 
         return select_required(self.df(), *columns)
 
-    def _layer_frames(self, pred, as_of_layer: int | None) -> DataFrame:
-        """Layer frames with a KEY-DETERMINED predicate applied per layer
-        BEFORE the merge, resolved into the visible-row relation. Shared by
-        point_read / range_read (df() is the pred=None case): the caller
-        guarantees the predicate has the same truth value for every version
-        of a key (key IN-lists, key ranges), so per-layer filtering keeps
-        each surviving key's full history — including tombstones, which
-        carry the key."""
+    def _visible_layers(self, as_of_layer: int | None) -> list[Path]:
+        """Layers a read at ``as_of_layer`` may touch (all of them for
+        None), with the dirty-compaction horizon guard."""
         layers = self._layers()
         if as_of_layer is not None:
             # dirty compaction unlinks individual part-files from old base
@@ -401,6 +423,17 @@ class KeyedTable:
             layers = [p for p in layers if int(p.name.split("-")[1]) <= as_of_layer]
         if not layers:
             raise FileNotFoundError(f"no table at {self.path}")
+        return layers
+
+    def _layer_frames(self, pred, as_of_layer: int | None) -> DataFrame:
+        """Layer frames with a KEY-DETERMINED predicate applied per layer
+        BEFORE the merge, resolved into the visible-row relation. Shared by
+        point_read / range_read (df() is the pred=None case): the caller
+        guarantees the predicate has the same truth value for every version
+        of a key (key IN-lists, key ranges), so per-layer filtering keeps
+        each surviving key's full history — including tombstones, which
+        carry the key."""
+        layers = self._visible_layers(as_of_layer)
         frames = [self.spark.read.parquet(str(p)) for p in layers]
         if pred is not None:
             frames = [f.where(pred) for f in frames]
@@ -420,8 +453,39 @@ class KeyedTable:
         rows for the probed keys keeps each probed key's full history.
         Callers with an unbounded/unknown key set should use a broadcast
         semi-join against ``df()`` instead (J1 territory); this path is for
-        driver-known batches (index maintenance, point lookups)."""
-        return self._layer_frames(_in_list_pred(self.key_col, keys), as_of_layer)
+        driver-known batches (index maintenance, point lookups).
+
+        With ``bloom=True`` (BloomType.ROW — see the Bloom section) the
+        probe first consults each layer's sidecar: min/max footer stats
+        prune nothing once several delta layers each span the keyspace,
+        but the Bloom proves most of their files key-free, so the multiget
+        reads only the files that MAY hold a probed key — HBase's reason
+        for per-HFile blooms, and the negative-lookup fast path (a get of
+        an absent key touches no data file at all). Layers whose sidecar
+        is missing or stale read in full; the result is identical either
+        way (pinned by tests/test_table.py)."""
+        pred = _in_list_pred(self.key_col, keys)
+        if self.bloom and keys:
+            layers = self._visible_layers(as_of_layer)
+            cands = self._bloom_candidates(layers, keys)
+            if any(v is not None for v in cands.values()):
+                frames = []
+                for p in layers:
+                    c = cands[p]
+                    if c is None:
+                        frames.append(self.spark.read.parquet(str(p)).where(pred))
+                    elif c:
+                        frames.append(self.spark.read.parquet(*c).where(pred))
+                if not frames:
+                    # every layer provably key-free: schema-correct empty
+                    return self._layer_frames(pred, as_of_layer).where(
+                        F.lit(False)
+                    )
+                # force_fold: bloom pruning can leave a LONE DELTA frame,
+                # whose kind markers / in-batch duplicates must still fold
+                # (the single-frame passthrough is only legal for a base)
+                return self._resolve(frames, force_fold=True)
+        return self._layer_frames(pred, as_of_layer)
 
     def range_read(self, lower, upper, as_of_layer: int | None = None) -> DataFrame:
         """Key-range scan: the merged view restricted to keys in
@@ -435,6 +499,211 @@ class KeyedTable:
         carry the key)."""
         k = F.col(self.key_col)
         return self._layer_frames((k >= lower) & (k <= upper), as_of_layer)
+
+    # -- ROW Bloom sidecars (BloomType.ROW) ---------------------------------
+    #
+    # HBase keeps a Bloom filter per HFile because every Get must consult
+    # every store file: min/max key ranges prune nothing once several delta
+    # layers each span the keyspace, but a 10-bits/key Bloom proves most of
+    # them key-free. The reference declares exactly this on its column
+    # families (BloomType.ROW/ROWCOL, misc/HBaseAdminUtils.scala:89-100,
+    # examples/*:23-30); here it becomes a per-layer Parquet SIDECAR
+    # relation (file, word, bits) under <table>/_bloom/<layer>:
+    #
+    # - BLOCKED Bloom (Putze/Sanders/Singler 2007, public): each key sets
+    #   K=4 bits inside ONE 64-bit word chosen by md5(key) over a layer-wide
+    #   word space (nwords ~ rows*10/64), so both the build and the probe
+    #   touch a single word per key, and a probe is a plain equi-JOIN on
+    #   `word` — no driver-side bitmaps, no UDFs, every expression
+    #   whole-stage-codegen'd.
+    # - The sidecar is written SORTED BY word, so a point read's probe
+    #   pushes an In(word) filter whose footer stats prune the sidecar scan
+    #   to O(probe) row groups: consulting the Bloom costs O(keys), never
+    #   O(table), which is what lets it stand in front of a 100 TB layout.
+    # - Correctness NEVER depends on the sidecar: a probe only ever SHRINKS
+    #   the file set a point read scans, and a layer whose sidecar is
+    #   missing or stale is simply read in full. Validity is a fingerprint
+    #   check — every part-file currently in the layer must appear in the
+    #   sidecar's recorded (name, size) map. The rule is subset-tolerant on
+    #   purpose: dirty compaction UNLINKS part-files from old base layers
+    #   without touching the survivors, and the survivors' Bloom rows stay
+    #   exactly right (rows for dead files match no existing path), so the
+    #   O(delta) compaction contract holds with zero sidecar patching. Any
+    #   path that ADDS files writes a fresh layer through _write_layer,
+    #   which rebuilds the sidecar when blooms are on.
+
+    _BLOOM_BITS_PER_KEY = 10
+    _BLOOM_K = 4
+    _BLOOM_DTYPES = frozenset(
+        {"tinyint", "smallint", "int", "bigint", "string"}
+    )
+
+    def _bloom_root(self) -> Path:
+        return Path(self.path) / "_bloom"
+
+    def _drop_bloom(self, layer: Path) -> None:
+        """Remove a dropped layer's sidecar (pure hygiene — a sidecar whose
+        layer is gone can never be consulted)."""
+        shutil.rmtree(self._bloom_root() / layer.name, ignore_errors=True)
+        (self._bloom_root() / f"{layer.name}.json").unlink(missing_ok=True)
+
+    def _bloom_cols(self, key_expr: str, nwords: int) -> list:
+        """(word, mask) Column expressions for one key — shared verbatim by
+        the sidecar build and the probe, so the two sides can never drift.
+        md5 gives 30 hex digits of entropy split into a word selector and
+        four 6-bit in-word bit selectors; everything stays in non-negative
+        int64 (15 hex digits < 2^60)."""
+        h = f"md5(CAST({key_expr} AS STRING))"
+        h2 = f"CAST(conv(substring({h}, 17, 15), 16, 10) AS BIGINT)"
+        mask = " | ".join(
+            f"shiftleft(1L, CAST(({h2} div {64 ** i}) % 64 AS INT))"
+            for i in range(self._BLOOM_K)
+        )
+        return [
+            F.expr(
+                f"CAST(pmod(CAST(conv(substring({h}, 1, 15), 16, 10) AS BIGINT),"
+                f" {nwords}) AS BIGINT)"
+            ).alias("__bword"),
+            F.expr(mask).alias("__bmask"),
+        ]
+
+    def _write_bloom(self, layer: Path, rows: int | None = None) -> None:
+        """Build the layer's Bloom sidecar: one distributed pass over the
+        layer's key column grouped by (part-file, word) with a bit_or
+        combine — O(layer) at write time, the same moment the layer itself
+        was just paid for. Skipped for key dtypes whose string cast is not
+        canonical across engines and probes (float/decimal/binary)."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        if self._schema().get(self.key_col) not in self._BLOOM_DTYPES:
+            return
+        files = sorted(p for p in layer.glob("*.parquet"))
+        if rows is None:
+            rows = sum(pq.read_metadata(str(f)).num_rows for f in files)
+        nwords = max(64, (rows * self._BLOOM_BITS_PER_KEY + 63) // 64)
+        src = self.spark.read.parquet(str(layer)).select(
+            F.col("_metadata.file_path").alias("__bfile"),
+            *self._bloom_cols(f"`{self.key_col}`", nwords),
+        )
+        side = (
+            src.groupBy("__bfile", "__bword")
+            .agg(F.bit_or("__bmask").alias("bits"))
+            .select(
+                F.col("__bword").alias("word"),
+                F.col("__bfile").alias("file"),
+                "bits",
+            )
+            .repartitionByRange(max(1, self.num_partitions // 4), "word")
+            .sortWithinPartitions("word")
+        )
+        root = self._bloom_root()
+        root.mkdir(parents=True, exist_ok=True)
+        target = root / layer.name
+        tmp = target.with_suffix(".tmp")
+        side.write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(target, ignore_errors=True)
+        tmp.rename(target)
+        meta = {
+            "nwords": nwords,
+            "k": self._BLOOM_K,
+            "files": {f.name: f.stat().st_size for f in files},
+        }
+        mtmp = root / f"{layer.name}.json.tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(mtmp, root / f"{layer.name}.json")
+
+    def build_blooms(self) -> None:
+        """Backfill sidecars for every layer that lacks a valid one —
+        opt-in migration path for tables created before blooms were
+        switched on (row counts come from parquet footers, metadata-only)."""
+        for layer in self._layers():
+            if self._bloom_meta(layer) is None:
+                self._write_bloom(layer)
+
+    def _bloom_meta(self, layer: Path) -> dict | None:
+        """The layer's sidecar meta iff it is VALID: sidecar + meta exist
+        and every part-file currently in the layer appears in the recorded
+        (name, size) map. Subset-tolerant — see the section comment."""
+        import json
+
+        root = self._bloom_root()
+        meta_p = root / f"{layer.name}.json"
+        if not meta_p.exists() or not (root / layer.name).exists():
+            return None
+        try:
+            meta = json.loads(meta_p.read_text())
+        except (OSError, ValueError):
+            return None
+        recorded = meta.get("files", {})
+        if meta.get("k") != self._BLOOM_K:
+            return None
+        for f in layer.glob("*.parquet"):
+            if recorded.get(f.name) != f.stat().st_size:
+                return None
+        return meta
+
+    def _bloom_candidates(self, layers: list[Path], keys: list):
+        """Per-layer candidate part-file paths from the Bloom sidecars, or
+        None for a layer without a valid sidecar (read it in full). One
+        probe job per distinct nwords (word indices are nwords-relative):
+        probe keys become (word, mask) rows through the SAME expressions
+        the build used, broadcast against the unioned sidecars, and a file
+        is a candidate iff some probed key's whole mask is present in its
+        word — `bits & mask = mask`. Absent (file, word) rows mean bits=0,
+        i.e. provably key-free."""
+        metas = {p: self._bloom_meta(p) for p in layers}
+        out: dict[Path, list[str] | None] = {
+            p: None for p, m in metas.items() if m is None
+        }
+        by_nwords: dict[int, list[Path]] = {}
+        for p, m in metas.items():
+            if m is not None:
+                by_nwords.setdefault(m["nwords"], []).append(p)
+                out[p] = []  # provisional: no candidate files
+        kdtype = self._schema()[self.key_col]
+        for nwords, group in by_nwords.items():
+            probe = self.spark.createDataFrame(
+                [(k,) for k in keys], f"`{self.key_col}` {kdtype}"
+            ).select(*self._bloom_cols(f"`{self.key_col}`", nwords))
+            side = self.spark.read.parquet(
+                *[str(self._bloom_root() / p.name) for p in group]
+            )
+            hit = (
+                side.join(
+                    F.broadcast(
+                        probe.select(
+                            F.col("__bword").alias("word"),
+                            F.col("__bmask").alias("mask"),
+                        )
+                    ),
+                    "word",
+                )
+                .where(F.expr("(bits & mask) = mask"))
+                .select("file")
+                .distinct()
+                .collect()
+            )
+            for r in hit:
+                # _metadata.file_path is a URI (file:/...): key the layer by
+                # its LOCAL path so it matches _layers()' Path objects. The
+                # existence check is load-bearing, not hygiene: the subset-
+                # tolerant fingerprint deliberately keeps a sidecar valid
+                # after dirty compaction UNLINKS part-files, so its rows can
+                # still bloom-positive a dead file — reading that path would
+                # throw, and the dead file's keys (if any were probed) are
+                # served by the folded layer that replaced it.
+                local = _uri_to_path(r["file"])
+                layer_dir = Path(local).parent
+                if (
+                    layer_dir in out
+                    and out[layer_dir] is not None
+                    and os.path.exists(local)
+                ):
+                    out[layer_dir].append(local)
+        return out
 
     # -- mutations ---------------------------------------------------------
 
@@ -782,8 +1051,10 @@ class KeyedTable:
         for b, _r in base_ranges:
             if not any(b.glob("*.parquet")):
                 shutil.rmtree(b, ignore_errors=True)
+                self._drop_bloom(b)
         for p in deltas:
             shutil.rmtree(p, ignore_errors=True)
+            self._drop_bloom(p)
         return True
 
 

@@ -74,6 +74,66 @@ def test_near_dup_clusters_long_chain_and_reversed_pairs(spark):
     assert all(got[i] == 20 for i in (20, 21, 22))
 
 
+def test_lang_id_argmax_and_tiebreak(spark):
+    """Pins the lang_id kernel directly (it rotated out of the driver
+    window in r8): stopword-hit argmax picks the right language, and a
+    hit TIE resolves to the earlier language in LANG_STOPWORDS order —
+    the documented deterministic tiebreak, not an engine artifact."""
+    from spark_on_hbase_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the hat and it is flat"),
+            Row(doc_id=2, text="der hund ist nicht das problem und die katze"),
+            Row(doc_id=3, text="le chat est dans la maison et les jardins"),
+            # one 'the' vs one 'der': en wins only by list-order tiebreak
+            # if counts tie — here both hit exactly once
+            Row(doc_id=4, text="the der zzz qqq"),
+            Row(doc_id=5, text="zzz qqq www"),  # zero hits everywhere
+        ]
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(docs).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "en", "hit tie must resolve to earlier language"
+    assert got[5] == "en", "all-zero hits resolve to the first language"
+
+
+def test_gopher_rules_verdicts_are_exact(spark):
+    """Unit pin for gopher_rules (Rae et al. 2021 A1.1): each rule's
+    boolean on hand-computable documents, including both sides of every
+    threshold the integer cross-multiplications encode."""
+    from spark_on_hbase_spark.operators import text as T
+
+    long_ok = " ".join(["the", "and", "word"] * 20)  # 60 words, all alpha
+    short = "the and tiny"  # 3 words: fails wordcount
+    # 60 words of length 12 -> mean 12 > 10: fails meanlen (alpha ok)
+    longwords = " ".join(["the", "and"] + ["abcdefghijkl"] * 58)
+    # 60 words, half numeric -> alpha ratio 0.5 < 0.8
+    numeric = " ".join(["the", "and"] + ["123"] * 30 + ["ok"] * 28)
+    # 60 words, 8 symbols -> 10*8 > 60: fails symbol
+    symbols = " ".join(["the", "and"] + ["w"] * 50 + ["#"] * 8)
+    one_stop = " ".join(["the"] + ["zz"] * 59)  # 1 distinct stopword
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=long_ok),
+            Row(doc_id=2, text=short),
+            Row(doc_id=3, text=longwords),
+            Row(doc_id=4, text=numeric),
+            Row(doc_id=5, text=symbols),
+            Row(doc_id=6, text=one_stop),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in T.gopher_rules(docs).collect()}
+    assert rows[1]["keep"] and all(
+        rows[1][c] for c in ("r_wordcount", "r_meanlen", "r_alpha", "r_symbol", "r_stop")
+    )
+    assert not rows[2]["r_wordcount"] and not rows[2]["keep"]
+    assert not rows[3]["r_meanlen"] and rows[3]["r_alpha"]
+    assert not rows[4]["r_alpha"] and rows[4]["r_wordcount"]
+    assert not rows[5]["r_symbol"]
+    assert not rows[6]["r_stop"] and rows[6]["r_wordcount"]
+
+
 def test_repetition_signals_flag_looping_text(spark):
     from spark_on_hbase_spark.operators import text as T
 

@@ -4,27 +4,24 @@ contract (see inventory._ROTATED_OUT_R08)."""
 
 from spark_on_hbase_spark.inventory import _ROTATED_OUT_R08, QUERIES
 
-# Round-7 must-grade set (VERDICT r6 item 1 + this round's changes): every
-# never-driver-graded query (the round-6 ten plus the four new round-7
-# queries) and every kernel changed since its last driver grading
-# (table.py dirty-compaction fixes, index.py, similarity.py).
-_MUST_GRADE_R07 = {
-    # round-6 new — local-mirror-green only until r07
+# Round-8 must-grade set (VERDICT r7 item 7 + this round's changes): every
+# never-driver-graded query (the four new round-8 queries) and every kernel
+# or shared fixture changed since its last driver grading.
+_MUST_GRADE_R08 = {
+    # round-8 new
+    "streaming_interval_join_attrib", "streaming_late_data_drop",
+    "gopher_quality_filter", "bloom_point_read",
+    # the r7 judge's one `weak`: global top-k idiom swapped this round
+    "dsir_importance_topk",
+    # index.py changed (deep-scrutiny fingerprint, guidepost TUPLES,
+    # oversized-uncovered range bound) and the five read queries now share
+    # a cross-session persisted fixture (_sec_index_fixture v2)
     "secondary_index_lookup", "secondary_index_covered_lookup",
-    "secondary_index_range_scan", "secondary_index_repair",
-    "keyed_point_read", "streaming_indexed_upsert",
-    "dup_substring_census", "decontamination_bloom",
-    "kcore_peel_census", "quality_model_score",
-    # round-7 new
-    "secondary_index_functional_lookup", "secondary_index_skip_scan",
-    "ann_clustered_lsh_topk", "ann_clustered_ivf_topk",
-    "semantic_dedup_census", "dsir_importance_topk",
-    # kernels changed after their r06 grading: table.py (lone-delta fold,
-    # cleanup order, time travel, interval-list + string-key dirty
-    # compaction), streaming ingest, the ANN family (similarity.py)
-    "lsm_compaction_fold", "lsm_time_travel", "mutation_upsert_merge",
-    "mutation_increment_merge", "streaming_increment_fold",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
+    "secondary_index_range_scan", "secondary_index_functional_lookup",
+    "secondary_index_skip_scan", "secondary_index_repair",
+    "streaming_indexed_upsert",
+    # table.py point_read grew the bloom-candidate path this round
+    "keyed_point_read",
 }
 
 
@@ -47,7 +44,7 @@ def test_rotated_names_exist_and_sit_in_the_tail():
         assert n in tail, f"{n} listed as rotated out but inside the window"
 
 
-def test_round7_must_grade_queries_are_inside_the_window():
+def test_round8_must_grade_queries_are_inside_the_window():
     window = set(list(QUERIES)[:50])
-    missing = _MUST_GRADE_R07 - window
+    missing = _MUST_GRADE_R08 - window
     assert not missing, f"stale/new queries outside the graded window: {missing}"

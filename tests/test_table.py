@@ -789,3 +789,177 @@ def test_dirty_compact_folds_stamped_layers_in_seq_order(spark, tmp_path, monkey
     monkeypatch.setattr(KeyedTable, "_write_layer", real)
     tbl2.compact(scope="dirty")
     assert {r["key"]: r["cnt"] for r in tbl2.df().collect()}[1] == 15
+
+
+# -- ROW Bloom sidecars (BloomType.ROW, HBaseAdminUtils.scala:89-100) -------
+
+
+def _bloom_pair(spark, tmp_path, n=5000, nparts=4):
+    """(bloomed, plain) handles over ONE on-disk table with a base + four
+    full-keyspace delta layers + a tombstone batch — the layer shape where
+    min/max footer stats prune nothing and only the Bloom can skip files."""
+    root = str(tmp_path / "bt")
+    tbl = KeyedTable(
+        spark, root, key_col="k", ts_col="ts", num_partitions=nparts, bloom=True
+    )
+    rows = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+        F.lit(0).cast("int").alias("ts"),
+    )
+    tbl.create(rows)
+    for i in range(1, 4):
+        tbl.update(
+            rows.where(F.col("k") % 97 == i).select(
+                "k", (F.col("v") + 100 * i).alias("v"),
+                F.lit(i).cast("int").alias("ts"),
+            )
+        )
+    tbl.delete(rows.where(F.col("k") % 101 == 5).select("k"))
+    plain = KeyedTable(
+        spark, root, key_col="k", ts_col="ts", num_partitions=nparts, bloom=False
+    )
+    return tbl, plain
+
+
+def test_bloom_point_read_matches_plain_across_mutation_matrix(spark, tmp_path):
+    tbl, plain = _bloom_pair(spark, tmp_path)
+    keys = [97 * 1 + 1, 97 * 2 + 2, 101 * 5 + 5, 500, 4999, 9_999_999]
+    got = {r["k"]: r["v"] for r in tbl.point_read(keys).collect()}
+    want = {r["k"]: r["v"] for r in plain.point_read(keys).collect()}
+    assert got == want and 9_999_999 not in got
+    # the tombstoned key must stay invisible through the bloomed path too
+    assert 101 * 5 + 5 not in got
+
+
+def test_bloom_prunes_files_and_absent_keys_read_nothing(spark, tmp_path):
+    tbl, _ = _bloom_pair(spark, tmp_path)
+    layers = tbl._visible_layers(None)
+    total = sum(len(list(p.glob("*.parquet"))) for p in layers)
+    cands = tbl._bloom_candidates(layers, [500, 1500])
+    assert all(v is not None for v in cands.values()), "every sidecar valid"
+    n_cand = sum(len(v) for v in cands.values())
+    assert 0 < n_cand < total / 2, (total, n_cand)
+    # negative lookup: a key provably nowhere touches NO data file at all —
+    # HBase's headline bloom win
+    none = tbl._bloom_candidates(layers, [77_000_001])
+    assert sum(len(v) for v in none.values()) == 0
+    assert tbl.point_read([77_000_001]).count() == 0
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    """Every present key must be a candidate in the layer holding it —
+    probed across the whole keyspace (fpp only ever ADDS candidates)."""
+    tbl, plain = _bloom_pair(spark, tmp_path, n=2000)
+    keys = list(range(0, 2000, 37))
+    got = sorted(r["k"] for r in tbl.point_read(keys).collect())
+    want = sorted(r["k"] for r in plain.point_read(keys).collect())
+    assert got == want
+
+
+def test_bloom_stale_sidecar_degrades_to_full_read(spark, tmp_path):
+    """A layer whose file set changed under the sidecar (foreign file
+    added) must be read in FULL — validity is the recorded (name, size)
+    superset check, and correctness never rides on sidecar freshness."""
+    import shutil as _sh
+
+    tbl, plain = _bloom_pair(spark, tmp_path, n=1000)
+    layers = tbl._visible_layers(None)
+    base = layers[0]
+    # clone a part-file into the layer: fingerprint no longer covers it
+    part = next(base.glob("*.parquet"))
+    _sh.copy(part, base / "part-foreign.parquet")
+    assert tbl._bloom_meta(base) is None
+    cands = tbl._bloom_candidates(layers, [500])
+    assert cands[base] is None, "stale layer must fall back to full read"
+    got = {r["k"]: r["v"] for r in tbl.point_read([500]).collect()}
+    want = {r["k"]: r["v"] for r in plain.point_read([500]).collect()}
+    assert got == want
+
+
+def test_bloom_survives_dirty_compaction_without_patching(spark, tmp_path):
+    """Dirty compaction unlinks part-files from old base layers; the
+    subset-tolerant fingerprint keeps the SURVIVORS' sidecar valid (rows
+    for dead files match no live path), and the freshly folded layer gets
+    its own sidecar through _write_layer."""
+    root = str(tmp_path / "dc")
+    tbl = KeyedTable(
+        spark, root, key_col="k", ts_col="ts", num_partitions=4, bloom=True
+    )
+    rows = spark.range(4000).select(
+        F.col("k") if "k" in [] else F.col("id").alias("k"),
+        (F.col("id") % 5).alias("v"), F.lit(0).cast("int").alias("ts"),
+    )
+    tbl.create(rows)
+    # localized batch: dirties only the low-key base files
+    tbl.update(
+        rows.where(F.col("k") < 200).select(
+            "k", (F.col("v") + 1000).alias("v"), F.lit(1).cast("int").alias("ts")
+        )
+    )
+    tbl.compact(scope="dirty")
+    layers = tbl._visible_layers(None)
+    metas = {p: tbl._bloom_meta(p) for p in layers}
+    assert all(m is not None for m in metas.values()), (
+        "survivor + folded layers must all carry valid sidecars"
+    )
+    got = {r["k"]: r["v"] for r in tbl.point_read([50, 3000]).collect()}
+    assert got[50] == (50 % 5) + 1000 and got[3000] == 3000 % 5
+
+
+def test_bloom_lone_delta_frame_still_folds(spark, tmp_path):
+    """Bloom pruning can reduce a probe to ONE delta frame; the in-batch
+    duplicate-key LWW dedup and kind fold must still run (the single-frame
+    passthrough is only legal for a folded base)."""
+    root = str(tmp_path / "ld")
+    tbl = KeyedTable(
+        spark, root, key_col="k", ts_col="ts", num_partitions=2, bloom=True
+    )
+    tbl.create(
+        spark.createDataFrame([Row(k=i, v=0, ts=0) for i in range(50)])
+    )
+    # key 1000 exists ONLY in this delta, twice (in-batch duplicate)
+    tbl.update(
+        spark.createDataFrame([Row(k=1000, v=1, ts=10), Row(k=1000, v=2, ts=20)])
+    )
+    out = tbl.point_read([1000]).collect()
+    assert len(out) == 1 and out[0]["v"] == 2
+
+
+def test_build_blooms_backfills_and_unblooms_read_identically(spark, tmp_path):
+    root = str(tmp_path / "bf")
+    plain = KeyedTable(spark, root, key_col="k", ts_col="ts", num_partitions=4)
+    rows = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.lit(0).cast("int").alias("ts"),
+    )
+    plain.create(rows)
+    plain.update(rows.where(F.col("k") % 10 == 3).select(
+        "k", (F.col("v") + 7).alias("v"), F.lit(1).cast("int").alias("ts")
+    ))
+    bloomed = KeyedTable(
+        spark, root, key_col="k", ts_col="ts", num_partitions=4, bloom=True
+    )
+    layers = bloomed._visible_layers(None)
+    assert all(bloomed._bloom_meta(p) is None for p in layers)
+    bloomed.build_blooms()
+    assert all(bloomed._bloom_meta(p) is not None for p in layers)
+    keys = [3, 13, 500, 12345]
+    got = {r["k"]: r["v"] for r in bloomed.point_read(keys).collect()}
+    want = {r["k"]: r["v"] for r in plain.point_read(keys).collect()}
+    assert got == want
+
+
+def test_bloom_skips_unsupported_key_dtype(spark, tmp_path):
+    """Float keys have no canonical cross-engine string cast: bloom build
+    must refuse (no sidecar) and reads fall back to the plain path."""
+    root = str(tmp_path / "fd")
+    tbl = KeyedTable(
+        spark, root, key_col="k", ts_col="ts", num_partitions=2, bloom=True
+    )
+    tbl.create(
+        spark.createDataFrame([Row(k=float(i), v=i, ts=0) for i in range(10)])
+    )
+    assert not tbl._bloom_root().exists() or not any(
+        tbl._bloom_root().iterdir()
+    )
+    assert tbl.point_read([3.0]).count() == 1
