@@ -68,6 +68,21 @@ def main() -> None:
     print("post-repair, balance == 500 ->",
           sorted(r["name"] for r in idx.lookup(500).collect()))
     assert idx.scrutiny().count() == 0
+
+    # ROW Bloom filters (the reference's BloomType.ROW): every layer gets a
+    # blocked-Bloom sidecar, so a multiget skips files the bloom proves
+    # key-free — and a get of an ABSENT key touches no data file at all
+    btbl = KeyedTable(
+        spark, f"{work}/users_bloom", key_col="key", ts_col="ts",
+        num_partitions=2, bloom=True,
+    )
+    btbl.create(users)
+    btbl.update(spark.createDataFrame([Row(key=2, name="bob", balance=1, ts=500)]))
+    print("bloomed multiget [2, 999] ->",
+          sorted((r["key"], r["balance"]) for r in btbl.point_read([2, 999]).collect()))
+    cand = btbl._bloom_candidates(btbl._visible_layers(None), [999])
+    print("absent key 999 candidate files:",
+          sum(len(v) for v in cand.values() if v is not None))
     print("index consistent. demo ok")
 
 

@@ -183,6 +183,24 @@ def sf_tag(sf_dir: str) -> str:
     )
 
 
+def input_tag(sf_dir: str, table: str) -> str:
+    """mtime+size identity tag of one input table's parquet (for a
+    multi-file dir, newest mtime + summed size). Cross-session fixture
+    roots carry this so a driver that regenerates the testdata in place
+    can never be served a fixture built from the old rows."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = (
+        [os.path.join(src, f) for f in sorted(os.listdir(src))]
+        if os.path.isdir(src)
+        else [src]
+    )
+    stats = [os.stat(p) for p in parts if os.path.isfile(p)]
+    return (
+        f"{max((int(s.st_mtime) for s in stats), default=0)}_"
+        f"{sum(s.st_size for s in stats)}"
+    )
+
+
 def dec2(col) -> "F.Column":
     """Lossless decimal view of a raw 2-dp money column."""
     c = F.col(col) if isinstance(col, str) else col

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_on_hbase_spark.inventory import dsum, load, query, sf_tag, warmer
+from spark_on_hbase_spark.inventory import dsum, input_tag, load, query, sf_tag, warmer
 from spark_on_hbase_spark.operators import agg as A
 from spark_on_hbase_spark.table import KeyedTable, _upsert_latest
 
@@ -1507,25 +1507,14 @@ def _sec_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
     a concurrent session either wins the rename or reads the winner's
     complete root; a crash mid-build leaves only an unreferenced staging
     dir. Storage is plain parquet layers, so re-opening by path is free."""
-    # the root tag carries the INPUT's identity too (customer.parquet
-    # mtime+size — for a multi-file parquet dir, summed over its files):
-    # the fixture outlives sessions and rounds, and a driver that
-    # regenerates the testdata in place would otherwise keep serving a
-    # fixture built from the old rows
-    src = os.path.join(sf_dir, "customer.parquet")
-    parts = (
-        [os.path.join(src, f) for f in sorted(os.listdir(src))]
-        if os.path.isdir(src)
-        else [src]
-    )
-    stats = [os.stat(p) for p in parts if os.path.isfile(p)]
-    src_tag = (
-        f"{max((int(s.st_mtime) for s in stats), default=0)}_"
-        f"{sum(s.st_size for s in stats)}"
-    )
+    # the root tag carries the INPUT's identity too (inventory.input_tag:
+    # customer.parquet mtime+size): the fixture outlives sessions and
+    # rounds, and a driver that regenerates the testdata in place would
+    # otherwise keep serving a fixture built from the old rows
     root = os.path.join(
         tempfile.gettempdir(),
-        f"sec_idx_fix_v{_SEC_IDX_FIXTURE_VERSION}_{sf_tag(sf_dir)}_{src_tag}",
+        f"sec_idx_fix_v{_SEC_IDX_FIXTURE_VERSION}_{sf_tag(sf_dir)}_"
+        f"{input_tag(sf_dir, 'customer')}",
     )
     marker = os.path.join(root, "_COMPLETE")
     if root in _SEC_IDX_FIXTURE_DONE or os.path.exists(marker):
@@ -1743,39 +1732,67 @@ def bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.point_read(_BLOOM_PROBE_KEYS).select("key", "bal", "ts")
 
 
+_BLOOM_PR_VERSION = 2  # bump when rows/mutations/layout change
+
+
 def _bloom_pr_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
     """bloom_point_read's mutated bloom=True table — registered as a
     warmer so bench times the one-time build under `builds` and the query
-    row measures the probed read alone."""
+    row measures the probed read alone. Persists ACROSS sessions with the
+    same atomic-publish discipline as _sec_index_fixture: deterministic
+    content (a pure function of sf_dir's customer table + this code,
+    version-stamped, input mtime/size in the tag), built in a pid-unique
+    staging dir, published by one rename after a _COMPLETE marker is
+    inside — a crash mid-build can never be mistaken for a finished
+    fixture."""
     root = os.path.join(
         tempfile.gettempdir(),
-        f"bloom_pr_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+        f"bloom_pr_v{_BLOOM_PR_VERSION}_{sf_tag(sf_dir)}_"
+        f"{input_tag(sf_dir, 'customer')}",
     )
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return KeyedTable(
+            spark, root, key_col="key", ts_col="ts", num_partitions=8,
+            bloom=True,
+        )
+    staging = f"{root}.build.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
     tbl = KeyedTable(
+        spark, staging, key_col="key", ts_col="ts", num_partitions=8,
+        bloom=True,
+    )
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    tbl.create(rows)
+    tbl.update(
+        rows.where(F.col("key") % 13 == 6).select(
+            "key", (F.col("bal") + 2000000).alias("bal"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    tbl.update(
+        rows.where(F.col("key") % 11 == 4).select(
+            "key", (F.col("bal") + 1000000).alias("bal"),
+            F.lit(300).cast("int").alias("ts"),
+        )
+    )
+    tbl.delete(rows.where(F.col("key") % 17 == 9).select("key"))
+    open(os.path.join(staging, "_COMPLETE"), "w").write(str(_BLOOM_PR_VERSION))
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.rename(staging, root)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return KeyedTable(
         spark, root, key_col="key", ts_col="ts", num_partitions=8, bloom=True
     )
-    if not tbl.exists():
-        cust = load(spark, sf_dir, "customer")
-        rows = cust.select(
-            F.col("c_custkey").alias("key"),
-            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
-            F.lit(100).cast("int").alias("ts"),
-        )
-        tbl.create(rows)
-        tbl.update(
-            rows.where(F.col("key") % 13 == 6).select(
-                "key", (F.col("bal") + 2000000).alias("bal"),
-                F.lit(200).cast("int").alias("ts"),
-            )
-        )
-        tbl.update(
-            rows.where(F.col("key") % 11 == 4).select(
-                "key", (F.col("bal") + 1000000).alias("bal"),
-                F.lit(300).cast("int").alias("ts"),
-            )
-        )
-        tbl.delete(rows.where(F.col("key") % 17 == 9).select("key"))
-    return tbl
 
 
 warmer("bloom_pr_fixture")(_bloom_pr_fixture)

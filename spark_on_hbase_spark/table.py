@@ -93,15 +93,6 @@ _TOP = _TopType()
 _STAMP_RE = re.compile(r"[A-Za-z0-9_]+")
 
 
-def _uri_to_path(p: str) -> str:
-    """file:-scheme URI (what _metadata.file_path yields) -> local path."""
-    if p.startswith("file:"):
-        from urllib.parse import unquote, urlparse
-
-        return unquote(urlparse(p).path)
-    return p
-
-
 def _in_list_pred(col_name: str, keys: list):
     """``col IN (<literals>)`` built as ONE parsed SQL expression for
     integral key lists — ``Column.isin(ks)`` costs a py4j round-trip per
@@ -241,7 +232,14 @@ class KeyedTable:
         tmp.rename(target)
         n = int(obs.get["n"])
         if self.bloom:
-            self._write_bloom(target, n)
+            # SOFT-fail: the layer committed at the rename above, so a
+            # sidecar-build error must not surface as a failed write — the
+            # caller would retry and double-apply a non-idempotent batch
+            # (increments). A missing sidecar only costs pruning.
+            try:
+                self._write_bloom(target, n)
+            except Exception:  # noqa: BLE001 — bloom is an optimization
+                self._drop_bloom(target)
         return n
 
     def _stamp_of(self, layer: Path) -> str | None:
@@ -534,6 +532,11 @@ class KeyedTable:
 
     _BLOOM_BITS_PER_KEY = 10
     _BLOOM_K = 4
+    # sidecar format: 2 = part-file BASENAMES in `file` (rename-relocatable).
+    # _bloom_meta requires an exact match, so a sidecar written by an older
+    # format (absolute URIs, whose existence check would silently drop every
+    # candidate = FALSE NEGATIVES) degrades to a full read instead.
+    _BLOOM_FMT = 2
     _BLOOM_DTYPES = frozenset(
         {"tinyint", "smallint", "int", "bigint", "string"}
     )
@@ -583,8 +586,15 @@ class KeyedTable:
         if rows is None:
             rows = sum(pq.read_metadata(str(f)).num_rows for f in files)
         nwords = max(64, (rows * self._BLOOM_BITS_PER_KEY + 63) // 64)
+        # store the part-file's BASENAME, never its absolute path: the
+        # sidecar must survive a rename of the whole table directory
+        # (cross-session fixtures publish via staging-dir rename — an
+        # absolute path would point at the dead staging root and silently
+        # prune every probe to zero files)
         src = self.spark.read.parquet(str(layer)).select(
-            F.col("_metadata.file_path").alias("__bfile"),
+            F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
+                "__bfile"
+            ),
             *self._bloom_cols(f"`{self.key_col}`", nwords),
         )
         side = (
@@ -606,6 +616,7 @@ class KeyedTable:
         shutil.rmtree(target, ignore_errors=True)
         tmp.rename(target)
         meta = {
+            "fmt": self._BLOOM_FMT,
             "nwords": nwords,
             "k": self._BLOOM_K,
             "files": {f.name: f.stat().st_size for f in files},
@@ -638,7 +649,11 @@ class KeyedTable:
         except (OSError, ValueError):
             return None
         recorded = meta.get("files", {})
-        if meta.get("k") != self._BLOOM_K:
+        if (
+            meta.get("fmt") != self._BLOOM_FMT
+            or meta.get("k") != self._BLOOM_K
+            or not isinstance(meta.get("nwords"), int)
+        ):
             return None
         for f in layer.glob("*.parquet"):
             if recorded.get(f.name) != f.stat().st_size:
@@ -668,9 +683,15 @@ class KeyedTable:
             probe = self.spark.createDataFrame(
                 [(k,) for k in keys], f"`{self.key_col}` {kdtype}"
             ).select(*self._bloom_cols(f"`{self.key_col}`", nwords))
-            side = self.spark.read.parquet(
-                *[str(self._bloom_root() / p.name) for p in group]
-            )
+            # sidecars store part-file BASENAMES (rename-relocatable), so
+            # each sidecar frame is tagged with its layer name here — one
+            # union, one probe job for every layer at this nwords
+            side = None
+            for p in group:
+                f = self.spark.read.parquet(
+                    str(self._bloom_root() / p.name)
+                ).withColumn("__blayer", F.lit(p.name))
+                side = f if side is None else side.unionByName(f)
             hit = (
                 side.join(
                     F.broadcast(
@@ -682,21 +703,20 @@ class KeyedTable:
                     "word",
                 )
                 .where(F.expr("(bits & mask) = mask"))
-                .select("file")
+                .select("__blayer", "file")
                 .distinct()
                 .collect()
             )
+            root = Path(self.path)
             for r in hit:
-                # _metadata.file_path is a URI (file:/...): key the layer by
-                # its LOCAL path so it matches _layers()' Path objects. The
-                # existence check is load-bearing, not hygiene: the subset-
-                # tolerant fingerprint deliberately keeps a sidecar valid
-                # after dirty compaction UNLINKS part-files, so its rows can
-                # still bloom-positive a dead file — reading that path would
-                # throw, and the dead file's keys (if any were probed) are
-                # served by the folded layer that replaced it.
-                local = _uri_to_path(r["file"])
-                layer_dir = Path(local).parent
+                # The existence check is load-bearing, not hygiene: the
+                # subset-tolerant fingerprint deliberately keeps a sidecar
+                # valid after dirty compaction UNLINKS part-files, so its
+                # rows can still bloom-positive a dead file — reading that
+                # path would throw, and the dead file's keys (if any were
+                # probed) are served by the folded layer that replaced it.
+                layer_dir = root / r["__blayer"]
+                local = str(layer_dir / r["file"])
                 if (
                     layer_dir in out
                     and out[layer_dir] is not None

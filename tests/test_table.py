@@ -886,7 +886,7 @@ def test_bloom_survives_dirty_compaction_without_patching(spark, tmp_path):
         spark, root, key_col="k", ts_col="ts", num_partitions=4, bloom=True
     )
     rows = spark.range(4000).select(
-        F.col("k") if "k" in [] else F.col("id").alias("k"),
+        F.col("id").alias("k"),
         (F.col("id") % 5).alias("v"), F.lit(0).cast("int").alias("ts"),
     )
     tbl.create(rows)
@@ -963,3 +963,28 @@ def test_bloom_skips_unsupported_key_dtype(spark, tmp_path):
         tbl._bloom_root().iterdir()
     )
     assert tbl.point_read([3.0]).count() == 1
+
+
+def test_bloom_build_failure_never_fails_the_write(spark, tmp_path, monkeypatch):
+    """The layer commits at its rename; a sidecar-build error after that
+    must not surface as a failed write — the caller would retry and
+    double-apply a non-idempotent batch. The write soft-fails the bloom
+    (no sidecar -> full read) and the data is intact."""
+    root = str(tmp_path / "sf")
+    tbl = KeyedTable(
+        spark, root, key_col="k", ts_col="ts", num_partitions=2, bloom=True
+    )
+    tbl.create(spark.createDataFrame([Row(k=i, v=i, ts=0) for i in range(20)]))
+
+    def boom(self, layer, rows=None):
+        raise RuntimeError("sidecar build exploded")
+
+    monkeypatch.setattr(KeyedTable, "_write_bloom", boom)
+    tbl.increment(
+        spark.createDataFrame([Row(k=3, delta=7, ts=10)]), counter_col="v"
+    )  # must NOT raise
+    monkeypatch.undo()
+    layers = tbl._visible_layers(None)
+    assert tbl._bloom_meta(layers[-1]) is None, "failed sidecar must be absent"
+    got = {r["k"]: r["v"] for r in tbl.point_read([3, 5]).collect()}
+    assert got == {3: 10, 5: 5}
