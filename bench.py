@@ -113,10 +113,18 @@ def main() -> None:
         out["errors"] = errors
     # truncation-proof full copy: checked into the repo as
     # BENCH_local_r{N}.json for scripts/bench_compare.py (N = next round
-    # number inferred from existing driver artifacts, overridable).
+    # number inferred from existing driver artifacts, overridable via
+    # SPARK_GRAFT_ROUND — an explicit round OVERWRITES its slot). Without
+    # the override the write is APPEND-ONLY: it takes the first FREE slot
+    # at or above the inferred round, never an existing one — an r8
+    # mid-round bench run used to clobber BENCH_local_r08 (the committed
+    # round-7 record: max driver artifact was r07 ⇒ inferred 8) and the
+    # cross-round history silently rewrote itself.
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
-    if not rnd:
+    if rnd:
+        target = os.path.join(here, f"BENCH_local_r{int(rnd):02d}.json")
+    else:
         import re as _re
 
         prior = [
@@ -124,9 +132,12 @@ def main() -> None:
             for f in os.listdir(here)
             if (m := _re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f))
         ]
-        rnd = str(max(prior, default=0) + 1)
+        n = max(prior, default=0) + 1
+        while os.path.exists(os.path.join(here, f"BENCH_local_r{n:02d}.json")):
+            n += 1
+        target = os.path.join(here, f"BENCH_local_r{n:02d}.json")
     try:
-        with open(os.path.join(here, f"BENCH_local_r{int(rnd):02d}.json"), "w") as fh:
+        with open(target, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=False)
     except OSError as exc:
         print(f"could not write BENCH_local file: {exc}", file=sys.stderr)

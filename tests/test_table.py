@@ -988,3 +988,24 @@ def test_bloom_build_failure_never_fails_the_write(spark, tmp_path, monkeypatch)
     assert tbl._bloom_meta(layers[-1]) is None, "failed sidecar must be absent"
     got = {r["k"]: r["v"] for r in tbl.point_read([3, 5]).collect()}
     assert got == {3: 10, 5: 5}
+
+
+def test_bloom_point_read_respects_as_of_layer(spark, tmp_path):
+    """Time-travel multigets consult only the visible layer prefix's
+    sidecars: a key updated in later deltas must come back at its base
+    version, and keys whose only rows live in pruned-away layers behave
+    exactly like the plain path."""
+    tbl, plain = _bloom_pair(spark, tmp_path, n=1000)
+    k_updated = 97 * 2 + 2   # moved by the ts-2 update batch
+    k_deleted = 101 * 5 + 5  # tombstoned at the end
+    got = {
+        r["k"]: r["v"]
+        for r in tbl.point_read([k_updated, k_deleted], as_of_layer=0).collect()
+    }
+    want = {
+        r["k"]: r["v"]
+        for r in plain.point_read([k_updated, k_deleted], as_of_layer=0).collect()
+    }
+    assert got == want
+    assert got[k_updated] == k_updated % 7, "as-of read must predate the move"
+    assert k_deleted in got, "tombstone is younger than the snapshot"
