@@ -684,16 +684,18 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 #     changes sit under them), secondary_index_repair (deep-scrutiny
 #     fingerprint dropped the unobservable entry ts), and
 #     streaming_indexed_upsert (index maintenance path).
-# Rotated out to make room (4 new slots — streaming_interval_join_attrib,
-# streaming_late_data_drop, gopher_quality_filter and bloom_point_read
-# register in-window by file position): simhash_dedup + text_repetition +
-# text_lang_id + quality_model_score, all r07-driver-green, their kernels
-# (operators/dedup.py; the repetition / lang-id / hashed-classifier
-# sections of operators/text.py) untouched this round, all pytest-pinned
+# Rotated out to make room (5 new slots — streaming_interval_join_attrib,
+# streaming_late_data_drop, gopher_quality_filter, bloom_point_read and
+# table_changefeed register in-window by file position): simhash_dedup +
+# text_repetition + text_lang_id + quality_model_score + tfidf_keywords,
+# all r07-driver-green, their kernels (operators/dedup.py; the repetition
+# / lang-id / hashed-classifier / tf-idf sections of operators/text.py)
+# untouched this round, all pytest-pinned
 # (test_pipeline.py::test_simhash_block_pairing_matches_python_reference,
 # ::test_repetition_signals_flag_looping_text,
 # ::test_lang_id_argmax_and_tiebreak,
-# ::test_quality_model_score_matches_python_reference); simhash also
+# ::test_quality_model_score_matches_python_reference,
+# ::test_tfidf_keywords_ranks_distinctive_terms); simhash also
 # carries a 30x probe row.
 # INVARIANT: len(this list) == len(QUERIES) - 50 — when adding a graded
 # query, rotate one more freshly-green name out (see memory:
@@ -705,6 +707,7 @@ _ROTATED_OUT_R08 = [
     "text_repetition",
     "text_lang_id",
     "quality_model_score",
+    "tfidf_keywords",
     # -- out since r07: r06-green agg/window family, kernels unchanged -----
     "pool_count",
     "triangle_count",

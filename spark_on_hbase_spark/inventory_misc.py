@@ -1732,6 +1732,95 @@ def bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.point_read(_BLOOM_PROBE_KEYS).select("key", "bal", "ts")
 
 
+@query(
+    "table_changefeed",
+    """
+    WITH c AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer
+    )
+    SELECT 'upsert' AS op, CAST(1 AS BIGINT) AS seq, key,
+           'u_' || name AS name, bal + 1 AS bal,
+           CAST(200 AS INTEGER) AS ts, CAST(NULL AS VARCHAR) AS deleted_cells
+    FROM c WHERE key % 5 = 1
+    UNION ALL
+    SELECT 'put', 2, key, NULL, bal + 7, 300, NULL FROM c WHERE key % 7 = 2
+    UNION ALL
+    SELECT 'increment', 3, key, NULL, 50, NULL, NULL FROM c WHERE key % 9 = 4
+    UNION ALL
+    SELECT 'delete', 4, key, NULL, NULL, NULL, NULL FROM c WHERE key % 11 = 3
+    UNION ALL
+    SELECT 'cell_delete', 5, key, NULL, NULL, NULL, 'name'
+    FROM c WHERE key % 13 = 6
+    """,
+    doc="CHANGE-DATA FEED over the LSM layers (KeyedTable.changes — the "
+    "table-native form of the reference's mutation shipping, "
+    "misc/KafkaProxy.scala:12-33, which pipes an HBase mutation topic "
+    "into a DStream; HBase itself ships the identical stream as WAL "
+    "replication): create customers, snapshot, apply one batch of EVERY "
+    "mutation kind (whole-row upsert, partial put, counter increment, "
+    "row delete, cell delete), then read changes(since_layer=snapshot). "
+    "The feed must report exactly the five batches, typed, stamped with "
+    "the layer seq that carried each, with write-path semantics intact — "
+    "put/increment rows carry the BATCH's cells (untouched cells NULL, "
+    "the increment's DELTA not the folded counter), delete rows are "
+    "key-only, cell deletes name their cells. A feed that read the "
+    "folded table instead of the layers, mis-typed a kind, or leaked "
+    "resolution state breaks the rows+hash match. Cost is O(changed "
+    "layers) — a metadata-pruned read of exactly the post-snapshot "
+    "layers, never a table scan: the shippable changelog a 100 TB "
+    "downstream (replica, cache, index builder) tails incrementally.",
+    tags=("table", "mutation"),
+)
+def table_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"changefeed_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+    )
+    tbl = KeyedTable(
+        spark, root, key_col="key", ts_col="ts", num_partitions=8
+    )
+    if not tbl.exists():
+        cust = load(spark, sf_dir, "customer")
+        rows = cust.select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+        tbl.create(rows)
+        tbl.update(
+            rows.where(F.col("key") % 5 == 1).select(
+                "key",
+                F.concat(F.lit("u_"), F.col("name")).alias("name"),
+                (F.col("bal") + 1).alias("bal"),
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        tbl.put(
+            rows.where(F.col("key") % 7 == 2).select(
+                "key", (F.col("bal") + 7).alias("bal"),
+                F.lit(300).cast("int").alias("ts"),
+            )
+        )
+        tbl.increment(
+            rows.where(F.col("key") % 9 == 4).select(
+                "key", F.lit(50).cast("bigint").alias("delta")
+            ),
+            counter_col="bal",
+        )
+        tbl.delete(rows.where(F.col("key") % 11 == 3).select("key"))
+        tbl.delete(
+            rows.where(F.col("key") % 13 == 6).select("key"), columns=["name"]
+        )
+    feed = tbl.changes(since_layer=0)
+    return feed.select(
+        "op", F.col("__seq").alias("seq"), "key", "name", "bal", "ts",
+        "deleted_cells",
+    )
+
+
 _BLOOM_PR_VERSION = 2  # bump when rows/mutations/layout change
 
 

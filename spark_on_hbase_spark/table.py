@@ -498,6 +498,84 @@ class KeyedTable:
         k = F.col(self.key_col)
         return self._layer_frames((k >= lower) & (k <= upper), as_of_layer)
 
+    def changes(
+        self, since_layer: int = 0, until_layer: int | None = None
+    ) -> DataFrame:
+        """Change-data feed: every mutation ROW recorded in layers with
+        ``since_layer < seq <= until_layer``, typed by operation — the
+        table-native form of the reference's mutation shipping
+        (misc/KafkaProxy.scala:12-33 pipes an HBase mutation topic into a
+        socket DStream; HBase itself ships the same stream as WAL
+        replication). No broker exists in this environment, but the LSM
+        layout already IS the changelog: every mutation landed as one
+        immutable, seq-ordered layer, so the feed is a pure metadata-pruned
+        read — O(changed layers), the table itself is never scanned.
+
+        Output: the table's columns plus ``__seq`` (the layer that carried
+        the change — replay in ``__seq`` order reproduces the table's fold
+        exactly), ``op`` ('upsert' | 'put' | 'increment' | 'delete' |
+        'cell_delete' — the five mutation kinds, HBase's Put / partial Put /
+        server-side-add / Delete / DeleteColumn), and ``deleted_cells``
+        (comma-joined cell names for cell_delete, else NULL). Semantics per
+        op mirror the write path: 'put' rows carry NULL for cells the batch
+        did not touch ("keep stored"), 'increment' rows carry the DELTA in
+        the counter column (not the folded result — consumers fold, exactly
+        like the read path), 'delete' rows are key-only. Pair with
+        ``snapshot_seq()``: ``changes(since_layer=snap)`` is everything
+        applied after the snapshot, exactly once, never reordered within a
+        key (layer seq is the order). Compaction folds history away, so a
+        feed must be consumed before its layers compact — same horizon
+        contract as time travel (``_visible_layers`` raises past a dirty
+        compaction; a fully-compacted range simply has no delta layers
+        left to report)."""
+        layers = [
+            p
+            for p in self._visible_layers(until_layer)
+            if int(p.name.split("-")[1]) > since_layer
+        ]
+        frames = []
+        for p in layers:
+            seq = int(p.name.split("-")[1])
+            f = self.spark.read.parquet(str(p))
+            if _KIND in f.columns:
+                op = (
+                    F.when(F.col(_KIND) == _SPARSE, F.lit("put"))
+                    .when(F.col(_KIND) == _DELTA, F.lit("increment"))
+                    .when(F.col(_KIND) == _CELLDEL, F.lit("cell_delete"))
+                    .when(F.col(_TOMBSTONE), F.lit("delete"))
+                    .otherwise(F.lit("upsert"))
+                )
+            else:
+                op = F.when(F.col(_TOMBSTONE), F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                )
+            f = f.withColumn("op", op).withColumn(
+                "__seq", F.lit(seq).cast("bigint")
+            )
+            f = f.withColumn(
+                "deleted_cells",
+                F.array_join(F.col(_DELCOLS), ",")
+                if _DELCOLS in f.columns
+                else F.lit(None).cast("string"),
+            )
+            for meta in (_KIND, _DELCOLS, _TOMBSTONE):
+                if meta in f.columns:
+                    f = f.drop(meta)
+            frames.append(f)
+        if not frames:
+            # empty feed with the full feed schema (table cols + feed cols)
+            base = self.df().where(F.lit(False))
+            return base.select(
+                "*",
+                F.lit(None).cast("string").alias("op"),
+                F.lit(None).cast("bigint").alias("__seq"),
+                F.lit(None).cast("string").alias("deleted_cells"),
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     # -- ROW Bloom sidecars (BloomType.ROW) ---------------------------------
     #
     # HBase keeps a Bloom filter per HFile because every Get must consult

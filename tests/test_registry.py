@@ -10,7 +10,7 @@ from spark_on_hbase_spark.inventory import _ROTATED_OUT_R08, QUERIES
 _MUST_GRADE_R08 = {
     # round-8 new
     "streaming_interval_join_attrib", "streaming_late_data_drop",
-    "gopher_quality_filter", "bloom_point_read",
+    "gopher_quality_filter", "bloom_point_read", "table_changefeed",
     # the r7 judge's one `weak`: global top-k idiom swapped this round
     "dsir_importance_topk",
     # index.py changed (deep-scrutiny fingerprint, guidepost TUPLES,

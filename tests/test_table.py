@@ -1009,3 +1009,36 @@ def test_bloom_point_read_respects_as_of_layer(spark, tmp_path):
     assert got == want
     assert got[k_updated] == k_updated % 7, "as-of read must predate the move"
     assert k_deleted in got, "tombstone is younger than the snapshot"
+
+
+def test_changes_feed_types_every_mutation_kind(spark, table):
+    """KeyedTable.changes — the table-native mutation feed (the reference
+    ships the same stream through its Kafka proxy; the LSM layers already
+    are the changelog). One batch per kind after a snapshot: the feed
+    reports exactly those rows, typed, in layer-seq order, with put/
+    increment rows carrying the batch's cells (not the folded state) and
+    delete rows key-only."""
+    snap = table.snapshot_seq()
+    table.update(spark.createDataFrame([Row(key="k001", ts=200, height=9, tag="up")]))
+    table.put(spark.createDataFrame([Row(key="k002", ts=300, height=77)]))
+    table.increment(spark.createDataFrame([Row(key="k003", delta=5)]), counter_col="height")
+    table.delete(spark.createDataFrame([Row(key="k004")]))
+    table.delete(spark.createDataFrame([Row(key="k005")]), columns=["tag"])
+    feed = table.changes(since_layer=snap).collect()
+    by_op = {r["op"]: r for r in feed}
+    assert len(feed) == 5 and set(by_op) == {
+        "upsert", "put", "increment", "delete", "cell_delete",
+    }
+    assert [r["op"] for r in sorted(feed, key=lambda r: r["__seq"])] == [
+        "upsert", "put", "increment", "delete", "cell_delete",
+    ]
+    assert by_op["upsert"]["height"] == 9 and by_op["upsert"]["tag"] == "up"
+    assert by_op["put"]["height"] == 77 and by_op["put"]["tag"] is None
+    assert by_op["increment"]["height"] == 5, "feed carries the DELTA"
+    assert by_op["delete"]["key"] == "k004" and by_op["delete"]["height"] is None
+    assert by_op["cell_delete"]["deleted_cells"] == "tag"
+    assert all(
+        r["deleted_cells"] is None for r in feed if r["op"] != "cell_delete"
+    )
+    # empty feed: nothing after the newest layer
+    assert table.changes(since_layer=table.snapshot_seq()).count() == 0
