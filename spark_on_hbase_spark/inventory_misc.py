@@ -1821,6 +1821,124 @@ def table_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "matview_incremental_revenue",
+    """
+    WITH o AS (
+        SELECT o_orderkey AS k, o_custkey AS cust,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS val
+        FROM orders
+    ),
+    final_state AS (
+        SELECT CASE WHEN k % 5 = 1 THEN (cust + 1) % 97
+                    ELSE cust % 97 END AS grp,
+               (CASE WHEN k % 7 = 2 THEN val + 7
+                     WHEN k % 5 = 1 THEN val + 1
+                     ELSE val END
+                + CASE WHEN k % 9 = 4 THEN 50 ELSE 0 END) AS val
+        FROM o WHERE k % 11 <> 3
+        UNION ALL
+        SELECT cust % 97 AS grp, CAST(12345 AS BIGINT) AS val
+        FROM o WHERE k % 13 = 6
+    )
+    SELECT grp, CAST(SUM(val) AS BIGINT) AS revenue, COUNT(*) AS n_orders
+    FROM final_state GROUP BY grp
+    """,
+    doc="INCREMENTAL MATERIALIZED VIEW maintenance (matview.MaterializedAgg "
+    "— the Spark-native upgrade of the reference's full-rebuild derived "
+    "tables, e.g. the reach rollup examples/graph/HGraphTable.scala:144-228 "
+    "recomputed from a complete scan each run; HBase deployments maintain "
+    "such rollups with coprocessor write hooks): build a revenue-by-group "
+    "rollup over an orders KeyedTable, then apply one batch of EVERY "
+    "mutation kind (whole-row upsert WITH group migration, partial put, "
+    "counter increment, row delete, fresh inserts) and refresh() — the "
+    "delta is agg(new state of changed keys) minus agg(old state via time "
+    "travel), applied as ONE atomic multi-counter layer "
+    "(KeyedTable.increment_many, stamp-idempotent). The oracle is the full "
+    "GROUP BY over the reconstructed final base state, so the hash match "
+    "proves incremental == recompute across five mutation semantics "
+    "including groups gaining/losing members and keys that migrate "
+    "between groups. Refresh cost is O(Δ): changes() is metadata-pruned "
+    "to post-snapshot layers, changed-key states come from footer-pruned "
+    "point reads, the delta agg shuffles Δ rows — at 100 TB the rollup "
+    "tracks a mutation firehose without ever rescanning the base.",
+    tags=("table", "mutation", "matview"),
+)
+def matview_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = _matview_fixture(spark, sf_dir)
+    mv.refresh()
+    return mv.df()
+
+
+def _matview_fixture(spark: SparkSession, sf_dir: str):
+    """matview_incremental_revenue's base table + built view + pending
+    mutation batches — registered as a warmer so the bench row times the
+    REFRESH path (the maintenance cost a production rollup pays per batch),
+    not the one-time fixture build. Session-scoped (applicationId in the
+    root): the refresh consumes the pending layers on first call and is a
+    stamped no-op after."""
+    from spark_on_hbase_spark.matview import MaterializedAgg
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"matview_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+    )
+    base = KeyedTable(
+        spark, os.path.join(root, "base"), key_col="k", ts_col="ts",
+        num_partitions=8,
+    )
+    mv = MaterializedAgg(
+        spark, os.path.join(root, "mv"), base, "grp",
+        {"revenue": "val"}, count_col="n_orders",
+    )
+    if not base.exists():
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("cust"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("val"),
+        )
+        base.create(
+            o.select(
+                "k", (F.col("cust") % 97).alias("grp"), "val",
+                F.lit(100).cast("int").alias("ts"),
+            )
+        )
+        mv.build()
+        # every mutation kind lands AFTER the build: the view must catch up
+        base.update(
+            o.where(F.col("k") % 5 == 1).select(
+                "k", ((F.col("cust") + 1) % 97).alias("grp"),
+                (F.col("val") + 1).alias("val"),
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        base.put(
+            o.where(F.col("k") % 7 == 2).select(
+                "k", (F.col("val") + 7).alias("val"),
+                F.lit(300).cast("int").alias("ts"),
+            )
+        )
+        base.increment(
+            o.where(F.col("k") % 9 == 4).select(
+                "k", F.lit(50).cast("bigint").alias("delta")
+            ),
+            counter_col="val",
+        )
+        base.delete(o.where(F.col("k") % 11 == 3).select("k"))
+        base.update(
+            o.where(F.col("k") % 13 == 6).select(
+                (F.col("k") + 10_000_000).alias("k"),
+                (F.col("cust") % 97).alias("grp"),
+                F.lit(12345).cast("bigint").alias("val"),
+                F.lit(400).cast("int").alias("ts"),
+            )
+        )
+    return mv
+
+
+warmer("matview_fixture")(_matview_fixture)
+
+
 _BLOOM_PR_VERSION = 2  # bump when rows/mutations/layout change
 
 

@@ -907,6 +907,61 @@ class KeyedTable:
         self._maybe_compact()
         return n
 
+    def increment_many(
+        self, batch: DataFrame, counters: dict[str, str],
+        stamp: str | None = None,
+    ) -> int:
+        """Atomic multi-cell add: ``counters`` maps counter column ->
+        delta column in ``batch``; all cells of a key commit in ONE additive
+        DELTA layer (single rename), so a consumer can never observe one
+        counter updated and a sibling not — HBase's Increment carrying
+        several qualifiers of a row in one atomic mutation
+        (HBaseTable.increment folds a whole Increment per row,
+        HBaseTable.scala:157-179). The read-time fold already adds each
+        non-null numeric DELTA cell independently (``_merge_layers_fold``),
+        so multi-cell layers need no new merge rule. Same O(batch) contract
+        as ``increment``: pre-aggregated per key, zero-delta keys skipped,
+        the table is never read. This is the write primitive incremental
+        materialized-view refresh rides (matview.py): sum and count deltas
+        of a group must land atomically or a crash leaves a torn aggregate."""
+        schema = self._schema()
+        for col in counters:
+            if col not in schema:
+                raise ValueError(f"no such column: {col}")
+            if not _is_numeric_dtype(schema[col]):
+                raise ValueError(
+                    f"increment requires a numeric counter column; "
+                    f"{col} is {schema[col]}"
+                )
+            if col in (self.key_col, self.ts_col):
+                raise ValueError(f"cannot increment {col}: key/ts column")
+        deltas = batch.groupBy(self.key_col).agg(
+            *[
+                F.sum(F.col(dcol)).alias(f"__d_{col}")
+                for col, dcol in counters.items()
+            ]
+        )
+        nonzero = None
+        for col in counters:
+            c = F.coalesce(F.col(f"__d_{col}"), F.lit(0)) != 0
+            nonzero = c if nonzero is None else (nonzero | c)
+        deltas = deltas.where(nonzero)
+        layer = deltas.select(
+            *[
+                (
+                    F.col(self.key_col)
+                    if c == self.key_col
+                    else F.col(f"__d_{c}").cast(t)
+                    if c in counters
+                    else F.lit(None).cast(t)
+                ).alias(c)
+                for c, t in schema.items()
+            ]
+        )
+        n = self._write_layer(layer, "delta", row_kind=_DELTA, stamp=stamp)
+        self._maybe_compact()
+        return n
+
     def delete(
         self, keys: DataFrame, columns: list[str] | None = None,
         stamp: str | None = None,

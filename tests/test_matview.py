@@ -1,0 +1,178 @@
+"""MaterializedAgg: incremental view maintenance == full recompute, under
+every mutation kind, the crash/idempotence contract, the degraded big-delta
+path, and the compaction-fallback guard."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_on_hbase_spark.matview import MaterializedAgg
+from spark_on_hbase_spark.table import KeyedTable
+
+
+def _base(spark, tmp_path, n=500):
+    t = KeyedTable(
+        spark, os.path.join(tmp_path, "base"), key_col="k", ts_col="ts",
+        num_partitions=4,
+    )
+    t.create(
+        spark.range(0, n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 23).alias("grp"),
+            (F.col("id") * 3 + 1).alias("val"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+    )
+    return t
+
+
+def _mv(spark, tmp_path, base, **kw):
+    return MaterializedAgg(
+        spark, os.path.join(tmp_path, "mv"), base, "grp", {"sum_val": "val"},
+        **kw,
+    )
+
+
+def _recompute(base):
+    return {
+        tuple(r)
+        for r in base.df()
+        .groupBy("grp")
+        .agg(F.sum("val").cast("bigint").alias("sum_val"), F.count("*").alias("n_rows"))
+        .collect()
+    }
+
+
+def _view(mv):
+    return {tuple(r) for r in mv.df().collect()}
+
+
+def _mutate_every_kind(spark, base):
+    base.update(
+        spark.range(0, 60).select(
+            F.col("id").alias("k"),
+            ((F.col("id") + 7) % 23).alias("grp"),  # group migration
+            (F.col("id") * 5).alias("val"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    base.put(
+        spark.range(60, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 11).alias("val"),
+            F.lit(300).cast("int").alias("ts"),
+        )
+    )
+    base.increment(
+        spark.range(100, 160).select(
+            F.col("id").alias("k"), F.lit(13).cast("bigint").alias("delta")
+        ),
+        counter_col="val",
+    )
+    base.delete(spark.range(200, 240).select(F.col("id").alias("k")))
+    base.delete(
+        spark.range(240, 260).select(F.col("id").alias("k")), columns=["val"]
+    )
+    base.update(
+        spark.range(5000, 5030).select(
+            F.col("id").alias("k"), (F.col("id") % 23).alias("grp"),
+            F.lit(9).cast("bigint").alias("val"),
+            F.lit(400).cast("int").alias("ts"),
+        )
+    )
+
+
+def test_incremental_matches_recompute_across_every_mutation_kind(spark, tmp_path):
+    base = _base(spark, str(tmp_path))
+    mv = _mv(spark, str(tmp_path), base).build()
+    assert _view(mv) == _recompute(base)
+    _mutate_every_kind(spark, base)
+    touched = mv.refresh()
+    assert touched > 0
+    assert _view(mv) == _recompute(base)
+
+
+def test_refresh_is_idempotent_and_meta_crash_heals_from_the_stamp(spark, tmp_path):
+    base = _base(spark, str(tmp_path))
+    mv = _mv(spark, str(tmp_path), base).build()
+    base.increment(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit(5).cast("bigint").alias("delta")
+        ),
+        counter_col="val",
+    )
+    assert mv.refresh() > 0
+    assert mv.refresh() == 0  # already current
+    expected = _recompute(base)
+    # crash window: the delta layer committed but the meta write was lost —
+    # the stamp riding the layer name is the durable truth, so a re-refresh
+    # must NOT double-apply
+    mv._write_meta(1)
+    assert mv.applied_upto() == base.snapshot_seq()
+    assert mv.refresh() == 0
+    assert _view(mv) == expected
+
+
+def test_big_delta_degrades_to_the_semi_join_path_and_stays_exact(spark, tmp_path):
+    base = _base(spark, str(tmp_path))
+    mv = _mv(spark, str(tmp_path), base, max_point_keys=10).build()
+    _mutate_every_kind(spark, base)  # far more than 10 changed keys
+    assert mv.refresh() > 0
+    assert _view(mv) == _recompute(base)
+
+
+def test_compaction_across_the_horizon_forces_a_rebuild(spark, tmp_path):
+    base = _base(spark, str(tmp_path))
+    mv = _mv(spark, str(tmp_path), base).build()
+    base.delete(spark.range(0, 40).select(F.col("id").alias("k")))
+    base.compact()  # deleted keys physically gone: a delta would be wrong
+    assert mv.refresh() == -1  # rebuild fallback, never a silent bad delta
+    assert _view(mv) == _recompute(base)
+    assert mv.refresh() == 0
+
+
+def test_groups_folded_to_zero_rows_disappear_from_the_view(spark, tmp_path):
+    base = _base(spark, str(tmp_path), n=46)  # grps 0..22, 2 members each
+    mv = _mv(spark, str(tmp_path), base).build()
+    # delete every member of grp 0 (keys 0 and 23)
+    base.delete(spark.createDataFrame([(0,), (23,)], "k long"))
+    mv.refresh()
+    grps = {r[0] for r in mv.df().select("grp").collect()}
+    assert 0 not in grps
+    assert _view(mv) == _recompute(base)
+
+
+def test_contracts_refuse_floats_ttl_and_key_groups(spark, tmp_path):
+    base = _base(spark, str(tmp_path), n=10)
+    with pytest.raises(ValueError, match="integer-typed"):
+        _float_check(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="group_col"):
+        MaterializedAgg(
+            spark, os.path.join(str(tmp_path), "mv_k"), base, "k", {"s": "val"}
+        )
+    ttl_base = KeyedTable(
+        spark, os.path.join(str(tmp_path), "ttl"), key_col="k", ts_col="ts",
+        ttl=60,
+    )
+    with pytest.raises(ValueError, match="TTL"):
+        MaterializedAgg(
+            spark, os.path.join(str(tmp_path), "mv_t"), ttl_base, "grp",
+            {"s": "val"},
+        )
+
+
+def _float_check(spark, tmp_path):
+    t = KeyedTable(
+        spark, os.path.join(tmp_path, "fbase"), key_col="k", ts_col="ts",
+        num_partitions=2,
+    )
+    t.create(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("grp"),
+            (F.col("id") * 1.5).alias("fval"),
+            F.lit(1).cast("int").alias("ts"),
+        )
+    )
+    MaterializedAgg(
+        spark, os.path.join(tmp_path, "fmv"), t, "grp", {"s": "fval"}
+    ).build()
