@@ -1065,3 +1065,219 @@ def semantic_dedup(
         "centroid_cos",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )
+
+
+# -- Product quantization (PQ) + asymmetric distance (ADC) -------------------
+#
+# Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor Search"
+# (IEEE TPAMI 2011): split d dims into M subspaces, k-means each subspace
+# into a small codebook, store every vector as M small codes, and answer
+# queries with ASYMMETRIC distance — the query stays full-precision, each
+# corpus vector is scored through a per-query lookup table of
+# (subspace, codeword) partial dot products. At 100 TB this is THE
+# residency trick for embeddings: d=64 bigint components (512 B) become
+# M=4 codes (~4 B), so a shard's codes fit executor memory where raw
+# vectors never would, and the scan is integer adds over a broadcast LUT.
+#
+# Everything here is exact integer arithmetic over the fixed-point
+# quantized vectors (quantize_expr), with (d2, cid) tiebreaks — the same
+# bit-exactness discipline as kmeans_refine, so a DuckDB oracle can replay
+# codebook training, encoding, and ADC scoring and hash-match the result.
+#
+# Spark-first trick: all M subspace k-means problems train in ONE
+# relational pass — subvectors are stacked as (id, m, sv) and every
+# assignment / centroid update keys by the COMPOSITE (m, cid), so one
+# broadcast join + one aggregation per Lloyd iteration trains every
+# subspace simultaneously (a per-subspace driver loop would run M jobs
+# per iteration for no reason).
+
+
+def pq_subvectors(
+    vectors: DataFrame,
+    n_sub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """Stack a quantized-vector relation into per-subspace rows
+    (id, m, sv): one posexplode, no data movement beyond the row split."""
+    if dim % n_sub != 0:
+        raise ValueError(f"n_sub={n_sub} must divide dim={dim}")
+    sub = dim // n_sub
+    slices = F.array(
+        *[F.slice(F.col(qvec_col), m * sub + 1, sub) for m in range(n_sub)]
+    )
+    return vectors.select(
+        F.col(id_col), F.posexplode(slices).alias("m", "sv")
+    )
+
+
+def _pq_assign(subv: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the codebooks
+    (M x ksub rows — tiny by construction), exact int L2, (d2, cid)
+    tiebreak, windowless min_by per (id, m). Carries sv through for the
+    training update step."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = subv.join(F.broadcast(codebooks), "m").select(
+        id_col, "m", "sv", "cid", d2.alias("__d2")
+    )
+    best = scored.groupBy(id_col, "m").agg(
+        F.min_by(F.struct("cid", "sv"), F.struct("__d2", "cid")).alias("__b")
+    )
+    return best.select(
+        id_col, "m", F.col("__b.sv").alias("sv"), F.col("__b.cid").alias("code")
+    )
+
+
+def pq_train(
+    subv: DataFrame,
+    seed_mod: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train all M subspace codebooks at once: seeds are the subvectors of
+    every ``id % seed_mod == 0`` row (code id = seed vector id, the same
+    oracle-replayable convention as the IVF seeds), refined by ``iters``
+    Lloyd iterations over the stacked relation. Centroid updates are exact
+    integer floor-division means (pmod identity), so training is
+    bit-identical across engines. Returns (m, cid, cv).
+
+    Per iteration: one broadcast-assign pass + one (m, cid, d)-keyed
+    aggregation — map-side combinable, no driver-side state, and the M
+    subspaces share both shuffles."""
+    codebooks = (
+        subv.where(F.col(id_col) % seed_mod == 0)
+        .select("m", F.col(id_col).alias("cid"), F.col("sv").alias("cv"))
+        .persist()
+    )
+    codebooks.count()
+    prev = codebooks
+    for _ in range(iters):
+        assigned = _pq_assign(subv, codebooks, id_col)
+        dims = assigned.select(
+            "m", F.col("code").alias("cid"),
+            F.posexplode(F.col("sv")).alias("__d", "__x"),
+        )
+        means = (
+            dims.groupBy("m", "cid", "__d")
+            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+            .withColumn("__m", F.expr("(__s - pmod(__s, __n)) div __n"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__d", "__m"))),
+                    lambda s: s["__m"].cast("bigint"),
+                ).alias("cv")
+            )
+        )
+        kept = codebooks.join(means.select("m", "cid"), ["m", "cid"], "left_anti")
+        codebooks = means.unionByName(kept).persist()
+        codebooks.count()
+        prev.unpersist()
+        prev = codebooks
+    return codebooks
+
+
+def pq_encode(
+    subv: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Encode the corpus: (codes, recon) where codes = (id, m, code) — the
+    compressed representation, M small ints per vector — and recon =
+    (id, recon_n2), the squared norm of each vector's RECONSTRUCTION
+    (sum of its codewords' squared norms: subspaces are orthogonal by
+    construction, so the concatenated codeword norm decomposes exactly).
+    recon_n2 is what ADC cosine normalizes by — using the true vector norm
+    would mix exact and approximate geometry."""
+    assigned = _pq_assign(subv, codebooks, id_col)
+    cw_n2 = codebooks.select(
+        F.col("m").alias("__cwm"), F.col("cid").alias("__cwc"),
+        F.aggregate(
+            F.col("cv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).alias("__cwn2"),
+    )
+    codes = assigned.select(id_col, "m", "code")
+    recon = (
+        codes.join(
+            F.broadcast(cw_n2),
+            (F.col("m") == F.col("__cwm")) & (F.col("code") == F.col("__cwc")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__cwn2").alias("recon_n2"))
+    )
+    return codes, recon
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    recon: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query build the (m, cid) -> partial
+    dot LUT (full-precision query subvector x codeword — |queries| x M x
+    ksub rows, broadcastable by construction), then score every corpus
+    vector as the sum of its M looked-up partials: one broadcast hash join
+    on (m, code) + one (query, id) aggregation. Approximate cosine =
+    adc_dot / (|q| * |reconstruction|); ranking ties break by id.
+
+    Cost: O(|corpus| x M) integer adds per query batch against the CODES —
+    the raw vectors are never read at query time. For sublinear candidate
+    generation compose with the IVF router: pass the probed (query_id,
+    id_col) pairs as ``candidates`` and only those pairs are scored —
+    IVF-PQ (tests/test_pipeline.py pins the composition); this function is
+    the exact-over-codes scorer both paths share."""
+    qsub = pq_subvectors(queries, n_sub, dim, id_col, qvec_col).select(
+        F.col(id_col).alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    lut = qsub.join(F.broadcast(codebooks), "m").select(
+        "query_id", "m", "cid",
+        F.aggregate(
+            F.zip_with(F.col("qsv"), F.col("cv"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("__partial"),
+    )
+    qn2 = queries.select(
+        F.col(id_col).alias("query_id"), norm2_expr(F.col(qvec_col)).alias("__qn2")
+    )
+    scored = codes.join(
+        F.broadcast(lut),
+        (codes["m"] == lut["m"]) & (codes["code"] == lut["cid"]),
+    ).where(F.col(id_col) != F.col("query_id"))
+    if candidates is not None:
+        scored = scored.join(
+            candidates.select("query_id", id_col), ["query_id", id_col], "semi"
+        )
+    scored = (
+        scored.groupBy("query_id", id_col)
+        .agg(F.sum("__partial").alias("__adc"))
+        .join(recon, id_col)
+        .join(F.broadcast(qn2), "query_id")
+        .where((F.col("recon_n2") > 0) & (F.col("__qn2") > 0))
+    )
+    cos = F.col("__adc").cast("double") / (
+        F.sqrt(F.col("__qn2").cast("double")) * F.sqrt(F.col("recon_n2").cast("double"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.col(id_col)
+    )
+    return (
+        scored.select("query_id", id_col, cos.alias("adc_cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_cosine", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -1451,3 +1451,199 @@ def test_dsir_scores_rank_target_like_docs_first(spark):
     scores = {r["doc_id"]: r["dsir_q"] for r in T.dsir_scores(raw, w).collect()}
     # every alpha-doc outscores every delta-doc
     assert min(scores[0], scores[1], scores[4]) > max(scores[2], scores[3], scores[5])
+
+
+# -- PQ-ADC (product quantization) -------------------------------------------
+
+
+def _pq_python_reference(vecs, M, sub, seed_mod, iters, qids, k):
+    """Bit-exact PQ twin in pure Python ints: train (stacked Lloyd with
+    (d2, cid) tiebreaks and floor-division means), encode, ADC-score."""
+    import math
+
+    subv = {
+        (i, m): tuple(v[m * sub:(m + 1) * sub]) for i, v in vecs.items()
+        for m in range(M)
+    }
+    cb = {
+        (m, i): list(subv[(i, m)])
+        for i in vecs for m in range(M) if i % seed_mod == 0
+    }
+    for _ in range(iters):
+        assign = {}
+        for (i, m), sv in subv.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sv, cv)), cid)
+                for (mm, cid), cv in cb.items() if mm == m
+            )
+            assign[(i, m)] = best[1]
+        sums, counts = {}, {}
+        for (i, m), cid in assign.items():
+            key = (m, cid)
+            sums.setdefault(key, [0] * sub)
+            counts[key] = counts.get(key, 0) + 1
+            for d, x in enumerate(subv[(i, m)]):
+                sums[key][d] += x
+        new_cb = dict(cb)
+        for key, s in sums.items():
+            n = counts[key]
+            new_cb[key] = [v // n for v in s]  # Python // IS floor division
+        cb = new_cb
+    codes = {}
+    for (i, m), sv in subv.items():
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(sv, cv)), cid)
+            for (mm, cid), cv in cb.items() if mm == m
+        )
+        codes[(i, m)] = best[1]
+    recon = {
+        i: sum(sum(c * c for c in cb[(m, codes[(i, m)])]) for m in range(M))
+        for i in vecs
+    }
+    out = {}
+    for q in qids:
+        qv = vecs[q]
+        qn2 = sum(x * x for x in qv)
+        scored = []
+        for i in vecs:
+            if i == q or recon[i] <= 0 or qn2 <= 0:
+                continue
+            adc = sum(
+                sum(a * b for a, b in zip(
+                    qv[m * sub:(m + 1) * sub], cb[(m, codes[(i, m)])]
+                ))
+                for m in range(M)
+            )
+            scored.append((adc / (math.sqrt(qn2) * math.sqrt(recon[i])), i))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [(i, c) for c, i in scored[:k]]
+    return out
+
+
+def test_pq_train_encode_adc_matches_the_python_reference(spark):
+    """End-to-end bit-exactness of the PQ pipeline on a small deterministic
+    corpus: Spark's stacked-relational trainer/encoder/scorer must agree
+    with a direct per-vector Python implementation on every code and every
+    ranked neighbor — the same cross-engine discipline the DuckDB oracle
+    enforces, pinned here against a third engine (plain ints)."""
+    import hashlib
+
+    M, sub, dim = 4, 4, 16
+    vecs = {
+        i: [
+            int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16) - 32768
+            for d in range(dim)
+        ]
+        for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, __v array<bigint>"
+    )
+    subv = V.pq_subvectors(df, M, dim)
+    cb = V.pq_train(subv, seed_mod=8, iters=2)
+    codes, recon = V.pq_encode(subv, cb)
+    qids = [0, 7, 21]
+    queries = df.where(F.col("vec_id").isin(qids))
+    got = V.pq_adc_topk(queries, codes, recon, cb, k=5, n_sub=M, dim=dim)
+    expected = _pq_python_reference(vecs, M, sub, 8, 2, qids, 5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["adc_cosine"])
+        )
+    for q in qids:
+        ranked = [t[1] for t in sorted(by_q[q])]
+        assert ranked == [i for i, _ in expected[q]], f"query {q} ranking"
+        for (rank, vid, cos), (eid, ecos) in zip(sorted(by_q[q]), expected[q]):
+            assert abs(cos - ecos) < 1e-12, f"query {q} cosine of {vid}"
+
+
+def test_pq_codes_are_complete_and_codebooks_hold_their_size(spark, sf_dir):
+    """Every (vector, subspace) gets exactly one code, and each subspace's
+    codebook keeps all its seeds (empty cells keep the previous codeword —
+    a vanished codeword would strand every vector encoded to it)."""
+    from spark_on_hbase_spark.inventory_pipeline import (
+        _PQ_DIM, _PQ_M, _pq_index,
+    )
+
+    cb, codes, recon = _pq_index(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert codes.count() == n * _PQ_M
+    assert codes.groupBy("vec_id", "m").count().where(F.col("count") > 1).count() == 0
+    sizes = {r["m"]: r["count"] for r in cb.groupBy("m").count().collect()}
+    assert set(sizes) == set(range(_PQ_M))
+    assert len(set(sizes.values())) == 1, "all subspaces share the seed set"
+    assert recon.count() == n
+
+
+def test_ivf_pq_composition_scores_only_probed_candidates(spark, sf_dir):
+    """IVF-PQ: route queries to nprobe cells, ADC-score ONLY the probed
+    cells' codes (the `candidates` restriction) — results must equal
+    filtering the full ADC ranking to the candidate set, and every scored
+    pair must come from a probed cell. This is the sublinear 100 TB path:
+    candidate generation by the IVF router, scoring over 16-byte codes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = emb.select("vec_id", V.quantize_expr("embedding").alias("__v"))
+    from spark_on_hbase_spark.inventory_pipeline import _PQ_DIM, _PQ_M, _pq_index
+
+    cb, codes, recon = _pq_index(spark, sf_dir)
+    cents = vecs.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id"), F.col("__v")
+    )
+    assigned = V.ivf_assign(vecs, cents)
+    queries = vecs.where(F.col("vec_id") % 97 == 0)
+    probes = V.ivf_probe(queries, cents, nprobe=2).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    cand = probes.join(
+        assigned.select("vec_id", "centroid_id"), "centroid_id"
+    ).select("query_id", "vec_id")
+    got = V.pq_adc_topk(
+        queries, codes, recon, cb, k=10, n_sub=_PQ_M, dim=_PQ_DIM,
+        candidates=cand,
+    )
+    cand_pairs = {(r["query_id"], r["vec_id"]) for r in cand.collect()}
+    got_rows = got.collect()
+    assert got_rows, "composition must return neighbors"
+    for r in got_rows:
+        assert (r["query_id"], r["vec_id"]) in cand_pairs
+    # equivalence: full ADC ranking filtered to candidates, re-ranked
+    full = V.pq_adc_topk(
+        queries, codes, recon, cb, k=10 ** 6, n_sub=_PQ_M, dim=_PQ_DIM
+    ).collect()
+    expect = {}
+    for r in sorted(
+        (r for r in full if (r["query_id"], r["vec_id"]) in cand_pairs),
+        key=lambda r: (r["query_id"], -r["adc_cosine"], r["vec_id"]),
+    ):
+        expect.setdefault(r["query_id"], [])
+        if len(expect[r["query_id"]]) < 10:
+            expect[r["query_id"]].append(r["vec_id"])
+    by_q = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q == expect
+
+
+def test_pq_recall_floor_on_fixture_corpus(spark, sf_dir):
+    """Measured recall@10 of the graded PQ config vs brute force on the
+    fixture corpus: 0.55 at sf0.01, ~0.5 at sf0.001 (M=16, ksub~32, 2
+    Lloyd iterations, near-random 64-dim corpus — the hard regime; PQ's
+    win is the 32x compressed residency, recall rises with clustered
+    structure exactly as for IVF/LSH). Floor at ~60% of measured so data
+    regeneration can't flake the suite while a real regression (e.g. a
+    broken LUT join emptying candidates) still fails."""
+    from spark_on_hbase_spark.inventory import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    brute = {}
+    for r in V.brute_force_topk(emb, queries, k=10).collect():
+        brute.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in QUERIES["ann_pq_adc_topk"].fn(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(got.get(q, set()) & b) / len(b) for q, b in brute.items()
+    ) / len(brute)
+    assert recall >= 0.3, f"PQ recall@10 regressed: {recall:.3f}"
