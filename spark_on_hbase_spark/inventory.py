@@ -714,6 +714,8 @@ _ROTATED_OUT_R09 = [
     # degree_histogram: graph network kernel unchanged; pinned by
     # tests/test_graph.py degree tests over the shared network build.
     "degree_histogram",
+    # network_counts: same untouched network kernel, same pytest family.
+    "network_counts",
     # -- out since r08: r07-driver-green, kernels untouched ----------------
     "simhash_dedup",
     "text_repetition",

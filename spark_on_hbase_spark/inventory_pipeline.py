@@ -378,6 +378,116 @@ def minhash_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_report(clusters, "doc_id")
 
 
+def _split_case_sql(id_sql: str) -> str:
+    """train/val/test from the md5 salt of ``id_sql`` — 8/1/1 buckets,
+    the exact salt convention of scan.md5_salt (deterministic, engine-
+    identical, re-shard-stable)."""
+    salt = (
+        f"CAST(('0x' || substring(md5(CAST({id_sql} AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT)"
+    )
+    return (
+        f"CASE WHEN ({salt}) % 10 <= 7 THEN 'train' "
+        f"WHEN ({salt}) % 10 = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {CORPUS_SQL}, {_shingled_sql(3)}, {_minhash_sql(final="")}
+    , {_cluster_cc_sql("verified", "")},
+    docs_all AS (
+        SELECT c.doc_id, LENGTH(c.text) AS n_chars,
+               COALESCE(p.canonical_id, c.doc_id) AS canonical
+        FROM corpus c LEFT JOIN comp p ON p.doc_id = c.doc_id
+    ),
+    tagged AS (
+        SELECT doc_id, n_chars, canonical,
+               {_split_case_sql('canonical')} AS split,
+               {_split_case_sql('doc_id')} AS naive_split
+        FROM docs_all
+    ),
+    cl AS (
+        SELECT canonical, COUNT(*) AS sz,
+               COUNT(DISTINCT naive_split) AS n_naive
+        FROM tagged GROUP BY canonical
+    )
+    SELECT t.split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT t.canonical) AS n_clusters,
+           CAST(SUM(t.n_chars) AS BIGINT) AS n_chars,
+           COUNT(DISTINCT CASE WHEN c.sz > 1 THEN t.canonical END)
+               AS n_dup_clusters,
+           COUNT(DISTINCT CASE WHEN c.sz > 1 AND c.n_naive > 1
+                               THEN t.canonical END) AS n_naive_leaked
+    FROM tagged t JOIN cl c ON c.canonical = t.canonical
+    GROUP BY t.split
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: the assignment unit is the "
+    "near-dup CLUSTER (min-label connected components over the Jaccard-"
+    "verified LSH pairs — the shared memoized relation minhash_cluster_"
+    "dedup canonicalizes), hashed once per canonical id, so two near-"
+    "duplicate documents can NEVER straddle train and test — the "
+    "contamination path a doc-level hash split leaves wide open (Lee et "
+    "al. 2021, 'Deduplicating Training Data Makes Language Models "
+    "Better', measures exactly this train/test leakage). Each output row "
+    "also counts n_naive_leaked: dup clusters that a naive doc-id hash "
+    "split WOULD have torn across splits — the measured value of doing "
+    "it cluster-wise. Split hashing is the md5-salt convention every "
+    "sampler in the engine shares (deterministic, engine-identical, "
+    "stable under re-sharding); cost on top of the stored cluster "
+    "relation is one left join + two hash aggregations — no new shuffle "
+    "class at 100 TB.",
+    tags=("dedup", "lsh", "pipeline", "sampling"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators.scan import md5_salt
+
+    cps = corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    clusters = _memo_clusters(
+        spark, sf_dir, "minhash", lambda: _minhash_verified(spark, sf_dir)
+    )
+    withc = cps.join(
+        clusters.select("doc_id", "canonical_id"), "doc_id", "left"
+    ).withColumn("canonical", F.coalesce("canonical_id", "doc_id"))
+
+    def split_of(col: str):
+        b = md5_salt(col) % 10
+        return (
+            F.when(b <= 7, F.lit("train"))
+            .when(b == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    # split is a pure function of canonical, so roll up per canonical FIRST
+    # (one shuffle keyed by cluster), then aggregate the tiny per-cluster
+    # relation by split — no COUNT DISTINCT expansion anywhere: the naive-
+    # split cardinality is a collect_set over ≤3 values inside the same
+    # cluster rollup
+    cl = (
+        withc.withColumn("naive_split", split_of("doc_id"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("sz"),
+            F.sum("n_chars").alias("chars"),
+            F.size(F.collect_set("naive_split")).alias("n_naive"),
+        )
+        .withColumn("split", split_of("canonical"))
+    )
+    return cl.groupBy("split").agg(
+        F.sum("sz").alias("n_docs"),
+        F.count("*").alias("n_clusters"),
+        F.sum("chars").alias("n_chars"),
+        F.sum((F.col("sz") > 1).cast("bigint")).alias("n_dup_clusters"),
+        F.sum(
+            ((F.col("sz") > 1) & (F.col("n_naive") > 1)).cast("bigint")
+        ).alias("n_naive_leaked"),
+    )
+
+
 def _simhash_sql() -> str:
     # 64 bit-votes from two independent 32-bit md5 halves (h1 = hex chars
     # 1-8, h2 = chars 9-16); the signature is the signed two's-complement

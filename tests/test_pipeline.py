@@ -1647,3 +1647,42 @@ def test_pq_recall_floor_on_fixture_corpus(spark, sf_dir):
         len(got.get(q, set()) & b) / len(b) for q, b in brute.items()
     ) / len(brute)
     assert recall >= 0.3, f"PQ recall@10 regressed: {recall:.3f}"
+
+
+def test_leakage_safe_split_never_tears_a_cluster(spark, sf_dir):
+    """The guarantee itself: hash the CLUSTER, not the doc — every near-dup
+    cluster lands in exactly one split, while the naive doc-hash split
+    measurably leaks on the same fixture (n_naive_leaked > 0 — the
+    contrast column is the operator's value proposition, so it must not
+    silently zero out)."""
+    from spark_on_hbase_spark.inventory import QUERIES
+    from spark_on_hbase_spark.inventory_pipeline import (
+        _memo_clusters, _minhash_verified, corpus,
+    )
+    from spark_on_hbase_spark.operators.scan import md5_salt
+
+    clusters = _memo_clusters(
+        spark, sf_dir, "minhash", lambda: _minhash_verified(spark, sf_dir)
+    )
+    b = md5_salt("canonical_id") % 10
+    split = (
+        F.when(b <= 7, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    straddling = (
+        clusters.select("doc_id", "canonical_id")
+        .withColumn("split", split)
+        .groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert straddling == 0
+    rows = {r["split"]: r for r in QUERIES["leakage_safe_split"].fn(spark, sf_dir).collect()}
+    assert set(rows) <= {"train", "val", "test"} and "train" in rows
+    assert sum(r["n_naive_leaked"] for r in rows.values()) > 0, (
+        "fixture corpus has synthetic near-dups: a naive doc-hash split "
+        "must show leaked clusters"
+    )
+    assert sum(r["n_docs"] for r in rows.values()) == corpus(spark, sf_dir).count()
