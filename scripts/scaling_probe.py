@@ -93,6 +93,18 @@ TARGETS = [
     # probe cost must track the PROBE, not the table — absent keys must
     # read no data file at any scale).
     "bloom_point_read",
+    # round-9: incremental materialized-view refresh (fixed mutation batch
+    # against a 30x base — refresh must cost O(delta), never a rescan),
+    # PQ-ADC with a FIXED query batch (scoring is O(n*M) integer adds over
+    # the codes — must track data growth, ~1x ratio; the compressed-
+    # residency brute path), the IVF-PQ composition (router cells cap the
+    # candidate set ~512/query — must stay ~FLAT at any corpus size), and
+    # the leakage-safe split (one join + two hash aggs over the stored
+    # cluster relation — linear; registry-driven, reads the scaled dir).
+    "matview_refresh",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "leakage_safe_split",
 ]
 
 
@@ -411,6 +423,137 @@ def _ann_clustered_lsh(spark, sf: str) -> int:
     ).count()
 
 
+def _matview_refresh(spark, sf: str) -> int:
+    """Custom probe target (round 9): incremental materialized-view REFRESH
+    under a fixed-size mutation batch while the base table scales. Fixture
+    discipline mirrors _secondary_index_maintain (fresh root per
+    invocation — refreshes accumulate layers; the table-sized create +
+    MV build pay only in the cold run). The warm run times exactly: one
+    ~600-key update + refresh() (metadata-pruned changefeed -> footer-
+    pruned point reads of old/new states -> delta agg over ~600 rows ->
+    one multi-counter layer append) + the view read. Every stage is
+    O(batch), so warm growth must stay ~flat at a 30x base; a refresh that
+    secretly rescans the base tracks data growth immediately."""
+    import hashlib
+
+    from spark_on_hbase_spark.matview import MaterializedAgg
+    from spark_on_hbase_spark.table import KeyedTable
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.col("doc_id").alias("k"), "n_chars")
+        .withColumn("grp", (F.col("k") % 997).cast("bigint"))
+        .withColumn("val", F.col("n_chars").cast("bigint"))
+        .withColumn("ts", F.lit(0))
+        .drop("n_chars")
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    root = _fresh_root(f"/tmp/mview_{tag}")
+    base = KeyedTable(
+        spark, f"{root}/base", key_col="k", ts_col="ts", num_partitions=8
+    )
+    mv = MaterializedAgg(
+        spark, f"{root}/mv", base, "grp", {"sum_val": "val"}
+    )
+    if not base.exists():
+        base.create(docs)
+        mv.build()
+    ts = base.snapshot_seq() + 1
+    # fixed ~600-key batch (replica shifts are >= 10M): values move AND a
+    # third of the keys migrate groups — both delta classes exercised
+    batch = (
+        docs.where(F.col("k") < 600)
+        .withColumn("val", F.col("val") + 7)
+        .withColumn(
+            "grp",
+            F.when(F.col("k") % 3 == 0, (F.col("grp") + 1) % 997).otherwise(
+                F.col("grp")
+            ),
+        )
+        .withColumn("ts", F.lit(ts))
+    )
+    base.update(batch)
+    mv.refresh()
+    return mv.df().count()
+
+
+def _pq_probe_pieces(spark, sf: str):
+    """Shared per-scale PQ pieces for the two ANN probes below: quantized
+    vectors, trained codebooks, codes, recon norms and a FIXED query batch
+    (first-replica ids only — replica shifts are >= 10M, so the query set
+    is identical at every scale and growth isolates the CORPUS axis)."""
+    from spark_on_hbase_spark.operators import similarity as V
+
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", V.quantize_expr("embedding").alias("__v")
+    )
+    import math
+
+    n = vecs.count()
+    seed_mod = int(2 ** math.ceil(math.log2(max(n, 32) / 32)))
+    subv = V.pq_subvectors(vecs, 16, 64)
+    cb = V.pq_train(subv, seed_mod, iters=1)
+    codes, recon = V.pq_encode(subv, cb)
+    codes = codes.persist()
+    recon = recon.persist()
+    codes.count()
+    recon.count()
+    queries = vecs.where(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 10_000_000)
+    )
+    # IVF router pieces (index build, like training/encoding): seed
+    # centroids on the IVF sqrt rule + the corpus assignment
+    m = int(2 ** math.ceil(math.log2(math.sqrt(max(n, 4)))))
+    cents = vecs.where(F.col("vec_id") % m == 0).persist()
+    assigned = V.ivf_assign(vecs, cents).persist()
+    assigned.count()
+    nprobe = max(1, (512 + m - 1) // m)
+    return V, cb, codes, recon, queries, cents, assigned, nprobe
+
+
+_PQ_PROBE_CACHE: dict = {}
+
+
+def _pq_pieces_cached(spark, sf: str):
+    if sf not in _PQ_PROBE_CACHE:
+        _PQ_PROBE_CACHE[sf] = _pq_probe_pieces(spark, sf)
+    return _PQ_PROBE_CACHE[sf]
+
+
+def _ann_pq_adc(spark, sf: str) -> int:
+    """Custom probe target (round 9): brute ADC over the PQ codes with a
+    FIXED query batch. Scoring is O(n*M) integer adds against 16-byte
+    codes — per-query cost is LINEAR in the corpus by construction (the
+    compressed-residency scan), so warm growth must track data growth
+    (~1x ratio). Training/encoding are index build: memoized, paid in the
+    cold run only."""
+    V, cb, codes, recon, queries, _, _, _ = _pq_pieces_cached(spark, sf)
+    return V.pq_adc_topk(
+        queries, codes, recon, cb, k=10, n_sub=16, dim=64
+    ).count()
+
+
+def _ann_ivf_pq(spark, sf: str) -> int:
+    """Custom probe target (round 9): the IVF-PQ composition — router cells
+    first (seed centroids on the IVF sqrt rule, nprobe = ceil(512/m), so
+    candidates per query stay ~512 at ANY corpus size), ADC-score only the
+    probed cells' codes. With the query batch fixed, warm growth must stay
+    ~FLAT while the corpus grows 30x — the sublinear 100 TB ANN path the
+    graded brute-ADC query composes into."""
+    V, cb, codes, recon, queries, cents, assigned, nprobe = _pq_pieces_cached(
+        spark, sf
+    )
+    probes = V.ivf_probe(queries, cents, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    cand = probes.join(
+        assigned.select("vec_id", "centroid_id"), "centroid_id"
+    ).select("query_id", "vec_id")
+    return V.pq_adc_topk(
+        queries, codes, recon, cb, k=10, n_sub=16, dim=64, candidates=cand
+    ).count()
+
+
 # custom (non-registry) probe bodies: called instead of QUERIES[name]
 CUSTOM = {
     "lsm_mutation_storm": _lsm_mutation_storm,
@@ -422,6 +565,9 @@ CUSTOM = {
     "semantic_dedup_fixedocc": _semantic_dedup_fixedocc,
     "functional_index_maintain": _functional_index_maintain,
     "bloom_point_read": _bloom_point_read,
+    "matview_refresh": _matview_refresh,
+    "ann_pq_adc": _ann_pq_adc,
+    "ann_ivf_pq": _ann_ivf_pq,
 }
 
 # key shift per replica, chosen far above any real key range

@@ -716,6 +716,9 @@ _ROTATED_OUT_R09 = [
     "degree_histogram",
     # network_counts: same untouched network kernel, same pytest family.
     "network_counts",
+    # two_level_aggregate: operators/agg.py untouched in r9; pinned by the
+    # layer-aggregate tests in tests/test_scan_ops.py / test_demo_simple.py.
+    "two_level_aggregate",
     # -- out since r08: r07-driver-green, kernels untouched ----------------
     "simhash_dedup",
     "text_repetition",

@@ -242,6 +242,52 @@ def indexed_upsert(idx, guard_id: str = "default"):
     return apply
 
 
+def matview_maintained_upsert(mv, guard_id: str = "default"):
+    """The foreachBatch body for ``merge_stream_into_matviewed_table``,
+    exposed for direct testing: a guarded last-writer-wins upsert into the
+    view's BASE table followed by an incremental view refresh
+    (``MaterializedAgg.refresh`` — delta = agg(new) − agg(old) over the
+    changed keys, applied as one stamped multi-counter layer). Both halves
+    carry their own idempotence stamp in a layer directory name, so the
+    composition is exactly-once under replay with NO coordination between
+    them: a replayed batch skips the base write (batch stamp present) and
+    refresh() no-ops (view already at the base's snapshot seq); a crash
+    BETWEEN base write and refresh leaves the view merely behind, and the
+    stream's own replay of that batch id — or any later batch — catches it
+    up, because refresh always advances to the current snapshot, not to a
+    per-batch target."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        stamp = f"g{guard_id}_b{batch_id}"
+        if stamp not in mv.base.applied_stamps():
+            if not batch_df.isEmpty():
+                mv.base.update(batch_df, stamp=stamp)
+        mv.refresh()
+
+    return apply
+
+
+def merge_stream_into_matviewed_table(
+    stream: DataFrame, mv, checkpoint_dir: str, available_now: bool = False
+):
+    """Stream mutations into a KeyedTable that carries an incrementally-
+    maintained materialized aggregate (matview.MaterializedAgg): every
+    micro-batch lands one stamped base layer and one stamped view-delta
+    layer, so table AND rollup stay exactly-once consistent under
+    micro-batch replay — the streaming face of the coprocessor-maintained
+    summary tables HBase deployments pair with their primaries. Per batch
+    the view work is O(batch): metadata-pruned changefeed, footer-pruned
+    point reads of the changed keys, one multi-counter delta append.
+    Stamps are namespaced per checkpoint (see guard_id_for). Returns the
+    StreamingQuery (caller awaits/stops)."""
+    writer = stream.writeStream.foreachBatch(
+        matview_maintained_upsert(mv, guard_id=guard_id_for(checkpoint_dir))
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def merge_stream_into_indexed_table(
     stream: DataFrame, idx, checkpoint_dir: str, available_now: bool = False
 ):

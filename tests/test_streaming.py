@@ -587,3 +587,65 @@ def test_fresh_checkpoint_gets_a_fresh_guard_namespace(spark, tmp_path):
     ST.idempotent_upsert(tbl, guard_id=g_new)(batch2, 0)
     assert len(tbl._layers()) == layers + 1
     assert {r["v"] for r in tbl.df().collect()} == {3}
+
+
+def test_streaming_matview_replay_is_exactly_once_and_self_healing(spark, tmp_path):
+    """The matview foreachBatch body under adversarial replay: (1) applying
+    the same batch id twice changes neither base nor view; (2) a crash
+    BETWEEN the base write and the refresh (simulated by writing the base
+    through the guard with a refresh that never runs) leaves the view
+    behind, and the NEXT batch's refresh catches it up — the self-healing
+    contract merge_stream_into_matviewed_table documents."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_on_hbase_spark.matview import MaterializedAgg
+    from spark_on_hbase_spark.streaming import matview_maintained_upsert
+    from spark_on_hbase_spark.table import KeyedTable
+
+    base = KeyedTable(
+        spark, os.path.join(str(tmp_path), "b"), key_col="k", ts_col="ts",
+        num_partitions=2,
+    )
+    base.create(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+            (F.col("id") * 2).alias("val"), F.lit(0).cast("int").alias("ts"),
+        )
+    )
+    mv = MaterializedAgg(
+        spark, os.path.join(str(tmp_path), "mv"), base, "grp", {"s": "val"}
+    ).build()
+    body = matview_maintained_upsert(mv, guard_id="t")
+
+    def recompute():
+        return {
+            tuple(r)
+            for r in base.df()
+            .groupBy("grp")
+            .agg(F.sum("val").cast("bigint").alias("s"), F.count("*").alias("n_rows"))
+            .collect()
+        }
+
+    b0 = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 100).alias("val"), F.lit(1).cast("int").alias("ts"),
+    )
+    body(b0, 0)
+    view0 = {tuple(r) for r in mv.df().collect()}
+    assert view0 == recompute()
+    base_seq = base.snapshot_seq()
+    body(b0, 0)  # replay: strict no-op on base AND view
+    assert base.snapshot_seq() == base_seq
+    assert {tuple(r) for r in mv.df().collect()} == view0
+    # crash window: batch 1's base layer commits, its refresh never runs
+    b1 = spark.range(20, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 200).alias("val"), F.lit(2).cast("int").alias("ts"),
+    )
+    base.update(b1, stamp="gt_b1")  # exactly what the guard would have done
+    assert {tuple(r) for r in mv.df().collect()} == view0  # view is behind
+    # batch 1 replays after restart: base write skipped, refresh catches up
+    body(b1, 1)
+    assert {tuple(r) for r in mv.df().collect()} == recompute()
