@@ -191,7 +191,7 @@ class KeyedTable:
 
     def _write_layer(
         self, df: DataFrame, kind: str, row_kind: int | None = None,
-        stamp: str | None = None,
+        stamp: str | None = None, seq: int | None = None,
     ) -> int:
         """Write one sorted layer atomically (write to .tmp, rename).
         Returns rows written, observed inside the write job (A16 accumulator
@@ -215,7 +215,11 @@ class KeyedTable:
                 f"stamp rides the directory name, so separators would break "
                 f"seq parsing and suffix handling"
             )
-        name = f"{kind}-{self._next_seq():06d}" + (f"-{stamp}" if stamp else "")
+        # ``seq``: explicit layer sequence — ONLY for prefix compaction,
+        # whose folded base must order before the retained deltas (the
+        # folded prefix's max seq is free: that layer is being replaced)
+        n_seq = self._next_seq() if seq is None else seq
+        name = f"{kind}-{n_seq:06d}" + (f"-{stamp}" if stamp else "")
         target = Path(self.path) / name
         tmp = target.with_suffix(".tmp")
         if _TOMBSTONE not in df.columns:
@@ -533,6 +537,21 @@ class KeyedTable:
             for p in self._visible_layers(until_layer)
             if int(p.name.split("-")[1]) > since_layer
         ]
+        for p in layers:
+            if p.name.startswith("base-"):
+                # a base layer inside the feed window means a compaction
+                # folded the individual mutations (and physically removed
+                # deleted keys) — a feed from here would silently misreport
+                # history as one giant upsert. Fail loudly; the fix is
+                # compact(keep_since=<consumer checkpoint>), which folds
+                # only up to the slowest consumer's offset.
+                raise ValueError(
+                    f"changes(since_layer={since_layer}) predates a "
+                    f"compaction ({p.name} folded the mutation history "
+                    f"away): consume the feed before compacting, or use "
+                    f"compact(keep_since=...) to retain the consumer's "
+                    f"suffix"
+                )
         frames = []
         for p in layers:
             seq = int(p.name.split("-")[1])
@@ -1008,7 +1027,7 @@ class KeyedTable:
         if len(self._layers()) > self.compact_threshold:
             self.compact()
 
-    def compact(self, scope: str = "all") -> None:
+    def compact(self, scope: str = "all", keep_since: int | None = None) -> None:
         """Major compaction: fold base ∪ deltas into one sorted base layer
         (HBase major compaction; the reference's HFile bulk pipeline shape,
         HBaseTable.scala:296-352). Tombstoned keys are physically removed.
@@ -1034,12 +1053,75 @@ class KeyedTable:
         of serving a partial base layer. Post-conditions
         match full compaction for the dirty ranges (tombstones purged,
         TTL-expired rows dropped); clean ranges keep expired rows on disk
-        until a compaction rewrites them (reads filter them either way)."""
+        until a compaction rewrites them (reads filter them either way).
+
+        ``keep_since``: CHECKPOINT-AWARE prefix compaction — fold only the
+        layers with ``seq <= keep_since`` into one base and leave every
+        later delta intact, so a downstream consumer checkpointed at
+        ``keep_since`` (a ``changes()`` tailer, a ``MaterializedAgg``
+        refresh horizon) survives the compaction with its incremental path
+        intact: ``changes(since_layer=keep_since)`` and
+        ``df(as_of_layer>=keep_since)`` still work afterwards. This is the
+        retention idea Kafka log compaction / Delta VACUUM / Iceberg
+        snapshot expiration apply to their logs, grafted onto the LSM:
+        compact up to the slowest consumer's offset, never past it.
+        History BELOW keep_since folds away (time travel there raises, as
+        for dirty compaction). Mutually exclusive with scope='dirty'."""
+        if keep_since is not None:
+            if scope != "all":
+                raise ValueError("keep_since requires scope='all'")
+            self._compact_prefix(keep_since)
+            return
         if scope == "dirty" and self._compact_dirty():
             return
         if scope not in ("all", "dirty"):
             raise ValueError(f"compact scope must be 'all' or 'dirty', got {scope!r}")
         self._replace_all_layers(self.df())
+
+    def _compact_prefix(self, keep_since: int) -> None:
+        """Fold layers with ``seq <= keep_since`` into one base named with
+        the prefix's max seq (free: that layer is being replaced), so the
+        folded base orders before every retained delta and all later reads
+        — folds, feeds, time travel at or after keep_since — are
+        byte-equivalent to the uncompacted stack. Sound for every mutation
+        kind because the folded set is a PREFIX: a tombstone or cell
+        delete can only mask rows in its own prefix, and the retained
+        deltas re-apply over the folded base exactly as they did over the
+        original layers (the base rows carry their resolved ts, so LWW
+        gates fire identically; additive deltas add onto the folded
+        counter). The fold persists resolved STATE, not the visible view:
+        tombstoned keys survive as tombstone rows with their resolved ts
+        (HBase's rule — deletes survive minor compaction, purge at major)
+        so a retained increment resurrects a deleted key with exactly the
+        pre-compaction ghost-ts semantics, and TTL-expired rows stay on
+        disk (reads filter them; full compact() purges). Consumed stamps
+        persist to the manifest first, exactly like full compaction."""
+        layers = self._layers()
+        fold = [p for p in layers if int(p.name.split("-")[1]) <= keep_since]
+        if not fold or (len(fold) == 1 and fold[0].name.startswith("base-")):
+            return  # prefix already a single base (or nothing to fold)
+        # enforce any earlier dirty-compaction horizon before folding: a
+        # prefix snapshot that is no longer readable must raise, not fold
+        self._visible_layers(keep_since)
+        m = max(int(p.name.split("-")[1]) for p in fold)
+        frames = [self.spark.read.parquet(str(p)) for p in fold]
+        if any(_KIND in f.columns for f in frames):
+            state = _merge_layers_fold(
+                frames, self.key_col, self.ts_col, keep_state=True
+            )
+        else:
+            # pure-ROW stack: the max_by merge IS this table's resolution
+            # rule; it already carries __tombstone through
+            state = _merge_layers(frames, self.key_col, self.ts_col)
+        folded = state.localCheckpoint()
+        self._persist_stamps(fold)
+        self._write_layer(folded, "base", seq=m)
+        for p in fold:
+            shutil.rmtree(p, ignore_errors=True)
+            self._drop_bloom(p)
+        horizon = Path(self.path) / "_history_horizon"
+        prev = int(horizon.read_text()) if horizon.exists() else 0
+        horizon.write_text(str(max(prev, m)))
 
     # a string key whose footer max is this long (UTF-8 chars) is treated
     # as possibly-truncated and widened to +inf — defense in depth: the
@@ -1247,7 +1329,9 @@ def _merge_layers(frames: list[DataFrame], key_col: str, ts_col: str) -> DataFra
     return latest.select(key_col, *[F.col(f"__row.{c}").alias(c) for c in struct_cols])
 
 
-def _merge_layers_fold(frames: list[DataFrame], key_col: str, ts_col: str) -> DataFrame:
+def _merge_layers_fold(
+    frames: list[DataFrame], key_col: str, ts_col: str, keep_state: bool = False
+) -> DataFrame:
     """Merge ordered layers carrying mixed row kinds (ROW / SPARSE / DELTA /
     CELLDEL) by folding each key's version list in layer order — the HBase
     read path over typed cells, as pure column expressions (collect_list ->
@@ -1344,6 +1428,17 @@ def _merge_layers_fold(frames: list[DataFrame], key_col: str, ts_col: str) -> Da
         return F.struct(*fields)
 
     folded = versions.select(key_col, F.aggregate("__vs", init, step).alias("__r"))
+    if keep_state:
+        # resolved per-key STATE, tombstones included — what a prefix
+        # compaction persists so later layers resolve over the folded base
+        # exactly as they did over the original stack (the tombstone keeps
+        # its resolved ts, so LWW gates fire identically; HBase's rule
+        # that deletes survive minor compaction and purge only at major)
+        return folded.where(F.col("__r.__exists")).select(
+            key_col,
+            *[F.col(f"__r.{c}").alias(c) for c in payload],
+            F.col("__r.__tombstone").alias(_TOMBSTONE),
+        )
     alive = folded.where(F.col("__r.__exists") & ~F.col("__r.__tombstone"))
     return alive.select(key_col, *[F.col(f"__r.{c}").alias(c) for c in payload])
 

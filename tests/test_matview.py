@@ -176,3 +176,25 @@ def _float_check(spark, tmp_path):
     MaterializedAgg(
         spark, os.path.join(tmp_path, "fmv"), t, "grp", {"s": "fval"}
     ).build()
+
+
+def test_checkpoint_aware_compaction_keeps_refresh_incremental(spark, tmp_path):
+    """compact(keep_since=view checkpoint) folds history up to the view's
+    applied horizon and leaves its pending deltas intact — refresh stays
+    INCREMENTAL (no rebuild fallback) and exact. The retention discipline
+    a production rollup runs: compact to the slowest consumer's offset."""
+    base = _base(spark, str(tmp_path))
+    mv = _mv(spark, str(tmp_path), base).build()
+    base.increment(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit(5).cast("bigint").alias("delta")
+        ),
+        counter_col="val",
+    )
+    assert mv.refresh() > 0
+    checkpoint = mv.applied_upto()
+    _mutate_every_kind(spark, base)  # pending deltas past the checkpoint
+    base.compact(keep_since=checkpoint)
+    touched = mv.refresh()
+    assert touched > 0, "refresh must stay incremental, not rebuild (-1)"
+    assert _view(mv) == _recompute(base)

@@ -1042,3 +1042,101 @@ def test_changes_feed_types_every_mutation_kind(spark, table):
     )
     # empty feed: nothing after the newest layer
     assert table.changes(since_layer=table.snapshot_seq()).count() == 0
+
+
+# -- checkpoint-aware prefix compaction (compact(keep_since=...)) ------------
+
+
+def _mutation_stack(spark, path, n=200):
+    """A table with every mutation kind spread across two epochs, split by
+    a snapshot in the middle — the prefix-compaction test bed."""
+    t = KeyedTable(spark, path, key_col="k", ts_col="ts", num_partitions=4,
+                   compact_threshold=100)
+    t.create(
+        spark.range(0, n).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("a"),
+            (F.col("id") % 5).alias("b"), F.lit(10).cast("int").alias("ts"),
+        )
+    )
+    # epoch 1 (to be folded): update + increment + delete + cell delete
+    t.update(spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("a"),
+        (F.col("id") % 3).alias("b"), F.lit(20).cast("int").alias("ts")))
+    t.increment(spark.range(40, 80).select(
+        F.col("id").alias("k"), F.lit(5).cast("bigint").alias("delta")),
+        counter_col="a")
+    t.delete(spark.range(80, 100).select(F.col("id").alias("k")))
+    t.delete(spark.range(100, 110).select(F.col("id").alias("k")), columns=["b"])
+    snap = t.snapshot_seq()
+    # epoch 2 (to be retained): every kind again, overlapping epoch-1 keys
+    t.update(spark.range(20, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 11).alias("a"),
+        (F.col("id") % 7).alias("b"), F.lit(30).cast("int").alias("ts")))
+    t.increment(spark.range(50, 120).select(
+        F.col("id").alias("k"), F.lit(9).cast("bigint").alias("delta")),
+        counter_col="a")
+    t.put(spark.range(0, 15).select(
+        F.col("id").alias("k"), (F.col("id") + 1000).alias("a"),
+        F.lit(40).cast("int").alias("ts")))
+    t.delete(spark.range(130, 140).select(F.col("id").alias("k")))
+    t.delete(spark.range(105, 115).select(F.col("id").alias("k")), columns=["b"])
+    return t, snap
+
+
+def test_prefix_compaction_is_read_equivalent_for_every_mutation_kind(spark, tmp_path):
+    t, snap = _mutation_stack(spark, str(tmp_path / "t"))
+    before = {tuple(r) for r in t.df().collect()}
+    before_at_snap = {tuple(r) for r in t.df(as_of_layer=snap).collect()}
+    feed_before = {
+        tuple(r) for r in t.changes(since_layer=snap).collect()
+    }
+    t.compact(keep_since=snap)
+    # exactly one base (the folded prefix) + the retained epoch-2 deltas
+    names = [p.name for p in t._layers()]
+    assert sum(1 for n in names if n.startswith("base-")) == 1
+    assert names[0].startswith(f"base-{snap:06d}")
+    assert {tuple(r) for r in t.df().collect()} == before
+    # the consumer checkpoint survives: snapshot read AND feed unchanged
+    assert {tuple(r) for r in t.df(as_of_layer=snap).collect()} == before_at_snap
+    assert {
+        tuple(r) for r in t.changes(since_layer=snap).collect()
+    } == feed_before
+
+
+def test_prefix_compaction_folds_history_below_the_checkpoint(spark, tmp_path):
+    t, snap = _mutation_stack(spark, str(tmp_path / "t"))
+    t.compact(keep_since=snap)
+    with pytest.raises(ValueError, match="predates"):
+        t.df(as_of_layer=1)
+    with pytest.raises(ValueError, match="compact"):
+        t.changes(since_layer=1)
+    # idempotent: a second prefix compaction at the same checkpoint no-ops
+    names = [p.name for p in t._layers()]
+    t.compact(keep_since=snap)
+    assert [p.name for p in t._layers()] == names
+
+
+def test_full_compaction_breaks_a_stale_feed_loudly_not_silently(spark, tmp_path):
+    t, snap = _mutation_stack(spark, str(tmp_path / "t"))
+    t.compact()  # full: folds past every checkpoint
+    with pytest.raises(ValueError, match="consume the feed"):
+        t.changes(since_layer=snap)
+
+
+def test_prefix_compaction_preserves_consumed_stamps(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "t"), key_col="k", ts_col="ts",
+                   num_partitions=2)
+    t.create(spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit(0).cast("int").alias("ts")))
+    t.update(spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("v"),
+        F.lit(1).cast("int").alias("ts")), stamp="epoch1_batch")
+    snap = t.snapshot_seq()
+    t.update(spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") + 200).alias("v"),
+        F.lit(2).cast("int").alias("ts")), stamp="epoch2_batch")
+    t.compact(keep_since=snap)
+    stamps = t.applied_stamps()
+    assert "epoch1_batch" in stamps  # folded: preserved via the manifest
+    assert "epoch2_batch" in stamps  # retained: still riding its layer
