@@ -719,6 +719,9 @@ _ROTATED_OUT_R09 = [
     # two_level_aggregate: operators/agg.py untouched in r9; pinned by the
     # layer-aggregate tests in tests/test_scan_ops.py / test_demo_simple.py.
     "two_level_aggregate",
+    # graph_expand: operators/graph.py expand kernel untouched in r9;
+    # pinned by tests/test_graph.py expand/profile tests.
+    "graph_expand",
     # -- out since r08: r07-driver-green, kernels untouched ----------------
     "simhash_dedup",
     "text_repetition",

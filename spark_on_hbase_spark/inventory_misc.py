@@ -1940,6 +1940,116 @@ warmer("matview_fixture")(_matview_fixture)
 
 
 @query(
+    "lsm_retention_compact",
+    """
+    WITH c AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer
+    ),
+    -- the feed a checkpointed consumer still sees after the compaction:
+    -- exactly the two post-snapshot batches, typed, delta-not-fold
+    feed AS (
+        SELECT 'increment' AS op, CAST(1 AS BIGINT) AS seq, key,
+               CAST(NULL AS VARCHAR) AS name, CAST(50 AS BIGINT) AS bal,
+               CAST(NULL AS INTEGER) AS ts, CAST(NULL AS VARCHAR) AS deleted_cells
+        FROM c WHERE key % 3 = 0
+        UNION ALL
+        SELECT 'cell_delete', 2, key, NULL, NULL, NULL, 'name'
+        FROM c WHERE key % 11 = 3
+    ),
+    -- the folded visible state: epoch-1 update/delete resolved through the
+    -- prefix fold, epoch-2 increment/cell-delete over the folded base —
+    -- including deleted keys RESURRECTED by the retained increment with the
+    -- ghost-ts rule (tombstones keep their resolved ts through the fold)
+    state AS (
+        SELECT 'state' AS op, CAST(NULL AS BIGINT) AS seq, key,
+               CASE WHEN key % 11 = 3 THEN NULL
+                    WHEN key % 7 = 2 THEN NULL
+                    WHEN key % 5 = 1 THEN 'u_' || name
+                    ELSE name END AS name,
+               CASE WHEN key % 7 = 2 THEN CAST(50 AS BIGINT)
+                    ELSE (CASE WHEN key % 5 = 1 THEN bal + 1 ELSE bal END)
+                         + (CASE WHEN key % 3 = 0 THEN 50 ELSE 0 END) END AS bal,
+               CASE WHEN key % 5 = 1 THEN 200 ELSE 100 END AS ts,
+               CAST(NULL AS VARCHAR) AS deleted_cells
+        FROM c WHERE key % 7 <> 2 OR key % 3 = 0
+    )
+    SELECT * FROM feed UNION ALL SELECT * FROM state
+    """,
+    doc="CHECKPOINT-AWARE PREFIX COMPACTION (compact(keep_since=seq) — the "
+    "Kafka-log-compaction / Delta-VACUUM retention idea grafted onto the "
+    "LSM: fold history up to the slowest consumer's offset, never past "
+    "it): create customers, apply an epoch of updates + row deletes, "
+    "snapshot, apply an epoch of increments + cell deletes, then "
+    "compact(keep_since=snapshot). The graded relation is the checkpointed "
+    "consumer's world after the fold: its change feed "
+    "(changes(since_layer=snapshot) — must still report exactly the two "
+    "retained batches, typed, deltas-not-folds) UNION the folded visible "
+    "state (tagged op='state'). The state rows pin the subtle semantics: "
+    "the prefix fold persists TOMBSTONES with their resolved ts (HBase's "
+    "deletes-survive-minor-compaction rule), so keys deleted in epoch 1 "
+    "and incremented in epoch 2 resurrect with bal=delta and the ghost ts "
+    "— byte-equivalent to the uncompacted stack. A fold that dropped "
+    "tombstoned keys, purged their ts, or broke the feed horizon breaks "
+    "the hash. Cost: the prefix fold is one compaction job over the "
+    "folded layers; the feed stays O(retained layers).",
+    tags=("table", "mutation", "compaction"),
+)
+def lsm_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"retention_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+    )
+    tbl = KeyedTable(
+        spark, root, key_col="key", ts_col="ts", num_partitions=8
+    )
+    snap_file = os.path.join(root, "_probe_snap")
+    if not tbl.exists():
+        cust = load(spark, sf_dir, "customer")
+        rows = cust.select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+            F.lit(100).cast("int").alias("ts"),
+        )
+        tbl.create(rows)
+        tbl.update(
+            rows.where(F.col("key") % 5 == 1).select(
+                "key",
+                F.concat(F.lit("u_"), F.col("name")).alias("name"),
+                (F.col("bal") + 1).alias("bal"),
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        tbl.delete(rows.where(F.col("key") % 7 == 2).select("key"))
+        snap = tbl.snapshot_seq()
+        tbl.increment(
+            rows.where(F.col("key") % 3 == 0).select(
+                "key", F.lit(50).cast("bigint").alias("delta")
+            ),
+            counter_col="bal",
+        )
+        tbl.delete(
+            rows.where(F.col("key") % 11 == 3).select("key"), columns=["name"]
+        )
+        tbl.compact(keep_since=snap)
+        with open(snap_file, "w") as fh:
+            fh.write(str(snap))
+    snap = int(open(snap_file).read())
+    feed = tbl.changes(since_layer=snap).select(
+        "op", (F.col("__seq") - snap).alias("seq"), "key", "name", "bal",
+        "ts", "deleted_cells",
+    )
+    state = tbl.df().select(
+        F.lit("state").alias("op"), F.lit(None).cast("bigint").alias("seq"),
+        "key", "name", "bal", "ts",
+        F.lit(None).cast("string").alias("deleted_cells"),
+    )
+    return feed.unionByName(state)
+
+
+@query(
     "streaming_matview_refresh",
     """
     WITH o AS (

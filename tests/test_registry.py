@@ -13,6 +13,7 @@ _MUST_GRADE_R09 = {
     "ann_pq_adc_topk",
     "leakage_safe_split",
     "streaming_matview_refresh",
+    "lsm_retention_compact",
     # table.py grew increment_many (multi-counter DELTA layers) this round:
     # the fold path it rides is shared with these graded mutation queries
     "lsm_compaction_fold",
