@@ -198,3 +198,52 @@ def test_checkpoint_aware_compaction_keeps_refresh_incremental(spark, tmp_path):
     touched = mv.refresh()
     assert touched > 0, "refresh must stay incremental, not rebuild (-1)"
     assert _view(mv) == _recompute(base)
+
+
+def test_refresh_interleaved_with_a_seeded_random_mutation_storm(spark, tmp_path):
+    """Sequencing pin: 10 seeded-random mutation batches of every kind with
+    refresh() interleaved at random points (sometimes after 1 batch,
+    sometimes after 3) — the view must equal a recompute at every refresh
+    point. Catches order-dependent delta bugs (e.g. old-state read taken at
+    the wrong snapshot) that single-batch tests can't see."""
+    import random
+
+    rng = random.Random(1729)
+    base = _base(spark, str(tmp_path), n=300)
+    mv = _mv(spark, str(tmp_path), base).build()
+    ts = 1000
+    for step in range(10):
+        kind = rng.choice(["update", "put", "increment", "delete", "celldel", "insert"])
+        lo = rng.randrange(0, 250)
+        hi = lo + rng.randrange(10, 60)
+        ids = spark.range(lo, hi)
+        ts += 1
+        if kind == "update":
+            base.update(ids.select(
+                F.col("id").alias("k"),
+                ((F.col("id") + rng.randrange(1, 23)) % 23).alias("grp"),
+                (F.col("id") * rng.randrange(2, 9)).alias("val"),
+                F.lit(ts).cast("int").alias("ts")))
+        elif kind == "put":
+            base.put(ids.select(
+                F.col("id").alias("k"),
+                (F.col("id") + rng.randrange(1, 500)).alias("val"),
+                F.lit(ts).cast("int").alias("ts")))
+        elif kind == "increment":
+            base.increment(ids.select(
+                F.col("id").alias("k"),
+                F.lit(rng.randrange(-5, 20) or 3).cast("bigint").alias("delta")),
+                counter_col="val")
+        elif kind == "delete":
+            base.delete(ids.select(F.col("id").alias("k")))
+        elif kind == "celldel":
+            base.delete(ids.select(F.col("id").alias("k")), columns=["val"])
+        else:
+            base.update(ids.select(
+                (F.col("id") + 10_000 + step * 1000).alias("k"),
+                (F.col("id") % 23).alias("grp"),
+                F.lit(rng.randrange(1, 99)).cast("bigint").alias("val"),
+                F.lit(ts).cast("int").alias("ts")))
+        if rng.random() < 0.5 or step == 9:
+            mv.refresh()
+            assert _view(mv) == _recompute(base), f"diverged at step {step}"
