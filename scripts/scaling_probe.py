@@ -105,6 +105,12 @@ TARGETS = [
     "ann_pq_adc",
     "ann_ivf_pq",
     "leakage_safe_split",
+    # round-9 late: MIN/MAX view maintenance with a group index — the
+    # touched groups' recompute rows come from ONE multi-range lookup_in
+    # read (O(groups + result) files), so a fixed batch against a 30x base
+    # must stay ~flat; the index-less degradation is a documented base
+    # scan and is deliberately not the probed path.
+    "matview_minmax_refresh",
 ]
 
 
@@ -477,6 +483,66 @@ def _matview_refresh(spark, sf: str) -> int:
     return mv.df().count()
 
 
+def _matview_minmax_refresh(spark, sf: str) -> int:
+    """Custom probe target (round 9 late): MIN/MAX view maintenance under a
+    fixed-size batch with a GROUP INDEX while the base scales. Fixture
+    per invocation (create + index build + view build pay in the cold
+    run); the warm run times: one ~600-key update routed THROUGH the index
+    (so it stays in sync) + refresh() — sum delta O(batch) plus an
+    extremes recompute whose rows come from lookup_in over the touched
+    groups (O(groups + result) files). Warm growth must stay ~flat at a
+    30x base; a recompute that secretly scans the base tracks data
+    growth immediately."""
+    import hashlib
+
+    from spark_on_hbase_spark.index import SecondaryIndex
+    from spark_on_hbase_spark.matview import MaterializedAgg
+    from spark_on_hbase_spark.table import KeyedTable
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.col("doc_id").alias("k"), "n_chars")
+        .withColumn("grp", (F.col("k") % 997).cast("bigint"))
+        .withColumn("val", F.col("n_chars").cast("bigint"))
+        .withColumn("ts", F.lit(0))
+        .drop("n_chars")
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    root = _fresh_root(f"/tmp/mviewmm_{tag}")
+    base = KeyedTable(
+        spark, f"{root}/base", key_col="k", ts_col="ts", num_partitions=8
+    )
+    # group cardinality scales WITH the data (~60 members per group at any
+    # scale) — the realistic 100 TB rollup shape is more groups, not
+    # fatter ones. A fixed modulus would grow every group 30x and the
+    # recompute — honestly O(affected groups' rows) — would track group
+    # FAT, not the kernel.
+    n = docs.count()
+    ngroups = max(997, n // 60)
+    docs = docs.withColumn("grp", (F.col("k") % ngroups).cast("bigint"))
+    fresh = not base.exists()
+    if fresh:
+        base.create(docs)
+    idx = SecondaryIndex(base, "grp", f"{root}/idx")
+    if fresh:
+        idx.build()
+    mv = MaterializedAgg(
+        spark, f"{root}/mv", base, "grp", {"sum_val": "val"},
+        maxs={"max_val": "val"}, group_index=idx,
+    )
+    if fresh:
+        mv.build()
+    ts = base.snapshot_seq() + 1
+    batch = (
+        docs.where(F.col("k") < 600)
+        .withColumn("val", F.col("val") + ts)
+        .withColumn("ts", F.lit(ts))
+    )
+    idx.update(batch)
+    mv.refresh()
+    return mv.df().count()
+
+
 def _pq_probe_pieces(spark, sf: str):
     """Shared per-scale PQ pieces for the two ANN probes below: quantized
     vectors, trained codebooks, codes, recon norms and a FIXED query batch
@@ -568,6 +634,7 @@ CUSTOM = {
     "matview_refresh": _matview_refresh,
     "ann_pq_adc": _ann_pq_adc,
     "ann_ivf_pq": _ann_ivf_pq,
+    "matview_minmax_refresh": _matview_minmax_refresh,
 }
 
 # key shift per replica, chosen far above any real key range

@@ -801,6 +801,65 @@ class SecondaryIndex:
         prefix = self._prefix_enc(values)
         return self._read(prefix, prefix, covered, exact)
 
+    @staticmethod
+    def _or_tree(preds: list):
+        """OR a predicate list as a BALANCED tree (depth log2 n). A naive
+        left-deep ``reduce(|)`` chain at the skip-scan budget (1000 ranges)
+        overflows the JVM stack inside Catalyst's expression conversion —
+        found live when lookup_in probed 600 groups."""
+        while len(preds) > 1:
+            preds = [
+                preds[i] | preds[i + 1] if i + 1 < len(preds) else preds[i]
+                for i in range(0, len(preds), 2)
+            ]
+        return preds[0] if preds else None
+
+    def lookup_in(self, values: list, covered: bool = False) -> DataFrame:
+        """Multi-value probe on the LEADING indexed column — the index-side
+        IN, as ONE typed ``IN`` predicate on the stored value column
+        itself (not the encoded ikey): Spark converts a large IN to an
+        O(1)-per-row InSet hash AND pushes it to the parquet scan, where
+        the value-prefixed sorted layout makes the value column's own
+        footer min/max stats prune files (under
+        ``spark.sql.parquet.pushdown.inFilterThreshold`` each value
+        pushes exactly; above it Spark pushes the [min, max] envelope —
+        coarser pruning, same answers). An encoded per-value range OR —
+        the skip scan's tool, tried first here — costs O(|values|) per
+        ROW and measured 1.7x slower than the scan it was meant to beat
+        at 600 values; equality on a leading column never needs the
+        encoding anyway, so exactness holds for every dtype (the typed
+        literals are cast to the column's own type — float-vs-double
+        promotion can't mis-match). This is the batch shape downstream
+        maintainers need — e.g. a MaterializedAgg recomputing MIN/MAX for
+        the groups a refresh touched probes all affected groups in one
+        read instead of |groups| lookups or a base scan."""
+        vals = list(dict.fromkeys(values))  # dedupe, keep caller order
+        if not vals:  # empty IN-list: schema-correct empty result
+            return self._finish(self.tbl.df().where(F.lit(False)), covered)
+        import numbers
+
+        if all(
+            isinstance(v, numbers.Integral) and not isinstance(v, bool)
+            for v in vals
+        ):
+            # one parsed SQL expression (py4j round-trip per isin literal
+            # is seconds at thousand-value batches — table._in_list_pred's
+            # lesson); optimizes to InSet + pushed parquet filter
+            pred = F.expr(
+                f"`{self.cols[0]}` IN ({','.join(str(int(v)) for v in vals)})"
+            )
+        else:
+            # typed-equality balanced OR: exact for strings/floats (each
+            # literal cast to the column dtype), depth log2 n
+            pred = self._or_tree(
+                [
+                    F.col(self.cols[0]) == F.lit(v).cast(self._dtype_of(0))
+                    for v in vals
+                ]
+            )
+        probe = self.tbl._layer_frames(pred, None)
+        return self._finish(probe, covered)
+
     def lookup_range(self, lo, hi, prefix: tuple = (), covered: bool = False) -> DataFrame:
         """Base rows whose indexed column is in ``[lo, hi]`` (inclusive) —
         the index RANGE SCAN, the second half of what Phoenix indexes are
@@ -1241,12 +1300,14 @@ class SecondaryIndex:
             return self._finish(self.tbl.df().where(exact), covered)
         if not tuples:
             return self._finish(self.tbl.df().where(exact & F.lit(False)), covered)
-        k, pred = F.col("ikey"), None
+        k = F.col("ikey")
+        ranges = []
         for vals in tuples:
             pfx = self._prefix_enc(vals)
-            rng = (k >= pfx) & (k <= F.concat(pfx, F.lit("\x20")))
-            pred = rng if pred is None else (pred | rng)
-        probe = self.tbl._layer_frames(pred, None).where(exact)
+            ranges.append((k >= pfx) & (k <= F.concat(pfx, F.lit("\x20"))))
+        # balanced OR (depth log2 n): a left-deep chain at the 1000-prefix
+        # budget overflows the JVM stack in expression conversion
+        probe = self.tbl._layer_frames(self._or_tree(ranges), None).where(exact)
         return self._finish(probe, covered)
 
     def _enumerate_leading(self, prefix_cols: list[str], fixed: dict, pos: dict):

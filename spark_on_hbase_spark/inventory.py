@@ -722,6 +722,11 @@ _ROTATED_OUT_R09 = [
     # graph_expand: operators/graph.py expand kernel untouched in r9;
     # pinned by tests/test_graph.py expand/profile tests.
     "graph_expand",
+    # cutoff_super_connected: the distributed prefix-split cutoff kernel is
+    # untouched in r9; pinned by tests/test_graph.py::test_cutoff_drops_
+    # head_of_mass and tests/test_packing.py::test_cutoff_unchanged_by_
+    # kernel_refactor.
+    "cutoff_super_connected",
     # -- out since r08: r07-driver-green, kernels untouched ----------------
     "simhash_dedup",
     "text_repetition",

@@ -1940,6 +1940,117 @@ warmer("matview_fixture")(_matview_fixture)
 
 
 @query(
+    "matview_minmax_maintenance",
+    """
+    WITH o AS (
+        SELECT o_orderkey AS k, o_custkey AS cust,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS val
+        FROM orders
+    ),
+    final_state AS (
+        SELECT CASE WHEN k % 5 = 1 THEN (cust + 1) % 97
+                    ELSE cust % 97 END AS grp,
+               CASE WHEN k % 13 = 6 THEN NULL
+                    ELSE val + (CASE WHEN k % 5 = 1 THEN 1 ELSE 0 END)
+                             + (CASE WHEN k % 9 = 4 THEN 50 ELSE 0 END)
+               END AS val
+        FROM o WHERE k % 11 <> 3
+        UNION ALL
+        SELECT cust % 97 AS grp, CAST(999 AS BIGINT) AS val
+        FROM o WHERE k % 7 = 2
+    )
+    SELECT grp, CAST(SUM(val) AS BIGINT) AS revenue,
+           MIN(val) AS min_rev, MAX(val) AS max_rev,
+           COUNT(*) AS n_orders
+    FROM final_state GROUP BY grp
+    """,
+    doc="MIN/MAX materialized-view maintenance — the NON-self-maintainable "
+    "aggregates (a deleted maximum cannot be fixed from the delta alone; "
+    "Gupta & Mumick's classic result): the view recomputes ONLY the "
+    "groups the refresh touched, as a second stamped sub-transaction "
+    "(SPARSE put commit record; NULL extremes via explicit cell-deletes, "
+    "since a sparse put's NULL means keep-stored). Graded with every "
+    "mutation kind including group migration, value cell-deletes (the "
+    "aggregate must SKIP nulls on both engines) and deletes that remove "
+    "group extremes. The oracle is the full GROUP BY with MIN/MAX over "
+    "the reconstructed final state, so the hash proves touched-group "
+    "recompute == full recompute. Recompute source is pluggable: a "
+    "group SecondaryIndex serves the affected groups' rows as ONE "
+    "multi-range lookup_in read (O(groups + result) files — the 100 TB "
+    "path, pytest-pinned); this query runs the documented index-less "
+    "degradation (one base scan semi-joined to the touched groups).",
+    tags=("table", "mutation", "matview"),
+)
+def matview_minmax_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = _matview_minmax_fixture(spark, sf_dir)
+    mv.refresh()
+    return mv.df()
+
+
+def _matview_minmax_fixture(spark: SparkSession, sf_dir: str):
+    """matview_minmax_maintenance's base + built view + pending batches —
+    warmer-registered like _matview_fixture so the bench row times the
+    refresh path."""
+    from spark_on_hbase_spark.matview import MaterializedAgg
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"matview_mm_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+    )
+    base = KeyedTable(
+        spark, os.path.join(root, "base"), key_col="k", ts_col="ts",
+        num_partitions=8,
+    )
+    mv = MaterializedAgg(
+        spark, os.path.join(root, "mv"), base, "grp",
+        {"revenue": "val"}, count_col="n_orders",
+        mins={"min_rev": "val"}, maxs={"max_rev": "val"},
+    )
+    if not base.exists():
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("cust"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("val"),
+        )
+        base.create(
+            o.select(
+                "k", (F.col("cust") % 97).alias("grp"), "val",
+                F.lit(100).cast("int").alias("ts"),
+            )
+        )
+        mv.build()
+        base.update(
+            o.where(F.col("k") % 5 == 1).select(
+                "k", ((F.col("cust") + 1) % 97).alias("grp"),
+                (F.col("val") + 1).alias("val"),
+                F.lit(200).cast("int").alias("ts"),
+            )
+        )
+        base.increment(
+            o.where(F.col("k") % 9 == 4).select(
+                "k", F.lit(50).cast("bigint").alias("delta")
+            ),
+            counter_col="val",
+        )
+        base.update(
+            o.where(F.col("k") % 7 == 2).select(
+                (F.col("k") + 10_000_000).alias("k"),
+                (F.col("cust") % 97).alias("grp"),
+                F.lit(999).cast("bigint").alias("val"),
+                F.lit(300).cast("int").alias("ts"),
+            )
+        )
+        base.delete(o.where(F.col("k") % 11 == 3).select("k"))
+        base.delete(
+            o.where(F.col("k") % 13 == 6).select("k"), columns=["val"]
+        )
+    return mv
+
+
+warmer("matview_mm_fixture")(_matview_minmax_fixture)
+
+
+@query(
     "lsm_retention_compact",
     """
     WITH c AS (

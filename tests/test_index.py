@@ -1719,3 +1719,42 @@ def test_oversized_uncovered_lookup_bounds_the_base_scan(spark, tmp_path, monkey
         r["key"] for r in tbl.df().where(F.col("color") == 2).collect()
     )
     assert sorted(r["key"] for r in out.collect()) == want
+
+
+def test_lookup_in_matches_filter_and_survives_hundreds_of_values(spark, tmp_path):
+    """The multi-value probe: exact vs a plain filter, covered vs uncovered,
+    dupes and misses tolerated — and a 700-value probe must plan (a naive
+    left-deep OR chain overflowed the JVM stack at ~600 values; the
+    balanced tree is the fix, pinned here at the same order of magnitude
+    the skip-scan budget allows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_on_hbase_spark.index import SecondaryIndex
+    from spark_on_hbase_spark.table import KeyedTable
+
+    t = KeyedTable(
+        spark, os.path.join(str(tmp_path), "t"), key_col="k", ts_col="ts",
+        num_partitions=4,
+    )
+    t.create(
+        spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") % 997).alias("grp"),
+            (F.col("id") * 3).alias("v"), F.lit(0).cast("int").alias("ts"),
+        )
+    )
+    idx = SecondaryIndex(t, "grp", os.path.join(str(tmp_path), "idx")).build()
+    vals = [3, 11, 3, 99999]  # dupe + miss
+    got = sorted(
+        tuple(r) for r in idx.lookup_in(vals).select("k", "grp", "v").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in t.df().where(F.col("grp").isin(3, 11)).select("k", "grp", "v").collect()
+    )
+    assert got == exp
+    assert idx.lookup_in([]).count() == 0
+    big = list(range(700))  # would stack-overflow as a left-deep OR chain
+    n = idx.lookup_in(big).count()
+    assert n == t.df().where(F.col("grp") < 700).count()

