@@ -23,8 +23,9 @@ collects inside operators, broadcast hints for dimension tables, map-side
 partial aggregation, salted keys for uniform range partitioning.
 """
 
+from spark_on_hbase_spark.matview import MaterializedAgg
 from spark_on_hbase_spark.session import get_spark
 from spark_on_hbase_spark.table import KeyedTable
 
-__all__ = ["get_spark", "KeyedTable"]
+__all__ = ["get_spark", "KeyedTable", "MaterializedAgg"]
 __version__ = "0.1.0"
