@@ -832,32 +832,48 @@ class SecondaryIndex:
         promotion can't mis-match). This is the batch shape downstream
         maintainers need — e.g. a MaterializedAgg recomputing MIN/MAX for
         the groups a refresh touched probes all affected groups in one
-        read instead of |groups| lookups or a base scan."""
+        read instead of |groups| lookups or a base scan.
+
+        Tombstone rule (the invariant _read's docstring pins for ikey
+        probes): entry tombstones carry ONLY the ikey — their value
+        columns are NULL — so a per-layer filter on the value column alone
+        would drop them and RESURRECT deleted entries in the fold (found
+        in review: a migrated key's old-group entry came back and a
+        MIN/MAX refresh aggregated it into the wrong group). The scan
+        predicate therefore keeps every tombstone row (``pred OR
+        __tombstone`` — sound because an entry's value lives in its ikey,
+        so no surviving ikey's version list is split by the filter; keys
+        kept only via their tombstones fold to deleted and drop out), and
+        the typed IN re-applies POST-fold as the exactness truth."""
+        import numbers
+
+        from spark_on_hbase_spark.table import _TOMBSTONE, _in_list_pred
+
         vals = list(dict.fromkeys(values))  # dedupe, keep caller order
         if not vals:  # empty IN-list: schema-correct empty result
             return self._finish(self.tbl.df().where(F.lit(False)), covered)
-        import numbers
-
         if all(
             isinstance(v, numbers.Integral) and not isinstance(v, bool)
             for v in vals
         ):
-            # one parsed SQL expression (py4j round-trip per isin literal
-            # is seconds at thousand-value batches — table._in_list_pred's
-            # lesson); optimizes to InSet + pushed parquet filter
-            pred = F.expr(
-                f"`{self.cols[0]}` IN ({','.join(str(int(v)) for v in vals)})"
-            )
+            # the shared one-parse IN builder (py4j round-trip per isin
+            # literal is seconds at thousand-value batches); optimizes to
+            # InSet + pushed parquet filter
+            def pred():
+                return _in_list_pred(self.cols[0], vals)
         else:
             # typed-equality balanced OR: exact for strings/floats (each
             # literal cast to the column dtype), depth log2 n
-            pred = self._or_tree(
-                [
-                    F.col(self.cols[0]) == F.lit(v).cast(self._dtype_of(0))
-                    for v in vals
-                ]
-            )
-        probe = self.tbl._layer_frames(pred, None)
+            def pred():
+                return self._or_tree(
+                    [
+                        F.col(self.cols[0]) == F.lit(v).cast(self._dtype_of(0))
+                        for v in vals
+                    ]
+                )
+
+        scan_pred = pred() | F.col(_TOMBSTONE)
+        probe = self.tbl._layer_frames(scan_pred, None).where(pred())
         return self._finish(probe, covered)
 
     def lookup_range(self, lo, hi, prefix: tuple = (), covered: bool = False) -> DataFrame:

@@ -80,7 +80,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_on_hbase_spark.table import KeyedTable, _is_numeric_dtype
+from spark_on_hbase_spark.table import (
+    HistoryFoldedError,
+    KeyedTable,
+    _is_numeric_dtype,
+)
 
 import os
 
@@ -405,9 +409,12 @@ class MaterializedAgg:
                         ext.withColumn("__mv_ts", F.lit(cur).cast("int")),
                         stamp=stamp_x,
                     )
-        except ValueError:
-            # dirty compaction mutilated the old snapshot (time-travel
-            # horizon guard): incremental is impossible, rebuild
+        except HistoryFoldedError:
+            # a compaction folded the snapshot a read needed (time-travel
+            # horizon / feed-window guard): incremental is impossible,
+            # rebuild. ONLY this type — a bare ValueError is a real bug or
+            # a bad argument and must surface, not silently cost an
+            # O(table) rebuild on every refresh
             self.build()
             return -1
         self._write_meta(cur)
@@ -420,7 +427,13 @@ class MaterializedAgg:
         scan semi-joined to the groups (the documented degradation; at
         100 TB you keep a group index exactly so this path never runs)."""
         if self.group_index is not None:
-            vals = [r[0] for r in groups.collect()]
+            # bounded collect (index.py's limit-then-check pattern): never
+            # materialize an unbounded group list on the driver just to
+            # discover it is over the cap
+            vals = [
+                r[0]
+                for r in groups.limit(self.max_point_keys + 1).collect()
+            ]
             if len(vals) <= self.max_point_keys:
                 return self.group_index.lookup_in(vals)
         return self.base.df().join(groups, self.group_col, "semi")

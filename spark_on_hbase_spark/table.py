@@ -60,6 +60,7 @@ _DELCOLS = "__delcols"
 
 # row kinds (see module docstring); layers without a __kind column are ROW
 _ROW, _SPARSE, _DELTA, _CELLDEL = 0, 1, 2, 3
+_PFXFOLD = "pfxfold"  # stamp marking a prefix-compaction base (see _layers)
 
 _NUMERIC_TYPES = frozenset({"tinyint", "smallint", "int", "bigint", "float", "double"})
 
@@ -108,6 +109,16 @@ def _in_list_pred(col_name: str, keys: list):
     ):
         return F.expr(f"`{col_name}` IN ({','.join(str(int(k)) for k in keys)})")
     return F.col(col_name).isin(keys)
+
+
+class HistoryFoldedError(ValueError):
+    """History a reader needs was folded away by a compaction: raised by
+    the time-travel horizon guard and by ``changes()`` when a base layer
+    sits inside the feed window. A ValueError subclass so callers with the
+    broad contract keep working; incremental consumers (matview) catch
+    THIS type to trigger their rebuild fallback — a bare ValueError (a
+    real bug, a bad argument) must surface, not silently cost a rebuild
+    per refresh."""
 
 
 def _is_numeric_dtype(simple: str) -> bool:
@@ -177,13 +188,40 @@ class KeyedTable:
         # once the {:06d} pad overflows and fold mutations out of order
         # (base always holds the lowest surviving seq, so the seq alone is a
         # sufficient key)
-        return sorted(
+        layers = sorted(
             (
                 p for p in root.iterdir()
                 if p.name.startswith(("base-", "delta-")) and not p.name.endswith(".tmp")
             ),
             key=lambda p: int(p.name.split("-")[1]),
         )
+        # crash-residue precedence: a prefix compaction writes its folded
+        # base AT the folded prefix's max seq (stamped ``pfxfold`` so it is
+        # distinguishable from a DIRTY-compaction base, which legitimately
+        # coexists with the original base layer's surviving clean files),
+        # so a crash between that rename and the removal of the consumed
+        # layers leaves base-{m}-pfxfold next to the layers it folded
+        # (seq <= m, including a delta-{m} twin). The stamped base is the
+        # committed truth — it IS the fold of everything at or below its
+        # seq — so those layers are provably consumed and must never
+        # re-apply (a re-applied delta would double-count its increments).
+        # Reads filter them out here; _compact_prefix sweeps the dirs.
+        pfx_max = max(
+            (
+                int(p.name.split("-")[1])
+                for p in layers
+                if p.name.startswith("base-") and self._stamp_of(p) == _PFXFOLD
+            ),
+            default=None,
+        )
+        if pfx_max is None:
+            return layers
+        return [
+            p
+            for p in layers
+            if int(p.name.split("-")[1]) > pfx_max
+            or (p.name.startswith("base-") and int(p.name.split("-")[1]) == pfx_max)
+        ]
 
     def _next_seq(self) -> int:
         layers = self._layers()
@@ -416,7 +454,7 @@ class KeyedTable:
             # fail loudly, like full compaction does when history folds away
             horizon = Path(self.path) / "_history_horizon"
             if horizon.exists() and as_of_layer < int(horizon.read_text()):
-                raise ValueError(
+                raise HistoryFoldedError(
                     f"as_of_layer={as_of_layer} predates the last dirty "
                     f"compaction (horizon {horizon.read_text()}): the "
                     f"compaction rewrote part of that snapshot's base "
@@ -545,7 +583,7 @@ class KeyedTable:
                 # history as one giant upsert. Fail loudly; the fix is
                 # compact(keep_since=<consumer checkpoint>), which folds
                 # only up to the slowest consumer's offset.
-                raise ValueError(
+                raise HistoryFoldedError(
                     f"changes(since_layer={since_layer}) predates a "
                     f"compaction ({p.name} folded the mutation history "
                     f"away): consume the feed before compacting, or use "
@@ -890,41 +928,10 @@ class KeyedTable:
         as ONE additive DELTA layer and fold into the stored counter at
         merge/compaction — the server-side-add intent without rewriting the
         table (a counter batch at 100 TB costs the batch, not a full-table
-        shuffle)."""
-        schema = self._schema()
-        if counter_col not in schema:
-            raise ValueError(f"no such column: {counter_col}")
-        # validate at write time: a non-numeric counter would write a DELTA
-        # layer the read-time fold silently drops (the additive branch only
-        # exists for numeric dtypes) — fail loudly here instead
-        if not _is_numeric_dtype(schema[counter_col]):
-            raise ValueError(
-                f"increment requires a numeric counter column; "
-                f"{counter_col} is {schema[counter_col]}"
-            )
-        deltas = (
-            batch.where(F.col(delta_col) != 0)
-            .groupBy(self.key_col)
-            .agg(F.sum(delta_col).alias("__delta"))
-            .where(F.col("__delta") != 0)
-        )
-        layer = deltas.select(
-            *[
-                (
-                    F.col(self.key_col)
-                    if c == self.key_col
-                    else F.col("__delta").cast(t)
-                    if c == counter_col
-                    else F.lit(None).cast(t)
-                ).alias(c)
-                for c, t in schema.items()
-            ]
-        )
-        # one row per non-zero-delta key, so the layer's own observed write
-        # count (A16 parity) IS the applied-increment count — no second pass
-        n = self._write_layer(layer, "delta", row_kind=_DELTA, stamp=stamp)
-        self._maybe_compact()
-        return n
+        shuffle). The single-counter case of ``increment_many`` — one body,
+        one validation set (review finding: the two implementations had
+        already drifted on the key/ts-column guard)."""
+        return self.increment_many(batch, {counter_col: delta_col}, stamp=stamp)
 
     def increment_many(
         self, batch: DataFrame, counters: dict[str, str],
@@ -1096,6 +1103,19 @@ class KeyedTable:
         pre-compaction ghost-ts semantics, and TTL-expired rows stay on
         disk (reads filter them; full compact() purges). Consumed stamps
         persist to the manifest first, exactly like full compaction."""
+        # sweep crash residue from an earlier interrupted prefix compaction:
+        # directories _layers() already excludes (consumed layers below the
+        # committed base, same-seq delta twins) are dead weight — remove
+        # them BEFORE folding so the new base's name cannot collide
+        live = {p.name for p in self._layers()}
+        for p in Path(self.path).iterdir():
+            if (
+                p.name.startswith(("base-", "delta-"))
+                and not p.name.endswith(".tmp")
+                and p.name not in live
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                self._drop_bloom(p)
         layers = self._layers()
         fold = [p for p in layers if int(p.name.split("-")[1]) <= keep_since]
         if not fold or (len(fold) == 1 and fold[0].name.startswith("base-")):
@@ -1115,13 +1135,16 @@ class KeyedTable:
             state = _merge_layers(frames, self.key_col, self.ts_col)
         folded = state.localCheckpoint()
         self._persist_stamps(fold)
-        self._write_layer(folded, "base", seq=m)
-        for p in fold:
-            shutil.rmtree(p, ignore_errors=True)
-            self._drop_bloom(p)
+        self._write_layer(folded, "base", seq=m, stamp=_PFXFOLD)
+        # the folded base is committed: from here _layers() already serves
+        # correct reads (residue precedence), so horizon-then-cleanup can
+        # crash at any point and only leave sweepable directories behind
         horizon = Path(self.path) / "_history_horizon"
         prev = int(horizon.read_text()) if horizon.exists() else 0
         horizon.write_text(str(max(prev, m)))
+        for p in fold:
+            shutil.rmtree(p, ignore_errors=True)
+            self._drop_bloom(p)
 
     # a string key whose footer max is this long (UTF-8 chars) is treated
     # as possibly-truncated and widened to +inf — defense in depth: the

@@ -1758,3 +1758,46 @@ def test_lookup_in_matches_filter_and_survives_hundreds_of_values(spark, tmp_pat
     big = list(range(700))  # would stack-overflow as a left-deep OR chain
     n = idx.lookup_in(big).count()
     assert n == t.df().where(F.col("grp") < 700).count()
+
+
+def test_lookup_in_never_resurrects_migrated_or_deleted_entries(spark, tmp_path):
+    """Review finding (r9): entry tombstones carry only the ikey — a
+    per-layer filter on the value column alone drops them and the fold
+    resurrects deleted entries. Migrate a key between groups and delete
+    another outright: the OLD group's lookup_in must return neither, in
+    both uncovered and covered form."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_on_hbase_spark.index import SecondaryIndex
+    from spark_on_hbase_spark.table import KeyedTable
+
+    t = KeyedTable(
+        spark, os.path.join(str(tmp_path), "t"), key_col="k", ts_col="ts",
+        num_partitions=2,
+    )
+    t.create(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("grp"),
+            (F.col("id") * 3).alias("v"), F.lit(0).cast("int").alias("ts"),
+        )
+    )
+    idx = SecondaryIndex(
+        t, "grp", os.path.join(str(tmp_path), "idx"), include=["v"]
+    ).build()
+    # key 1 migrates grp 1 -> 3 (old entry tombstoned); key 5 deleted
+    idx.update(
+        spark.createDataFrame([(1, 3, 999, 1)], "k long, grp long, v long, ts int")
+    )
+    idx.delete(spark.createDataFrame([(5,)], "k long"))
+    got = {r["k"] for r in idx.lookup_in([1]).collect()}
+    assert 1 not in got, "migrated key resurrected in its OLD group"
+    assert 5 not in got, "deleted key resurrected"
+    assert got == {r["k"] for r in t.df().where(F.col("grp") == 1).collect()
+                   if True} or got == {r[0] for r in t.df().where(F.col("grp") == 1).select("k").collect()}
+    cov = {(r["k"], r["grp"]) for r in idx.lookup_in([1], covered=True).collect()}
+    assert all(g == 1 for _, g in cov) and (1 not in {k for k, _ in cov})
+    # and the NEW group serves the migrated key with its new covered value
+    new = {(r["k"], r["v"]) for r in idx.lookup_in([3], covered=True).collect()}
+    assert (1, 999) in new

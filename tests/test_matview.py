@@ -291,7 +291,11 @@ def test_minmax_matches_recompute_including_deleted_extremes(spark, tmp_path):
         ),
         columns=["val"],
     )
-    assert mv.refresh() > 0 or True
+    # by this point the base has crossed compact_threshold and auto-
+    # compacted, so refresh correctly takes the rebuild fallback (-1);
+    # the assertion is that WORK happened (never a silent 0) and the view
+    # equals a recompute either way
+    assert mv.refresh() != 0
     assert {tuple(r) for r in mv.df().collect()} == _recompute_ext(base)
 
 

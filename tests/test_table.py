@@ -1140,3 +1140,46 @@ def test_prefix_compaction_preserves_consumed_stamps(spark, tmp_path):
     stamps = t.applied_stamps()
     assert "epoch1_batch" in stamps  # folded: preserved via the manifest
     assert "epoch2_batch" in stamps  # retained: still riding its layer
+
+
+def test_prefix_compaction_crash_residue_never_double_applies(spark, tmp_path):
+    """Review finding (r9): the folded base reuses the folded prefix's max
+    seq, so a crash before the consumed layers' removal leaves base-{m}
+    next to its already-folded delta-{m} twin. The twin (and everything
+    below the base) must be invisible to reads — a re-applied increment
+    would double-count — and the next prefix compaction sweeps it."""
+    import shutil as _sh
+
+    t = KeyedTable(spark, str(tmp_path / "t"), key_col="k", ts_col="ts",
+                   num_partitions=2)
+    t.create(spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit(0).cast("int").alias("ts")))
+    t.increment(spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit(50).cast("bigint").alias("delta")),
+        counter_col="v")
+    snap = t.snapshot_seq()
+    expected = {tuple(r) for r in t.df().collect()}
+    # stash the to-be-folded layers, compact, then restore them — exactly
+    # the on-disk state of a crash after the base rename, before cleanup
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for p in t._layers():
+        _sh.copytree(p, stash / p.name)
+    t.compact(keep_since=snap)
+    for p in stash.iterdir():
+        if not (tmp_path / "t" / p.name).exists():
+            _sh.copytree(p, tmp_path / "t" / p.name)
+    names_on_disk = sorted(
+        p.name for p in (tmp_path / "t").iterdir() if p.name.startswith(("base-", "delta-"))
+    )
+    assert any(n.startswith("delta-") for n in names_on_disk), "residue staged"
+    # reads: residue invisible, no double-applied increment
+    assert {tuple(r) for r in t.df().collect()} == expected
+    # the next prefix compaction sweeps the residue directories
+    t.compact(keep_since=t.snapshot_seq())
+    survivors = sorted(
+        p.name for p in (tmp_path / "t").iterdir() if p.name.startswith(("base-", "delta-"))
+    )
+    assert len(survivors) == 1 and survivors[0].startswith(f"base-{snap:06d}")
+    assert {tuple(r) for r in t.df().collect()} == expected
