@@ -111,6 +111,18 @@ TARGETS = [
     # must stay ~flat; the index-less degradation is a documented base
     # scan and is deliberately not the probed path.
     "matview_minmax_refresh",
+    # round-9 continuation: BPE merge learning (the census is the ONLY
+    # corpus-sized pass; the 12 merge rounds run on the vocab relation,
+    # which barely grows under replication — warm growth must track the
+    # census scan, not rounds x corpus), SQ8 ANN with a FIXED query batch
+    # (compressed scan is O(n) per query batch like brute ADC — warm must
+    # track data growth; train/encode are index build, cold-run only), and
+    # CCNet bucketing (registry query: two linear corpus passes + a
+    # languages x <=1001-row histogram — cutoff derivation must stay
+    # tiny-relation work at any scale).
+    "bpe_learn",
+    "ann_sq8",
+    "ccnet_perplexity_buckets",
 ]
 
 
@@ -620,8 +632,54 @@ def _ann_ivf_pq(spark, sf: str) -> int:
     ).count()
 
 
+def _bpe_learn(spark, sf: str) -> int:
+    """Custom probe target (round 9b): BPE learning run FRESH each call
+    (the registry query memoizes per sf_dir, which would make the warm run
+    time the cache, not the kernel). Cold == warm == census + 12 rounds:
+    the census is the one corpus-sized pass; each round is a pair-count
+    hash agg + one TakeOrdered row + a run-parity window pipeline over the
+    VOCAB relation, which is near-constant under replication — so growth
+    must track the corpus scan, never rounds x corpus."""
+    from spark_on_hbase_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges, seqs = T.bpe_learn(docs, 12)
+    n = seqs.count()
+    return len(merges) + n
+
+
+_SQ8_PROBE_CACHE: dict = {}
+
+
+def _ann_sq8(spark, sf: str) -> int:
+    """Custom probe target (round 9b): SQ8 ANN with a FIXED query batch.
+    Train (one min/max aggregation row) + encode (one corpus scan) are
+    index build — cached per scale, cold-run only; warm times the
+    compressed scan + top-40 WindowGroupLimit + 40-row exact rerank per
+    query. Per-query scan cost is linear in the corpus by construction, so
+    warm growth must track data growth (~1x ratio like brute ADC)."""
+    from spark_on_hbase_spark.operators import similarity as V
+
+    if sf not in _SQ8_PROBE_CACHE:
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", V.quantize_expr("embedding").alias("__v")
+        ).persist()
+        bounds = V.sq8_train(vecs).persist()
+        codes = V.sq8_encode(vecs, bounds).persist()
+        bounds.count()
+        codes.count()
+        _SQ8_PROBE_CACHE[sf] = (vecs, bounds, codes)
+    vecs, bounds, codes = _SQ8_PROBE_CACHE[sf]
+    queries = vecs.where(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 10_000_000)
+    )
+    return V.sq8_topk(queries, codes, bounds, vecs, k=10, rerank_factor=4).count()
+
+
 # custom (non-registry) probe bodies: called instead of QUERIES[name]
 CUSTOM = {
+    "bpe_learn": _bpe_learn,
+    "ann_sq8": _ann_sq8,
     "lsm_mutation_storm": _lsm_mutation_storm,
     "lsm_dirty_compact": _lsm_dirty_compact,
     "secondary_index_maintain": _secondary_index_maintain,

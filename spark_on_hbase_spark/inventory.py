@@ -707,6 +707,35 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 # driver-grading-window). Each pop/re-insert moves a query to the dict's
 # tail, preserving this list's order there.
 _ROTATED_OUT_R09 = [
+    # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
+    # register in-window): r08-driver-green sketch gates, operators/agg.py
+    # untouched this session, pinned by
+    # tests/test_graph.py::test_approx_distinct_within_rsd and
+    # ::test_approx_quantiles_within_rank_bound.
+    "approx_distinct_gate",
+    "approx_quantile_gate",
+    # (ann_sq8_topk registers in-window): r08-driver-green, agg.hll_rollup
+    # untouched this session, pinned by
+    # tests/test_pipeline.py::test_hll_rollup_union_is_lossless.
+    "hll_rollup_union",
+    # (ccnet_perplexity_buckets registers in-window): r08-driver-green,
+    # io.py z-order layout untouched this session, pinned by
+    # tests/test_io.py::test_zorder_layout_prunes_both_dimensions.
+    "zorder_cluster_stats",
+    # (streaming_stateful_stats registers in-window): r08-driver-green,
+    # graph.kcore_peel untouched this session, pinned by
+    # tests/test_graph.py::test_kcore_peel_cascade_and_bounded_rounds
+    # plus its 30x probe row.
+    "kcore_peel_census",
+    # (c4_quality_filter registers in-window): r08-driver-green, the BSP
+    # pagerank kernel untouched this session, pinned by
+    # tests/test_graph.py::test_pagerank_matches_power_iteration plus the
+    # NumPy parity check and its standing 30x probe row.
+    "pagerank_5iter",
+    # (streaming_outer_join_nulls registers in-window): bsp_3step is
+    # r08-driver-green on the untouched bsp_step kernel, pinned by the
+    # bsp tests in tests/test_graph.py and its standing 30x probe row.
+    "bsp_3step",
     # -- newly out in r9: r08-driver-green, kernels untouched in r9 --------
     # edge_dedup: operators/graph.py EP combine unchanged; combine-law
     # property pytests (tests/test_graph.py) pin it.

@@ -2841,3 +2841,208 @@ def secondary_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.repair()
     out = idx.lookup(5, covered=True).unionByName(idx.lookup(77, covered=True))
     return out.select("key", "name", "nation")
+
+
+@query(
+    "streaming_stateful_stats",
+    """
+    WITH ev AS (
+        SELECT event_type AS key, event_id % 3 AS b,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    pb AS (
+        SELECT key, b, COUNT(*) AS nb, SUM(v) AS sb, MAX(v) AS mb
+        FROM ev GROUP BY key, b
+    )
+    SELECT key,
+           CAST(SUM(nb) OVER w AS BIGINT) AS n_events,
+           CAST(SUM(sb) OVER w AS DOUBLE) AS total,
+           CAST(MAX(mb) OVER w AS DOUBLE) AS max_value
+    FROM pb
+    WINDOW w AS (PARTITION BY key ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Custom stateful streaming operator graded under the hard oracle "
+    "signal (the applyInPandasWithState surface was pytest-only): events "
+    "arrive as a REAL 3-micro-batch file stream (event_id % 3 batch split, "
+    "maxFilesPerTrigger=1, availableNow) through "
+    "streaming.stateful_running_stats — per-event-type running "
+    "(count, sum, max) held in the checkpointed state store, one updated "
+    "row emitted per present key per micro-batch via foreachBatch into a "
+    "parquet land. The oracle reconstructs the ENTIRE emission sequence, "
+    "not just final state: per (key, batch) partial aggregates plus a "
+    "cumulative window replay exactly the state-store trajectory — values "
+    "are integer cents so every pandas-side sum is exact. State scales "
+    "with distinct keys, not events (the 100 TB contract); state-store "
+    "partitioning sized to the fixture like the other graded streams.",
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark import streaming as ST
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_st_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+    )
+    out_dir = os.path.join(root, "out")
+    done = os.path.join(root, "_STREAMED")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src, exist_ok=True)
+        ev = load(spark, sf_dir, "events").select(
+            F.col("event_type").alias("key"),
+            (F.col("event_id") % 3).alias("b"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        for b in range(3):
+            tmp = os.path.join(root, f"tmp_{b}")
+            ev.where(F.col("b") == b).select("key", "v").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(src, f"b{b}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("key string, v bigint")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        stats = ST.stateful_running_stats(stream, "key", "v")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stats.writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                )
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("stateful stream did not drain in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        open(done, "w").write("ok")
+    return spark.read.parquet(out_dir).select("key", "n_events", "total", "max_value")
+
+
+@query(
+    "streaming_outer_join_nulls",
+    """
+    WITH thr AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+        ) - INTERVAL 10 DAY AS w
+    ),
+    matched AS (
+        SELECT p.user_id, p.event_id AS buy_id, c.event_id AS click_id
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 24 HOUR
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT user_id, buy_id, click_id FROM matched
+    UNION ALL
+    SELECT p.user_id, p.event_id AS buy_id, CAST(NULL AS BIGINT) AS click_id
+    FROM events p, thr
+    WHERE p.event_type = 'purchase' AND p.ts < thr.w
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.buy_id = p.event_id)
+    """,
+    doc="Stream-stream LEFT OUTER interval join: the null-emission-on-"
+    "watermark contract graded under the hard oracle (the inner variant "
+    "graded in r8 never exercises it). Same REAL topology as "
+    "streaming_interval_join_attrib but how='leftOuter' and a TIGHT 10-day "
+    "watermark: a purchase with no click in its preceding 24h emits a "
+    "null-extended row only once the global watermark (min over both "
+    "inputs' max event time, minus the delay) passes its match window — "
+    "buffered state provably unmatchable. Batches are TIME-ORDERED halves "
+    "(split at the events midpoint) so nothing is ever late, which makes "
+    "the final emitted set split-independent: inner matches UNION "
+    "unmatched purchases with ts < final watermark — exactly what the "
+    "oracle states. The availableNow no-data final batch is what flushes "
+    "the last closed windows; this query pins that Spark contract "
+    "end-to-end (emitted parquet commit log vs oracle, nulls hashed).",
+    tags=("streaming", "join"),
+)
+def streaming_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark import streaming as ST
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_oj_{spark.sparkContext.applicationId}_{sf_tag(sf_dir)}",
+    )
+    out_dir = os.path.join(root, "out")
+    done = os.path.join(root, "_STREAMED")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_id", "event_type"
+        )
+        lohi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        mid = lohi[0] + (lohi[1] - lohi[0]) / 2
+        for side, typ, idcol in (
+            ("buys", "purchase", "buy_id"),
+            ("clicks", "click", "click_id"),
+        ):
+            src = os.path.join(root, side)
+            rows = ev.where(F.col("event_type") == typ).select(
+                "ts", "user_id", F.col("event_id").alias(idcol)
+            )
+            os.makedirs(src, exist_ok=True)
+            for b, pred in (
+                (0, F.col("ts") < F.lit(mid)),
+                (1, F.col("ts") >= F.lit(mid)),
+            ):
+                tmp = os.path.join(root, f"tmp_{side}{b}")
+                rows.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = next(
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                )
+                shutil.move(
+                    os.path.join(tmp, part), os.path.join(src, f"b{b}.parquet")
+                )
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        def _src(side: str, idcol: str) -> DataFrame:
+            return (
+                spark.readStream.format("parquet")
+                .schema(f"ts timestamp, user_id bigint, {idcol} bigint")
+                .option("maxFilesPerTrigger", 1)
+                .load(os.path.join(root, side))
+            )
+
+        joined = ST.stream_stream_interval_join(
+            _src("buys", "buy_id"),
+            _src("clicks", "click_id"),
+            on="user_id",
+            within="24 hours",
+            watermark="10 days",
+            how="leftOuter",
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.select("user_id", "buy_id", "click_id")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("outer-join stream did not drain in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        open(done, "w").write("ok")
+    return spark.read.parquet(out_dir).select("user_id", "buy_id", "click_id")

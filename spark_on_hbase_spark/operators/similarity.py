@@ -1282,3 +1282,182 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "adc_cosine", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (round 9b): the third compression point on the ANN
+# memory/recall curve, between raw vectors (8 bytes/dim here) and PQ codes
+# (16 codes/vector). Every dimension is linearly quantized to one byte using
+# the corpus's own per-dimension [min, max] — a single aggregation row that
+# broadcasts everywhere. Scoring is asymmetric (full-precision query against
+# reconstructed corpus values), and the production read path is
+# compressed-scan -> top-R candidates -> EXACT rerank of R rows: the final
+# ranking is exact cosine over the true (quantized-int) vectors, with the
+# SQ8 scan only deciding WHICH R rows get the exact treatment. All integer
+# arithmetic (integer-division encode/reconstruct on non-negative operands,
+# where Spark's `div` and DuckDB's `//` agree), so the oracle replays
+# training + encoding + scoring bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SQ8_LEVELS = 255  # codes 0..255: (x - min) * 255 div (max - min)
+
+
+def sq8_train(
+    vectors: DataFrame, id_col: str = "vec_id", qvec_col: str = "__v"
+) -> DataFrame:
+    """Per-dimension [min, max] over a quantized-int corpus: ONE
+    map-side-combinable aggregation (explode dims -> min/max per dim ->
+    re-assemble two arrays). Output is a single row (mins, maxs) — the
+    entire 'codebook' of scalar quantization, broadcastable by
+    construction at any corpus size."""
+    dims = vectors.select(F.posexplode(F.col(qvec_col)).alias("__d", "__x"))
+    per_dim = dims.groupBy("__d").agg(
+        F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
+    )
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__mn"))), lambda s: s["__mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__mx"))), lambda s: s["__mx"]
+        ).alias("maxs"),
+    )
+
+
+def _sq8_code_expr(vec: str, mins: str, maxs: str) -> Column:
+    """codes[i] = (x - min) * 255 div (max - min); constant dims encode 0.
+    Non-negative operands, so truncating (Spark div) and flooring
+    (DuckDB //) integer division agree."""
+    return F.expr(
+        f"transform(sequence(1, size({vec})), i -> CASE "
+        f"WHEN {maxs}[i - 1] > {mins}[i - 1] "
+        f"THEN (({vec}[i - 1] - {mins}[i - 1]) * {SQ8_LEVELS}) "
+        f"div ({maxs}[i - 1] - {mins}[i - 1]) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def _sq8_recon_expr(codes: str, mins: str, maxs: str) -> Column:
+    """Reconstructed per-dim value r[i] = min + code * (max - min) div 255
+    — same integer-division portability argument as the encoder."""
+    return F.expr(
+        f"transform(sequence(1, size({codes})), i -> {mins}[i - 1] + "
+        f"(({codes}[i - 1]) * ({maxs}[i - 1] - {mins}[i - 1])) div {SQ8_LEVELS})"
+    )
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """Encode the corpus to byte codes: one scan, the 1-row bounds
+    broadcast-crossed in. Returns (id, codes, recon_n2) where recon_n2 is
+    the exact squared norm of the RECONSTRUCTION — what asymmetric cosine
+    must normalize by (the pq_encode argument: approximate geometry
+    normalizes by approximate norms)."""
+    enc = vectors.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        _sq8_code_expr(qvec_col, "mins", "maxs").alias("codes"),
+    )
+    recon = _sq8_recon_expr("codes", "mins", "maxs")
+    return enc.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        "codes",
+        F.aggregate(
+            recon, F.lit(0).cast("bigint"), lambda acc, r: acc + r * r
+        ).alias("recon_n2"),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    bounds: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """SQ8 ANN with exact rerank: stream the CODES (the raw vectors are not
+    read by the scan), score approximate cosine = q . reconstruction /
+    (|q| |reconstruction|) per (query, vector), keep the top
+    rerank_factor*k per query (rank-then-filter -> WindowGroupLimit:
+    per-partition heaps, no global sort), then join ONLY those survivors
+    back to the true vectors for exact cosine and the final top-k. The
+    candidate set is deterministic (exact-int approx scores, id tiebreak),
+    so the exact output hashes cross-engine. Returns
+    (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(qvec_col).alias("__qv"),
+        norm2_expr(F.col(qvec_col)).alias("__qn2"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(bounds))
+        .withColumn("__rv", _sq8_recon_expr("codes", "mins", "maxs"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            "__qn2",
+            dot_expr(F.col("__qv"), F.col("__rv")).alias("__adot"),
+            "recon_n2",
+        )
+        .where((F.col("recon_n2") > 0) & (F.col("__qn2") > 0))
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("__adot").cast("double")
+                / (
+                    F.sqrt(F.col("__qn2").cast("double"))
+                    * F.sqrt(F.col("recon_n2").cast("double"))
+                )
+            ).alias("__acos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("__acos"), F.col(id_col))
+    cand = (
+        scored.withColumn("__arnk", F.row_number().over(wa))
+        .where(F.col("__arnk") <= rerank_factor * k)
+        .select("query_id", id_col)
+    )
+    c = corpus.select(F.col(id_col), F.col(qvec_col).alias("__cv"))
+    exact = (
+        cand.join(c, id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(qvec_col).alias("__qv")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            id_col,
+            cosine_expr(
+                dot_expr(F.col("__qv"), F.col("__cv")),
+                norm2_expr(F.col("__qv")),
+                norm2_expr(F.col("__cv")),
+            ).alias("cosine"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    # filter on the RAW row_number and cast only afterwards: a cast between
+    # rank and filter breaks InferWindowGroupLimit's pattern match (the r7
+    # dsir_importance_topk lesson) and the plan degrades to a full sort of
+    # the scored space per partition
+    return (
+        exact.withColumn("__rnk", F.row_number().over(we))
+        .where(F.col("__rnk") <= k)
+        .select(
+            "query_id", id_col, "cosine", F.col("__rnk").cast("bigint").alias("rank")
+        )
+    )

@@ -755,3 +755,318 @@ def dsir_scores(
             F.sum("qlr").alias("dsir_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (Sennrich, Haddow & Birch, ACL 2016,
+# arXiv:1508.07909). Classic BPE iterates over the WORD-TYPE census, not the
+# corpus: count word types once (the only corpus-sized pass), then each merge
+# round runs entirely on the vocabulary-sized (word, count, symbols) relation
+# — pair counting is one hash aggregation weighted by word frequency, the
+# winning pair is a single TakeOrdered row, and the merge application is a
+# run-parity window over per-word symbol positions (greedy leftmost pairing:
+# within a run of overlapping candidates, every even-offset candidate merges
+# — the same gaps-and-islands trick dedup.dup_substring_stats uses for span
+# merging). Everything is exact integer/string algebra, so a DuckDB oracle
+# replays the whole loop bit-for-bit as k unrolled CTE stages.
+# ---------------------------------------------------------------------------
+
+BPE_EOW = "</w>"  # end-of-word marker symbol (the paper's word-final tag)
+
+
+def bpe_word_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, syms) — the one corpus-sized pass of BPE learning. The
+    output is vocabulary-sized: every later round touches only this
+    relation, which is what makes the algorithm viable at 100 TB (the
+    corpus is scanned once; iterations scan the vocab)."""
+    words = df.select(F.explode(words_expr(F.lower(F.col(text_col)))).alias("word"))
+    census = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    return census.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"),
+            F.array(F.lit(BPE_EOW)),
+        ).alias("syms"),
+    )
+
+
+def bpe_pair_counts(seqs: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol-pair counts over a (word, cnt,
+    syms) relation: explode adjacent pairs per word type, weight by the
+    word's corpus count. One hash aggregation; returns (a, b, n)."""
+    pairs = seqs.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i - 1] as a, syms[i] as b))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("cnt").alias("n")
+    )
+
+
+def bpe_apply_merge(seqs: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply ONE merge (a, b) -> a||b to every word's symbol sequence with
+    greedy leftmost pairing (the BPE rule: "aaa" under merge (a,a) becomes
+    ["aa","a"], never ["a","aa"]). Relational form: per-word positions, a
+    candidate at pos i iff (syms[i], syms[i+1]) == (a, b); overlapping
+    candidates (possible only when a == b) form runs, and within each run
+    exactly the even-offset candidates merge — computed as a running max of
+    run-start positions, so the whole application is one partition-by-word
+    window pipeline (a single hash exchange on the vocab-sized relation)
+    plus one re-assembly aggregation. No Python in the loop body."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy("pos")
+    rows = seqs.select(
+        "word", "cnt", F.posexplode("syms").alias("pos", "sym")
+    )
+    la, lb = F.lit(a), F.lit(b)
+    r = rows.select(
+        "word",
+        "cnt",
+        "pos",
+        "sym",
+        F.coalesce(
+            (F.col("sym") == la) & (F.lead("sym").over(w) == lb), F.lit(False)
+        ).alias("cand"),
+        # cand evaluated at pos-1: syms[pos-1]==a AND syms[pos]==b
+        F.coalesce(
+            (F.lag("sym").over(w) == la) & (F.col("sym") == lb), F.lit(False)
+        ).alias("prev_cand"),
+    )
+    r = r.withColumn("run_start", F.col("cand") & ~F.col("prev_cand"))
+    r = r.withColumn(
+        "rs_pos",
+        F.max(F.when(F.col("run_start"), F.col("pos"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    r = r.withColumn(
+        "keep",
+        F.col("cand") & (((F.col("pos") - F.col("rs_pos")) % 2) == 0),
+    )
+    r = r.withColumn("prev_keep", F.coalesce(F.lag("keep").over(w), F.lit(False)))
+    out = r.where(~F.col("prev_keep")).select(
+        "word",
+        "cnt",
+        "pos",
+        F.when(F.col("keep"), F.concat(la, lb)).otherwise(F.col("sym")).alias("sym"),
+    )
+    return out.groupBy("word", "cnt").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sym"))), lambda s: s["sym"]
+        ).alias("syms")
+    )
+
+
+def bpe_learn(
+    df: DataFrame, k: int, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn the first ``k`` BPE merges over a corpus. Returns the ranked
+    merge list [(step, a, b, n)] and the final (word, cnt, syms) relation
+    (the segmentation map — broadcastable: it is vocabulary-sized).
+
+    Driver involvement per round is ONE TakeOrdered row (the winning pair)
+    — the same bounded per-superstep probe discipline as graph.bsp_converge;
+    each round's sequences are localCheckpoint-ed so plan depth stays O(1)
+    across rounds. Tie-break is exact and engine-portable: highest count,
+    then lexicographically smallest (a, b) — ASCII-only symbols, so Spark's
+    UTF8 binary ordering and DuckDB's default collation agree."""
+    seqs = bpe_word_census(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        best = (
+            bpe_pair_counts(seqs)
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((step, a, b, n))
+        seqs = bpe_apply_merge(seqs, a, b).localCheckpoint(eager=True)
+    return merges, seqs
+
+
+def bpe_token_counts(
+    df: DataFrame, seqs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document BPE token counts under a learned segmentation map: join
+    each word occurrence to its word type's symbol count. The map is
+    vocabulary-sized, so the join broadcasts — the production tokenizer
+    shape (segment once per word TYPE, apply by lookup). Returns
+    (id, n_words, n_bpe_tokens)."""
+    words = df.select(
+        id_col, F.explode(words_expr(F.lower(F.col(text_col)))).alias("word")
+    )
+    sizes = seqs.select("word", F.size("syms").alias("__nsym"))
+    return (
+        words.join(F.broadcast(sizes), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__nsym").alias("n_bpe_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al., LREC 2020, arXiv:1911.00359).
+# CCNet's defining move: per LANGUAGE, split the corpus into equal-thirds
+# head/middle/tail by LM perplexity and train on the head. Here the LM is
+# the engine's bigram model (the same CCNet-style stand-in lm_likelihood
+# grades) and the thirds come from a quantized-score HISTOGRAM + prefix
+# cutoffs — never a per-language sort of the documents: the histogram is
+# (languages x <=1001 per-mille scores) rows, so cutoff derivation is
+# tiny-relation work and assignment is one broadcast join back onto the
+# per-doc scores. Everything integer until the final census, so the DuckDB
+# oracle hashes exactly.
+# ---------------------------------------------------------------------------
+
+CCNET_PM = 1000  # score quantization: per-mille of the max possible score
+
+
+def ccnet_scores(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "pred_lang",
+) -> DataFrame:
+    """The corpus-sized half of CCNet bucketing: per-doc exact integer LM
+    score quantized per-mille, ``score_pm = (1000 * sum_q) div
+    (n_bigrams * 2^20)``. One explode -> broadcast-model join -> per-doc
+    hash aggregation. At production scale this relation is computed once
+    and STORED (the inventory memoizes it per sf_dir for the same reason);
+    bucket assignment (``ccnet_bucket_assign``) is then tiny-relation work
+    on top. Returns (id, lang, n_bigrams, score_pm)."""
+    base = df.select(
+        id_col, lang_col, words_expr(F.lower(F.col(text_col))).alias("__ws")
+    )
+    grams = base.select(
+        id_col, lang_col, F.explode(ngrams_from_words(F.col("__ws"), 2)).alias("bigram")
+    )
+    return (
+        grams.join(F.broadcast(lm), "bigram", "left")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("q"), F.lit(0))).alias("__s"),
+        )
+        .select(
+            id_col,
+            lang_col,
+            "n_bigrams",
+            F.expr(f"({CCNET_PM} * __s) div (n_bigrams * {LM_QUANT})").alias(
+                "score_pm"
+            ),
+        )
+    )
+
+
+def ccnet_bucket_assign(
+    per_doc: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "pred_lang",
+) -> DataFrame:
+    """Assign every scored document a CCNet bucket (head/middle/tail)
+    within its language, from a ``ccnet_scores`` relation. Per-(lang, pm)
+    histogram -> descending-cumulative cutoffs (h_cut = largest pm whose
+    high-score prefix holds >= ceil(n/3) docs; m_cut at 2n/3) -> broadcast
+    cutoffs -> bucket. head = score_pm >= h_cut (ties land together, so
+    thirds are approximate at pm-boundary granularity — the price of never
+    sorting the corpus: the histogram is languages x <=1001 rows). Returns
+    per-doc (id, lang, n_bigrams, score_pm, bucket)."""
+    from pyspark.sql import Window
+
+    hist = per_doc.groupBy(lang_col, "score_pm").agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(lang_col).orderBy(F.desc("score_pm")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__n").over(w)).withColumn(
+        "__total", F.sum("__n").over(Window.partitionBy(lang_col))
+    )
+    cuts = cum.groupBy(lang_col).agg(
+        F.max(
+            F.when(F.col("__cum") >= F.expr("(__total + 2) div 3"), F.col("score_pm"))
+        ).alias("__h_cut"),
+        F.max(
+            F.when(
+                F.col("__cum") >= F.expr("(2 * __total + 2) div 3"), F.col("score_pm")
+            )
+        ).alias("__m_cut"),
+    )
+    return per_doc.join(F.broadcast(cuts), lang_col).select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "score_pm",
+        F.when(F.col("score_pm") >= F.col("__h_cut"), "head")
+        .when(F.col("score_pm") >= F.col("__m_cut"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "pred_lang",
+) -> DataFrame:
+    """CCNet bucketing end-to-end: ``ccnet_scores`` (the one corpus-sized
+    pass) composed with ``ccnet_bucket_assign`` (tiny-relation cutoffs +
+    broadcast assignment). The inventory query goes through the memoized
+    scored relation instead — at scale the scores are stored once and
+    re-bucketed cheaply."""
+    return ccnet_bucket_assign(
+        ccnet_scores(df, lm, text_col, id_col, lang_col), id_col, lang_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning rules (Raffel et al., JMLR 2020, arXiv:1910.10683
+# §2.2 — the filters that built C4 from Common Crawl). Line-level: keep only
+# lines ending in a terminal punctuation mark, drop lines mentioning
+# javascript. Page-level: drop pages with fewer than 5 retained lines
+# (the paper's sentence floor, counted here at line granularity: a retained
+# line ends in terminal punctuation, i.e. holds >= 1 sentence), pages
+# containing "lorem ipsum", and pages containing a curly brace. One
+# codegen'd map-only scan — no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+C4_MIN_KEPT_LINES = 5
+
+
+def c4_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document C4 rule verdicts over newline-separated text: line
+    censuses (total, retained) and the page-level flags, plus the combined
+    ``keep``. Returns (id, n_lines, n_kept_lines, has_lorem, has_brace,
+    has_js_line, keep)."""
+    lines = F.split(F.col(text_col), "\n")
+    is_kept = lambda l: F.substring(l, -1, 1).isin(".", "!", "?", '"') & ~F.contains(
+        F.lower(l), F.lit("javascript")
+    )
+    out = df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, is_kept)).alias("n_kept_lines"),
+        F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(F.col(text_col), F.lit("{")).alias("has_brace"),
+        F.exists(
+            lines, lambda l: F.contains(F.lower(l), F.lit("javascript"))
+        ).alias("has_js_line"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_kept_lines") >= C4_MIN_KEPT_LINES)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )

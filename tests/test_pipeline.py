@@ -1686,3 +1686,257 @@ def test_leakage_safe_split_never_tears_a_cluster(spark, sf_dir):
         "must show leaked clusters"
     )
     assert sum(r["n_docs"] for r in rows.values()) == corpus(spark, sf_dir).count()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, k):
+    """Pure-Python classic BPE twin (Sennrich et al. 2016): word-type census,
+    then k rounds of (count pairs weighted by word frequency, merge the
+    most frequent pair greedily left-to-right), ties broken count-desc then
+    lexicographic (a, b)."""
+    import collections
+
+    census = collections.Counter(
+        w for t in texts for w in t.lower().split() if w
+    )
+    vocab = {w: list(w) + ["</w>"] for w in census}
+    merges = []
+    for step in range(1, k + 1):
+        counts = collections.Counter()
+        for w, s in vocab.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += census[w]
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, n))
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, census
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    texts = [
+        "lower lower lowest newer newer newer wider wide widen",
+        "low low low lower newest news new renew widen wide",
+        "banana bandana ana anna banal canal",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    merges, seqs = T.bpe_learn(df, 10)
+    py_merges, py_vocab, _ = _py_bpe(texts, 10)
+    assert merges == py_merges
+    got = {r["word"]: r["syms"] for r in seqs.collect()}
+    assert got == py_vocab
+
+
+def test_bpe_greedy_leftmost_pairing_on_overlapping_runs(spark):
+    """The a==b overlap case: under merge (a, a), 'aaaa' must become
+    [aa, aa, </w>] and 'aaa' [aa, a, </w>] — greedy leftmost, never a
+    right-aligned or overlapping pairing."""
+    from spark_on_hbase_spark.operators import text as T
+
+    # 'aaaa' x4 and 'aaa' x3 make ('a','a') the top pair unambiguously
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="aaaa aaaa aaaa aaaa aaa aaa aaa bc bc")]
+    )
+    merges, seqs = T.bpe_learn(df, 1)
+    assert merges[0][1:3] == ("a", "a")
+    got = {r["word"]: r["syms"] for r in seqs.collect()}
+    assert got["aaaa"] == ["aa", "aa", "</w>"]
+    assert got["aaa"] == ["aa", "a", "</w>"]
+    assert got["bc"] == ["b", "c", "</w>"]
+
+
+def test_bpe_token_counts_match_python_segmentation(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    texts = [
+        "lower lower newest wide wide widen",
+        "low newer banana ana wide lower lower",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    _, seqs = T.bpe_learn(df, 6)
+    _, py_vocab, _ = _py_bpe(texts, 6)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in T.bpe_token_counts(df, seqs).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        expect = (len(ws), sum(len(py_vocab[w]) for w in ws))
+        assert got[i] == expect, (i, got[i], expect)
+
+
+def test_bpe_word_census_is_the_only_corpus_pass(spark):
+    """Plan shape: each merge round runs on the vocab relation — a
+    localCheckpoint scan — never back on the corpus. Pinned by checking the
+    round-2 pair-count plan contains no parquet/LogicalRDD corpus scan
+    beyond the checkpointed sequences."""
+    from spark_on_hbase_spark.operators import text as T
+
+    df = spark.createDataFrame([Row(doc_id=0, text="ab ab ab cd cd")])
+    seqs = T.bpe_word_census(df, "text").localCheckpoint(eager=True)
+    plan = T.bpe_pair_counts(seqs)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Scan rdd" in plan
+    assert "parquet" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_reconstruction_error_is_bounded_per_dim(spark, sf_dir):
+    """Every reconstructed component must sit within one quantization step
+    (max-min)/255 of the true value — the defining property of linear
+    scalar quantization; a bounds/indexing bug breaks it immediately."""
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(50)
+        .select("vec_id", V.quantize_expr("embedding").alias("__v"))
+    )
+    bounds = V.sq8_train(vecs)
+    codes = V.sq8_encode(vecs, bounds)
+    b = bounds.collect()[0]
+    mins, maxs = b["mins"], b["maxs"]
+    truth = {r["vec_id"]: r["__v"] for r in vecs.collect()}
+    for r in codes.collect():
+        tv = truth[r["vec_id"]]
+        for i, c in enumerate(r["codes"]):
+            assert 0 <= c <= V.SQ8_LEVELS
+            step = max(maxs[i] - mins[i], 1)
+            recon = mins[i] + (c * (maxs[i] - mins[i])) // V.SQ8_LEVELS
+            assert abs(recon - tv[i]) <= step // V.SQ8_LEVELS + 1, (
+                r["vec_id"], i, recon, tv[i])
+
+
+def test_sq8_topk_recall_floor_and_exact_scores(spark, sf_dir):
+    """SQ8+rerank recall@10 vs brute force on the fixture corpus, and the
+    surviving rows' cosines must EQUAL the brute-force cosines exactly —
+    the rerank is exact arithmetic over the same quantized vectors, only
+    the candidate set is approximate."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = emb.select("vec_id", V.quantize_expr("embedding").alias("__v"))
+    queries = vecs.where(F.col("vec_id") % 97 == 0)
+    bounds = V.sq8_train(vecs)
+    codes = V.sq8_encode(vecs, bounds)
+    got = V.sq8_topk(queries, codes, bounds, vecs, k=10, rerank_factor=4)
+    brute = V.brute_force_topk(
+        emb, emb.where(F.col("vec_id") % 97 == 0), k=10
+    )
+    g, b = {}, {}
+    bcos = {}
+    for r in got.collect():
+        g.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in brute.collect():
+        b.setdefault(r["query_id"], set()).add(r["vec_id"])
+        bcos[(r["query_id"], r["vec_id"])] = r["cosine"]
+    hits = sum(len(g[q] & b[q]) for q in b)
+    total = sum(len(b[q]) for q in b)
+    recall = hits / total
+    assert recall >= 0.85, f"SQ8 recall@10 {recall:.3f} below floor"
+    for r in got.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in bcos:
+            assert r["cosine"] == bcos[key], key
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_match_python_replay_and_split_thirds(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    # 9 'en' docs with graded corpus-likeness + 3 'de' docs: bucket cutoffs
+    # are per-language, so the de docs must not perturb the en thirds.
+    en_core = "the cat sat on the mat and the dog sat on the log "
+    docs = []
+    for i in range(9):
+        # progressively scramble: more shuffled word order = lower bigram score
+        words = en_core.split()
+        scr = words[: len(words) - i] + words[len(words) - i:][::-1]
+        docs.append(Row(doc_id=i, text=" ".join(scr) + f" extra{i} it is"))
+    for j in range(3):
+        docs.append(Row(doc_id=100 + j, text="der hund ist nicht ein und das " * (j + 1)))
+    df = spark.createDataFrame(docs)
+    langs = T.lang_id(df.select("doc_id", "text")).select("doc_id", "text", "pred_lang")
+    lm = T.bigram_lm(df)
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["score_pm"], r["bucket"])
+        for r in T.ccnet_perplexity_buckets(langs, lm).collect()
+    }
+
+    # python replay of the cutoff algebra from the spark per-doc scores
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for d, (lang, pm, _) in got.items():
+        by_lang[lang].append(pm)
+    cuts = {}
+    for lang, pms in by_lang.items():
+        hist = collections.Counter(pms)
+        total = len(pms)
+        cum, h_cut, m_cut = 0, None, None
+        for pm in sorted(hist, reverse=True):
+            cum += hist[pm]
+            if h_cut is None and cum >= (total + 2) // 3:
+                h_cut = pm
+            if m_cut is None and cum >= (2 * total + 2) // 3:
+                m_cut = pm
+        cuts[lang] = (h_cut, m_cut)
+    for d, (lang, pm, bucket) in got.items():
+        h, m = cuts[lang]
+        expect = "head" if pm >= h else ("middle" if pm >= m else "tail")
+        assert bucket == expect, (d, lang, pm, bucket, expect)
+
+    # en thirds: with 9 mostly-distinct scores, each bucket holds ~3
+    en_buckets = collections.Counter(
+        b for d, (lang, _, b) in got.items() if lang == "en"
+    )
+    assert set(en_buckets) == {"head", "middle", "tail"}
+    assert max(en_buckets.values()) <= 5
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic filters (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_rules_verdicts_per_rule_and_boundary(spark):
+    from spark_on_hbase_spark.operators import text as T
+
+    good5 = "\n".join(f"this is a good sentence number {i}." for i in range(5))
+    good4 = "\n".join(f"this is a good sentence number {i}." for i in range(4))
+    docs = [
+        Row(doc_id=1, text=good5),                               # keep (exactly 5)
+        Row(doc_id=2, text=good4),                               # < 5 kept lines
+        Row(doc_id=3, text=good5 + "\nno terminal punctuation here"),  # extra line not kept
+        Row(doc_id=4, text=good5 + "\nlorem ipsum dolor."),      # lorem page drop
+        Row(doc_id=5, text=good5 + "\ncode { inline }."),        # brace page drop
+        Row(doc_id=6, text=good5 + "\nenable javascript now."),  # js line dropped, page kept
+        Row(doc_id=7, text='she said "stop"\nwait!\nreally?\nyes.\nok "fine"'),  # all terminals
+    ]
+    got = {r["doc_id"]: r.asDict() for r in T.c4_rules(spark.createDataFrame(docs)).collect()}
+    assert got[1]["keep"] and got[1]["n_kept_lines"] == 5
+    assert not got[2]["keep"] and got[2]["n_kept_lines"] == 4
+    assert got[3]["keep"] and got[3]["n_lines"] == 6 and got[3]["n_kept_lines"] == 5
+    assert not got[4]["keep"] and got[4]["has_lorem"]
+    assert not got[5]["keep"] and got[5]["has_brace"]
+    assert got[6]["keep"] and got[6]["has_js_line"] and got[6]["n_kept_lines"] == 5
+    assert got[7]["n_kept_lines"] == 5 and got[7]["keep"]

@@ -506,3 +506,16 @@ def test_untrimmed_global_window_counter_discriminates(spark):
     assert plans.count_untrimmed_global_windows(part) == 0
     rescued = bad.where(F.col("rank") <= 10)
     assert plans.count_untrimmed_global_windows(rescued) == 0
+
+
+def test_sq8_topk_plans_window_group_limit_for_both_rankings(spark, sf_dir):
+    """Both SQ8 ranking windows — the top-40 candidate cut over the
+    compressed scan AND the final exact top-10 — must plan WindowGroupLimit
+    (the rank filter sits on the RAW row_number; a cast in between breaks
+    InferWindowGroupLimit's pattern match, the r7 dsir lesson). Without it
+    the candidate cut sorts the full |Q| x |corpus| scored space."""
+    from spark_on_hbase_spark.inventory import QUERIES
+
+    df = QUERIES["ann_sq8_topk"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan.count("WindowGroupLimit")
