@@ -123,6 +123,10 @@ TARGETS = [
     "bpe_learn",
     "ann_sq8",
     "ccnet_perplexity_buckets",
+    # round-9 continuation late: JL random projection with a FIXED query
+    # batch — same compressed-scan + rerank contract as SQ8 (warm must
+    # track data growth); projection is index build, cold-run only.
+    "ann_rp",
 ]
 
 
@@ -648,6 +652,25 @@ def _bpe_learn(spark, sf: str) -> int:
     return len(merges) + n
 
 
+_QVEC_PROBE_CACHE: dict = {}
+
+
+def _qvecs_cached(spark, sf: str):
+    """One persisted quantized-embeddings relation per scale, shared by the
+    SQ8 and JL probes (each used to persist its own copy — duplicated
+    executor memory that can pressure eviction and skew the warm timings
+    the probe exists to measure)."""
+    from spark_on_hbase_spark.operators import similarity as V
+
+    if sf not in _QVEC_PROBE_CACHE:
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", V.quantize_expr("embedding").alias("__v")
+        ).persist()
+        vecs.count()
+        _QVEC_PROBE_CACHE[sf] = vecs
+    return _QVEC_PROBE_CACHE[sf]
+
+
 _SQ8_PROBE_CACHE: dict = {}
 
 
@@ -661,9 +684,7 @@ def _ann_sq8(spark, sf: str) -> int:
     from spark_on_hbase_spark.operators import similarity as V
 
     if sf not in _SQ8_PROBE_CACHE:
-        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select(
-            "vec_id", V.quantize_expr("embedding").alias("__v")
-        ).persist()
+        vecs = _qvecs_cached(spark, sf)
         bounds = V.sq8_train(vecs).persist()
         codes = V.sq8_encode(vecs, bounds).persist()
         bounds.count()
@@ -676,10 +697,36 @@ def _ann_sq8(spark, sf: str) -> int:
     return V.sq8_topk(queries, codes, bounds, vecs, k=10, rerank_factor=4).count()
 
 
+_RP_PROBE_CACHE: dict = {}
+
+
+def _ann_rp(spark, sf: str) -> int:
+    """Custom probe target (round 9b): JL random-projection ANN with a
+    FIXED query batch. Projection (one map-only scan to m=32 int64s per
+    vector) is index build — cached per scale, cold-run only; warm times
+    the projected scan + top-80 WindowGroupLimit + 80-row exact rerank.
+    Linear-in-corpus per query batch by construction, so warm growth must
+    track data growth like SQ8/brute-ADC."""
+    from spark_on_hbase_spark.operators import similarity as V
+
+    planes = V.plane_matrix(32, 64)
+    if sf not in _RP_PROBE_CACHE:
+        vecs = _qvecs_cached(spark, sf)
+        proj = V.rp_project(vecs, planes).persist()
+        proj.count()
+        _RP_PROBE_CACHE[sf] = (vecs, proj)
+    vecs, proj = _RP_PROBE_CACHE[sf]
+    queries = vecs.where(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 10_000_000)
+    )
+    return V.rp_topk(queries, proj, vecs, planes, k=10, rerank_factor=8).count()
+
+
 # custom (non-registry) probe bodies: called instead of QUERIES[name]
 CUSTOM = {
     "bpe_learn": _bpe_learn,
     "ann_sq8": _ann_sq8,
+    "ann_rp": _ann_rp,
     "lsm_mutation_storm": _lsm_mutation_storm,
     "lsm_dirty_compact": _lsm_dirty_compact,
     "secondary_index_maintain": _secondary_index_maintain,

@@ -736,6 +736,10 @@ _ROTATED_OUT_R09 = [
     # r08-driver-green on the untouched bsp_step kernel, pinned by the
     # bsp tests in tests/test_graph.py and its standing 30x probe row.
     "bsp_3step",
+    # (ann_rp_topk registers in-window): merge_join_big_big is
+    # r08-driver-green, operators/joins.py untouched this session, pinned
+    # by tests/test_plans.py::test_merge_join_plans_smj.
+    "merge_join_big_big",
     # -- newly out in r9: r08-driver-green, kernels untouched in r9 --------
     # edge_dedup: operators/graph.py EP combine unchanged; combine-law
     # property pytests (tests/test_graph.py) pin it.

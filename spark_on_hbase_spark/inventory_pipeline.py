@@ -3719,7 +3719,12 @@ def _bpe_oracle_ctes(k: int) -> str:
       SELECT word, cnt, pos, sym, a, b,
              COALESCE(sym = a AND lead(sym) OVER w = b, FALSE) AS cand,
              COALESCE(lag(sym) OVER w = a AND sym = b, FALSE) AS prev_cand
-      FROM rows{r} CROSS JOIN best{r}
+      -- LEFT JOIN, not CROSS: when a round has no pairs left, best{r} is
+      -- EMPTY and a cross join would erase the vocabulary; with null a/b
+      -- every cand coalesces FALSE and seqs{r + 1} == seqs{r} — exactly
+      -- Spark bpe_learn's `if not best: break` (and the merge-table union
+      -- naturally emits no row for the dry round)
+      FROM rows{r} LEFT JOIN best{r} ON TRUE
       WINDOW w AS (PARTITION BY word ORDER BY pos)
     ),
     runs{r} AS (
@@ -4112,14 +4117,17 @@ warmer("ccnet_scored")(_ccnet_scored)
 
 
 def _c4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return _c4_fixture_expr(load(spark, sf_dir, "documents"))
+
+
+def _c4_fixture_expr(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.expr(
             """
             array_join(
               concat(
-                CASE WHEN size(split(text, '\\\\s+')) = 0
+                CASE WHEN size(filter(split(text, '\\\\s+'), w -> w != '')) = 0
                      THEN array()
                      ELSE transform(
                         sequence(0, (size(filter(split(text, '\\\\s+'), w -> w != '')) + 7) div 8 - 1),
@@ -4141,7 +4149,10 @@ _C4_WS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
 _C4_FIXTURE_SQL = f"""
     c4_docs AS (
         SELECT doc_id,
-               array_to_string(
+               -- COALESCE: array_to_string([]) is NULL in DuckDB where
+               -- Spark's array_join([], ...) is '' (zero-word doc with no
+               -- injected lines)
+               COALESCE(array_to_string(
                  list_concat(
                    list_concat(
                      [array_to_string(list_slice({_C4_WS}, i * 8 + 1, i * 8 + 8), ' ')
@@ -4154,7 +4165,7 @@ _C4_FIXTURE_SQL = f"""
                           THEN ['function() {{ return 1; }}.'] ELSE [] END,
                      CASE WHEN doc_id % 43 = 0
                           THEN ['please enable javascript to continue.'] ELSE [] END)
-                 ), chr(10)) AS text
+                 ), chr(10)), '') AS text
         FROM documents
     )"""
 
@@ -4196,3 +4207,125 @@ _C4_FIXTURE_SQL = f"""
 )
 def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.c4_rules(_c4_fixture(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Random-projection ANN (round 9b; Johnson-Lindenstrauss via Achlioptas'
+# database-friendly ±1 projections, JCSS 2003): 64 -> 16 dims as exact
+# integer plane dots, candidate ranking in the projected space, exact
+# rerank in the original space. The md5-derived plane family is the same
+# public construction the sign-LSH path uses — sign-LSH keeps 1 bit per
+# plane, this keeps the full dot.
+# ---------------------------------------------------------------------------
+
+_RP_M = 32
+_RP_PLANES = V.plane_matrix(_RP_M, 64)
+_RP_K, _RP_RERANK = 10, 8
+
+_RP_CACHE: dict = {}
+
+
+def _rp_index(spark: SparkSession, sf_dir: str):
+    """Memoized projected corpus (vec_id, pv), persisted per
+    (session, sf_dir): projection is index build — one map-only scan, m=32
+    int64s per vector (2x residency vs the 64-dim quantized corpus; m=16
+    doubles the saving at lower adversarial-corpus recall)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RP_CACHE:
+        for stale in [k for k in _RP_CACHE if k != key]:
+            if stale[0] == key[0]:
+                _RP_CACHE[stale].unpersist()
+            del _RP_CACHE[stale]
+        vecs = load(spark, sf_dir, "embeddings").select(
+            "vec_id", V.quantize_expr("embedding").alias("__v")
+        )
+        proj = V.rp_project(vecs, _RP_PLANES).persist()
+        proj.count()
+        _RP_CACHE[key] = proj
+    return _RP_CACHE[key]
+
+
+@build("rp_projected")
+def _rp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.quantize_expr("embedding").alias("__v")
+    )
+    return V.rp_project(vecs, _RP_PLANES)
+
+
+@query(
+    "ann_rp_topk",
+    f"""
+    WITH {_BASE_VECS_SQL},
+    rp_proj AS MATERIALIZED (
+        SELECT vec_id, {V.plane_dots_sql('v', _RP_PLANES)} AS pv FROM base_vecs
+    ),
+    rp_queries AS MATERIALIZED (
+        SELECT vec_id AS query_id, v AS qv,
+               {V.plane_dots_sql('v', _RP_PLANES)} AS qp
+        FROM base_vecs WHERE vec_id % 97 = 0
+    ),
+    rp_approx AS (
+        SELECT q.query_id, p.vec_id,
+               CAST({V.dot_sql('q.qp', 'p.pv')} AS DOUBLE)
+                   / (sqrt(CAST({V.norm2_sql('q.qp')} AS DOUBLE))
+                      * sqrt(CAST({V.norm2_sql('p.pv')} AS DOUBLE))) AS pcos
+        FROM rp_proj p CROSS JOIN rp_queries q
+        WHERE p.vec_id <> q.query_id
+          AND {V.norm2_sql('p.pv')} > 0 AND {V.norm2_sql('q.qp')} > 0
+    ),
+    rp_cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pcos DESC, vec_id) AS rn
+            FROM rp_approx
+        ) WHERE rn <= {_RP_RERANK * _RP_K}
+    ),
+    rp_exact AS (
+        SELECT c.query_id, c.vec_id,
+               {V.COSINE_SQL.format(
+                   dot=V.dot_sql('q.qv', 'b.v'),
+                   na=V.norm2_sql('q.qv'), nb=V.norm2_sql('b.v'))} AS cosine
+        FROM rp_cand c
+        JOIN base_vecs b ON b.vec_id = c.vec_id
+        JOIN rp_queries q ON q.query_id = c.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS BIGINT)
+                   AS rank
+        FROM rp_exact
+    ) WHERE rank <= {_RP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Random-projection ANN (Johnson-Lindenstrauss; Achlioptas 2003 "
+    "±1 database-friendly projections; similarity.rp_project/rp_topk): "
+    "project 64 -> 32 dims as exact integer plane dots (the sign-LSH "
+    "plane family, full dots instead of sign bits; 4x residency), rank "
+    "candidates by projected cosine on the compressed scan, top-80 per "
+    "query via WindowGroupLimit, exact cosine rerank of only those rows. "
+    "Same read-path shape as SQ8 — the two compressions bracket the "
+    "residency/recall curve (SQ8 keeps every dim at 1 byte; JL keeps m "
+    "exact synthetic dims). Graded at m=32, rerank 8x on the near-random "
+    "parquet fixture — the documented adversarial FLOOR for sub-linear "
+    "ANN (recall@10 0.68 here; 0.87-0.92 on the clustered-regime corpus "
+    "real embeddings exhibit, floored in tests/test_pipeline.py — the "
+    "same two-regime grading the LSH/IVF family uses). All integer until "
+    "the final IEEE divisions; oracle replays projection + ranking + "
+    "rerank bit-for-bit.",
+    tags=("similarity", "embedding", "ann", "jl"),
+)
+def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    proj = _rp_index(spark, sf_dir)
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.quantize_expr("embedding").alias("__v")
+    )
+    queries = vecs.where(F.col("vec_id") % 97 == 0)
+    return V.rp_topk(
+        queries, proj, vecs, _RP_PLANES, k=_RP_K, rerank_factor=_RP_RERANK
+    ).orderBy("query_id", "rank")
+
+
+warmer("rp_index")(_rp_index)

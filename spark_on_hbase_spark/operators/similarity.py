@@ -1360,14 +1360,75 @@ def sq8_encode(
     enc = vectors.crossJoin(F.broadcast(bounds)).select(
         F.col(id_col),
         _sq8_code_expr(qvec_col, "mins", "maxs").alias("codes"),
+        "mins",
+        "maxs",
     )
     recon = _sq8_recon_expr("codes", "mins", "maxs")
-    return enc.crossJoin(F.broadcast(bounds)).select(
+    # codes and recon_n2 in the same pass: one broadcast of the 1-row
+    # bounds, one projection — not a second crossJoin
+    return enc.select(
         id_col,
         "codes",
         F.aggregate(
             recon, F.lit(0).cast("bigint"), lambda acc, r: acc + r * r
         ).alias("recon_n2"),
+    )
+
+
+def _exact_rerank_topk(
+    approx_scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_factor: int,
+    approx_col: str,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """The shared tail of every compressed-scan ANN path (SQ8, JL): cut the
+    approx-scored relation to rerank_factor*k candidates per query
+    (rank-then-filter on the RAW row_number -> WindowGroupLimit; a cast in
+    between breaks InferWindowGroupLimit's pattern match — the r7
+    dsir_importance_topk lesson), join ONLY those survivors back to the
+    true vectors, exact-cosine rerank to the final top-k. Deterministic:
+    exact-int approx scores with an id tiebreak pick the candidates, so
+    the exact output hashes cross-engine."""
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("query_id").orderBy(F.desc(approx_col), F.col(id_col))
+    cand = (
+        approx_scored.withColumn("__arnk", F.row_number().over(wa))
+        .where(F.col("__arnk") <= rerank_factor * k)
+        .select("query_id", id_col)
+    )
+    c = corpus.select(F.col(id_col), F.col(qvec_col).alias("__cv"))
+    exact = (
+        cand.join(c, id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(qvec_col).alias("__qv")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            id_col,
+            cosine_expr(
+                dot_expr(F.col("__qv"), F.col("__cv")),
+                norm2_expr(F.col("__qv")),
+                norm2_expr(F.col("__cv")),
+            ).alias("cosine"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        exact.withColumn("__rnk", F.row_number().over(we))
+        .where(F.col("__rnk") <= k)
+        .select(
+            "query_id", id_col, "cosine", F.col("__rnk").cast("bigint").alias("rank")
+        )
     )
 
 
@@ -1390,8 +1451,6 @@ def sq8_topk(
     candidate set is deterministic (exact-int approx scores, id tiebreak),
     so the exact output hashes cross-engine. Returns
     (query_id, vec_id, cosine, rank)."""
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(qvec_col).alias("__qv"),
@@ -1422,42 +1481,88 @@ def sq8_topk(
             ).alias("__acos"),
         )
     )
-    wa = Window.partitionBy("query_id").orderBy(F.desc("__acos"), F.col(id_col))
-    cand = (
-        scored.withColumn("__arnk", F.row_number().over(wa))
-        .where(F.col("__arnk") <= rerank_factor * k)
-        .select("query_id", id_col)
+    return _exact_rerank_topk(
+        scored, corpus, queries, k, rerank_factor, "__acos", id_col, qvec_col
     )
-    c = corpus.select(F.col(id_col), F.col(qvec_col).alias("__cv"))
-    exact = (
-        cand.join(c, id_col)
-        .join(
-            F.broadcast(
-                queries.select(
-                    F.col(id_col).alias("query_id"), F.col(qvec_col).alias("__qv")
-                )
-            ),
-            "query_id",
-        )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection ANN (round 9b): Johnson-Lindenstrauss dimensionality
+# reduction with the database-friendly ±1 projection (Achlioptas, JCSS 2003)
+# — the SAME md5-derived hyperplane family the sign-LSH path uses, kept as
+# full integer dots instead of sign bits. Projecting 64 dims down to m
+# synthetic dims (the graded config uses m=32: 2x residency; m=16 doubles
+# the saving at lower adversarial-corpus recall) keeps pairwise cosine
+# approximately (JL), and every
+# projected component is an exact int64 (±1 x quantized ints), so the
+# DuckDB oracle replays projection, candidate ranking and rerank
+# bit-for-bit. Read path mirrors SQ8: projected scan -> top-R candidates
+# (WindowGroupLimit) -> exact cosine rerank of R rows in the original space.
+# ---------------------------------------------------------------------------
+
+
+def rp_project(
+    vectors: DataFrame,
+    planes: list[list[int]],
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """Project a quantized-int corpus onto ``planes`` (±1 rows from
+    plane_matrix): one map-only scan, output (id, pv) with
+    pv[j] = <v, plane_j> exact int64. |pv[j]| <= dim * QUANT ~ 6.4e7 and
+    projected dots <= m * (dim * QUANT)^2 (~1.3e17 at the graded m=32) —
+    safely inside int64."""
+    return vectors.select(
+        F.col(id_col), plane_dots_expr(F.col(qvec_col), planes).alias("pv")
+    )
+
+
+def rp_topk(
+    queries: DataFrame,
+    projected: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[int]],
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    qvec_col: str = "__v",
+) -> DataFrame:
+    """JL ANN with exact rerank: scan the PROJECTED corpus (m ints/vector),
+    rank candidates by projected-space cosine, keep rerank_factor*k per
+    query (rank-then-filter -> WindowGroupLimit), join only the survivors
+    back to the original vectors for exact cosine top-k. Candidate sets
+    are deterministic (exact-int scores, id tiebreak); final cosines are
+    the same exact values brute force produces, so recall is the ONLY
+    approximation. Returns (query_id, vec_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        plane_dots_expr(F.col(qvec_col), planes).alias("__qp"),
+    ).select(
+        "query_id", "__qp", norm2_expr(F.col("__qp")).alias("__qn2")
+    )
+    scored = (
+        projected.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            cosine_expr(
-                dot_expr(F.col("__qv"), F.col("__cv")),
-                norm2_expr(F.col("__qv")),
-                norm2_expr(F.col("__cv")),
-            ).alias("cosine"),
+            dot_expr(F.col("__qp"), F.col("pv")).alias("__pdot"),
+            "__qn2",
+            norm2_expr(F.col("pv")).alias("__pn2"),
+        )
+        .where((F.col("__pn2") > 0) & (F.col("__qn2") > 0))
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("__pdot").cast("double")
+                / (
+                    F.sqrt(F.col("__qn2").cast("double"))
+                    * F.sqrt(F.col("__pn2").cast("double"))
+                )
+            ).alias("__pcos"),
         )
     )
-    we = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
-    # filter on the RAW row_number and cast only afterwards: a cast between
-    # rank and filter breaks InferWindowGroupLimit's pattern match (the r7
-    # dsir_importance_topk lesson) and the plan degrades to a full sort of
-    # the scored space per partition
-    return (
-        exact.withColumn("__rnk", F.row_number().over(we))
-        .where(F.col("__rnk") <= k)
-        .select(
-            "query_id", id_col, "cosine", F.col("__rnk").cast("bigint").alias("rank")
-        )
+    return _exact_rerank_topk(
+        scored, corpus, queries, k, rerank_factor, "__pcos", id_col, qvec_col
     )

@@ -795,7 +795,11 @@ def bpe_pair_counts(seqs: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent-symbol-pair counts over a (word, cnt,
     syms) relation: explode adjacent pairs per word type, weight by the
     word's corpus count. One hash aggregation; returns (a, b, n)."""
-    pairs = seqs.select(
+    # fully-merged words (size(syms) == 1) contribute no pairs; without the
+    # guard sequence(1, 0) is Spark's DESCENDING [1, 0] and the transform
+    # indexes syms[1] / syms[-1] on a 1-element array (crash under ANSI,
+    # null phantom pairs otherwise) — same guard shape as ngrams_from_words
+    pairs = seqs.where(F.size("syms") >= 2).select(
         "cnt",
         F.explode(
             F.expr(

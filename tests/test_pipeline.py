@@ -1940,3 +1940,114 @@ def test_c4_rules_verdicts_per_rule_and_boundary(spark):
     assert not got[5]["keep"] and got[5]["has_brace"]
     assert got[6]["keep"] and got[6]["has_js_line"] and got[6]["n_kept_lines"] == 5
     assert got[7]["n_kept_lines"] == 5 and got[7]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# Random-projection ANN (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def test_rp_projection_is_exact_plane_dots(spark):
+    import numpy as np
+
+    planes = V.plane_matrix(16, 8)
+    rows = [
+        {"vec_id": i, "__v": [(i * 7 + j * 3 - 10) for j in range(8)]}
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["vec_id"]: r["pv"] for r in V.rp_project(df, planes).collect()}
+    P = np.array(planes)
+    for row in rows:
+        expect = (P @ np.array(row["__v"])).tolist()
+        assert got[row["vec_id"]] == expect
+
+
+def test_rp_topk_recall_floors_on_both_regimes_and_exact_scores(spark, sf_dir):
+    """Two-regime recall grading (the LSH/IVF family convention): the
+    graded config (m=32, 8x rerank) on the near-random parquet fixture —
+    the adversarial floor (measured 0.68) — and m=16, 4x on the clustered
+    corpus real embeddings exhibit (measured 0.87). Floors at ~60% of
+    measured so data-regeneration noise can't flake while a real recall
+    regression still fails. Surviving rows' cosines must EQUAL brute
+    force's — the candidate set is the only approximation."""
+
+    def recall_and_exact(corpus_raw, planes, rf):
+        vecs = corpus_raw.select(
+            "vec_id", V.quantize_expr("embedding").alias("__v")
+        )
+        queries = vecs.where(F.col("vec_id") % 97 == 0)
+        proj = V.rp_project(vecs, planes)
+        got = V.rp_topk(queries, proj, vecs, planes, k=10, rerank_factor=rf)
+        brute = V.brute_force_topk(
+            corpus_raw, corpus_raw.where(F.col("vec_id") % 97 == 0), k=10
+        )
+        g, b, bcos = {}, {}, {}
+        for r in got.collect():
+            g.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for r in brute.collect():
+            b.setdefault(r["query_id"], set()).add(r["vec_id"])
+            bcos[(r["query_id"], r["vec_id"])] = r["cosine"]
+        for r in got.collect():
+            key = (r["query_id"], r["vec_id"])
+            if key in bcos:
+                assert r["cosine"] == bcos[key], key
+        return sum(len(g[q] & b[q]) for q in b) / sum(len(b[q]) for q in b)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    r_adversarial = recall_and_exact(emb, V.plane_matrix(32, 64), 8)
+    assert r_adversarial >= 0.4, f"JL adversarial recall {r_adversarial:.3f}"
+    cc = V.clustered_corpus(spark, 2000)
+    r_clustered = recall_and_exact(cc, V.plane_matrix(16, 64), 4)
+    assert r_clustered >= 0.55, f"JL clustered recall {r_clustered:.3f}"
+
+
+def test_bpe_survives_fully_merged_words(spark):
+    """Regression (review round 9b): a word whose symbol sequence shrinks
+    to ONE symbol must contribute no pairs — un-guarded, Spark's
+    sequence(1, size-1) on a size-1 array is the DESCENDING [1, 0] and the
+    pair transform crashes (ANSI) or emits null phantom pairs. 'a' fully
+    merges in round 1 ((a, </w>) is the top pair); later rounds must still
+    learn from the remaining words, and learning must stop cleanly when
+    every pair is exhausted (merges list shorter than k, final sequences
+    intact)."""
+    from spark_on_hbase_spark.operators import text as T
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a a a a a a bc bc")])
+    merges, seqs = T.bpe_learn(df, 10)
+    got = {r["word"]: r["syms"] for r in seqs.collect()}
+    assert got["a"] == ["a</w>"]
+    assert got["bc"] == ["bc</w>"]
+    # every word fully merged -> pairs exhausted -> early stop
+    assert len(merges) < 10
+    assert merges[0][1:3] == ("a", "</w>")
+
+
+def test_c4_fixture_empty_and_whitespace_docs_match_oracle_shape(spark):
+    """Regression (review round 9b): split('', '\\s+') returns [''] in
+    Spark, so guarding the line fixture on the UNFILTERED token count was
+    dead code and zero-word docs produced phantom '.' lines the DuckDB
+    twin does not produce. Both engines must now emit the same fixture
+    text for empty / whitespace-only docs."""
+    import duckdb
+
+    import spark_on_hbase_spark.inventory_pipeline as IP
+
+    rows = [
+        Row(doc_id=37 * 5, text=""),          # lorem-injection residue, empty
+        Row(doc_id=1, text="   "),             # whitespace only
+        Row(doc_id=2, text="one two three"),   # normal
+    ]
+    df = spark.createDataFrame(rows)
+    spark_fx = {
+        r["doc_id"]: r["text"] for r in IP._c4_fixture_expr(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"WITH {IP._C4_FIXTURE_SQL} SELECT doc_id, text FROM c4_docs"
+        ).fetchall()
+    }
+    assert spark_fx == duck, (spark_fx, duck)
