@@ -745,6 +745,11 @@ _ROTATED_OUT_R09 = [
     # session, pinned by the expand/profile tests in tests/test_graph.py
     # and the widened plan-budget golden.
     "graph_inner_expand",
+    # (edit_distance_dedup registers in-window): partition_distribution is
+    # r08-driver-green, keys.py salting untouched this session, pinned by
+    # tests/test_keys.py::test_partitioner_uniformity (<2% rel-stdev
+    # property).
+    "partition_distribution",
     # -- newly out in r9: r08-driver-green, kernels untouched in r9 --------
     # edge_dedup: operators/graph.py EP combine unchanged; combine-law
     # property pytests (tests/test_graph.py) pin it.

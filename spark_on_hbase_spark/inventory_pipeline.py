@@ -488,7 +488,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(final: str = None) -> str:
     # 64 bit-votes from two independent 32-bit md5 halves (h1 = hex chars
     # 1-8, h2 = chars 9-16); the signature is the signed two's-complement
     # sum (bit 63 contributes -2^63), mirroring D.simhash_signatures
@@ -515,13 +515,16 @@ def _simhash_sql() -> str:
         SELECT doc_id, {votes}
         FROM hashed GROUP BY doc_id
     ),
-    sigs AS (SELECT doc_id, {sig} AS simhash FROM voted)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.simhash AS sig_a, b.simhash AS sig_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE ({any_block})
-      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM voted),
+    sim_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sig_a, b.simhash AS sig_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE ({any_block})
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    )
+    {final or "SELECT id_a, id_b, sig_a, sig_b, hamming FROM sim_pairs"}
     """
 
 
@@ -4507,3 +4510,46 @@ def _v3_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 build("v3_gates")(_v3_gates_build)
 warmer("v3_gates")(_v3_gates)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verified near-dup (round 9b): simhash-banded candidates +
+# exact Levenshtein verify — the character-level dedup modality (template
+# substitutions, typo-level edits) word-shingle Jaccard judges only
+# indirectly. Spark and DuckDB implement the same classic DP, so distances
+# are identical integers.
+# ---------------------------------------------------------------------------
+
+_ED_TAU = 16
+
+
+@query(
+    "edit_distance_dedup",
+    f"""
+    WITH {CORPUS_SQL}, {_shingled_sql(3)},
+    {_simhash_sql(f'''
+    SELECT p.id_a, p.id_b, p.hamming,
+           levenshtein(ca.text, cb.text) AS edit_distance
+    FROM sim_pairs p
+    JOIN corpus ca ON ca.doc_id = p.id_a
+    JOIN corpus cb ON cb.doc_id = p.id_b
+    WHERE levenshtein(ca.text, cb.text) <= {_ED_TAU}''')}
+    """,
+    doc="Edit-distance verified near-dedup (dedup.edit_distance_near_dups): "
+    "simhash-banded candidate generation (Manku 4x16-bit blocks — every "
+    "Hamming<=3 pair pigeonhole-guaranteed, never all-pairs) verified with "
+    "exact Levenshtein <= 16 on the raw text. The character-level modality "
+    "beside the shingle/Jaccard family: catches small in-place edits "
+    "(template variable substitution, one-word drops — the constructed "
+    "corpus's clone and drop-first-word copies land at distance 0 and "
+    "len(word)+1) and REJECTS banding false positives whose texts merely "
+    "share shingle statistics. Both engines run the same Levenshtein DP, "
+    "so the verified pair set hashes bit-for-bit. Verify cost is "
+    "O(|a|*|b|) chars on the vanishing banded fraction — cheap-generation "
+    "+ exact-verification, the dedup discipline everywhere in this "
+    "engine.",
+    tags=("dedup", "lsh"),
+)
+def edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = _shingled(spark, sf_dir, 3)
+    return D.edit_distance_near_dups(corpus(spark, sf_dir), exploded, tau=_ED_TAU)

@@ -758,3 +758,40 @@ def span_dup_stats(
             F.sum((F.col("__ndocs") > 1).cast("bigint")).cast("bigint").alias("dup_spans"),
         )
     )
+
+
+def edit_distance_near_dups(
+    df: DataFrame,
+    exploded: DataFrame,
+    tau: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Character-level near-dup pairs: simhash-banded CANDIDATES (the Manku
+    block bucketing above — never all-pairs) verified with exact
+    Levenshtein edit distance <= ``tau``. This catches the class word-level
+    shingle Jaccard structurally misses: small in-place edits (typo fixes,
+    template variable substitution, one-word deletions) that leave most
+    shingles intact but also the ones it breaks — the verify stage judges
+    CHARACTERS, not shingle sets. Both engines implement the same classic
+    DP (Spark `levenshtein`, DuckDB `levenshtein`), so the distances are
+    identical integers and the pair set hashes cross-engine. Cost: the
+    banded candidate set times O(|a| * |b|) per verify — the standard
+    dedup discipline of cheap generation + exact verification on a
+    vanishing pair fraction. Returns (id_a, id_b, hamming, edit_distance).
+    """
+    sigs = simhash_signatures(exploded, id_col, shingle_col)
+    cand = simhash_near_pairs(sigs, id_col, max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_distance", F.levenshtein("__ta", "__tb"))
+        .where(F.col("edit_distance") <= tau)
+        .select("id_a", "id_b", "hamming", "edit_distance")
+    )

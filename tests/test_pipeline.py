@@ -2051,3 +2051,74 @@ def test_c4_fixture_empty_and_whitespace_docs_match_oracle_shape(spark):
         ).fetchall()
     }
     assert spark_fx == duck, (spark_fx, duck)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verified near-dup (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_near_dups_distances_and_tau_gate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                                   # clone: d=0
+        Row(doc_id=3, text=base.replace("today", "tonight")),       # small edit
+        Row(doc_id=4, text="totally different content with nothing shared here"),
+    ]
+    df = spark.createDataFrame(docs)
+    exploded = df.select(
+        "doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in D.edit_distance_near_dups(df, exploded, tau=16).collect()
+    }
+    assert got[(1, 2)] == 0
+    # 'today' -> 'tonight': shared prefix 'to', suffix 't'... exact DP value
+    import difflib  # noqa: F401
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = lev(docs[0].text, docs[2].text)
+    if (1, 3) in got:
+        assert got[(1, 3)] == expect
+        assert got[(2, 3)] == expect
+    assert not any(4 in pair for pair in got), "unrelated doc must not pair"
+    # tau gate: with tau=0 only the exact clone survives
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in D.edit_distance_near_dups(df, exploded, tau=0).collect()
+    }
+    assert tight == {(1, 2)}
+
+
+def test_levenshtein_matches_duckdb_on_sample_strings(spark):
+    """The cross-engine contract the oracle relies on: Spark's levenshtein
+    and DuckDB's levenshtein are the same classic DP."""
+    import duckdb
+
+    pairs = [
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("same", "same"),
+        ("a b c d", "b c d"),
+        ("the quick brown fox", "the quack brown fix"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["d"]
+        for r in df.select("a", "b", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        dd = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got[(a, b)] == dd, (a, b, got[(a, b)], dd)
