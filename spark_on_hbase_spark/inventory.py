@@ -750,6 +750,10 @@ _ROTATED_OUT_R09 = [
     # tests/test_keys.py::test_partitioner_uniformity (<2% rel-stdev
     # property).
     "partition_distribution",
+    # (source_calibrated_filter registers in-window): keyspace_scan is
+    # r08-driver-green, keys.py codecs untouched this session, pinned by
+    # the keyspace golden vectors in tests/test_keys.py.
+    "keyspace_scan",
     # -- newly out in r9: r08-driver-green, kernels untouched in r9 --------
     # edge_dedup: operators/graph.py EP combine unchanged; combine-law
     # property pytests (tests/test_graph.py) pin it.

@@ -4553,3 +4553,77 @@ _ED_TAU = 16
 def edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = _shingled(spark, sf_dir, 3)
     return D.edit_distance_near_dups(corpus(spark, sf_dir), exploded, tau=_ED_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Per-source calibrated filtering (round 9b): quantile normalization of a
+# quality signal WITHIN each source, then one global keep-rate. Raw scores
+# are not comparable across domains (CCNet makes the same argument per
+# language); the within-source percentile is. agg.group_percentiles is the
+# primitive; the graded query keeps every doc above its source's 75th
+# percentile of stopword density.
+# ---------------------------------------------------------------------------
+
+_CAL_CUT = 750  # keep pct_pm > 750: the top ~quarter of each source
+
+_CAL_SCORE_SQL = (
+    "(1000 * len(list_filter(list_filter(string_split_regex(text, '\\s+'),"
+    " w -> w <> ''), w -> list_contains(['the','a','of','and','to','in',"
+    "'is','it'], lower(w))))) // len(list_filter(string_split_regex(text,"
+    " '\\s+'), w -> w <> ''))"
+)
+
+
+@query(
+    "source_calibrated_filter",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_CAL_SCORE_SQL} AS score_pm
+        FROM documents
+        WHERE len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) > 0
+    ),
+    hist AS (
+        SELECT source, score_pm, COUNT(*) AS n FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, score_pm,
+               SUM(n) OVER (PARTITION BY source ORDER BY score_pm
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+               SUM(n) OVER (PARTITION BY source) AS total
+        FROM hist
+    ),
+    pct AS (SELECT source, score_pm, (1000 * c) // total AS pct_pm FROM cum)
+    SELECT s.doc_id, s.source, s.score_pm, p.pct_pm
+    FROM scored s JOIN pct p USING (source, score_pm)
+    WHERE p.pct_pm > {_CAL_CUT}
+    """,
+    doc="Per-source calibrated filtering (agg.group_percentiles): each "
+    "document's English-stopword per-mille (exact integers) is rank-"
+    "normalized WITHIN its source — per-(source, score) histogram, "
+    "ascending-cumulative percentile over the sources x <=1001-score "
+    "relation, broadcast join back — and one global keep-rate (top "
+    "quarter, pct_pm > 750) applies across all 20 sources. Quantile "
+    "normalization is what makes a single threshold meaningful across "
+    "domains whose raw score distributions differ; the corpus is never "
+    "sorted and ties land together (retry-stable). Emits the surviving "
+    "(doc, source, score, percentile) rows.",
+    tags=("text", "pipeline", "sampling"),
+)
+def source_calibrated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import agg as A
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.where(F.size(T.words_expr(F.col("text"))) > 0).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(1000 * size(filter(filter(split(text, '\\\\s+'), w -> w != ''),"
+            " w -> lower(w) IN ('the','a','of','and','to','in','is','it'))))"
+            " div size(filter(split(text, '\\\\s+'), w -> w != ''))"
+        ).alias("score_pm"),
+    )
+    cal = A.group_percentiles(scored, "source", "score_pm")
+    return cal.where(F.col("pct_pm") > _CAL_CUT).select(
+        "doc_id", "source", "score_pm", "pct_pm"
+    )

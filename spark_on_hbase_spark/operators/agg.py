@@ -423,3 +423,41 @@ def hll_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
     )
     return slices, rolled
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    quant: int = 1000,
+) -> DataFrame:
+    """Within-group rank normalization: every row gains ``pct_pm`` — the
+    per-mille fraction of its group's rows whose score is <= its own
+    (``(1000 * cum) div total``, exact integers). The calibration primitive
+    behind per-domain corpus filtering: raw quality scores are not
+    comparable across sources (a news domain's median beats a forum's
+    p90), but a SINGLE keep-rate applied to within-source percentiles is —
+    quantile normalization at corpus scale.
+
+    Shape: per-(group, score) histogram (one hash aggregation — the score
+    must already be an integer quantization, callers' job), ascending
+    cumulative counts via a window over the groups x distinct-scores
+    relation (tiny by construction: <= groups * quant rows when scores are
+    per-mille), broadcast join back onto the rows. The corpus is never
+    sorted; ties share a percentile (they land on the same side of any
+    cut, retry-stable)."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, score_col).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(group_col).orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__n").over(w)).withColumn(
+        "__total", F.sum("__n").over(Window.partitionBy(group_col))
+    )
+    pct = cum.select(
+        group_col,
+        score_col,
+        F.expr(f"({quant} * __cum) div __total").alias("pct_pm"),
+    )
+    return df.join(F.broadcast(pct), [group_col, score_col])

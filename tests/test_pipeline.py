@@ -2122,3 +2122,54 @@ def test_levenshtein_matches_duckdb_on_sample_strings(spark):
     for a, b in pairs:
         dd = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert got[(a, b)] == dd, (a, b, got[(a, b)], dd)
+
+
+# ---------------------------------------------------------------------------
+# per-group percentile calibration (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def test_group_percentiles_match_python_and_tie_semantics(spark):
+    from spark_on_hbase_spark.operators import agg as A
+
+    rows = [
+        # group g1: scores 1,2,2,4 — the tied 2s share a percentile
+        Row(doc_id=1, g="g1", s=1),
+        Row(doc_id=2, g="g1", s=2),
+        Row(doc_id=3, g="g1", s=2),
+        Row(doc_id=4, g="g1", s=4),
+        # group g2: a different distribution must calibrate independently
+        Row(doc_id=5, g="g2", s=100),
+        Row(doc_id=6, g="g2", s=200),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r["pct_pm"]
+        for r in A.group_percentiles(df, "g", "s").collect()
+    }
+    # pct_pm = 1000 * (# of group rows with score <= mine) div group size
+    assert got[1] == 1000 * 1 // 4
+    assert got[2] == got[3] == 1000 * 3 // 4  # ties share cum = 3
+    assert got[4] == 1000
+    assert got[5] == 500 and got[6] == 1000
+
+
+def test_source_calibration_keeps_top_quarter_per_source(spark, sf_dir):
+    """The graded query's contract at corpus scale: within EVERY source the
+    kept fraction is ~25% (pct_pm > 750; ties can push it below, never
+    above 25% + one tie block), independent of the source's raw score
+    distribution."""
+    from spark_on_hbase_spark.inventory import QUERIES
+
+    kept = QUERIES["source_calibrated_filter"].fn(spark, sf_dir)
+    per_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    totals = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, total in totals.items():
+        frac = per_src.get(src, 0) / total
+        assert frac <= 0.4, (src, frac)
+        assert frac >= 0.05, (src, frac)
