@@ -52,6 +52,16 @@ def frame_fingerprint(columns, rows):
     return h, lines
 
 
+def column_checksums(columns, rows):
+    """Per-column canonical checksum (sorted rendered values) so a frame
+    hash mismatch names the diverging column(s) instead of a bare boolean."""
+    out = {}
+    for i, c in enumerate(columns):
+        vals = sorted(normalize(r[i]) for r in rows)
+        out[c] = hashlib.md5("\n".join(vals).encode()).hexdigest()[:12]
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,6 +71,10 @@ def main():
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
+    # Engine fingerprint: a driver/local divergence (r9's four hash-reds)
+    # should be diagnosable from the log, not forensics.
+    print(f"ENVINFO duckdb={duckdb.__version__} spark={spark.version} "
+          f"python={sys.version.split()[0]} sf_dir={sf_dir}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -109,7 +123,13 @@ def main():
         for c in duck_types:
             dt, st = duck_types[c], spark_types.get(c, "?")
             if dt in _EQUIV and st not in _EQUIV[dt]:
-                print(f"WARN  {name}: column {c} physical type duck={dt} spark={st}")
+                # The driver's hasher is type-sensitive: a HUGEINT oracle
+                # column hash-mismatches a BIGINT Spark column even when the
+                # Python values are equal (r9 shipped four such regressions).
+                # Treat the divergence as a failure so local == driver.
+                problems.append(
+                    f"physical type: column {c} duck={dt} spark={st}"
+                )
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
@@ -118,6 +138,10 @@ def main():
             if sh != dh:
                 diffs = [(a, b) for a, b in zip(slines, dlines) if a != b][:3]
                 problems.append(f"valuehash: first diffs {diffs}")
+                scs = column_checksums(spark_cols, spark_rows)
+                dcs = column_checksums(duck_cols, duck_rows)
+                bad = [c for c in scs if scs[c] != dcs.get(c)]
+                problems.append(f"diverging columns: {bad or 'row-pairing only'}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")

@@ -3756,7 +3756,8 @@ def _bpe_oracle_ctes(k: int) -> str:
 
 
 _BPE_BEST_UNION = " UNION ALL ".join(
-    f"SELECT CAST({r + 1} AS BIGINT) AS step, a, b, n FROM best{r}"
+    f"SELECT CAST({r + 1} AS BIGINT) AS step, a, b, CAST(n AS BIGINT) AS n"
+    f" FROM best{r}"
     for r in range(_BPE_K)
 )
 
@@ -4019,7 +4020,8 @@ _CCNET_LM_SQL = f"""
     ),
     cc_pm AS (
         SELECT doc_id, pred_lang, n_bigrams,
-               ({T.CCNET_PM} * s) // (n_bigrams * {T.LM_QUANT}) AS score_pm
+               CAST(({T.CCNET_PM} * s) // (n_bigrams * {T.LM_QUANT})
+                    AS BIGINT) AS score_pm
         FROM cc_doc
     ),
     cc_hist AS (SELECT pred_lang, score_pm, COUNT(*) AS n
@@ -4214,7 +4216,7 @@ def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Random-projection ANN (round 9b; Johnson-Lindenstrauss via Achlioptas'
-# database-friendly ±1 projections, JCSS 2003): 64 -> 16 dims as exact
+# database-friendly ±1 projections, JCSS 2003): 64 -> 32 dims as exact
 # integer plane dots, candidate ranking in the projected space, exact
 # rerank in the original space. The md5-derived plane family is the same
 # public construction the sign-LSH path uses — sign-LSH keeps 1 bit per
@@ -4386,7 +4388,8 @@ _V3_CC_SQL = _CCNET_LM_SQL.replace("FROM documents", "FROM corpus")
     ),
     cc_pm AS (
         SELECT doc_id, pred_lang, n_bigrams,
-               ({T.CCNET_PM} * s) // (n_bigrams * {T.LM_QUANT}) AS score_pm
+               CAST(({T.CCNET_PM} * s) // (n_bigrams * {T.LM_QUANT})
+                    AS BIGINT) AS score_pm
         FROM cc_doc
     ),
     cc_hist AS (SELECT pred_lang, score_pm, COUNT(*) AS n
@@ -4593,7 +4596,8 @@ _CAL_SCORE_SQL = (
                SUM(n) OVER (PARTITION BY source) AS total
         FROM hist
     ),
-    pct AS (SELECT source, score_pm, (1000 * c) // total AS pct_pm FROM cum)
+    pct AS (SELECT source, score_pm,
+                   CAST((1000 * c) // total AS BIGINT) AS pct_pm FROM cum)
     SELECT s.doc_id, s.source, s.score_pm, p.pct_pm
     FROM scored s JOIN pct p USING (source, score_pm)
     WHERE p.pct_pm > {_CAL_CUT}
