@@ -81,9 +81,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -148,7 +150,7 @@ def main():
         else:
             print(f"PASS  {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    print(f"\n{n_run - len(failures)}/{n_run} ok")
     sys.exit(1 if failures else 0)
 
 

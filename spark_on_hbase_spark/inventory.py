@@ -707,6 +707,12 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 # driver-grading-window). Each pop/re-insert moves a query to the dict's
 # tail, preserving this list's order there.
 _ROTATED_OUT_R09 = [
+    # -- r10 swaps: lm_likelihood_score rotates back IN (last driver row
+    # r04; its bigram-LM pipeline is adjacent to the r09 ccnet red — VERDICT
+    # r9 item 2) -> gopher_quality_filter rotates out: r05-driver-green and
+    # re-benched r09, text.gopher_rules untouched this round, pinned by
+    # tests/test_pipeline.py::test_gopher_rules_verdicts_are_exact.
+    "gopher_quality_filter",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by
@@ -850,7 +856,8 @@ _ROTATED_OUT_R09 = [
     "domain_mixture_sample",
     "token_budget_selection",
     "vocab_oov_rate",
-    "lm_likelihood_score",
+    # (lm_likelihood_score rotated back IN for r10 — see the r10 swap note
+    # at the top of this list.)
     "doc_chunking",
     "fixed_k_eval_sample",
     "cms_token_frequency",

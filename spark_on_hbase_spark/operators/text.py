@@ -387,28 +387,25 @@ def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     be SUMMED at scoring time, and float summation order differs between
     engines/partitionings; integer q sums are order-free and exact, and the
     quantization error (< 2^-20 per bigram) is far below any gating
-    threshold. Two hash aggregations (bigram counts, first-word totals) and
-    one join keyed on the first word; the table is vocabulary-squared
-    bounded, orders of magnitude smaller than the corpus. Returns
-    (bigram, q)."""
+    threshold. ONE corpus-sized hash aggregation (bigram counts, map-side
+    partial so the exchange carries vocabulary-sized data); the first-word
+    totals c(w1 ·) are SUM(c(w1 w2)) OVER (PARTITION BY w1) on that count
+    relation — a vocabulary-sized window instead of a second corpus gram
+    pass (the pre-r10 two-aggregation form planned the gram explode twice).
+    Returns (bigram, q)."""
+    from pyspark.sql import Window
+
     base = df.select(words_expr(F.lower(F.col(text_col))).alias("__ws"))
     grams = base.select(F.explode(ngrams_from_words(F.col("__ws"), 2)).alias("bigram"))
     c2 = grams.groupBy("bigram").agg(F.count("*").alias("__c2"))
-    c1 = (
-        grams.select(F.substring_index("bigram", " ", 1).alias("__w1"))
-        .groupBy("__w1")
-        .agg(F.count("*").alias("__c1"))
-    )
-    return (
-        c2.withColumn("__w1", F.substring_index("bigram", " ", 1))
-        .join(c1, "__w1")
-        .select(
-            "bigram",
-            F.floor(
-                F.col("__c2").cast("double") / F.col("__c1").cast("double")
-                * F.lit(float(LM_QUANT))
-            ).cast("bigint").alias("q"),
-        )
+    c2 = c2.withColumn("__w1", F.substring_index("bigram", " ", 1))
+    c1 = F.sum("__c2").over(Window.partitionBy("__w1"))
+    return c2.select(
+        "bigram",
+        F.floor(
+            F.col("__c2").cast("double") / c1.cast("double")
+            * F.lit(float(LM_QUANT))
+        ).cast("bigint").alias("q"),
     )
 
 
