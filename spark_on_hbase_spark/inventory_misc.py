@@ -2160,6 +2160,25 @@ def lsm_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.unionByName(state)
 
 
+def _stream_mv_handles(spark: SparkSession, root: str):
+    from spark_on_hbase_spark.matview import MaterializedAgg
+
+    base = KeyedTable(
+        spark, os.path.join(root, "base"), key_col="k", ts_col="ts",
+        num_partitions=8,
+    )
+    mv = MaterializedAgg(
+        spark, os.path.join(root, "mv"), base, "grp",
+        {"revenue": "val"}, count_col="n_orders",
+    )
+    return base, mv
+
+
+_STREAM_MV_VERSION = 1  # bump when rows/mutations/layout change
+_STREAM_MV_DONE: set[str] = set()
+
+
+
 @query(
     "streaming_matview_refresh",
     """
@@ -2203,92 +2222,108 @@ def lsm_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "mutation", "table", "matview"),
 )
 def streaming_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     from spark_on_hbase_spark import streaming as ST
-    from spark_on_hbase_spark.matview import MaterializedAgg
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # VERDICT r9 item 4: the 3-micro-batch replay was ~half of all bench
+    # build time, so the fixture persists ACROSS sessions exactly like
+    # _sec_index_fixture: content is a pure function of sf_dir's orders
+    # table and this code (version-stamped, input mtime/size tagged),
+    # built in a pid-unique staging dir and published by one atomic rename
+    # after a _COMPLETE marker lands. The streaming checkpoint under the
+    # staging path is never resumed after publish (the published fixture
+    # is only ever re-OPENED, never re-streamed), so the rename is safe.
     root = os.path.join(
         tempfile.gettempdir(),
-        f"stream_mv_{spark.sparkContext.applicationId}_{tag}",
+        f"stream_mv_v{_STREAM_MV_VERSION}_{sf_tag(sf_dir)}_"
+        f"{input_tag(sf_dir, 'orders')}",
     )
-    src_dir, ckpt = os.path.join(root, "batches"), os.path.join(root, "ckpt")
-    base = KeyedTable(
-        spark, os.path.join(root, "base"), key_col="k", ts_col="ts",
-        num_partitions=8,
+    marker = os.path.join(root, "_COMPLETE")
+    if root in _STREAM_MV_DONE or os.path.exists(marker):
+        _STREAM_MV_DONE.add(root)
+        _, mv = _stream_mv_handles(spark, root)
+        return mv.df()
+    staging = f"{root}.build.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    src_dir, ckpt = os.path.join(staging, "batches"), os.path.join(staging, "ckpt")
+    base, mv = _stream_mv_handles(spark, staging)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("val"),
     )
-    mv = MaterializedAgg(
-        spark, os.path.join(root, "mv"), base, "grp",
-        {"revenue": "val"}, count_col="n_orders",
-    )
-    if not base.exists():
-        o = load(spark, sf_dir, "orders").select(
-            F.col("o_orderkey").alias("k"),
-            F.col("o_custkey").alias("cust"),
-            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("val"),
+    base.create(
+        o.select(
+            "k", (F.col("cust") % 97).alias("grp"), "val",
+            F.lit(0).cast("int").alias("ts"),
         )
-        base.create(
-            o.select(
-                "k", (F.col("cust") % 97).alias("grp"), "val",
-                F.lit(0).cast("int").alias("ts"),
-            )
+    )
+    mv.build()
+    mutations = (
+        o.where(F.col("k") % 4 == 1)
+        .select(
+            "k",
+            F.when(
+                F.col("k") % 8 == 1, (F.col("cust") + 1) % 97
+            ).otherwise(F.col("cust") % 97).alias("grp"),
+            (F.col("val") + 13).alias("val"),
+            F.lit(10).cast("int").alias("ts"),
         )
-        mv.build()
-        mutations = (
-            o.where(F.col("k") % 4 == 1)
-            .select(
-                "k",
-                F.when(
-                    F.col("k") % 8 == 1, (F.col("cust") + 1) % 97
-                ).otherwise(F.col("cust") % 97).alias("grp"),
-                (F.col("val") + 13).alias("val"),
+        .unionByName(
+            o.where(F.col("k") % 4 == 3).select(
+                "k", (F.col("cust") % 97).alias("grp"),
+                (F.col("val") + 29).alias("val"),
                 F.lit(10).cast("int").alias("ts"),
             )
-            .unionByName(
-                o.where(F.col("k") % 4 == 3).select(
-                    "k", (F.col("cust") % 97).alias("grp"),
-                    (F.col("val") + 29).alias("val"),
-                    F.lit(10).cast("int").alias("ts"),
-                )
-            )
-            .unionByName(
-                o.where(F.col("k") % 4 == 2).select(
-                    (F.col("k") + 20_000_000).alias("k"),
-                    (F.col("cust") % 97).alias("grp"),
-                    F.lit(777).cast("bigint").alias("val"),
-                    F.lit(10).cast("int").alias("ts"),
-                )
+        )
+        .unionByName(
+            o.where(F.col("k") % 4 == 2).select(
+                (F.col("k") + 20_000_000).alias("k"),
+                (F.col("cust") % 97).alias("grp"),
+                F.lit(777).cast("bigint").alias("val"),
+                F.lit(10).cast("int").alias("ts"),
             )
         )
-        os.makedirs(src_dir, exist_ok=True)
-        for b in range(3):
-            tmp = os.path.join(root, f"tmp{b}")
-            mutations.where(F.pmod(F.col("k"), F.lit(3)) == b).coalesce(
-                1
-            ).write.mode("overwrite").parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            shutil.move(
-                os.path.join(tmp, part), os.path.join(src_dir, f"b{b}.parquet")
-            )
-            shutil.rmtree(tmp, ignore_errors=True)
-        stream = (
-            spark.readStream.format("parquet")
-            .schema("k bigint, grp bigint, val bigint, ts int")
-            .option("maxFilesPerTrigger", 1)
-            .load(src_dir)
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    for b in range(3):
+        tmp = os.path.join(staging, f"tmp{b}")
+        mutations.where(F.pmod(F.col("k"), F.lit(3)) == b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(
+            os.path.join(tmp, part), os.path.join(src_dir, f"b{b}.parquet")
         )
-        q = ST.merge_stream_into_matviewed_table(
-            stream, mv, ckpt, available_now=True
-        )
-        q.awaitTermination(300)
+        shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("k bigint, grp bigint, val bigint, ts int")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    q = ST.merge_stream_into_matviewed_table(
+        stream, mv, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write(str(_STREAM_MV_VERSION))
+    shutil.rmtree(root, ignore_errors=True)  # clear any marker-less partial
+    try:
+        os.rename(staging, root)
+    except OSError:
+        # a concurrent session published first — use its complete root
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    _STREAM_MV_DONE.add(root)
+    _, mv = _stream_mv_handles(spark, root)
     return mv.df()
 
 
-# the streamed fixture (base + build + 3 micro-batches) is session-scoped
-# and built by the first query call: registering it as a warmer lets bench
-# time it under `builds`, so the query row measures the view read + the
-# replayed-stream no-op path
+# the streamed fixture (base + build + 3 micro-batches) persists across
+# sessions (see streaming_matview_refresh); the first run per machine/input
+# builds it and bench times that under `builds`, so the query row measures
+# the view read + the replayed-stream no-op path
 warmer("stream_mv_fixture")(
     lambda spark, sf_dir: streaming_matview_refresh(spark, sf_dir).count()
 )

@@ -2780,13 +2780,47 @@ def _clu_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLU_LSH_VERSION = 1  # bump when corpus params / bucket layout change
+
+
 @warmer("clustered_lsh_corpus")
 def _clu_lsh_corpus(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Memoized+persisted clustered-corpus LSH index (sf-independent: the
-    corpus is derived from md5 bits, not the fixture tables)."""
+    corpus is derived from md5 bits, not the fixture tables). VERDICT r9
+    item 4: evaluating the md5-expression corpus + L-table bucketing cost
+    ~26s per session, so the assignment also persists ACROSS sessions as
+    plain parquet (content is a pure function of the version-stamped
+    params; staging dir + _COMPLETE marker + atomic rename, the
+    _sec_index_fixture protocol) — warm sessions re-open and cache the
+    parquet instead of re-deriving 4096x64 vectors through the hash
+    expression tree."""
+    import os
+    import shutil
+    import tempfile
+
     key = spark.sparkContext.applicationId
     if key not in _CLU_LSH_CACHE:
-        cb = _clu_lsh_build(spark, sf_dir).persist()
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"clu_lsh_v{_CLU_LSH_VERSION}_n{_CLU_N}k{_CLU_K}b{_CLU_B}",
+        )
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            staging = f"{root}.build.{os.getpid()}"
+            shutil.rmtree(staging, ignore_errors=True)
+            _clu_lsh_build(spark, sf_dir).write.mode("overwrite").parquet(
+                os.path.join(staging, "assign")
+            )
+            with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+                f.write(str(_CLU_LSH_VERSION))
+            shutil.rmtree(root, ignore_errors=True)
+            try:
+                os.rename(staging, root)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise
+        cb = spark.read.parquet(os.path.join(root, "assign")).persist()
         cb.count()
         _CLU_LSH_CACHE[key] = cb
     return _CLU_LSH_CACHE[key]
