@@ -713,6 +713,10 @@ _ROTATED_OUT_R09 = [
     # re-benched r09, text.gopher_rules untouched this round, pinned by
     # tests/test_pipeline.py::test_gopher_rules_verdicts_are_exact.
     "gopher_quality_filter",
+    # (bm25_search_topk registers in-window): salted_join_revenue is
+    # r09-driver-green, keys.py salting + operators/joins.py untouched this
+    # round, pinned by tests/test_joins.py::test_salted_join_matches_plain_join.
+    "salted_join_revenue",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

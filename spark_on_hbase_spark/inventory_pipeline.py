@@ -4665,3 +4665,37 @@ def source_calibrated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.where(F.col("pct_pm") > _CAL_CUT).select(
         "doc_id", "source", "score_pm", "pct_pm"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval (round 10; operators/search.py)
+# ---------------------------------------------------------------------------
+
+from spark_on_hbase_spark.operators import search as SE  # noqa: E402
+
+# 'dup' is the rare term (df ~5% of docs — high idf); the other three are
+# common (~78%) so the ranking exercises both idf extremes and the dl
+# normalizer.
+_BM25_TERMS = ["dup", "scan", "merge", "window"]
+
+
+@query(
+    "bm25_search_topk",
+    SE.bm25_oracle_sql(_BM25_TERMS, 20),
+    doc="BM25 full-text retrieval (Robertson & Sparck Jones probabilistic "
+    "ranking, Lucene's non-negative idf form; search.bm25_topk): top-20 "
+    "documents for a 4-term query in exact 2^-20 fixed-point integer "
+    "arithmetic — idf via the shared no-libm ilog2fp, k1=1.2 / b=0.75 as "
+    "cleared rationals, int64 overflow guarded by the shared shift trick "
+    "(search.py module doc). ONE corpus-sized documents scan: the term "
+    "filter runs inside the per-row words array BEFORE the explode, so "
+    "postings, tf/df aggregation and per-doc scoring are all "
+    "matching-occurrence-sized; corpus stats (N, L) are a broadcast 1-row "
+    "aggregate and the final top-20 a TakeOrdered. At 100 TB the postings "
+    "relation IS the stored inverted index (a term-keyed KeyedTable); the "
+    "graded query demonstrates probe math against it.",
+    tags=("text", "search"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SE.bm25_topk(docs, _BM25_TERMS, 20)
