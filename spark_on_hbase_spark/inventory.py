@@ -717,6 +717,10 @@ _ROTATED_OUT_R09 = [
     # r09-driver-green, keys.py salting + operators/joins.py untouched this
     # round, pinned by tests/test_joins.py::test_salted_join_matches_plain_join.
     "salted_join_revenue",
+    # (weighted_sample_topk registers in-window): bloom_point_read is
+    # r09-driver-green, the Bloom kernel untouched this round, pinned by
+    # tests/test_table.py::test_bloom_point_read_matches_plain_across_mutation_matrix.
+    "bloom_point_read",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

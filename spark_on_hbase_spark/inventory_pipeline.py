@@ -4699,3 +4699,38 @@ _BM25_TERMS = ["dup", "scan", "merge", "window"]
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return SE.bm25_topk(docs, _BM25_TERMS, 20)
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling (round 10; operators/scan.py)
+# ---------------------------------------------------------------------------
+
+from spark_on_hbase_spark.operators.scan import (  # noqa: E402
+    weighted_sample_sql as _ws_sql,
+    weighted_sample_topk as _ws_topk,
+)
+
+_WS_K = 50
+
+
+@query(
+    "weighted_sample_topk",
+    f"""
+    SELECT doc_id, n_chars, {_ws_sql("n_chars", "doc_id")} AS es_key
+    FROM documents WHERE n_chars > 0
+    ORDER BY es_key, doc_id LIMIT {_WS_K}
+    """,
+    doc="Weighted sampling without replacement (Efraimidis & Spirakis, "
+    "IPL 2006; scan.weighted_sample_topk): draw 50 documents with "
+    "P(selected) proportional to n_chars in ONE pass — per-row E-S keys "
+    "(-ln u)/w from the md5 salt + fixed-point log2 (deterministic, "
+    "retry-stable, cross-engine exact), winners via TakeOrdered "
+    "(per-partition partial top-k, one 50-row merge, ZERO shuffles). The "
+    "length-weighted holdout/eval draw a 100 TB pipeline runs per epoch; "
+    "Bernoulli samplers (sample_scan family) can't target an exact k and "
+    "RNG reservoirs resample on task retry.",
+    tags=("sampling", "scan"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _ws_topk(docs, "n_chars", "doc_id", _WS_K)

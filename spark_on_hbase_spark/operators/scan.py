@@ -271,3 +271,66 @@ def fixed_size_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, weight_col: str, id_col: str, k: int, seed: str = "es1"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k winners, one pass, no RNG
+    coordination — Efraimidis & Spirakis (IPL 2006) reservoir keys, made
+    deterministic and cross-engine exact with the md5 salt discipline and
+    the no-libm fixed-point log2 (text.ilog2fp_sql).
+
+    E-S: draw u_i ~ U(0,1), rank by u_i^(1/w_i) descending, keep the top
+    k — equivalently rank ASCENDING by (-ln u_i)/w_i. Here u_i is the
+    md5(seed:id) salt folded to 20 bits (+1, so u in [1, 2^20] and
+    ln(u/2^20) = (log2fp(u) - 20*2^20)*ln2 in fixed point), giving the
+    exact integer key
+
+        es_key = (20*QUANT - ilog2fp(u)) * 2^20 // w        (smaller wins)
+
+    which is a monotone transform of (-ln u)/w, so the selection law is
+    exactly E-S's P(i in sample) ∝ w_i (without replacement). One scan,
+    keys computed scan-local, winners via TakeOrdered (per-partition
+    partial top-k, then one k-row merge) — the shape that lets a
+    1000-executor job draw a weighted holdout from 100 TB in a single
+    pass with zero shuffles and retry-stable results (a per-task RNG
+    resamples on retry; md5 does not). Ties (same key) break by id.
+    Rows with non-positive weight are excluded. Returns (id, weight,
+    es_key) ordered by (es_key, id)."""
+    from spark_on_hbase_spark.operators.text import DSIR_QUANT, ilog2fp_sql
+
+    u = (
+        f"(CAST(conv(substring(md5(concat('{seed}:', CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % 1048576 + 1)"
+    )
+    key = (
+        f"CAST(((20 * {DSIR_QUANT} - {ilog2fp_sql(u, 'spark')}) * 1048576)"
+        f" DIV {weight_col} AS BIGINT)"
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.expr(key).alias("es_key"),
+        )
+        .orderBy("es_key", id_col)
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    weight_sql: str, id_sql: str, seed: str = "es1"
+) -> str:
+    """DuckDB twin of weighted_sample_topk's es_key expression."""
+    from spark_on_hbase_spark.operators.text import DSIR_QUANT, ilog2fp_sql
+
+    u = (
+        f"(CAST(('0x' || substring(md5('{seed}:' || CAST({id_sql} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % 1048576 + 1)"
+    )
+    return (
+        f"CAST(((20 * {DSIR_QUANT} - {ilog2fp_sql(u, 'duckdb')}) * 1048576)"
+        f" // {weight_sql} AS BIGINT)"
+    )
