@@ -8,17 +8,22 @@ from spark_on_hbase_spark.inventory import _ROTATED_OUT_R09, QUERIES
 # r08 is 50/50 green, so the set is the round-9 additions plus any kernel
 # changed since its last driver grading).
 _MUST_GRADE_R09 = {
-    # round-9 new
-    "matview_incremental_revenue",
-    "ann_pq_adc_topk",
-    "leakage_safe_split",
+    # the four r09 driver hash-reds, fixed in r10 (HUGEINT oracle casts) —
+    # VERDICT r9 item 1 requires fresh green driver rows
+    "bpe_merge_learn",
+    "ccnet_perplexity_buckets",
+    "pipeline_curation_v3",
+    "source_calibrated_filter",
+    # VERDICT r9 item 2: stale r04 grade, bigram_lm reworked this round
+    "lm_likelihood_score",
+    # kernels touched in r10: cross-session fixture persistence
     "streaming_matview_refresh",
-    "lsm_retention_compact",
-    "matview_minmax_maintenance",
-    # table.py grew increment_many (multi-counter DELTA layers) this round:
-    # the fold path it rides is shared with these graded mutation queries
-    "lsm_compaction_fold",
-    "table_changefeed",
+    "ann_clustered_lsh_topk",
+    "ann_clustered_ivf_topk",
+    # round-10 new
+    "bm25_search_topk",
+    "weighted_sample_topk",
+    "hashed_classifier_filter",
 }
 
 
