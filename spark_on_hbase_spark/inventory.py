@@ -725,6 +725,11 @@ _ROTATED_OUT_R09 = [
     # r09-driver-green, the split kernel untouched this round, pinned by
     # tests/test_pipeline.py::test_leakage_safe_split_never_tears_a_cluster.
     "leakage_safe_split",
+    # (lm_backoff_score registers in-window): dup_substring_census is
+    # r09-driver-green, the suffix/substring dedup kernel untouched this
+    # round, pinned by tests/test_pipeline.py::test_dup_substring_stats_matches_bruteforce
+    # and ::test_remove_dup_substrings_cuts_exactly_the_spans.
+    "dup_substring_census",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

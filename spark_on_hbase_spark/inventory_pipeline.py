@@ -4776,3 +4776,115 @@ def _clf_oracle_sql() -> str:
 def hashed_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return T.hashed_classifier_score(docs).where(F.col("score_pm") > _CLF_CUT)
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff trigram LM (round 10; operators/text.py)
+# ---------------------------------------------------------------------------
+
+_BO_Q = float(T.LM_QUANT)
+
+
+@query(
+    "lm_backoff_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    train AS (SELECT ws FROM toks WHERE doc_id % 10 <> 0),
+    t_uni AS (SELECT unnest(ws) AS w FROM train),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM t_uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS l FROM t_uni),
+    t_big AS (
+        SELECT unnest(CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]
+                      ELSE [] END) AS big
+        FROM train
+    ),
+    c2 AS (SELECT big, COUNT(*) AS c2 FROM t_big GROUP BY big),
+    t_tri AS (
+        SELECT unnest(CASE WHEN len(ws) >= 3
+                      THEN [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                            for i in range(1, len(ws) - 1)]
+                      ELSE [] END) AS tri
+        FROM train
+    ),
+    c3 AS (SELECT tri, COUNT(*) AS c3 FROM t_tri GROUP BY tri),
+    m3 AS (
+        SELECT tri,
+               CAST(FLOOR(CAST(c3 AS DOUBLE) / CAST(c2.c2 AS DOUBLE) * {_BO_Q})
+                    AS BIGINT) AS q3
+        FROM c3 JOIN c2
+          ON split_part(c3.tri, ' ', 1) || ' ' || split_part(c3.tri, ' ', 2)
+             = c2.big
+    ),
+    m2 AS (
+        -- FLOOR is cast to BIGINT BEFORE the // so the division is true
+        -- integer division: DuckDB's // on DOUBLE operands is plain
+        -- division, and CAST(double AS BIGINT) rounds-to-nearest, which
+        -- diverged from Spark's floor DIV by +-1 (caught by the r10
+        -- per-column checksum diagnostics)
+        SELECT big,
+               (2 * CAST(FLOOR(CAST(c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+                               * {_BO_Q}) AS BIGINT)) // 5 AS q2
+        FROM c2 JOIN c1 ON split_part(c2.big, ' ', 1) = c1.w
+    ),
+    m1 AS (
+        SELECT w,
+               (4 * CAST(FLOOR(CAST(c1 AS DOUBLE) / CAST(tot.l AS DOUBLE)
+                               * {_BO_Q}) AS BIGINT)) // 25 AS q1
+        FROM c1 CROSS JOIN tot
+    ),
+    s_tri AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 3
+                      THEN [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                            for i in range(1, len(ws) - 1)]
+                      ELSE [] END) AS tri
+        FROM toks WHERE doc_id % 10 = 0
+    ),
+    keyed AS (
+        SELECT doc_id, tri,
+               split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS sfx,
+               split_part(tri, ' ', 3) AS w3
+        FROM s_tri
+    ),
+    j AS (
+        SELECT k.doc_id, m3.q3, m2.q2, m1.q1
+        FROM keyed k
+        LEFT JOIN m3 USING (tri)
+        LEFT JOIN m2 ON k.sfx = m2.big
+        LEFT JOIN m1 ON k.w3 = m1.w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(SUM(COALESCE(q3, q2, q1, 0)) AS BIGINT) AS score_q,
+           CAST(SUM(CASE WHEN q3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_l3,
+           CAST(SUM(CASE WHEN q3 IS NULL AND q2 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_l2,
+           CAST(SUM(CASE WHEN q3 IS NULL AND q2 IS NULL AND q1 IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_l1
+    FROM j GROUP BY doc_id
+    """,
+    doc="Stupid-backoff trigram LM scoring (Brants et al. 2007, EMNLP — "
+    "the distributed web-scale LM: raw relative frequencies, fixed 0.4 "
+    "backoff, NO smoothing normalization, so the whole model is hash "
+    "aggregations + gram-keyed joins; text.backoff_lm/backoff_score). "
+    "Train on the 90% held-in split (doc_id%10<>0), score the held-out "
+    "10%: per trigram occurrence coalesce(q3, 0.4*q2, 0.16*q1) down the "
+    "backoff chain (exact 2/5, 4/25 integer arithmetic on the quantized "
+    "scores), per doc the exact integer sum plus per-level hit counts — "
+    "the audit trail of how often the model backed off on unseen text. "
+    "Held-out docs GUARANTEE unseen trigrams so every chain level is "
+    "exercised and graded. Model relations are gram-type-bounded; the "
+    "corpus is touched once to train and once to score.",
+    tags=("text", "pipeline", "lm"),
+)
+def lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    m3, m2, m1 = T.backoff_lm(docs.where(F.col("doc_id") % 10 != 0))
+    return T.backoff_score(docs.where(F.col("doc_id") % 10 == 0), m3, m2, m1)

@@ -1149,3 +1149,116 @@ def hashed_classifier_sql(
         f" w -> {_clf_weight_sql('w', 'duckdb', seed)})) AS BIGINT)"
     )
     return n, f"CAST(({total}) // len({ws}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff trigram LM (round 10)
+# ---------------------------------------------------------------------------
+
+
+def backoff_lm(df: DataFrame, text_col: str = "text"):
+    """Stupid-backoff trigram model (Brants et al. 2007, EMNLP, 'Large
+    Language Models in Machine Translation' — THE web-scale LM: raw
+    relative frequencies with a fixed backoff penalty, no smoothing
+    normalization, so every model row is computable by distributed
+    counting alone). Returns (m3, m2, m1):
+
+        m3: (tri, q3)  q3 = floor(c3(w1w2w3) / c2(w1w2) * 2^20)
+        m2: (big, q2)  q2 = (2 * floor(c2(w2w3) / c1(w2) * 2^20)) div 5
+        m1: (w,   q1)  q1 = (4 * floor(c1(w)    / L      * 2^20)) div 25
+
+    i.e. the 0.4 / 0.16 backoff factors applied as exact 2/5 and 4/25
+    integer arithmetic on the already-quantized scores (deterministic
+    cross-engine; the quantization itself is the sanctioned single-IEEE-op
+    floor the bigram LM uses). Each level is one hash aggregation over the
+    corpus gram stream plus a vocabulary-sized join (prefix counts), like
+    bigram_lm; model size is gram-type-bounded, orders of magnitude below
+    the corpus."""
+    base = df.select(words_expr(F.lower(F.col(text_col))).alias("__ws"))
+    uni = base.select(F.explode("__ws").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("__c1"))
+    big = base.select(
+        F.explode(ngrams_from_words(F.col("__ws"), 2)).alias("big")
+    )
+    c2 = big.groupBy("big").agg(F.count("*").alias("__c2"))
+    tri = base.select(
+        F.explode(ngrams_from_words(F.col("__ws"), 3)).alias("tri")
+    )
+    c3 = tri.groupBy("tri").agg(F.count("*").alias("__c3"))
+
+    lq = float(LM_QUANT)
+    m3 = (
+        c3.withColumn("__pfx", F.substring_index("tri", " ", 2))
+        .join(c2.select(F.col("big").alias("__pfx"), F.col("__c2").alias("__cp")), "__pfx")
+        .select(
+            "tri",
+            F.floor(F.col("__c3").cast("double") / F.col("__cp").cast("double") * lq)
+            .cast("bigint").alias("q3"),
+        )
+    )
+    m2 = (
+        c2.withColumn("__w1", F.substring_index("big", " ", 1))
+        .join(c1.select(F.col("w").alias("__w1"), F.col("__c1").alias("__cp")), "__w1")
+        .select(
+            "big",
+            F.expr(
+                f"CAST((2 * floor(CAST(__c2 AS DOUBLE) / CAST(__cp AS DOUBLE)"
+                f" * {lq})) DIV 5 AS BIGINT)"
+            ).alias("q2"),
+        )
+    )
+    stats = uni.agg(F.count("*").alias("__l"))
+    m1 = c1.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.expr(
+            f"CAST((4 * floor(CAST(__c1 AS DOUBLE) / CAST(__l AS DOUBLE)"
+            f" * {lq})) DIV 25 AS BIGINT)"
+        ).alias("q1"),
+    )
+    return m3, m2, m1
+
+
+def backoff_score(
+    df: DataFrame,
+    m3: DataFrame,
+    m2: DataFrame,
+    m1: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a ``backoff_lm`` model: per trigram
+    occurrence the contribution is q3 if the trigram was seen in training,
+    else q2 of its SUFFIX bigram, else q1 of its last word, else 0 —
+    coalesce down the backoff chain after three left joins on gram keys.
+    Per doc: (n_tri, score_q = exact integer sum, n_l3/n_l2/n_l1 hits per
+    backoff level — the audit trail of how far the model had to back off).
+    Docs with < 3 tokens have no trigrams and are absent. All joins are
+    model-sized on the build side; the scoring stream is corpus-gram-sized
+    and aggregates per doc with map-side combine."""
+    base = df.select(
+        F.col(id_col), words_expr(F.lower(F.col(text_col))).alias("__ws")
+    )
+    tris = base.select(
+        F.col(id_col),
+        F.explode(ngrams_from_words(F.col("__ws"), 3)).alias("tri"),
+    ).select(
+        id_col,
+        "tri",
+        F.substring_index("tri", " ", -2).alias("__sfx"),
+        F.substring_index("tri", " ", -1).alias("__w3"),
+    )
+    joined = (
+        tris.join(m3, "tri", "left")
+        .join(m2.select(F.col("big").alias("__sfx"), "q2"), "__sfx", "left")
+        .join(m1.select(F.col("w").alias("__w3"), "q1"), "__w3", "left")
+    )
+    lvl3 = F.col("q3").isNotNull()
+    lvl2 = ~lvl3 & F.col("q2").isNotNull()
+    lvl1 = ~lvl3 & F.col("q2").isNull() & F.col("q1").isNotNull()
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tri"),
+        F.sum(F.coalesce("q3", "q2", "q1", F.lit(0))).cast("bigint").alias("score_q"),
+        F.sum(lvl3.cast("bigint")).cast("bigint").alias("n_l3"),
+        F.sum(lvl2.cast("bigint")).cast("bigint").alias("n_l2"),
+        F.sum(lvl1.cast("bigint")).cast("bigint").alias("n_l1"),
+    )
