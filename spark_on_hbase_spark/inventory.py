@@ -730,6 +730,11 @@ _ROTATED_OUT_R09 = [
     # round, pinned by tests/test_pipeline.py::test_dup_substring_stats_matches_bruteforce
     # and ::test_remove_dup_substrings_cuts_exactly_the_spans.
     "dup_substring_census",
+    # (token_entropy_bottomk registers in-window): ann_ivf_kmeans_topk is
+    # r09-driver-green, the kmeans/IVF kernels untouched this round, pinned
+    # by tests/test_pipeline.py::test_kmeans_refine_separates_clusters and
+    # ::test_ivf_pq_composition_scores_only_probed_candidates.
+    "ann_ivf_kmeans_topk",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

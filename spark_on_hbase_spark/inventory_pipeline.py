@@ -4888,3 +4888,36 @@ def lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     m3, m2, m1 = T.backoff_lm(docs.where(F.col("doc_id") % 10 != 0))
     return T.backoff_score(docs.where(F.col("doc_id") % 10 == 0), m3, m2, m1)
+
+
+# ---------------------------------------------------------------------------
+# token-entropy repetitiveness ranking (round 10; operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_entropy_bottomk",
+    f"""
+    WITH ent AS ({T.token_entropy_sql()})
+    SELECT doc_id, n_tokens, ent_fp FROM ent
+    ORDER BY ent_fp, doc_id LIMIT 20
+    """,
+    doc="Token-entropy repetitiveness ranking (text.token_entropy): "
+    "per-doc Shannon entropy of the unigram distribution in exact 2^-20 "
+    "fixed-point log2 units (H = log2 n - (1/n) sum c*log2 c, every term "
+    "the shared no-libm ilog2fp), surfacing the 20 LOWEST-entropy (most "
+    "boilerplate/template-like) documents. Two combiner-friendly hash "
+    "aggregations — exchanges carry token-TYPE counts, not occurrences — "
+    "then a TakeOrdered; O(doc_len) per doc where an in-row "
+    "filter-per-distinct-token fold would be O(len*types) and die on "
+    "100k-token docs. The one-number repetition signal next to the "
+    "Gopher per-rule family.",
+    tags=("text", "pipeline"),
+)
+def token_entropy_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        T.token_entropy(docs)
+        .orderBy(F.col("ent_fp"), F.col("doc_id"))
+        .limit(20)
+    )

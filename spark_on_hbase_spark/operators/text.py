@@ -1262,3 +1262,72 @@ def backoff_score(
         F.sum(lvl2.cast("bigint")).cast("bigint").alias("n_l2"),
         F.sum(lvl1.cast("bigint")).cast("bigint").alias("n_l1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-entropy repetitiveness score (round 10)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram token distribution, in
+    the shared 2^-20 fixed-point log2 units (exact integers cross-engine):
+
+        ent_fp = ilog2fp(n) - SUM(cnt_w * ilog2fp(cnt_w)) div n
+
+    (the H = log2(n) - (1/n) sum c log2 c identity, quantized). Low
+    entropy = few token types dominate = boilerplate/spam — the signal
+    behind repetition-based corpus filters, here as ONE number instead of
+    the Gopher per-n-gram rule family. Two combiner-friendly hash
+    aggregations — (doc, token) counts, then per-doc fold — both
+    map-side-combining, so the exchanges carry type counts, not token
+    occurrences. Unlike an in-row array fold this stays O(doc_len)
+    per doc (an expression-level filter-per-distinct-token is O(len *
+    types) and dies on 100k-token documents). Returns (id, n_tokens,
+    ent_fp) for docs with >= 1 token."""
+    base = df.select(
+        F.col(id_col), words_expr(F.lower(F.col(text_col))).alias("__ws")
+    ).where(F.size("__ws") > 0)
+    toks = base.select(
+        F.col(id_col),
+        F.size("__ws").cast("bigint").alias("n_tokens"),
+        F.explode("__ws").alias("__w"),
+    )
+    cnts = toks.groupBy(id_col, "n_tokens", "__w").agg(
+        F.count("*").alias("__cnt")
+    )
+    term = F.expr(f"__cnt * {ilog2fp_sql('__cnt', 'spark')}")
+    return cnts.groupBy(id_col, "n_tokens").agg(
+        F.expr(
+            f"CAST({ilog2fp_sql('n_tokens', 'spark')}"
+            f" - (SUM(__cnt * {ilog2fp_sql('__cnt', 'spark')}) DIV n_tokens)"
+            f" AS BIGINT)"
+        ).alias("ent_fp")
+    )
+
+
+def token_entropy_sql(dialect: str = "duckdb") -> str:
+    """DuckDB oracle twin of token_entropy over the ``documents`` view:
+    (doc_id, n_tokens, ent_fp)."""
+    il = lambda s: ilog2fp_sql(s, dialect)  # noqa: E731
+    return f"""
+    WITH e_toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    e_cnt AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, w,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, ws, unnest(ws) AS w FROM e_toks WHERE len(ws) > 0)
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, n_tokens,
+           CAST({il('n_tokens')}
+                - (CAST(SUM(cnt * {il('cnt')}) AS BIGINT) // n_tokens)
+                AS BIGINT) AS ent_fp
+    FROM e_cnt GROUP BY doc_id, n_tokens
+    """
