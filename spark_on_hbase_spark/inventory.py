@@ -735,6 +735,11 @@ _ROTATED_OUT_R09 = [
     # by tests/test_pipeline.py::test_kmeans_refine_separates_clusters and
     # ::test_ivf_pq_composition_scores_only_probed_candidates.
     "ann_ivf_kmeans_topk",
+    # (unimax_budget_alloc registers in-window): decontamination_bloom is
+    # r09-driver-green, the Bloom prefilter kernel untouched this round,
+    # pinned by tests/test_pipeline.py::test_bloom_prefilter_no_false_negatives_and_exact_equivalence
+    # and ::test_bloom_prefilter_drops_most_of_a_disjoint_train_side.
+    "decontamination_bloom",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

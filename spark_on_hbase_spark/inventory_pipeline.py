@@ -4921,3 +4921,96 @@ def token_entropy_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ent_fp"), F.col("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (round 10; operators/agg.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unimax_budget_alloc",
+    """
+    WITH um_toks AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        w -> w <> '')) AS BIGINT) AS n
+        FROM documents
+    ),
+    um_sizes AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM um_toks GROUP BY source
+    ),
+    um_caps AS (
+        SELECT source, n_tokens,
+               (1 + CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT) % 4)
+                   * n_tokens AS cap
+        FROM um_sizes
+    ),
+    um_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               (3 * CAST(SUM(n_tokens) AS BIGINT)) // 2 AS b
+        FROM um_caps
+    ),
+    um_ranked AS (
+        SELECT source, n_tokens, cap, n, b,
+               CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+               CAST(SUM(cap) OVER (ORDER BY cap, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM um_caps CROSS JOIN um_stats
+    ),
+    um_marked AS (
+        SELECT *, cap * (n - i) + cum <= b AS capped FROM um_ranked
+    ),
+    um_fills AS (
+        SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+               CAST(MAX(CASE WHEN capped THEN cum END) AS BIGINT) AS cumk
+        FROM um_marked
+    ),
+    um_alloc AS (
+        SELECT source, n_tokens, cap,
+               CAST(CASE WHEN capped THEN cap
+                    ELSE (b - COALESCE(cumk, 0)) // (n - k) END AS BIGINT)
+                   AS alloc
+        FROM um_marked CROSS JOIN um_fills
+    )
+    SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap, alloc,
+           CAST((1000 * alloc) // n_tokens AS BIGINT) AS epochs_pm
+    FROM um_alloc
+    """,
+    doc="UniMax training-budget allocation (Chung et al. 2023, "
+    "arXiv:2304.09151; agg.unimax_waterfill): split a token budget of 1.5 "
+    "epochs of the whole corpus across the 20 sources as uniformly as "
+    "possible, subject to per-source repetition caps of 1-4 epochs "
+    "(md5-derived heterogeneous caps so the waterfill BINDS: small-cap "
+    "sources saturate and their residual raises everyone else's water "
+    "level). Closed-form integer water-filling: rank by cap, prefix-sum, "
+    "capped_i iff cap_i*(n-i)+cum_i <= B, water level T = (B-cum_k) div "
+    "(n-k). The corpus-sized work is ONE token-count aggregation; the "
+    "window runs on the 20-row per-source relation — the documented "
+    "bounded tiny-relation global window (plan-gate 4th count = 1). The "
+    "sampling-rate planner a multi-source 100 TB pre-training mix runs "
+    "before every job.",
+    tags=("pipeline", "sampling", "agg"),
+)
+def unimax_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import agg as A
+
+    docs = load(spark, sf_dir, "documents")
+    sizes = (
+        docs.select(
+            "source",
+            F.size(T.words_expr(F.lower(F.col("text")))).cast("bigint").alias("__t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__t").cast("bigint").alias("n_tokens"))
+    )
+    caps = sizes.withColumn(
+        "cap",
+        F.expr(
+            "(1 + CAST(conv(substring(md5(source), 1, 8), 16, 10) AS BIGINT)"
+            " % 4) * n_tokens"
+        ),
+    )
+    return A.unimax_waterfill(caps, "(3 * __tot) DIV 2")

@@ -461,3 +461,82 @@ def group_percentiles(
         F.expr(f"({quant} * __cum) div __total").alias("pct_pm"),
     )
     return df.join(F.broadcast(pct), [group_col, score_col])
+
+
+def unimax_waterfill(
+    sizes: DataFrame,
+    budget_expr: str,
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+    cap_col: str = "cap",
+) -> DataFrame:
+    """UniMax-style training-budget allocation (Chung et al. 2023,
+    arXiv:2304.09151): split a token budget across sources as UNIFORMLY as
+    possible subject to a per-source repetition cap — the water-filling
+    problem, solved in closed form over the aggregated per-source relation
+    with exact integer arithmetic.
+
+    ``sizes`` is one row per source carrying ``size_col`` (its corpus
+    tokens) and ``cap_col`` (its max allocation, e.g. C epochs * tokens);
+    ``budget_expr`` is a SQL expression over SUM-able columns evaluated on
+    the same relation (e.g. "(3 * CAST(SUM(n_tokens) AS BIGINT)) DIV 2").
+    Sort sources by cap ascending; source i is capped iff giving every
+    smaller source its cap and splitting the remainder equally still
+    clears cap_i: cap_i * (n - i) + cumcap_i <= B. With k capped sources
+    the water level is T = (B - cumcap_k) DIV (n - k); alloc = min(cap, T)
+    (floored, so SUM(alloc) <= B always).
+
+    Scale shape: the corpus-sized work is whatever built ``sizes`` (one
+    aggregation) — it is planned ONCE, because every global constant (n,
+    budget, k, water level) is a window aggregate over the same tiny
+    relation rather than a crossJoin of re-planned agg branches (the
+    crossJoin form re-scanned the corpus 4x). The windows ARE global —
+    bounded by construction (domain cardinality, thousands at most,
+    post-aggregation), the documented tiny-relation exception the plan
+    gate's 4th count records. ``budget_expr`` is a SQL expression over
+    ``__n`` (source count) and ``__tot`` (SUM of size_col), e.g.
+    "(3 * __tot) DIV 2". Returns (group, size, cap, alloc, epochs_pm =
+    1000*alloc div size), deterministic under cap ties (group tiebreak)."""
+    single = Window.partitionBy()
+    w = Window.orderBy(cap_col, group_col)
+    out = (
+        sizes.withColumn("__n", F.count("*").over(single).cast("bigint"))
+        .withColumn("__tot", F.sum(size_col).over(single).cast("bigint"))
+        .withColumn("__b", F.expr(budget_expr).cast("bigint"))
+        .withColumn("__i", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "__cum",
+            F.sum(cap_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "__capped",
+            F.expr(f"{cap_col} * (__n - __i) + __cum <= __b"),
+        )
+        .withColumn(
+            "__k",
+            F.sum(F.col("__capped").cast("bigint")).over(single).cast("bigint"),
+        )
+        .withColumn(
+            "__cumk",
+            F.max(F.when(F.col("__capped"), F.col("__cum"))).over(single).cast("bigint"),
+        )
+        .withColumn(
+            "alloc",
+            F.expr(
+                f"CAST(CASE WHEN __capped THEN {cap_col}"
+                f" ELSE (__b - COALESCE(__cumk, 0)) DIV (__n - __k) END"
+                f" AS BIGINT)"
+            ),
+        )
+    )
+    return out.select(
+        group_col,
+        F.col(size_col).cast("bigint").alias(size_col),
+        F.col(cap_col).cast("bigint").alias(cap_col),
+        "alloc",
+        F.expr(f"CAST((1000 * alloc) DIV {size_col} AS BIGINT)").alias(
+            "epochs_pm"
+        ),
+    )
