@@ -499,7 +499,7 @@ def _matview_refresh(spark, sf: str) -> int:
     return mv.df().count()
 
 
-def _matview_minmax_refresh(spark, sf: str) -> int:
+def _matview_minmax_refresh(spark, sf: str, batch_keys: int = 600) -> int:
     """Custom probe target (round 9 late): MIN/MAX view maintenance under a
     fixed-size batch with a GROUP INDEX while the base scales. Fixture
     per invocation (create + index build + view build pay in the cold
@@ -508,7 +508,10 @@ def _matview_minmax_refresh(spark, sf: str) -> int:
     extremes recompute whose rows come from lookup_in over the touched
     groups (O(groups + result) files). Warm growth must stay ~flat at a
     30x base; a recompute that secretly scans the base tracks data
-    growth immediately."""
+    growth immediately. ``batch_keys`` sizes the mutation batch — the
+    r10 bigbatch variant probes the BATCH axis (10x keys) at the same
+    30x base, pinning the touched-groups ∝ batch cost model on both
+    axes (VERDICT r9 item 7)."""
     import hashlib
 
     from spark_on_hbase_spark.index import SecondaryIndex
@@ -550,13 +553,17 @@ def _matview_minmax_refresh(spark, sf: str) -> int:
         mv.build()
     ts = base.snapshot_seq() + 1
     batch = (
-        docs.where(F.col("k") < 600)
+        docs.where(F.col("k") < batch_keys)
         .withColumn("val", F.col("val") + ts)
         .withColumn("ts", F.lit(ts))
     )
     idx.update(batch)
     mv.refresh()
     return mv.df().count()
+
+
+def _matview_minmax_refresh_bigbatch(spark, sf: str) -> int:
+    return _matview_minmax_refresh(spark, sf, batch_keys=6000)
 
 
 def _pq_probe_pieces(spark, sf: str):
@@ -740,6 +747,7 @@ CUSTOM = {
     "ann_pq_adc": _ann_pq_adc,
     "ann_ivf_pq": _ann_ivf_pq,
     "matview_minmax_refresh": _matview_minmax_refresh,
+    "matview_minmax_refresh_bigbatch": _matview_minmax_refresh_bigbatch,
 }
 
 # key shift per replica, chosen far above any real key range

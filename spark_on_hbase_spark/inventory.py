@@ -740,6 +740,12 @@ _ROTATED_OUT_R09 = [
     # pinned by tests/test_pipeline.py::test_bloom_prefilter_no_false_negatives_and_exact_equivalence
     # and ::test_bloom_prefilter_drops_most_of_a_disjoint_train_side.
     "decontamination_bloom",
+    # (streaming_exact_dedup registers in-window): connected_components is
+    # r09-driver-green (and r10-attributed: steady-state == r08, SCALE.md),
+    # the BSP kernel untouched this round, pinned by
+    # tests/test_graph.py::test_bsp_converges_to_components plus its
+    # standing 30x probe row.
+    "connected_components",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by
