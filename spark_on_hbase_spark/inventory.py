@@ -746,6 +746,10 @@ _ROTATED_OUT_R09 = [
     # tests/test_graph.py::test_bsp_converges_to_components plus its
     # standing 30x probe row.
     "connected_components",
+    # (weighted_group_sample registers in-window): lsm_time_travel is
+    # r09-driver-green, the layer-prefix read kernel untouched this round,
+    # pinned by tests/test_table.py::test_time_travel_reads_layer_prefix.
+    "lsm_time_travel",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

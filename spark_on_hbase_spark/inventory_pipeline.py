@@ -5107,3 +5107,48 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return spark.read.parquet(out_dir).select("fp", "doc_id", "first_batch")
+
+
+# ---------------------------------------------------------------------------
+# per-group weighted sampling (round 10; operators/scan.py)
+# ---------------------------------------------------------------------------
+
+from spark_on_hbase_spark.operators.scan import (  # noqa: E402
+    weighted_group_sample as _wgs,
+)
+
+_WGS_K = 3
+
+
+@query(
+    "weighted_group_sample",
+    f"""
+    WITH wg_keys AS (
+        SELECT source, doc_id, n_chars,
+               {_ws_sql("n_chars", "doc_id")} AS es_key
+        FROM documents WHERE n_chars > 0
+    ),
+    wg_ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY es_key, doc_id) AS sample_rank
+        FROM wg_keys
+    )
+    SELECT source, doc_id, n_chars, es_key,
+           CAST(sample_rank AS INT) AS sample_rank
+    FROM wg_ranked WHERE sample_rank <= {_WGS_K}
+    """,
+    doc="Exactly-k-per-group WEIGHTED sampling without replacement "
+    "(scan.weighted_group_sample): 3 documents per source, "
+    "P(selected) proportional to n_chars within the source — E-S keys "
+    "(weighted_sample_topk's exact integer construction) ranked inside "
+    "each group. The rank<=k filter sits on the raw row_number so the "
+    "plan is WindowGroupLimit: per-partition top-k BEFORE the group "
+    "exchange, which carries at most k rows per (group, input-partition). "
+    "The per-language weighted holdout draw, one scan, retry-stable.",
+    tags=("sampling", "scan"),
+)
+def weighted_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _wgs(docs, "source", "n_chars", "doc_id", _WGS_K).select(
+        "source", "doc_id", "n_chars", "es_key", "sample_rank"
+    )

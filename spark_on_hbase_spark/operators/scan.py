@@ -334,3 +334,41 @@ def weighted_sample_sql(
         f"CAST(((20 * {DSIR_QUANT} - {ilog2fp_sql(u, 'duckdb')}) * 1048576)"
         f" // {weight_sql} AS BIGINT)"
     )
+
+
+def weighted_group_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "es1",
+) -> DataFrame:
+    """Exactly-k-per-group weighted sampling without replacement: E-S keys
+    (see weighted_sample_topk) ranked WITHIN each group — the weighted twin
+    of fixed_size_sample ("take 1000 docs per language, longer docs more
+    likely"). The rank<=k filter is applied on the raw row_number so Spark
+    plans WindowGroupLimit: per-partition top-k runs BEFORE the group
+    exchange, which therefore carries at most k rows per (group,
+    input-partition) — the only corpus-sized work is the scan. Groups
+    smaller than k keep all rows. Adds ``sample_rank`` (1-based by es_key,
+    id tiebreak)."""
+    from pyspark.sql import Window
+
+    from spark_on_hbase_spark.operators.text import DSIR_QUANT, ilog2fp_sql
+
+    u = (
+        f"(CAST(conv(substring(md5(concat('{seed}:', CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % 1048576 + 1)"
+    )
+    key = (
+        f"CAST(((20 * {DSIR_QUANT} - {ilog2fp_sql(u, 'spark')}) * 1048576)"
+        f" DIV {weight_col} AS BIGINT)"
+    )
+    w = Window.partitionBy(group_col).orderBy("es_key", id_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", F.expr(key))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -63,3 +63,40 @@ def test_nonpositive_weights_excluded(spark):
     )
     got = weighted_sample_topk(df, "w", "doc_id", 10).collect()
     assert [r.doc_id for r in got] == [1]
+
+
+def test_group_sample_exactly_k_per_group_and_key_parity(spark):
+    from spark_on_hbase_spark.operators.scan import weighted_group_sample
+
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 7 + 1).cast("bigint").alias("w"),
+    )
+    got = weighted_group_sample(df, "grp", "w", "doc_id", 5).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert set(by_grp) == {"0", "1", "2"}
+    for g, rows in by_grp.items():
+        assert len(rows) == 5
+        assert sorted(r.sample_rank for r in rows) == [1, 2, 3, 4, 5]
+        # winners really are the group's bottom-5 E-S keys
+        ids = [i for i in range(600) if str(i % 3) == g]
+        expect = sorted((_es_key(i, i % 7 + 1), i) for i in ids)[:5]
+        assert sorted((r.es_key, r.doc_id) for r in rows) == expect
+
+
+def test_group_sample_plans_window_group_limit(spark):
+    from spark_on_hbase_spark.operators.scan import weighted_group_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.lit(3).cast("bigint").alias("w"),
+    )
+    plan = (
+        weighted_group_sample(df, "grp", "w", "doc_id", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
