@@ -1597,14 +1597,19 @@ def _sec_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
     h["tbl_point"].delete(prows.where(F.col("key") % 7 == 5).select("key"))
     with open(os.path.join(staging, "_COMPLETE"), "w") as f:
         f.write(str(_SEC_IDX_FIXTURE_VERSION))
-    shutil.rmtree(root, ignore_errors=True)  # clear any marker-less partial
-    try:
-        os.rename(staging, root)
-    except OSError:
-        # a concurrent session published first — use its complete root
+    if os.path.exists(marker):
+        # a concurrent session published while we built: never rmtree the
+        # complete root it may be reading — discard our staging instead
         shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.exists(marker):
-            raise
+    else:
+        shutil.rmtree(root, ignore_errors=True)  # clear marker-less partial
+        try:
+            os.rename(staging, root)
+        except OSError:
+            # a concurrent session won the rename — use its complete root
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
     _SEC_IDX_FIXTURE_DONE.add(root)
     return _sec_index_handles(spark, root)
 
@@ -2304,17 +2309,30 @@ def streaming_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ST.merge_stream_into_matviewed_table(
         stream, mv, ckpt, available_now=True
     )
-    q.awaitTermination(300)
+    # the marker must NEVER land on a half-run stream: a timed-out build
+    # published cross-session would hash-fail every future session on
+    # this machine (no rebuild — the marker exists and the version tag is
+    # unchanged). Same checked-timeout convention as the other graded
+    # streaming fixtures.
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(staging, ignore_errors=True)
+        raise TimeoutError("stream_mv fixture stream did not finish in 300s")
     with open(os.path.join(staging, "_COMPLETE"), "w") as f:
         f.write(str(_STREAM_MV_VERSION))
-    shutil.rmtree(root, ignore_errors=True)  # clear any marker-less partial
-    try:
-        os.rename(staging, root)
-    except OSError:
-        # a concurrent session published first — use its complete root
+    if os.path.exists(marker):
+        # a concurrent session published while we built: NEVER rmtree the
+        # complete root it may be reading — discard our staging instead
         shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.exists(marker):
-            raise
+    else:
+        shutil.rmtree(root, ignore_errors=True)  # clear marker-less partial
+        try:
+            os.rename(staging, root)
+        except OSError:
+            # a concurrent session won the rename — use its complete root
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
     _STREAM_MV_DONE.add(root)
     _, mv = _stream_mv_handles(spark, root)
     return mv.df()

@@ -2813,13 +2813,18 @@ def _clu_lsh_corpus(spark: SparkSession, sf_dir: str = "") -> DataFrame:
             )
             with open(os.path.join(staging, "_COMPLETE"), "w") as f:
                 f.write(str(_CLU_LSH_VERSION))
-            shutil.rmtree(root, ignore_errors=True)
-            try:
-                os.rename(staging, root)
-            except OSError:
+            if os.path.exists(marker):
+                # a concurrent session published while we built: never
+                # rmtree the complete root it may be reading
                 shutil.rmtree(staging, ignore_errors=True)
-                if not os.path.exists(marker):
-                    raise
+            else:
+                shutil.rmtree(root, ignore_errors=True)
+                try:
+                    os.rename(staging, root)
+                except OSError:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    if not os.path.exists(marker):
+                        raise
         cb = spark.read.parquet(os.path.join(root, "assign")).persist()
         cb.count()
         _CLU_LSH_CACHE[key] = cb
@@ -4687,13 +4692,16 @@ _BM25_TERMS = ["dup", "scan", "merge", "window"]
     "documents for a 4-term query in exact 2^-20 fixed-point integer "
     "arithmetic — idf via the shared no-libm ilog2fp, k1=1.2 / b=0.75 as "
     "cleared rationals, int64 overflow guarded by the shared shift trick "
-    "(search.py module doc). ONE corpus-sized documents scan: the term "
-    "filter runs inside the per-row words array BEFORE the explode, so "
-    "postings, tf/df aggregation and per-doc scoring are all "
-    "matching-occurrence-sized; corpus stats (N, L) are a broadcast 1-row "
-    "aggregate and the final top-20 a TakeOrdered. At 100 TB the postings "
-    "relation IS the stored inverted index (a term-keyed KeyedTable); the "
-    "graded query demonstrates probe math against it.",
+    "(search.py module doc). Three column-pruned corpus scans (postings, "
+    "the df branch's re-planned postings, the 2-value stats aggregate — "
+    "the module doc explains why df-by-window would trade a scan for "
+    "per-term skew): the term filter runs inside the per-row words array "
+    "BEFORE the explode, so postings, tf/df aggregation and per-doc "
+    "scoring are all matching-occurrence-sized; corpus stats broadcast "
+    "and the final top-20 is a TakeOrdered. At 100 TB the postings "
+    "relation IS the stored inverted index (a term-keyed KeyedTable) and "
+    "the scans collapse into index reads; the graded query demonstrates "
+    "probe math against it.",
     tags=("text", "search"),
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5067,7 +5075,13 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(root, "batches")
     out_dir = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    if not os.path.exists(out_dir):
+    # done-check is a marker written only after a CONFIRMED stream finish:
+    # the parquet sink creates out_dir at query start, so out_dir existing
+    # proves nothing — a crashed/timed-out first run must rebuild, never
+    # be silently read (inventory_misc streaming-fixture convention)
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
         rows = corpus(spark, sf_dir).select(
             F.md5("text").alias("fp"),
             "doc_id",
@@ -5105,7 +5119,11 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming dedup did not finish in 300s")
+        with open(done, "w") as f:
+            f.write("ok")
     return spark.read.parquet(out_dir).select("fp", "doc_id", "first_batch")
 
 

@@ -273,6 +273,39 @@ def fixed_size_sample(
     )
 
 
+def es_key_sql(
+    weight_sql: str, id_sql: str, dialect: str, seed: str = "es1"
+) -> str:
+    """THE Efraimidis-Spirakis key expression — the single source of the
+    fixed-point construction shared by weighted_sample_topk,
+    weighted_group_sample and the DuckDB oracle twin (weighted_sample_sql):
+    editing the fold width / seed format / quantization in one consumer but
+    not the others would silently desynchronize the samplers from each
+    other and from their oracles (the md5_salt discipline, applied here).
+
+        u      = md5(seed:id) folded to [1, 2^20]
+        es_key = (20*QUANT - ilog2fp(u)) * 2^20 // weight     (smaller wins)
+    """
+    from spark_on_hbase_spark.operators.text import DSIR_QUANT, ilog2fp_sql
+
+    if dialect == "spark":
+        u = (
+            f"(CAST(conv(substring(md5(concat('{seed}:', CAST({id_sql} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % 1048576 + 1)"
+        )
+        div = "DIV"
+    else:
+        u = (
+            f"(CAST(('0x' || substring(md5('{seed}:' || CAST({id_sql} AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f" % 1048576 + 1)"
+        )
+        div = "//"
+    return (
+        f"CAST(((20 * {DSIR_QUANT} - {ilog2fp_sql(u, dialect)}) * 1048576)"
+        f" {div} {weight_sql} AS BIGINT)"
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame, weight_col: str, id_col: str, k: int, seed: str = "es1"
 ) -> DataFrame:
@@ -298,22 +331,12 @@ def weighted_sample_topk(
     resamples on retry; md5 does not). Ties (same key) break by id.
     Rows with non-positive weight are excluded. Returns (id, weight,
     es_key) ordered by (es_key, id)."""
-    from spark_on_hbase_spark.operators.text import DSIR_QUANT, ilog2fp_sql
-
-    u = (
-        f"(CAST(conv(substring(md5(concat('{seed}:', CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-        f" % 1048576 + 1)"
-    )
-    key = (
-        f"CAST(((20 * {DSIR_QUANT} - {ilog2fp_sql(u, 'spark')}) * 1048576)"
-        f" DIV {weight_col} AS BIGINT)"
-    )
     return (
         df.where(F.col(weight_col) > 0)
         .select(
             F.col(id_col),
             F.col(weight_col),
-            F.expr(key).alias("es_key"),
+            F.expr(es_key_sql(weight_col, id_col, "spark", seed)).alias("es_key"),
         )
         .orderBy("es_key", id_col)
         .limit(k)
@@ -324,16 +347,7 @@ def weighted_sample_sql(
     weight_sql: str, id_sql: str, seed: str = "es1"
 ) -> str:
     """DuckDB twin of weighted_sample_topk's es_key expression."""
-    from spark_on_hbase_spark.operators.text import DSIR_QUANT, ilog2fp_sql
-
-    u = (
-        f"(CAST(('0x' || substring(md5('{seed}:' || CAST({id_sql} AS VARCHAR)), 1, 8)) AS BIGINT)"
-        f" % 1048576 + 1)"
-    )
-    return (
-        f"CAST(((20 * {DSIR_QUANT} - {ilog2fp_sql(u, 'duckdb')}) * 1048576)"
-        f" // {weight_sql} AS BIGINT)"
-    )
+    return es_key_sql(weight_sql, id_sql, "duckdb", seed)
 
 
 def weighted_group_sample(
@@ -355,20 +369,10 @@ def weighted_group_sample(
     id tiebreak)."""
     from pyspark.sql import Window
 
-    from spark_on_hbase_spark.operators.text import DSIR_QUANT, ilog2fp_sql
-
-    u = (
-        f"(CAST(conv(substring(md5(concat('{seed}:', CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-        f" % 1048576 + 1)"
-    )
-    key = (
-        f"CAST(((20 * {DSIR_QUANT} - {ilog2fp_sql(u, 'spark')}) * 1048576)"
-        f" DIV {weight_col} AS BIGINT)"
-    )
     w = Window.partitionBy(group_col).orderBy("es_key", id_col)
     return (
         df.where(F.col(weight_col) > 0)
-        .withColumn("es_key", F.expr(key))
+        .withColumn("es_key", F.expr(es_key_sql(weight_col, id_col, "spark", seed)))
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )

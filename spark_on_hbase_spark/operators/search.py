@@ -7,15 +7,20 @@ of this repo's training-data-pipeline extension surface (SURVEY.md §7.2
 step 8 family), giving the corpus a search-shaped read path: selective
 term lookup, not corpus scoring.
 
-Scale design (the inverted-index argument): the only corpus-sized work is
-ONE documents scan. Query terms are a tiny literal set, so the word filter
-runs INSIDE the per-row word array before the explode — the exploded
-postings stream is proportional to matching term occurrences, not corpus
-tokens, and every aggregation after it (tf, df, per-doc score) is
-match-sized. Corpus statistics (N docs, L tokens) are a 2-value global
-aggregate broadcast back. On a real deployment the postings relation is
-the stored inverted index (a KeyedTable keyed by term — the build path is
-`bm25_postings`); the graded query demonstrates the probe math.
+Scale design (the inverted-index argument): the corpus-sized work is
+THREE column-pruned documents scans — the postings derivation, a second
+planning of it under the per-term df aggregation (Catalyst prunes the tf
+column from that branch, so the exchanges differ and the scan is not
+reused), and the 2-value (N docs, L tokens) stats aggregate broadcast
+back. Everything downstream of the scans is match-sized: the query terms
+are a tiny literal set, so the word filter runs INSIDE the per-row word
+array before the explode and the exploded postings stream is proportional
+to matching occurrences, not corpus tokens. (A per-term window for df
+would drop one scan but concentrate each common term's postings in one
+partition — real skew at corpus scale — so the extra pruned scan is the
+right trade.) On a real deployment the postings relation is the stored
+inverted index (a KeyedTable keyed by term), all three scans collapse
+into index reads, and the graded query demonstrates the probe math.
 
 BM25 (Robertson/Sparck Jones; Lucene's non-negative idf form) in 2^-20
 fixed-point log2 units, k1 = 1.2, b = 0.75 as exact rationals:

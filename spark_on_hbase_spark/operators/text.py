@@ -1298,7 +1298,6 @@ def token_entropy(
     cnts = toks.groupBy(id_col, "n_tokens", "__w").agg(
         F.count("*").alias("__cnt")
     )
-    term = F.expr(f"__cnt * {ilog2fp_sql('__cnt', 'spark')}")
     return cnts.groupBy(id_col, "n_tokens").agg(
         F.expr(
             f"CAST({ilog2fp_sql('n_tokens', 'spark')}"
