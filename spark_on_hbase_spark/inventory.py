@@ -750,6 +750,11 @@ _ROTATED_OUT_R09 = [
     # r09-driver-green, the layer-prefix read kernel untouched this round,
     # pinned by tests/test_table.py::test_time_travel_reads_layer_prefix.
     "lsm_time_travel",
+    # (doremi_domain_reweight registers in-window): ann_lsh_topk is
+    # r09-driver-green, the sign-LSH kernel untouched this round, pinned by
+    # tests/test_pipeline.py::test_ann_recall_floors_on_fixture_corpus plus
+    # its standing 30x probe row.
+    "ann_lsh_topk",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

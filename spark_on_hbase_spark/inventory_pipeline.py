@@ -5170,3 +5170,80 @@ def weighted_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wgs(docs, "source", "n_chars", "doc_id", _WGS_K).select(
         "source", "doc_id", "n_chars", "es_key", "sample_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi domain reweighting (round 10; operators/agg.py doremi_reweight)
+# ---------------------------------------------------------------------------
+
+_DM_ETA = 10000  # eta in per-mille: weight doubles per 100pm of excess loss
+
+
+def _dm_oracle_sql() -> str:
+    n_sql, score_sql = T.hashed_classifier_sql("text")
+    x = f"(CAST({_DM_ETA} AS BIGINT) * excess_pm * {T.DSIR_QUANT}) // 1000000"
+    return f"""
+    WITH dm_scored AS (
+        SELECT source, {score_sql} AS score_pm
+        FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) > 0
+    ),
+    dm_loss AS (
+        SELECT source,
+               1000 - (CAST(SUM(score_pm) AS BIGINT) // COUNT(*)) AS loss_pm
+        FROM dm_scored GROUP BY source
+    ),
+    dm_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(loss_pm) AS BIGINT) AS tot
+        FROM dm_loss
+    ),
+    dm_excess AS (
+        SELECT source, loss_pm,
+               GREATEST(loss_pm - (tot // n), 0) AS excess_pm
+        FROM dm_loss CROSS JOIN dm_stats
+    ),
+    dm_w AS (
+        SELECT source, loss_pm, excess_pm,
+               {T.iexp2fp_sql(x, "duckdb")} AS w
+        FROM dm_excess
+    )
+    SELECT source, CAST(loss_pm AS BIGINT) AS loss_pm,
+           CAST(excess_pm AS BIGINT) AS excess_pm,
+           CAST((1000 * w) // (SELECT SUM(w) FROM dm_w) AS BIGINT) AS weight_pm
+    FROM dm_w
+    """
+
+
+@query(
+    "doremi_domain_reweight",
+    _dm_oracle_sql(),
+    doc="DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429; "
+    "agg.doremi_reweight): one exponentiated-gradient step over the 20 "
+    "sources — domains whose proxy loss (here 1000 minus the hashed-"
+    "classifier mean score, the deterministic proxy-model stand-in) "
+    "exceeds the cross-domain reference get weight multiplied by "
+    "exp2(eta*excess) and everything renormalizes to per-mille. The exp2 "
+    "is text.iexp2fp_sql — the INVERSE of the ilog2fp mantissa trick "
+    "((quant + frac) << int, no libm pow, bit-identical engines). "
+    "Corpus-sized work: ONE map-side classifier pass + one per-source "
+    "aggregation; the EG step runs entirely on the 20-row domain relation "
+    "(the unimax-family documented bounded global window). The mixture "
+    "optimizer a multi-corpus pre-training run re-derives every epoch.",
+    tags=("pipeline", "sampling", "agg"),
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_on_hbase_spark.operators import agg as A
+
+    docs = load(spark, sf_dir, "documents")
+    scored = T.hashed_classifier_score(docs.select("source", "doc_id", "text"), id_col="source")
+    losses = (
+        scored.groupBy("source")
+        .agg(
+            F.expr("1000 - (CAST(SUM(score_pm) AS BIGINT) DIV COUNT(*))")
+            .cast("bigint")
+            .alias("loss_pm")
+        )
+    )
+    return A.doremi_reweight(losses, "source", "loss_pm", _DM_ETA)

@@ -540,3 +540,55 @@ def unimax_waterfill(
             "epochs_pm"
         ),
     )
+
+
+def doremi_reweight(
+    losses: DataFrame,
+    group_col: str = "source",
+    loss_col: str = "loss_pm",
+    eta_pm: int = 10000,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429),
+    one exponentiated-gradient step in exact integer arithmetic: domains
+    whose proxy loss exceeds the reference get their mixture weight
+    multiplied by exp2(eta * excess), then weights renormalize to
+    per-mille. The reference loss here is the cross-domain mean (the
+    uniform-prior single-step form); ``eta_pm`` is the learning rate in
+    per-mille (10000 = doubling weight per 100 per-mille of excess loss).
+
+        ref       = sum(loss) // n                   (truncating div)
+        excess    = max(loss - ref, 0)
+        exponent  = eta_pm * excess * QUANT // 1e6   (fixed-point bits)
+        wexp      = iexp2fp(exponent)                (no-libm exp2)
+        weight_pm = 1000 * wexp // sum(wexp)
+
+    ``losses`` is the per-domain relation (one row per source); every
+    global constant is a window aggregate over it — the same documented
+    bounded tiny-relation global-window family as unimax_waterfill, so
+    the corpus-sized work is whatever built the losses. Returns (group,
+    loss, excess_pm, weight_pm)."""
+    from spark_on_hbase_spark.operators.text import DSIR_QUANT, iexp2fp_sql
+
+    single = Window.partitionBy()
+    out = (
+        losses.withColumn("__n", F.count("*").over(single).cast("bigint"))
+        .withColumn("__tot", F.sum(loss_col).over(single).cast("bigint"))
+        .withColumn("__ref", F.expr("__tot DIV __n"))
+        .withColumn(
+            "excess_pm",
+            F.greatest(F.col(loss_col) - F.col("__ref"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "__x",
+            F.expr(f"(CAST({eta_pm} AS BIGINT) * excess_pm * {DSIR_QUANT}) DIV 1000000"),
+        )
+        .withColumn("__w", F.expr(iexp2fp_sql("__x", "spark")))
+        .withColumn("__wsum", F.sum("__w").over(single).cast("bigint"))
+        .withColumn("weight_pm", F.expr("CAST((1000 * __w) DIV __wsum AS BIGINT)"))
+    )
+    return out.select(
+        group_col,
+        F.col(loss_col).cast("bigint").alias(loss_col),
+        "excess_pm",
+        "weight_pm",
+    )

@@ -1330,3 +1330,24 @@ def token_entropy_sql(dialect: str = "duckdb") -> str:
                 AS BIGINT) AS ent_fp
     FROM e_cnt GROUP BY doc_id, n_tokens
     """
+
+
+def iexp2fp_sql(x_sql: str, dialect: str, quant: int = DSIR_QUANT) -> str:
+    """Fixed-point exp2 of a NON-NEGATIVE fixed-point exponent (1/quant
+    bit units), exact INTEGER arithmetic in both engines — the inverse of
+    ``ilog2fp_sql``'s mantissa trick: for x = i + f (integer and
+    fractional bits), 2^x ~ 2^i * (1 + f), i.e.
+
+        iexp2fp(x) = (quant + (x % quant)) << (x div quant)
+
+    in 1/quant units. Monotone, max relative error 6.1% (at f ~ 0.5 —
+    the same float-bit-trick envelope as ilog2fp's 0.0861 bits), and
+    bit-identical across engines: shifts and integer div/mod only, no
+    libm pow(). Callers must keep x div quant <= 42 or the shift
+    overflows int64 — exponent ranges here are per-mille losses times a
+    small learning rate, orders of magnitude below that."""
+    i = f"(CAST({x_sql} AS BIGINT) {'DIV' if dialect == 'spark' else '//'} {quant})"
+    frac = f"(CAST({x_sql} AS BIGINT) % {quant})"
+    if dialect == "spark":
+        return f"shiftleft({quant} + {frac}, CAST({i} AS INT))"
+    return f"(({quant} + {frac}) << {i})"
