@@ -24,6 +24,12 @@ _MUST_GRADE_R09 = {
     "bm25_search_topk",
     "weighted_sample_topk",
     "hashed_classifier_filter",
+    "lm_backoff_score",
+    "token_entropy_bottomk",
+    "unimax_budget_alloc",
+    "streaming_exact_dedup",
+    "weighted_group_sample",
+    "doremi_domain_reweight",
 }
 
 
