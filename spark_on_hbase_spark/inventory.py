@@ -755,6 +755,10 @@ _ROTATED_OUT_R09 = [
     # tests/test_pipeline.py::test_ann_recall_floors_on_fixture_corpus plus
     # its standing 30x probe row.
     "ann_lsh_topk",
+    # (pipeline_curation_v4 registers in-window): ann_ivf_topk is
+    # r09-driver-green, the IVF probe kernel untouched this round, pinned
+    # by tests/test_pipeline.py::test_ivf_full_probe_equals_brute_force.
+    "ann_ivf_topk",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

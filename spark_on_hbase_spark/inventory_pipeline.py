@@ -5247,3 +5247,123 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return A.doremi_reweight(losses, "source", "loss_pm", _DM_ETA)
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline v4 (round 10): the round's gates composed
+# ---------------------------------------------------------------------------
+
+_V4_ENT_CUT = 3 * T.DSIR_QUANT  # >= 3 bits of token entropy
+_V4_CLF_CUT = 0
+
+
+def _v4_oracle_sql() -> str:
+    il = lambda s: T.ilog2fp_sql(s, "duckdb")  # noqa: E731
+    w = T._clf_weight_sql("w", "duckdb", "clfw")
+    return f"""
+    WITH {CORPUS_SQL},
+    v4_toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM corpus
+    ),
+    v4_cnts AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, w,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, ws, unnest(ws) AS w FROM v4_toks
+              WHERE len(ws) > 0)
+        GROUP BY 1, 2, 3
+    ),
+    v4_doc AS (
+        SELECT doc_id, n AS n_tokens,
+               CAST({il('n')} - (CAST(SUM(cnt * {il('cnt')}) AS BIGINT) // n)
+                    AS BIGINT) AS ent_fp,
+               CAST(CAST(SUM(cnt * {w}) AS BIGINT) // n AS BIGINT) AS score_pm
+        FROM v4_cnts GROUP BY doc_id, n
+    ),
+    v4_dupdrop AS (
+        SELECT c.doc_id
+        FROM (SELECT doc_id, md5(text) AS fp FROM corpus) c
+        JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS canon
+              FROM corpus GROUP BY 1 HAVING COUNT(*) > 1) g USING (fp)
+        WHERE c.doc_id <> g.canon
+    )
+    SELECT doc_id, n_tokens, score_pm, ent_fp
+    FROM v4_doc
+    WHERE score_pm > {_V4_CLF_CUT} AND ent_fp >= {_V4_ENT_CUT}
+      AND doc_id NOT IN (SELECT doc_id FROM v4_dupdrop)
+    """
+
+
+@query(
+    "pipeline_curation_v4",
+    _v4_oracle_sql(),
+    doc="Curation pipeline v4 — this round's gates composed end-to-end "
+    "over the constructed dup corpus in ONE Catalyst plan: hashed-"
+    "classifier quality gate (score_pm > 0, the fastText-inference "
+    "stand-in) AND token-entropy gate (>= 3 bits — drops boilerplate) "
+    "AND exact-dedup canonical (non-canonical clone members dropped). "
+    "The two text gates are BOTH derived from a single (doc, token, "
+    "count) relation — the classifier score is SUM(cnt * weight(token)) "
+    "div n, identically the per-occurrence fold, so one corpus explode "
+    "feeds both signals — and the md5 fingerprint rides that same "
+    "pipeline (constant per doc), so the dedup gate is a self-join of the "
+    "doc-level relation, NOT a second corpus scan. ONE corpus pass total, "
+    "materialized once (lazy localCheckpoint, the prefix_boundary_split "
+    "multi-consumer discipline) and consumed by both the gate filter and "
+    "the canonical-member aggregation. The keep-set a production sweep "
+    "would hand to packing.",
+    tags=("pipeline", "text", "dedup"),
+)
+def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the md5 fingerprint rides the token pipeline (constant per doc, so it
+    # widens the shuffle key by 32 bytes instead of costing a second corpus
+    # scan); per_doc then serves BOTH text gates and the dedup gate. A dup
+    # group shares its text, hence its token count, so every member is in
+    # per_doc or none is — base-level dedup is exactly corpus-level dedup.
+    corp = corpus(spark, sf_dir)
+    base = corp.select(
+        "doc_id",
+        F.md5("text").alias("__fp"),
+        T.words_expr(F.lower(F.col("text"))).alias("__ws"),
+    ).where(F.size("__ws") > 0)
+    cnts = (
+        base.select(
+            "doc_id",
+            "__fp",
+            F.size("__ws").cast("bigint").alias("__n"),
+            F.explode("__ws").alias("__w"),
+        )
+        .groupBy("doc_id", "__fp", "__n", "__w")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    wsql = T._clf_weight_sql("__w", "spark", "clfw")
+    per_doc = cnts.groupBy("doc_id", "__fp", "__n").agg(
+        F.expr(
+            f"CAST({T.ilog2fp_sql('__n', 'spark')}"
+            f" - (SUM(__cnt * {T.ilog2fp_sql('__cnt', 'spark')}) DIV __n)"
+            f" AS BIGINT)"
+        ).alias("ent_fp"),
+        F.expr(f"CAST(SUM(__cnt * {wsql}) DIV __n AS BIGINT)").alias("score_pm"),
+    )
+    per_doc = per_doc.localCheckpoint(eager=False)
+    dup_groups = (
+        per_doc.groupBy("__fp")
+        .agg(F.min("doc_id").alias("__canon"), F.count("*").alias("__m"))
+        .where(F.col("__m") > 1)
+    )
+    return (
+        per_doc.join(F.broadcast(dup_groups), "__fp", "left")
+        .where(
+            (F.col("score_pm") > _V4_CLF_CUT)
+            & (F.col("ent_fp") >= _V4_ENT_CUT)
+            & (F.col("__canon").isNull() | (F.col("doc_id") == F.col("__canon")))
+        )
+        .select(
+            "doc_id",
+            F.col("__n").alias("n_tokens"),
+            "score_pm",
+            "ent_fp",
+        )
+    )

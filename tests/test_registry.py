@@ -30,6 +30,7 @@ _MUST_GRADE_R09 = {
     "streaming_exact_dedup",
     "weighted_group_sample",
     "doremi_domain_reweight",
+    "pipeline_curation_v4",
 }
 
 
