@@ -759,6 +759,11 @@ _ROTATED_OUT_R09 = [
     # r09-driver-green, the IVF probe kernel untouched this round, pinned
     # by tests/test_pipeline.py::test_ivf_full_probe_equals_brute_force.
     "ann_ivf_topk",
+    # (ann_filtered_topk registers in-window): ann_pq_adc_topk is
+    # r09-driver-green, the PQ train/encode/ADC kernel untouched this
+    # round, pinned by tests/test_pipeline.py::test_pq_train_encode_adc_matches_the_python_reference
+    # plus its standing 30x probe row.
+    "ann_pq_adc_topk",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

@@ -5367,3 +5367,43 @@ def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ent_fp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# filtered vector search (round 10; similarity.filtered_topk)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_filtered_topk",
+    f"""
+    WITH lab_vecs AS (SELECT vec_id, label, {_QSQL} AS v FROM embeddings),
+    fq AS (SELECT vec_id, label, v FROM lab_vecs WHERE vec_id % 97 = 0),
+    f_scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id, b.label, {_COS} AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS} DESC, b.vec_id
+               ) AS rank
+        FROM fq a JOIN lab_vecs b
+          ON b.label = a.label AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, label, cosine, rank
+    FROM f_scored WHERE rank <= 10
+    """,
+    doc="FILTERED vector search (similarity.filtered_topk): per query, "
+    "cosine top-10 among only the candidates sharing the query's label — "
+    "the metadata-predicate + ANN composition where post-filtering a "
+    "vanilla top-k underfills whenever the predicate is selective. "
+    "Relationally the predicate is just a different JOIN: queries "
+    "broadcast, candidates equi-join on label (non-matching candidates "
+    "drop BEFORE any scoring — selectivity makes it cheaper than brute, "
+    "|matched| vs |corpus| x |queries| pairs), then the standard "
+    "rank-then-filter WindowGroupLimit. Exact quantized-int cosines, "
+    "deterministic vec_id tiebreak.",
+    tags=("similarity", "embedding"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    return V.filtered_topk(emb, queries, k=10)

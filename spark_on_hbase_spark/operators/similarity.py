@@ -1566,3 +1566,53 @@ def rp_topk(
     return _exact_rerank_topk(
         scored, corpus, queries, k, rerank_factor, "__pcos", id_col, qvec_col
     )
+
+
+def filtered_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """FILTERED vector search: per query, cosine top-k among only the
+    candidates satisfying the query's metadata predicate (label equality
+    here) — the search+filter composition where post-filtering a vanilla
+    ANN result underfills k whenever the predicate is selective, and
+    specialized vector stores fall back to brute force. Relationally it is
+    simply a different JOIN: the query set broadcasts and candidates hash-
+    join on the label (an equi-join, cheaper than brute's crossJoin —
+    candidates of non-queried labels are dropped AT THE JOIN, before any
+    scoring), then the same rank-then-filter per query plans
+    WindowGroupLimit. Selectivity helps instead of hurting: scored pairs
+    are |label-matched| rather than |corpus| x |queries|. Returns
+    (query_id, vec_id, label, cosine, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        quantize_expr(vec_col).alias("__qv"),
+    )
+    c = candidates.select(
+        F.col(id_col), F.col(label_col), quantize_expr(vec_col).alias("__cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col(label_col) == F.col("__ql")) & (F.col(id_col) != F.col("query_id")))
+        .select(
+            "query_id",
+            id_col,
+            label_col,
+            cosine_expr(
+                dot_expr(F.col("__qv"), F.col("__cv")),
+                norm2_expr(F.col("__qv")),
+                norm2_expr(F.col("__cv")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

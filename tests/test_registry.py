@@ -31,6 +31,7 @@ _MUST_GRADE_R09 = {
     "weighted_group_sample",
     "doremi_domain_reweight",
     "pipeline_curation_v4",
+    "ann_filtered_topk",
 }
 
 
