@@ -764,6 +764,11 @@ _ROTATED_OUT_R09 = [
     # round, pinned by tests/test_pipeline.py::test_pq_train_encode_adc_matches_the_python_reference
     # plus its standing 30x probe row.
     "ann_pq_adc_topk",
+    # (containment_dedup registers in-window): ann_sq8_topk is
+    # r09-driver-green, the SQ8 train/encode kernel untouched this round,
+    # pinned by tests/test_pipeline.py::test_sq8_topk_recall_floor_and_exact_scores
+    # plus its standing 30x probe row.
+    "ann_sq8_topk",
     # -- newly out in r9 continuation (bpe_merge_learn + bpe_token_census
     # register in-window): r08-driver-green sketch gates, operators/agg.py
     # untouched this session, pinned by

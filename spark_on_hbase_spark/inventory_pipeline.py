@@ -5407,3 +5407,54 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 97 == 0)
     return V.filtered_topk(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# containment dedup (round 10; dedup.containment_pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "containment_dedup",
+    f"""
+    WITH {CORPUS_SQL}, {_shingled_sql(5)},
+    ct_docfreq AS (
+        SELECT shingle FROM shingled GROUP BY shingle HAVING COUNT(*) <= 100
+    ),
+    ct_rare AS (SELECT s.doc_id, s.shingle FROM shingled s
+                JOIN ct_docfreq USING (shingle)),
+    ct_cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ct_rare a JOIN ct_rare b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+    ),
+    ct_sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    ct_shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS shared
+        FROM ct_cands c
+        JOIN shingled sa ON sa.doc_id = c.id_a
+        JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT s.id_a, s.id_b, CAST(s.shared AS BIGINT) AS shared,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(s.shared AS DOUBLE) / LEAST(na.n, nb.n) AS containment
+    FROM ct_shared s
+    JOIN ct_sizes na ON na.doc_id = s.id_a
+    JOIN ct_sizes nb ON nb.doc_id = s.id_b
+    WHERE CAST(s.shared AS DOUBLE) / LEAST(na.n, nb.n) >= 0.95
+    """,
+    doc="Containment (asymmetric) near-dup detection (Broder 1997's second "
+    "resemblance measure; dedup.containment_pairs): flag a pair when the "
+    "SMALLER document's shingle set sits >= 95% inside the other — the "
+    "quote/excerpt/boilerplate-wrapper modality Jaccard structurally "
+    "misses (a 100-shingle doc verbatim inside a 10000-shingle page is "
+    "containment 1.0, Jaccard ~0.01). Candidates and the exact set-"
+    "intersection join are the ngram_jaccard machinery (rare-shingle "
+    "candidates, df <= 100 A11-style gate bounding the join at 100 TB); "
+    "containment is one IEEE division of exact counts.",
+    tags=("dedup",),
+)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = _shingled(spark, sf_dir, 5)
+    return D.containment_pairs(exploded, "doc_id", "shingle", 0.95, max_shingle_df=100)

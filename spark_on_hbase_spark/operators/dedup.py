@@ -795,3 +795,54 @@ def edit_distance_near_dups(
         .where(F.col("edit_distance") <= tau)
         .select("id_a", "id_b", "hamming", "edit_distance")
     )
+
+
+def containment_pairs(
+    exploded: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment (Broder 1997's
+    second resemblance measure): a pair is flagged when the SMALLER
+    document's shingles are mostly inside the other —
+    containment = shared / min(|A|, |B|) >= threshold. This is the quote/
+    excerpt/boilerplate-wrapper case Jaccard structurally misses: a 100-
+    shingle doc embedded verbatim in a 10000-shingle page has containment
+    1.0 but Jaccard ~0.01, so no symmetric threshold catches it without
+    drowning in false positives. Candidate generation and the exact
+    set-intersection join are shared with ngram_jaccard_pairs (rare-
+    shingle candidates, A11-style df gate bounding the join at scale);
+    only the final ratio differs. Containment is one IEEE division of
+    exact counts. Returns (id_a, id_b, shared, n_a, n_b, containment)."""
+    docfreq = exploded.groupBy(shingle_col).agg(F.count("*").alias("__df"))
+    rare = exploded.join(
+        docfreq.where(F.col("__df") <= max_shingle_df).select(shingle_col), shingle_col
+    )
+    pairs = (
+        rare.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__s"))
+        .join(rare.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__s")), "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n"))
+    ea = exploded.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__s"))
+    eb = exploded.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__s"))
+    shared = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double") / F.least("n_a", "n_b"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "containment")
+    )

@@ -32,6 +32,7 @@ _MUST_GRADE_R09 = {
     "doremi_domain_reweight",
     "pipeline_curation_v4",
     "ann_filtered_topk",
+    "containment_dedup",
 }
 
 
