@@ -30,3 +30,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None}
+
+
+def env_info() -> dict[str, str]:
+    """Engine fingerprint for divergence forensics (VERDICT r9 item 6): if
+    a grading run's hashes ever disagree with the local mirror again, this
+    sidecar pins WHICH duckdb/pyspark/python evaluated each side. The
+    driver contract does not require it; check_oracle.py logs the same
+    fields as an ENVINFO line per run."""
+    import platform
+
+    import duckdb
+    import pyspark
+
+    return {
+        "duckdb": duckdb.__version__,
+        "pyspark": pyspark.__version__,
+        "python": platform.python_version(),
+    }
