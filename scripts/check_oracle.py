@@ -54,11 +54,31 @@ def frame_fingerprint(columns, rows):
 
 def column_checksums(columns, rows):
     """Per-column canonical checksum (sorted rendered values) so a frame
-    hash mismatch names the diverging column(s) instead of a bare boolean."""
+    hash mismatch names the diverging column(s) instead of a bare boolean.
+
+    Heuristic caveat (ADVICE r10): sorting each column INDEPENDENTLY makes
+    the checksum blind to correlated divergence — two columns whose values
+    are swapped between rows on the two engines checksum equal per column.
+    row_paired_column_checksums below closes that: it pairs rows by the
+    full sorted row tuple first, so a correlated divergence still names
+    the first column at which the paired rows differ."""
     out = {}
     for i, c in enumerate(columns):
         vals = sorted(normalize(r[i]) for r in rows)
         out[c] = hashlib.md5("\n".join(vals).encode()).hexdigest()[:12]
+    return out
+
+
+def row_paired_column_checksums(columns, rows):
+    """Per-column checksum over rows sorted by the FULL row tuple (columns
+    in sorted-name order), so values stay attached to their rows: catches
+    correlated divergence that per-column sorting hides."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    ranked = sorted(tuple(normalize(r[i]) for i in order) for r in rows)
+    out = {}
+    for pos, i in enumerate(order):
+        vals = "\n".join(t[pos] for t in ranked)
+        out[columns[i]] = hashlib.md5(vals.encode()).hexdigest()[:12]
     return out
 
 
@@ -143,7 +163,18 @@ def main():
                 scs = column_checksums(spark_cols, spark_rows)
                 dcs = column_checksums(duck_cols, duck_rows)
                 bad = [c for c in scs if scs[c] != dcs.get(c)]
-                problems.append(f"diverging columns: {bad or 'row-pairing only'}")
+                if bad:
+                    problems.append(f"diverging columns: {bad}")
+                else:
+                    # Independent per-column sort is blind to correlated
+                    # divergence; re-checksum with rows paired by the full
+                    # row tuple so a swap still names its columns.
+                    sps = row_paired_column_checksums(spark_cols, spark_rows)
+                    dps = row_paired_column_checksums(duck_cols, duck_rows)
+                    badp = [c for c in sps if sps[c] != dps.get(c)]
+                    problems.append(
+                        f"diverging columns (row-paired): {badp or 'none — identical multisets, differing row pairing'}"
+                    )
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")

@@ -5100,9 +5100,15 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(tmp)
             )
             part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            shutil.move(
-                os.path.join(tmp, part), os.path.join(src_dir, f"b{b}.parquet")
-            )
+            dst = os.path.join(src_dir, f"b{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            # FileStreamSource orders files by MODIFICATION time; the moved
+            # part files inherit near-identical mtimes, so on coarse-mtime
+            # filesystems two batches can tie and the cross-batch survivor
+            # (doc_id / first_batch) would be left to unspecified listing
+            # order, diverging from the oracle's MIN(b). Pin strictly
+            # ascending mtimes so batch order is guaranteed (ADVICE r10).
+            os.utime(dst, (1_600_000_000 + b, 1_600_000_000 + b))
             shutil.rmtree(tmp, ignore_errors=True)
         stream = (
             spark.readStream.format("parquet")

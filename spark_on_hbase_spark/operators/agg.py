@@ -477,9 +477,7 @@ def unimax_waterfill(
     with exact integer arithmetic.
 
     ``sizes`` is one row per source carrying ``size_col`` (its corpus
-    tokens) and ``cap_col`` (its max allocation, e.g. C epochs * tokens);
-    ``budget_expr`` is a SQL expression over SUM-able columns evaluated on
-    the same relation (e.g. "(3 * CAST(SUM(n_tokens) AS BIGINT)) DIV 2").
+    tokens) and ``cap_col`` (its max allocation, e.g. C epochs * tokens).
     Sort sources by cap ascending; source i is capped iff giving every
     smaller source its cap and splitting the remainder equally still
     clears cap_i: cap_i * (n - i) + cumcap_i <= B. With k capped sources
