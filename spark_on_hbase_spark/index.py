@@ -166,6 +166,7 @@ class SecondaryIndex:
         include: list[str] | None = None,
         expr: "F.Column | dict[str, F.Column] | None" = None,
         guideposts: bool = True,
+        multi: str | None = None,
     ):
         """``include``: base columns COPIED into every index entry (Phoenix
         covered columns) — a ``lookup(value, covered=True)`` over them never
@@ -185,7 +186,25 @@ class SecondaryIndex:
         is resolved by analysis (see _expr_inputs), so the put/delete/
         increment fast paths stay exact: a put touching an input column
         maintains the index, one touching nothing the index reads skips
-        maintenance entirely."""
+        maintenance entirely.
+
+        ``multi``: name of ONE ``expr`` component whose expression yields
+        an ARRAY — the entry relation EXPLODES it, minting one index entry
+        per element (a GIN-style inverted/multi-valued index; HBase analog:
+        one indexed KeyValue per derived term, the pattern the reference's
+        secondary-index demos hand-roll per row,
+        demo/src/main/scala/DemoSimpleApp.scala:41-58). A NULL or empty
+        array mints no entries (the per-component NULL convention, element-
+        wise). Because every path — bulk build, the put/update/delete
+        read-before-write, scrutiny, repair — derives entries through
+        ``_entries``, maintenance of all of a row's elements is automatic:
+        tombstone the old row's element entries, insert the new row's.
+        Lookups probe by ELEMENT value (``lookup(element)`` returns base
+        rows whose array CONTAINS it); the stored component column carries
+        the exploded element, so the typed re-filter and covered reads work
+        unchanged. ``multi`` must be the LAST component (its explosion
+        multiplies entries; a trailing position keeps leading-edge probes
+        on scalar components meaningful)."""
         self.base = base
         if path is None:
             raise ValueError("path is required")
@@ -200,6 +219,16 @@ class SecondaryIndex:
         if not self.cols:
             raise ValueError("at least one indexed column or expr required")
         self.col = self.cols[0]  # back-compat alias for single-column use
+        self.multi = multi
+        if multi is not None:
+            if multi not in self.exprs:
+                raise ValueError(
+                    f"multi component {multi!r} must be an expr component"
+                )
+            if self.cols[-1] != multi:
+                raise ValueError(
+                    f"multi component {multi!r} must be the LAST component"
+                )
         self.include = list(include or [])
         self.guideposts = guideposts
         self._inputs: set[str] | None = None  # lazy: base may not exist yet
@@ -242,7 +271,18 @@ class SecondaryIndex:
                 derived = self.base.df().select(
                     *[e.alias(n) for n, e in self.exprs.items()]
                 )
-                self._dtypes.update(dict(derived.dtypes))
+                dts = dict(derived.dtypes)
+                if self.multi is not None:
+                    # entries store the EXPLODED element, so the component's
+                    # index dtype is the array's element type
+                    adt = dts[self.multi]
+                    if not (adt.startswith("array<") and adt.endswith(">")):
+                        raise ValueError(
+                            f"multi component {self.multi!r} must be an "
+                            f"array expression, got {adt}"
+                        )
+                    dts[self.multi] = adt[len("array<"):-1]
+                self._dtypes.update(dts)
         return _ord_encode(col, self._dtypes[self.cols[pos]])
 
     def _expr_inputs(self) -> set[str]:
@@ -317,6 +357,14 @@ class SecondaryIndex:
         Functional components are computed here, so every caller (bulk
         build, maintenance reads, scrutiny) sees identical derivations."""
         live = self._augment(rows)
+        if self.multi is not None:
+            # force dtype resolution first: it validates the multi
+            # component IS an array (a clear ValueError beats the
+            # AnalysisException explode would raise below)
+            self._enc(F.col(self.cols[0]), 0)
+            # one entry per array element; explode drops NULL and empty
+            # arrays (no entries — the NULL convention, element-wise)
+            live = live.withColumn(self.multi, F.explode(self.multi))
         for c in self.cols:
             live = live.where(F.col(c).isNotNull())
         parts = []

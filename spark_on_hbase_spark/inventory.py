@@ -707,6 +707,13 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 # driver-grading-window). Each pop/re-insert moves a query to the dict's
 # tail, preserving this list's order there.
 _ROTATED_OUT_R09 = [
+    # -- r11 swap (incremental_near_dup_index registers in-window by file
+    # position): cross_join_grid is r10-driver-green, the bounded-cross-join
+    # kernel untouched this round, pinned by the sanctioned-cartesian plan
+    # budget row and tests/test_joins.py. The full r11 rotation (VERDICT
+    # r10 item 1: refresh the r04/r05 grades) lands below once the round's
+    # new queries are registered.
+    "cross_join_grid",
     # -- r10 swaps: lm_likelihood_score rotates back IN (last driver row
     # r04; its bigram-LM pipeline is adjacent to the r09 ccnet red — VERDICT
     # r9 item 2) -> gopher_quality_filter rotates out: r05-driver-green and

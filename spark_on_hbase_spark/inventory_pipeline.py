@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_on_hbase_spark.inventory import build, load, query, warmer
+from spark_on_hbase_spark.inventory import (
+    build,
+    input_tag,
+    load,
+    query,
+    sf_tag,
+    warmer,
+)
 from spark_on_hbase_spark.operators import dedup as D
 from spark_on_hbase_spark.operators import multimodal as M
 from spark_on_hbase_spark.operators import similarity as V
@@ -73,14 +80,17 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled_sql(n: int, source: str = "corpus") -> str:
+def _shingled_sql(n: int, source: str = "corpus", name: str = "shingled") -> str:
     """Exploded distinct word n-gram shingles of ``source`` (DuckDB) — the
     single SQL twin of words_expr + shingles_from_words; every oracle that
     shingles (dedup family, decontamination) derives from this one builder
-    so tokenizer/distinctness semantics cannot drift between them."""
+    so tokenizer/distinctness semantics cannot drift between them.
+    ``name`` renames the emitted CTE for oracles that need two shingle
+    relations side by side (the incremental near-dup index's stored/probe
+    split)."""
     parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
     return f"""
-    shingled AS (
+    {name} AS (
         SELECT doc_id,
                unnest(CASE WHEN len(ws) >= {n}
                       THEN list_distinct([{parts} for i in range(1, len(ws) - {n} + 2)])
@@ -5464,3 +5474,254 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = _shingled(spark, sf_dir, 5)
     return D.containment_pairs(exploded, "doc_id", "shingle", 0.95, max_shingle_df=100)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup index (round 11; index.SecondaryIndex(multi=...) +
+# dedup.band_signature_array) — VERDICT r10 item 2
+# ---------------------------------------------------------------------------
+
+_ND_IDX_VERSION = 1
+_ND_IDX_DONE: set = set()
+
+
+def _nd_index_handles(spark: SparkSession, root: str) -> dict:
+    """Side-effect-free handles for the near-dup band-index fixture: a
+    documents KeyedTable keyed by doc_id and a MULTI-VALUED SecondaryIndex
+    whose one functional component is the doc's LSH band-key array
+    (dedup.band_signature_array) — one index entry per band, maintained
+    like any other index entry."""
+    import os as _os
+
+    from spark_on_hbase_spark.index import SecondaryIndex
+    from spark_on_hbase_spark.table import KeyedTable
+
+    base = KeyedTable(
+        spark, _os.path.join(root, "nd_base"), key_col="doc_id",
+        ts_col="ts", num_partitions=8,
+    )
+    idx = SecondaryIndex(
+        base, path=_os.path.join(root, "nd_band_idx"),
+        expr={"band": D.band_signature_array("text")}, multi="band",
+        guideposts=False,
+    )
+    return {"base": base, "idx": idx}
+
+
+def _nd_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """Cross-session near-dup index fixture (the sec_idx_fix build/publish
+    protocol: deterministic content stamped with _ND_IDX_VERSION + the
+    documents input tag, built into a pid-unique staging dir, published by
+    one atomic rename after _COMPLETE lands). Content: the documents table
+    ingested at ts 100 with the band index bulk-built, then ONE maintained
+    update batch (the exact clones, ts 200) — the O(batch) incremental
+    ingest the graded query's probe must see reflected in the index."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        f"nd_idx_fix_v{_ND_IDX_VERSION}_{sf_tag(sf_dir)}_"
+        f"{input_tag(sf_dir, 'documents')}",
+    )
+    marker = _os.path.join(root, "_COMPLETE")
+    if root in _ND_IDX_DONE or _os.path.exists(marker):
+        _ND_IDX_DONE.add(root)
+        return _nd_index_handles(spark, root)
+    staging = f"{root}.build.{_os.getpid()}"
+    _shutil.rmtree(staging, ignore_errors=True)
+    h = _nd_index_handles(spark, staging)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h["base"].create(docs.withColumn("ts", F.lit(100).cast("int")))
+    h["idx"].build()
+    clones = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.lit(200).cast("int").alias("ts"),
+    )
+    h["idx"].update(clones)
+    with open(_os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write(str(_ND_IDX_VERSION))
+    if _os.path.exists(marker):
+        _shutil.rmtree(staging, ignore_errors=True)
+    else:
+        _shutil.rmtree(root, ignore_errors=True)
+        try:
+            _os.rename(staging, root)
+        except OSError:
+            _shutil.rmtree(staging, ignore_errors=True)
+            if not _os.path.exists(marker):
+                raise
+    _ND_IDX_DONE.add(root)
+    return _nd_index_handles(spark, root)
+
+
+warmer("nd_index_fixture")(_nd_index_fixture)
+
+
+def _nd_probe_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEXT incoming batch (not yet ingested): drop-first-word variants
+    of the %10==5 docs (id +1000000) and of the %10==0 docs (id +2000000).
+    The latter's best matches include batch-ingested clones (id X+1000000,
+    in the index only via the maintained update) — so the graded output
+    PINS maintenance: drop the update and those rows vanish. One scan."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.where((F.col("doc_id") % 10).isin(0, 5)).select(
+        F.when(F.col("doc_id") % 10 == 5, F.col("doc_id") + 1000000)
+        .otherwise(F.col("doc_id") + 2000000)
+        .alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+
+
+def _nd_mh_aggs_sql() -> str:
+    return ",\n               ".join(
+        f"CAST(min(CAST(('0x' || substring(md5('{i // 4}:' || shingle), "
+        f"{(i % 4) * 8 + 1}, 8)) AS UBIGINT)) AS BIGINT) AS mh{i}"
+        for i in range(_MH_K)
+    )
+
+
+def _nd_bands_sql(sigs: str) -> str:
+    r = _MH_K // _MH_BANDS
+    return "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, md5('{b}' || ':' || {key}) AS band FROM {sigs}".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+            sigs=sigs,
+        )
+        for b in range(_MH_BANDS)
+    )
+
+
+@query(
+    "incremental_near_dup_index",
+    f"""
+    WITH nd_base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    nd_probe AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               substring(text, position(' ' IN text) + 1) AS text
+        FROM documents WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               substring(text, position(' ' IN text) + 1) AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    {_shingled_sql(3, "nd_base", name="nd_ish")},
+    {_shingled_sql(3, "nd_probe", name="nd_psh")},
+    nd_isigs AS (
+        SELECT doc_id, {_nd_mh_aggs_sql()}
+        FROM nd_ish GROUP BY doc_id
+    ),
+    nd_psigs AS (
+        SELECT doc_id, {_nd_mh_aggs_sql()}
+        FROM nd_psh GROUP BY doc_id
+    ),
+    nd_ibands AS (
+        {_nd_bands_sql("nd_isigs")}
+    ),
+    nd_pbands AS (
+        {_nd_bands_sql("nd_psigs")}
+    ),
+    nd_cands AS (
+        SELECT DISTINCT p.doc_id AS id_a, i.doc_id AS id_b
+        FROM nd_pbands p JOIN nd_ibands i ON p.band = i.band
+    ),
+    nd_psizes AS (SELECT doc_id, COUNT(*) AS n FROM nd_psh GROUP BY doc_id),
+    nd_isizes AS (SELECT doc_id, COUNT(*) AS n FROM nd_ish GROUP BY doc_id),
+    nd_shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS shared
+        FROM nd_cands c
+        JOIN nd_psh sa ON sa.doc_id = c.id_a
+        JOIN nd_ish sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    nd_verified AS (
+        SELECT s.id_a, s.id_b, s.shared, na.n AS n_a, nb.n AS n_b,
+               CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) AS jaccard
+        FROM nd_shared s
+        JOIN nd_psizes na ON na.doc_id = s.id_a
+        JOIN nd_isizes nb ON nb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.7
+    )
+    SELECT p.doc_id AS probe_id,
+           v.id_b AS match_id,
+           CAST(v.shared AS BIGINT) AS shared,
+           CAST(v.n_a AS BIGINT) AS n_probe,
+           CAST(v.n_b AS BIGINT) AS n_match,
+           v.jaccard,
+           CASE WHEN v.id_b IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status
+    FROM nd_probe p LEFT JOIN nd_verified v ON v.id_a = p.doc_id
+    """,
+    doc="Incrementally-MAINTAINED near-dup index — the 100 TB continuous-"
+    "ingest dedup story (VERDICT r10 item 2), composing the two strongest "
+    "families: the MinHash band relation is stored as a MULTI-VALUED "
+    "SecondaryIndex (index.py multi= — one maintained entry per LSH band "
+    "key, dedup.band_signature_array), so a new batch (a) probes ONLY its "
+    "own band buckets instead of re-running corpus LSH, and (b) is "
+    "ingested by the index's ordinary O(batch) maintenance triple "
+    "(tombstone stale band entries, base write, insert new entries) — "
+    "never a corpus rebuild. Fixture: documents bulk-indexed, then the "
+    "exact-clone batch ingested THROUGH idx.update. Graded probe: the "
+    "next batch (drop-first-word variants) computes its band keys (an "
+    "O(batch) expression), equi-joins the stored entry relation (at scale "
+    "the band-prefixed sorted index layout makes this the footer-pruned "
+    "bucket read), and verifies candidates with exact Jaccard >= 0.7 "
+    "whose stored-side shingles come from a semi-join-pruned base read — "
+    "O(candidates), not O(corpus). Output pins maintenance: +2000000 "
+    "probes match the batch-ingested +1000000 clones, which exist only "
+    "via the maintained update. Reference analog: the secondary-index "
+    "write path (demo/src/main/scala/DemoSimpleApp.scala:41-58) composed "
+    "with incremental_index_dedup's classify-against-ingested shape.",
+    tags=("dedup", "index", "lsh"),
+)
+def incremental_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fix = _nd_index_fixture(spark, sf_dir)
+    idx, base_tbl = fix["idx"], fix["base"]
+    probe = _nd_probe_side(spark, sf_dir)
+    pbands = probe.select(
+        "doc_id", F.explode(D.band_signature_array("text")).alias("band")
+    )
+    entries = idx.tbl.df().select("band", F.col("base_key").alias("id_b"))
+    cands = (
+        pbands.join(entries, "band")
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    matched = base_tbl.df().join(
+        cands.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    psh = probe.select(
+        "doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle")
+    )
+    ish = matched.select(
+        "doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle")
+    )
+    verified = D.jaccard_verify(
+        cands, psh.unionByName(ish), "doc_id", "shingle", 0.7
+    )
+    return (
+        probe.select(F.col("doc_id").alias("probe_id"))
+        .join(verified.withColumnRenamed("id_a", "probe_id"), "probe_id", "left")
+        .select(
+            "probe_id",
+            F.col("id_b").alias("match_id"),
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("n_a").cast("bigint").alias("n_probe"),
+            F.col("n_b").cast("bigint").alias("n_match"),
+            "jaccard",
+            F.when(F.col("id_b").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

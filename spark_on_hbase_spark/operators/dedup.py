@@ -846,3 +846,66 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "shared", "n_a", "n_b", "containment")
     )
+
+
+def band_signature_array(
+    text_col: str | Column = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> Column:
+    """The document's LSH band keys as ONE row-level array expression —
+    band_b = md5('<b>:' || the band's minhashes joined by ':') over the
+    same md5-derived minhash family as ``minhash_signatures`` (min over
+    the doc's distinct word n-gram shingles). NULL when the doc has no
+    shingles (fewer than ``n`` words): no entries, the indexable-NULL
+    convention.
+
+    This is the banding packaged for a MULTI-VALUED SecondaryIndex
+    component (index.SecondaryIndex(multi=...)): one expression over the
+    base row mints the doc's ``bands`` index entries, so band-bucket
+    membership is MAINTAINED like any other index — a put/update/delete
+    tombstones the old text's band entries and inserts the new ones,
+    O(batch), and a new batch probes only its own band buckets instead of
+    re-running corpus LSH. The band index makes near-dup detection
+    incremental the way the fingerprint index (incremental_index_dedup)
+    makes exact dedup incremental.
+
+    Intermediates are LET-BOUND via single-element transform binding
+    (array(e) -> transform -> element_at 1): words and shingles are
+    materialized once per row, never re-derived per hash — the
+    ngrams_from_words O(doc_len^2) re-tokenization trap."""
+    from spark_on_hbase_spark.operators.text import words_expr
+
+    r = num_hashes // bands
+
+    def _hash_i(i: int):
+        # a 2-arg lambda would receive transform's (element, index) pair —
+        # the default-arg idiom silently binds i to the INDEX column
+        return lambda s: _mh_hash(i, s)
+
+    def from_shingles(sh: Column) -> Column:
+        mh = [
+            F.array_min(F.transform(sh, _hash_i(i)))
+            for i in range(num_hashes)
+        ]
+        keys = [
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[mh[b * r + j].cast("string") for j in range(r)],
+                )
+            )
+            for b in range(bands)
+        ]
+        return F.when(F.size(sh) >= 1, F.array(*keys))
+
+    def from_words(ws: Column) -> Column:
+        return F.element_at(
+            F.transform(F.array(shingles_from_words(ws, n)), from_shingles), 1
+        )
+
+    return F.element_at(
+        F.transform(F.array(words_expr(text_col)), from_words), 1
+    )

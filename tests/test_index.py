@@ -1801,3 +1801,77 @@ def test_lookup_in_never_resurrects_migrated_or_deleted_entries(spark, tmp_path)
     # and the NEW group serves the migrated key with its new covered value
     new = {(r["k"], r["v"]) for r in idx.lookup_in([3], covered=True).collect()}
     assert (1, 999) in new
+
+
+# ---------------------------------------------------------------------------
+# multi-valued (exploded array) component — the near-dup band index's base
+# ---------------------------------------------------------------------------
+
+
+def _multi_fixture(spark, tmp_path):
+    rows = spark.createDataFrame(
+        [
+            Row(key=1, tags="a b", ts=100),
+            Row(key=2, tags="b c", ts=100),
+            Row(key=3, tags="", ts=100),     # empty array -> no entries
+            Row(key=4, tags=None, ts=100),   # NULL array -> no entries
+        ]
+    )
+    tbl = KeyedTable(
+        spark, str(tmp_path / "mbase"), key_col="key", ts_col="ts",
+        num_partitions=2,
+    )
+    tbl.create(rows)
+    idx = SecondaryIndex(
+        tbl, path=str(tmp_path / "midx"),
+        expr={"tag": F.filter(F.split(F.col("tags"), " "), lambda w: w != "")},
+        multi="tag", guideposts=False, num_partitions=2,
+    ).build()
+    return tbl, idx
+
+
+def test_multi_index_mints_one_entry_per_element(spark, tmp_path):
+    tbl, idx = _multi_fixture(spark, tmp_path)
+    ent = [
+        (r["base_key"], r["tag"]) for r in idx.tbl.df().collect()
+    ]
+    assert sorted(ent) == [(1, "a"), (1, "b"), (2, "b"), (2, "c")]
+    # element lookup returns every base row whose array CONTAINS it
+    assert sorted(r["key"] for r in idx.lookup("b").collect()) == [1, 2]
+    assert idx.lookup("z").count() == 0
+    assert idx.scrutiny().count() == 0
+
+
+def test_multi_index_maintenance_replaces_all_elements(spark, tmp_path):
+    tbl, idx = _multi_fixture(spark, tmp_path)
+    # update key 1: {a,b} -> {c,d} THROUGH the index
+    idx.update(spark.createDataFrame([Row(key=1, tags="c d", ts=200)]))
+    assert idx.lookup("a").count() == 0           # old element tombstoned
+    assert sorted(r["key"] for r in idx.lookup("c").collect()) == [1, 2]
+    assert [r["key"] for r in idx.lookup("d").collect()] == [1]
+    # delete key 2: both its element entries must go
+    idx.delete(spark.createDataFrame([Row(key=2)]))
+    assert idx.lookup("b").count() == 0
+    assert [r["key"] for r in idx.lookup("c").collect()] == [1]
+    assert idx.scrutiny().count() == 0
+
+
+def test_multi_index_rejects_non_array_and_non_last(spark, tmp_path):
+    tbl = KeyedTable(
+        spark, str(tmp_path / "vbase"), key_col="key", ts_col="ts",
+        num_partitions=2,
+    )
+    tbl.create(spark.createDataFrame([Row(key=1, name="x", ts=100)]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be an expr component"):
+        SecondaryIndex(
+            tbl, "name", path=str(tmp_path / "v1"), multi="name",
+        )
+    # scalar expression under multi= fails at dtype resolution
+    bad = SecondaryIndex(
+        tbl, path=str(tmp_path / "v2"),
+        expr={"u": F.upper(F.col("name"))}, multi="u", guideposts=False,
+    )
+    with _pytest.raises(ValueError, match="array expression"):
+        bad.build()
