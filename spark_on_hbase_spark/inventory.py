@@ -714,6 +714,11 @@ _ROTATED_OUT_R09 = [
     # r10 item 1: refresh the r04/r05 grades) lands below once the round's
     # new queries are registered.
     "cross_join_grid",
+    # (pipeline_curation_incremental registers in-window):
+    # sql_api_revenue_by_nation is r10-driver-green, the SQL-API view
+    # registration kernel untouched this round, pinned by
+    # tests/test_demo_simple.py.
+    "sql_api_revenue_by_nation",
     # -- r10 swaps: lm_likelihood_score rotates back IN (last driver row
     # r04; its bigram-LM pipeline is adjacent to the r09 ccnet red — VERDICT
     # r9 item 2) -> gopher_quality_filter rotates out: r05-driver-green and

@@ -5273,16 +5273,20 @@ _V4_ENT_CUT = 3 * T.DSIR_QUANT  # >= 3 bits of token entropy
 _V4_CLF_CUT = 0
 
 
-def _v4_oracle_sql() -> str:
+def _v4_oracle_sql(source: str = "corpus", extra_ctes: str = "") -> str:
+    """The v4 gate cascade (classifier + entropy + exact-dedup canonical)
+    over ``source`` — shared by pipeline_curation_v4 (source=corpus) and
+    pipeline_curation_incremental (source=the post-mutation corpus), so
+    the full-recompute oracle both queries must match is ONE builder."""
     il = lambda s: T.ilog2fp_sql(s, "duckdb")  # noqa: E731
     w = T._clf_weight_sql("w", "duckdb", "clfw")
     return f"""
-    WITH {CORPUS_SQL},
+    WITH {CORPUS_SQL},{extra_ctes}
     v4_toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'),
                            x -> x <> '') AS ws
-        FROM corpus
+        FROM {source}
     ),
     v4_cnts AS (
         SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, w,
@@ -5300,9 +5304,9 @@ def _v4_oracle_sql() -> str:
     ),
     v4_dupdrop AS (
         SELECT c.doc_id
-        FROM (SELECT doc_id, md5(text) AS fp FROM corpus) c
+        FROM (SELECT doc_id, md5(text) AS fp FROM {source}) c
         JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS canon
-              FROM corpus GROUP BY 1 HAVING COUNT(*) > 1) g USING (fp)
+              FROM {source} GROUP BY 1 HAVING COUNT(*) > 1) g USING (fp)
         WHERE c.doc_id <> g.canon
     )
     SELECT doc_id, n_tokens, score_pm, ent_fp
@@ -5310,6 +5314,42 @@ def _v4_oracle_sql() -> str:
     WHERE score_pm > {_V4_CLF_CUT} AND ent_fp >= {_V4_ENT_CUT}
       AND doc_id NOT IN (SELECT doc_id FROM v4_dupdrop)
     """
+
+
+def _v4_per_doc_frame(corp: DataFrame) -> DataFrame:
+    """v4's one-corpus-pass per-doc gate signals over any (doc_id, text)
+    relation: (doc_id, __fp, __n, ent_fp, score_pm). The md5 fingerprint
+    rides the token pipeline (constant per doc, so it widens the shuffle
+    key by 32 bytes instead of costing a second corpus scan); the result
+    serves BOTH text gates and the dedup gate. A dup group shares its
+    text, hence its token count, so every member is in per_doc or none is
+    — base-level dedup is exactly corpus-level dedup. Shared by
+    pipeline_curation_v4 (full corpus) and the incremental refresh (the
+    stored matview build AND the O(batch) feed re-gate)."""
+    base = corp.select(
+        "doc_id",
+        F.md5("text").alias("__fp"),
+        T.words_expr(F.lower(F.col("text"))).alias("__ws"),
+    ).where(F.size("__ws") > 0)
+    cnts = (
+        base.select(
+            "doc_id",
+            "__fp",
+            F.size("__ws").cast("bigint").alias("__n"),
+            F.explode("__ws").alias("__w"),
+        )
+        .groupBy("doc_id", "__fp", "__n", "__w")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    wsql = T._clf_weight_sql("__w", "spark", "clfw")
+    return cnts.groupBy("doc_id", "__fp", "__n").agg(
+        F.expr(
+            f"CAST({T.ilog2fp_sql('__n', 'spark')}"
+            f" - (SUM(__cnt * {T.ilog2fp_sql('__cnt', 'spark')}) DIV __n)"
+            f" AS BIGINT)"
+        ).alias("ent_fp"),
+        F.expr(f"CAST(SUM(__cnt * {wsql}) DIV __n AS BIGINT)").alias("score_pm"),
+    )
 
 
 @query(
@@ -5333,37 +5373,9 @@ def _v4_oracle_sql() -> str:
     tags=("pipeline", "text", "dedup"),
 )
 def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the md5 fingerprint rides the token pipeline (constant per doc, so it
-    # widens the shuffle key by 32 bytes instead of costing a second corpus
-    # scan); per_doc then serves BOTH text gates and the dedup gate. A dup
-    # group shares its text, hence its token count, so every member is in
-    # per_doc or none is — base-level dedup is exactly corpus-level dedup.
-    corp = corpus(spark, sf_dir)
-    base = corp.select(
-        "doc_id",
-        F.md5("text").alias("__fp"),
-        T.words_expr(F.lower(F.col("text"))).alias("__ws"),
-    ).where(F.size("__ws") > 0)
-    cnts = (
-        base.select(
-            "doc_id",
-            "__fp",
-            F.size("__ws").cast("bigint").alias("__n"),
-            F.explode("__ws").alias("__w"),
-        )
-        .groupBy("doc_id", "__fp", "__n", "__w")
-        .agg(F.count("*").alias("__cnt"))
+    per_doc = _v4_per_doc_frame(corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
     )
-    wsql = T._clf_weight_sql("__w", "spark", "clfw")
-    per_doc = cnts.groupBy("doc_id", "__fp", "__n").agg(
-        F.expr(
-            f"CAST({T.ilog2fp_sql('__n', 'spark')}"
-            f" - (SUM(__cnt * {T.ilog2fp_sql('__cnt', 'spark')}) DIV __n)"
-            f" AS BIGINT)"
-        ).alias("ent_fp"),
-        F.expr(f"CAST(SUM(__cnt * {wsql}) DIV __n AS BIGINT)").alias("score_pm"),
-    )
-    per_doc = per_doc.localCheckpoint(eager=False)
     dup_groups = (
         per_doc.groupBy("__fp")
         .agg(F.min("doc_id").alias("__canon"), F.count("*").alias("__m"))
@@ -5724,4 +5736,232 @@ def incremental_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("new"))
             .alias("status"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental curation refresh (round 11; change feed + stored matviews) —
+# VERDICT r10 item 3
+# ---------------------------------------------------------------------------
+
+_CURI_VERSION = 1
+_CURI_DONE: set = set()
+_CURI_BASE_CACHE: dict = {}
+_CURI_KEPT_CACHE: dict = {}
+
+_CURI_POST_CTE = """
+    cur_post AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 2
+                    THEN substring(text, position(' ' IN text) + 1)
+                    ELSE text END AS text
+        FROM corpus
+        WHERE doc_id % 13 <> 3
+    ),"""
+
+
+def _curi_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """Cross-session curation-feed fixture (sec_idx build/publish
+    protocol): the constructed corpus stored as a KeyedTable at ts 100
+    (the snapshot the stored matviews were computed from), then two
+    mutation batches — whole-row upserts rewriting %7==2 docs to their
+    drop-first-word text at ts 200, and a delete of the %13==3 docs. The
+    SNAP sidecar records the pre-mutation snapshot seq for time travel and
+    the change feed."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spark_on_hbase_spark.table import KeyedTable
+
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        f"curi_fix_v{_CURI_VERSION}_{sf_tag(sf_dir)}_"
+        f"{input_tag(sf_dir, 'documents')}",
+    )
+    marker = _os.path.join(root, "_COMPLETE")
+
+    def handles(r: str, snap: int | None = None) -> dict:
+        tbl = KeyedTable(
+            spark, _os.path.join(r, "cur_corpus"), key_col="doc_id",
+            ts_col="ts", num_partitions=8,
+        )
+        if snap is None:
+            with open(_os.path.join(r, "SNAP")) as fh:
+                snap = int(fh.read().strip())
+        return {"tbl": tbl, "snap": snap}
+
+    if root in _CURI_DONE or _os.path.exists(marker):
+        _CURI_DONE.add(root)
+        return handles(root)
+    staging = f"{root}.build.{_os.getpid()}"
+    _shutil.rmtree(staging, ignore_errors=True)
+    corp = corpus(spark, sf_dir)
+    h = handles(staging, snap=0)
+    h["tbl"].create(corp.withColumn("ts", F.lit(100).cast("int")))
+    snap = h["tbl"].snapshot_seq()
+    h["tbl"].update(
+        corp.where(F.col("doc_id") % 7 == 2).select(
+            "doc_id",
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            F.lit(200).cast("int").alias("ts"),
+        )
+    )
+    h["tbl"].delete(corp.where(F.col("doc_id") % 13 == 3).select("doc_id"))
+    with open(_os.path.join(staging, "SNAP"), "w") as fh:
+        fh.write(str(snap))
+    with open(_os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write(str(_CURI_VERSION))
+    if _os.path.exists(marker):
+        _shutil.rmtree(staging, ignore_errors=True)
+    else:
+        _shutil.rmtree(root, ignore_errors=True)
+        try:
+            _os.rename(staging, root)
+        except OSError:
+            _shutil.rmtree(staging, ignore_errors=True)
+            if not _os.path.exists(marker):
+                raise
+    _CURI_DONE.add(root)
+    return handles(root)
+
+
+warmer("curation_feed_fixture")(_curi_fixture)
+
+
+def _v4_gate_pred():
+    """The v4 keep predicate over (score_pm, ent_fp, __canon): classifier
+    AND entropy AND canonical-member — shared by the full pipeline and
+    both branches of the incremental refresh so the rule cannot drift."""
+    return (
+        (F.col("score_pm") > _V4_CLF_CUT)
+        & (F.col("ent_fp") >= _V4_ENT_CUT)
+        & (F.col("__canon").isNull() | (F.col("doc_id") == F.col("__canon")))
+    )
+
+
+@build("curi_base_matview")
+def _curi_base_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached per-doc gate-signal matview build over the PRE-mutation
+    table state — a time-travel (as_of_layer=snap) read, the honest local
+    stand-in for 'this matview was computed and stored when the corpus
+    was ingested'."""
+    fix = _curi_fixture(spark, sf_dir)
+    return _v4_per_doc_frame(
+        fix["tbl"].df(as_of_layer=fix["snap"]).select("doc_id", "text")
+    )
+
+
+@build("curi_kept_matview")
+def _curi_kept_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached stored kept-set matview build: the v4 gates applied over
+    the per-doc matview (dup groups from one agg over it). Carries __fp so
+    the incremental refresh can split kept rows by affected group."""
+    pd = _curi_base(spark, sf_dir)
+    g = (
+        pd.groupBy("__fp")
+        .agg(F.min("doc_id").alias("__canon"), F.count("*").alias("__m"))
+        .where(F.col("__m") > 1)
+    )
+    return (
+        pd.join(F.broadcast(g), "__fp", "left")
+        .where(_v4_gate_pred())
+        .select("doc_id", "__fp", "__n", "score_pm", "ent_fp")
+    )
+
+
+def _curi_memo(spark: SparkSession, sf_dir: str, cache: dict, build_fn) -> DataFrame:
+    """Memoized+persisted stored-matview stand-in (the _shingled /
+    _lsh_corpus discipline: per (session, sf_dir), same-session
+    eviction)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in cache:
+        for stale in [k for k in cache if k != key]:
+            if stale[0] == key[0]:
+                cache[stale].unpersist()
+            del cache[stale]
+        v = build_fn(spark, sf_dir).persist()
+        v.count()
+        cache[key] = v
+    return cache[key]
+
+
+def _curi_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curi_memo(spark, sf_dir, _CURI_BASE_CACHE, _curi_base_build)
+
+
+def _curi_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curi_memo(spark, sf_dir, _CURI_KEPT_CACHE, _curi_kept_build)
+
+
+@query(
+    "pipeline_curation_incremental",
+    _v4_oracle_sql(source="cur_post", extra_ctes=_CURI_POST_CTE),
+    doc="INCREMENTAL curation refresh — VERDICT r10 item 3, the flagship "
+    "composition: at 100 TB you cannot re-curate the corpus per ingest "
+    "batch, so the kept-set updates as a DELTA driven by the table's "
+    "change feed. Fixture: the constructed corpus stored as a KeyedTable, "
+    "snapshot taken, then upsert (%7==2 rewritten to drop-first-word) and "
+    "delete (%13==3) batches. The stored state: a per-doc gate-signal "
+    "matview and the kept-set matview, both computed from the PRE-"
+    "mutation snapshot via the LSM's free time travel (df(as_of_layer)). "
+    "Refresh: read changes(since_layer=snap) — O(changed layers) — "
+    "re-gate ONLY the upserted docs (one O(batch) pass of the shared v4 "
+    "kernel), derive the AFFECTED fingerprint groups (old fps of touched "
+    "docs + new fps of upserts: the only groups whose canonical member "
+    "can shift — a deleted canonical hands the group to an UNTOUCHED "
+    "doc), recompute the gate verdict for exactly those groups over the "
+    "delta-patched per-doc relation, and take every other kept row "
+    "unchanged from the stored matview. Equality with the oracle's FULL "
+    "recompute over the post-mutation corpus holds because the text gates "
+    "are per-doc (unchanged off-batch) and the dedup gate depends only on "
+    "own-group membership (unchanged off-affected-groups). Cost: O(batch "
+    "+ affected groups), never a corpus re-gate. Composes table_changefeed "
+    "+ matview machinery + the shared v4 kernel.",
+    tags=("pipeline", "table", "dedup"),
+)
+def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fix = _curi_fixture(spark, sf_dir)
+    tbl, snap = fix["tbl"], fix["snap"]
+    per_doc_base = _curi_base(spark, sf_dir)
+    kept_base = _curi_kept(spark, sf_dir)
+    feed = tbl.changes(since_layer=snap)
+    dels = feed.where(F.col("op") == "delete").select("doc_id")
+    ups = (
+        feed.where(F.col("op") == "upsert")
+        .select("doc_id", "text")
+        .join(dels, "doc_id", "left_anti")  # updated-then-deleted: delete wins
+    )
+    touched = feed.select("doc_id").distinct()
+    regated = _v4_per_doc_frame(ups)  # O(batch): only changed docs re-gate
+    affected = (
+        per_doc_base.join(F.broadcast(touched), "doc_id", "left_semi")
+        .select("__fp")
+        .unionByName(regated.select("__fp"))
+        .distinct()
+    )
+    per_doc_post = per_doc_base.join(
+        F.broadcast(touched), "doc_id", "left_anti"
+    ).unionByName(regated)
+    # branch B: docs in affected groups — full gate recompute, O(affected)
+    bpost = per_doc_post.join(F.broadcast(affected), "__fp")
+    bgroups = (
+        bpost.groupBy("__fp")
+        .agg(F.min("doc_id").alias("__canon"), F.count("*").alias("__m"))
+        .where(F.col("__m") > 1)
+    )
+    bkept = (
+        bpost.join(F.broadcast(bgroups), "__fp", "left")
+        .where(_v4_gate_pred())
+        .select("doc_id", "__fp", "__n", "score_pm", "ent_fp")
+    )
+    # branch A: everything else keeps its STORED verdict
+    akept = kept_base.join(
+        F.broadcast(touched), "doc_id", "left_anti"
+    ).join(F.broadcast(affected), "__fp", "left_anti")
+    return akept.unionByName(bkept).select(
+        "doc_id",
+        F.col("__n").alias("n_tokens"),
+        "score_pm",
+        "ent_fp",
     )
