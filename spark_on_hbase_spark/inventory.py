@@ -719,6 +719,10 @@ _ROTATED_OUT_R09 = [
     # registration kernel untouched this round, pinned by
     # tests/test_demo_simple.py.
     "sql_api_revenue_by_nation",
+    # (unigram_lm_learn registers in-window): anti_join_spellcheck is
+    # r10-driver-green, the spell-check anti-join kernel untouched this
+    # round, pinned by tests/test_joins.py and the B9 golden vectors.
+    "anti_join_spellcheck",
     # -- r10 swaps: lm_likelihood_score rotates back IN (last driver row
     # r04; its bigram-LM pipeline is adjacent to the r09 ccnet red — VERDICT
     # r9 item 2) -> gopher_quality_filter rotates out: r05-driver-green and

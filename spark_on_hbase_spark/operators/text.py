@@ -1351,3 +1351,249 @@ def iexp2fp_sql(x_sql: str, dialect: str, quant: int = DSIR_QUANT) -> str:
     if dialect == "spark":
         return f"shiftleft({quant} + {frac}, CAST({i} AS INT))"
     return f"(({quant} + {frac}) << {i})"
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece) tokenizer learning — Kudo 2018,
+# arXiv:1804.10959 (round 11). EM over the word-TYPE census: the E-step is
+# the forward-backward (Baum-Welch) pass over each word's segmentation
+# lattice — expected piece counts over ALL segmentations, the real EM (the
+# Viterbi variant is its approximation) — and the M-step re-estimates piece
+# probabilities from those counts. All arithmetic is fixed-point integer
+# (probabilities in 2^-20 units, expected counts in parts-per-million), so
+# Spark and the DuckDB oracle are bit-identical: no float sums, no libm.
+# Reference analog: the vocabulary-learning siblings of bpe_learn (the
+# corpus reduces to a word-type census once; every EM round is
+# vocabulary-sized, never a corpus pass).
+# ---------------------------------------------------------------------------
+
+UNI_SCALE = 1 << 20
+UNI_PPM = 1_000_000
+
+
+def _uexact_div(a: Column, b: Column | int) -> Column:
+    """Exact nonnegative integer division a DIV b as expressions: strip the
+    remainder first so the double division is exact (quotient and stripped
+    numerator both < 2^53 here by construction); matches DuckDB's `//`."""
+    b = F.lit(b) if isinstance(b, int) else b
+    return ((a - a % b) / b).cast("bigint")
+
+
+def unigram_census(
+    df: DataFrame, text_col: str = "text", max_word_len: int = 8
+) -> DataFrame:
+    """Word-TYPE census (word, wc) over lowercased whitespace tokens of at
+    most ``max_word_len`` chars — the vocabulary-sized relation every EM
+    round iterates on (the bpe_word_census discipline: corpus reduced
+    once)."""
+    w = df.select(
+        F.explode(words_expr(F.lower(F.col(text_col)))).alias("word")
+    ).where(F.length("word").between(1, max_word_len))
+    return w.groupBy("word").agg(F.count("*").cast("bigint").alias("wc"))
+
+
+def unigram_pieces_expr(word: Column, max_piece_len: int = 4) -> Column:
+    """Every (start j, end i, substring piece) of the word with piece length
+    1..max_piece_len — the word's segmentation-lattice edge SLOTS, as one
+    row-level array expression."""
+    wl = F.length(word)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), wl - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), wl - j)),
+                lambda l: F.struct(
+                    j.cast("int").alias("j"),
+                    (j + l).cast("int").alias("i"),
+                    word.substr(j + F.lit(1), l).alias("piece"),
+                ),
+            ),
+        )
+    )
+
+
+def unigram_seed(census: DataFrame, min_count: int = 2) -> DataFrame:
+    """Seed vocabulary (piece, cnt): every substring slot weighted by its
+    word's count; multi-char pieces below ``min_count`` drop, single chars
+    are ALWAYS kept (Kudo's rule — they guarantee every word stays
+    segmentable, so the lattice's final node is always reachable)."""
+    occ = census.select(
+        "wc", F.explode(unigram_pieces_expr(F.col("word"))).alias("s")
+    )
+    cnt = occ.groupBy(F.col("s.piece").alias("piece")).agg(
+        F.sum("wc").cast("bigint").alias("cnt")
+    )
+    return cnt.where((F.length("piece") == 1) | (F.col("cnt") >= min_count))
+
+
+def unigram_rescore(cnts: DataFrame, cnt_col: str = "cnt") -> DataFrame:
+    """M-step normalization: p_fp = (cnt * 2^20) DIV total — the piece
+    probabilities for the next E-step. The total comes from a broadcast
+    1-row aggregate (the bm25 stats discipline), never a global window."""
+    tot = cnts.agg(F.sum(cnt_col).cast("bigint").alias("__tot"))
+    return cnts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        _uexact_div(F.col(cnt_col) * F.lit(UNI_SCALE), F.col("__tot")).alias(
+            "p_fp"
+        ),
+    )
+
+
+def unigram_em_round(census: DataFrame, vocab: DataFrame) -> DataFrame:
+    """One EM round: expected piece counts (piece, cnt_ppm) over the word
+    census under ``vocab`` (piece, p_fp).
+
+    E-step per word type, entirely in expressions (zero UDFs): the edge
+    list (j, i, piece, p) is the lattice restricted to in-vocab pieces;
+    alpha is a forward fold over positions (alpha[i] = sum of
+    alpha[j] * p(j,i) DIV 2^20 — total fixed-point probability mass of
+    reaching i), beta the mirror backward fold; an edge's posterior is
+    alpha[j] * p * beta[i] / alpha[end] in parts-per-million, every
+    division exact integer. Words whose total lattice mass truncates to 0
+    (long words of rare pieces — below 2^-20) contribute nothing that
+    round, identically on both engines. M-step: one vocabulary-sized
+    aggregation of wc-weighted posteriors."""
+    edges = (
+        census.select(
+            "word",
+            "wc",
+            F.length("word").cast("int").alias("wl"),
+            F.explode(unigram_pieces_expr(F.col("word"))).alias("s"),
+        )
+        .join(F.broadcast(vocab), F.col("s.piece") == vocab["piece"])
+        .select(
+            "word", "wc", "wl",
+            F.struct(
+                F.col("s.j").alias("j"),
+                F.col("s.i").alias("i"),
+                F.col("s.piece").alias("piece"),
+                F.col("p_fp").alias("p"),
+            ).alias("e"),
+        )
+    )
+    rows = edges.groupBy("word", "wc", "wl").agg(
+        F.collect_list("e").alias("edges")
+    )
+    scale = F.lit(UNI_SCALE).cast("bigint")
+    alpha = F.aggregate(
+        F.sequence(F.lit(1), F.col("wl")),
+        F.array(scale),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                _uexact_div(
+                    F.aggregate(
+                        F.filter(F.col("edges"), lambda e: e["i"] == x),
+                        F.lit(0).cast("bigint"),
+                        lambda s, e: s + F.element_at(acc, e["j"] + 1) * e["p"],
+                    ),
+                    UNI_SCALE,
+                )
+            ),
+        ),
+    )
+    # backward fold: betar[m] = beta[wl - m + 1] (built end-first)
+    betar = F.aggregate(
+        F.sequence(F.col("wl") - 1, F.lit(0), F.lit(-1)),
+        F.array(scale),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                _uexact_div(
+                    F.aggregate(
+                        F.filter(F.col("edges"), lambda e: e["j"] == x),
+                        F.lit(0).cast("bigint"),
+                        lambda s, e: s
+                        + e["p"]
+                        * F.element_at(acc, F.col("wl") - e["i"] + 1),
+                    ),
+                    UNI_SCALE,
+                )
+            ),
+        ),
+    )
+    lat = rows.select(
+        "wc", "wl", "edges", alpha.alias("alpha"), betar.alias("betar")
+    ).where(F.element_at(F.col("alpha"), F.col("wl") + 1) > 0)
+    post = lat.select(
+        "wc",
+        F.explode("edges").alias("e"),
+        F.col("alpha"),
+        F.col("betar"),
+        F.element_at(F.col("alpha"), F.col("wl") + 1).alias("__az"),
+        F.col("wl"),
+    ).select(
+        F.col("e.piece").alias("piece"),
+        (
+            F.col("wc")
+            * _uexact_div(
+                _uexact_div(
+                    _uexact_div(
+                        F.element_at(F.col("alpha"), F.col("e.j") + 1)
+                        * F.col("e.p"),
+                        UNI_SCALE,
+                    )
+                    * F.element_at(F.col("betar"), F.col("wl") - F.col("e.i") + 1),
+                    UNI_SCALE,
+                )
+                * F.lit(UNI_PPM),
+                F.col("__az"),
+            )
+        ).alias("c_ppm"),
+    )
+    return post.groupBy("piece").agg(
+        F.sum("c_ppm").cast("bigint").alias("cnt_ppm")
+    )
+
+
+def unigram_prune(cnts: DataFrame, keep_multi: int = 120) -> DataFrame:
+    """Kudo's prune between EM rounds: keep every single char plus the top
+    ``keep_multi`` multi-char pieces by expected count (piece tiebreak).
+    The rank-then-filter plans as the trimmed global-window top-k."""
+    from pyspark.sql import Window
+
+    singles = cnts.where(F.length("piece") == 1)
+    multi = (
+        cnts.where(F.length("piece") > 1)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt_ppm").desc(), "piece")
+            ),
+        )
+        .where(F.col("__rk") <= keep_multi)
+        .drop("__rk")
+    )
+    return singles.unionByName(multi)
+
+
+def unigram_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 8,
+    keep_multi: int = 120,
+) -> DataFrame:
+    """Two-round unigram-LM vocabulary learning: seed from all substrings,
+    EM round, prune, EM round, final (piece, piece_len, cnt_ppm, p_fp).
+    Every stage after the census is vocabulary-sized; the corpus is read
+    ONCE (the census is the only corpus-pass and is checkpointed for its
+    three consumers)."""
+    census = unigram_census(df, text_col, max_word_len).localCheckpoint(
+        eager=False
+    )
+    vocab1 = unigram_rescore(unigram_seed(census))
+    cnt1 = unigram_em_round(census, vocab1).localCheckpoint(eager=False)
+    kept = unigram_prune(cnt1, keep_multi).where(F.col("cnt_ppm") > 0)
+    vocab2 = unigram_rescore(kept, "cnt_ppm")
+    cnt2 = unigram_em_round(census, vocab2).where(
+        F.col("cnt_ppm") > 0
+    ).localCheckpoint(eager=False)
+    tot = cnt2.agg(F.sum("cnt_ppm").cast("bigint").alias("__tot"))
+    return cnt2.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.length("piece").cast("bigint").alias("piece_len"),
+        "cnt_ppm",
+        _uexact_div(F.col("cnt_ppm") * F.lit(UNI_SCALE), F.col("__tot")).alias(
+            "p_fp"
+        ),
+    )
