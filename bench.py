@@ -28,6 +28,26 @@ size_driver_heap_for_launch()
 from spark_on_hbase_spark.inventory import QUERIES, WARMERS  # noqa: E402
 
 
+def _latest_local_record(here: str) -> tuple[str | None, dict[str, float]]:
+    """Newest committed BENCH_local_r*.json and its per-query timings —
+    the baseline the auto-rerun drift gate compares against."""
+    import re as _re
+
+    cands = sorted(
+        f
+        for f in os.listdir(here)
+        if _re.match(r"BENCH_local_r\d+\.json$", f)
+    )
+    if not cands:
+        return None, {}
+    path = os.path.join(here, cands[-1])
+    try:
+        with open(path) as fh:
+            return path, dict(json.load(fh).get("queries", {}))
+    except (OSError, json.JSONDecodeError):
+        return None, {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -91,6 +111,31 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate per-query faults
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Auto-attribute drift (VERDICT r10 item 5): any query measuring >1.5x
+    # its previous local record (and >1s — sub-second noise isn't drift)
+    # re-runs twice, warm, immediately; the rerun times ride the same JSON
+    # artifact, so a VM-variance spike is attributed in the record that
+    # shows it instead of consuming a verdict cycle (SCALE.md's 3x-warm-
+    # rerun protocol, automated: original + 2 reruns = 3 measurements).
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_file, prev = _latest_local_record(here)
+    reruns: dict[str, list[float]] = {}
+    for name, t in timings.items():
+        p = prev.get(name)
+        if p and p > 0 and t > max(1.5 * p, 1.0):
+            tries: list[float] = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    df = QUERIES[name].fn(spark, sf_dir)
+                    df.count()
+                    df.unpersist()
+                    tries.append(round(time.perf_counter() - t0, 3))
+                except Exception:  # noqa: BLE001
+                    break
+            if tries:
+                reruns[name] = tries
+
     total = round(sum(timings.values()) + sum(builds.values()), 3)
     out = {
         "metric": "inventory_total_runtime",
@@ -111,6 +156,12 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if reruns:
+        # drift attribution: {query: [rerun1_sec, rerun2_sec]} for queries
+        # >1.5x their record in `reruns_vs`; `queries` keeps the ORIGINAL
+        # measurement so totals stay comparable across rounds
+        out["reruns"] = reruns
+        out["reruns_vs"] = os.path.basename(prev_file or "")
     # truncation-proof full copy: checked into the repo as
     # BENCH_local_r{N}.json for scripts/bench_compare.py (N = next round
     # number inferred from existing driver artifacts, overridable via
@@ -120,7 +171,6 @@ def main() -> None:
     # mid-round bench run used to clobber BENCH_local_r08 (the committed
     # round-7 record: max driver artifact was r07 ⇒ inferred 8) and the
     # cross-round history silently rewrote itself.
-    here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd:
         target = os.path.join(here, f"BENCH_local_r{int(rnd):02d}.json")

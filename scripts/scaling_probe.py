@@ -59,13 +59,22 @@ TARGETS = [
     # secondary-index maintenance (fixed batch through the index while the
     # indexed table scales — the probe body below).
     "secondary_index_maintain",
-    # decontamination_bloom and dup_substring_census are deliberately NOT probed: the replica builder
-    # appends " rN" only at text END, so all interior 5-grams are identical
-    # across replicas and every replica is a planted eval-contamination (and an
-    # exact-substring duplicate) of every other — the probe would measure that data artifact's quadratic
-    # pair fanout, not the kernel (whose stages — bloom agg, prefiltered
-    # semi-join, per-doc counts — are each linear in their input).
+    # The v1 builder appended " rN" at text END only, which made every
+    # cross-replica pair a planted containment/contamination hit and left
+    # the shingle-family kernels unprobeable; the _v2 interior mutation
+    # (build_scaled) removes that artifact. containment_dedup — the r10
+    # kernel the r10 verdict flagged as probe-less — is probed below;
+    # decontamination_bloom and dup_substring_census stay unprobed only as
+    # runtime triage (same candidate machinery as the probed jaccard/
+    # containment kernels).
     "kcore_peel_census",
+    # round-11 (VERDICT r10 items 2+6): containment dedup over the
+    # interior-mutated replicas (df-gated rare-shingle candidates — the
+    # ngram_jaccard machinery with an asymmetric ratio), fixed-query
+    # filtered ANN, and O(batch) incremental near-dup index maintenance.
+    "containment_dedup",
+    "ann_filtered_fixedq",
+    "near_dup_index_maintain",
     # round-7: the skip scan (fixed high-cardinality probe against a
     # scaling composite index — cost must track |leading prefixes| +
     # result, both ~fixed), deep scrutiny (two table-sized audit scans —
@@ -730,7 +739,64 @@ def _ann_rp(spark, sf: str) -> int:
 
 
 # custom (non-registry) probe bodies: called instead of QUERIES[name]
+_ND_PROBE_STATE: dict = {}
+
+
+def _near_dup_index_maintain(spark, sf: str) -> int:
+    """Custom probe (round 11, VERDICT r10 item 2's 'done' bar): a
+    FIXED-SIZE batch ingested through the multi-valued LSH band index
+    while the indexed corpus scales. Maintenance is the tombstone /
+    base-write / entry-insert triple over the batch's band entries plus a
+    point-read of the batch keys (footer-pruned to O(batch) files) —
+    O(batch) by construction, so warm growth must stay ~FLAT at 30x
+    corpus. The index build itself is cold-run cost (the bulk CREATE
+    INDEX; memoized per scale)."""
+    import tempfile
+
+    from spark_on_hbase_spark.inventory import load
+    from spark_on_hbase_spark.inventory_pipeline import _nd_index_handles
+
+    if sf not in _ND_PROBE_STATE:
+        root = tempfile.mkdtemp(prefix="nd_probe_")
+        h = _nd_index_handles(spark, root)
+        docs = load(spark, sf, "documents").select("doc_id", "text")
+        h["base"].create(docs.withColumn("ts", F.lit(100).cast("int")))
+        h["idx"].build()
+        _ND_PROBE_STATE[sf] = {"h": h, "n": 0}
+    st = _ND_PROBE_STATE[sf]
+    st["n"] += 1
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") < 400).select(
+        (F.col("doc_id") + 5_000_000 * st["n"]).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        F.lit(100 + st["n"]).cast("int").alias("ts"),
+    )
+    return st["h"]["idx"].update(batch)
+
+
+def _ann_filtered_fixedq(spark, sf: str) -> int:
+    """Custom probe (round 11): filtered vector search with a FIXED query
+    batch (replica-0 queries only) against the scaling corpus. Exact
+    filtered search is BY CONSTRUCTION linear in the matched candidates —
+    each query scores every same-label vector — so with the query batch
+    pinned, warm growth must track data growth (~1x ratio). Probing the
+    graded query naively would square instead (its query set scales WITH
+    the corpus: 30x data = 900x scored pairs by definition of exactness —
+    a mis-grade of the kernel, cf. the semantic_dedup fixed-occupancy
+    note)."""
+    from spark_on_hbase_spark.inventory import load
+    from spark_on_hbase_spark.operators import similarity as V
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < _SHIFT)
+    )
+    return V.filtered_topk(emb, queries, k=10).count()
+
+
 CUSTOM = {
+    "ann_filtered_fixedq": _ann_filtered_fixedq,
+    "near_dup_index_maintain": _near_dup_index_maintain,
     "bpe_learn": _bpe_learn,
     "ann_sq8": _ann_sq8,
     "ann_rp": _ann_rp,
@@ -755,7 +821,17 @@ _SHIFT = 10_000_000
 
 
 def build_scaled(spark, replicas: int) -> str:
-    out = f"/tmp/scale_probe_{os.path.basename(SMALL.rstrip('/'))}_x{replicas}"
+    # _v2: INTERIOR text mutation (VERDICT r10 item 6). The v1 builder
+    # appended " rN" at text END only, so every interior shingle was
+    # identical across replicas: every cross-replica doc pair was a planted
+    # containment hit / eval contamination / duplicate substring, and the
+    # shingle-family kernels could only measure that data artifact. v2
+    # rewrites every 8th word to a replica-unique token (q<r>z<word>), so
+    # any 5-gram window overlapping a mutated word — ~62% of shingles, and
+    # >60% of 3-grams — differs across replicas: cross-replica containment
+    # (~0.38) and Jaccard fall far below every graded threshold, and the
+    # probes measure the kernels again.
+    out = f"/tmp/scale_probe_v2_{os.path.basename(SMALL.rstrip('/'))}_x{replicas}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     os.makedirs(out, exist_ok=True)
@@ -765,13 +841,28 @@ def build_scaled(spark, replicas: int) -> str:
         df = spark.read.parquet(f"{SMALL}/{table}.parquet").select("*", reps)
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("__r") * F.lit(_SHIFT))
-        # make replicated text/vector content distinct too, so dedup/ANN
-        # candidates do not collapse onto cross-replica exact duplicates
+        # make replicated text content distinct IN THE INTERIOR, so
+        # dedup/decontamination candidates do not collapse onto planted
+        # cross-replica near-dups (see the _v2 note above)
         for c in strcols or []:
+            ws = F.split(F.col(c), " ")
+            mutated = F.array_join(
+                F.transform(
+                    ws,
+                    lambda w, i: F.when(
+                        i % 8 == 0,
+                        F.concat(
+                            F.lit("q"),
+                            F.col("__r").cast("string"),
+                            F.lit("z"),
+                            w,
+                        ),
+                    ).otherwise(w),
+                ),
+                " ",
+            )
             df = df.withColumn(
-                c, F.when(F.col("__r") == 0, F.col(c)).otherwise(
-                    F.concat(F.col(c), F.lit(" r"), F.col("__r"))
-                )
+                c, F.when(F.col("__r") == 0, F.col(c)).otherwise(mutated)
             )
         df.drop("__r").write.mode("overwrite").parquet(f"{out}/{table}.parquet")
 
