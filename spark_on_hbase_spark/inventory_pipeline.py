@@ -6025,10 +6025,13 @@ def _uni_em_round_sql(vocab_cte: str, rnd: int) -> str:
     )"""
 
 
-def _uni_oracle_sql() -> str:
+def _uni_chain_sql() -> str:
+    """The learn pipeline's WITH-body through the round-2 expected counts
+    (u_cnt2) — shared verbatim by the learn oracle and the tokenize oracle
+    (which continues the chain with the final vocabulary + Viterbi CTEs)."""
     S = T.UNI_SCALE
     return f"""
-    WITH u_words AS (
+    u_words AS (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                       x -> x <> '')) AS word
         FROM documents
@@ -6068,7 +6071,13 @@ def _uni_oracle_sql() -> str:
                CAST((cnt_ppm * {S}) // (SELECT SUM(cnt_ppm) FROM u_keep) AS BIGINT) AS p_fp
         FROM u_keep WHERE cnt_ppm > 0
     ),
-    {_uni_em_round_sql("u_vocab2", 2)}
+    {_uni_em_round_sql("u_vocab2", 2)}"""
+
+
+def _uni_oracle_sql() -> str:
+    S = T.UNI_SCALE
+    return f"""
+    WITH {_uni_chain_sql()}
     SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, cnt_ppm,
            CAST((cnt_ppm * {S}) // (SELECT SUM(cnt_ppm) FROM u_cnt2 WHERE cnt_ppm > 0) AS BIGINT) AS p_fp
     FROM u_cnt2
@@ -6102,3 +6111,335 @@ def _uni_oracle_sql() -> str:
 def unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return T.unigram_learn(docs)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM Viterbi tokenization (round 11; the APPLY side of unigram_learn)
+# ---------------------------------------------------------------------------
+
+
+def _uni_tokenize_oracle_sql() -> str:
+    """Learn chain + final vocabulary + log-domain Viterbi: the forward
+    max-fold and the backward reconstruction fold are DuckDB list_reduce
+    twins of text.unigram_viterbi_segment's F.aggregate folds; the
+    let-binding list_transform([jstar], jj -> ...)[1] evaluates the argmin
+    edge once for both the position jump and the substring."""
+    S = T.UNI_SCALE
+    w_sql = T.unigram_logw_sql("duckdb")
+    return f"""
+    WITH {_uni_chain_sql()},
+    u_vfinal AS (
+        SELECT piece,
+               CAST((cnt_ppm * {S}) // (SELECT SUM(cnt_ppm) FROM u_cnt2 WHERE cnt_ppm > 0) AS BIGINT) AS p_fp
+        FROM u_cnt2 WHERE cnt_ppm > 0
+    ),
+    u_w AS (SELECT piece, {w_sql} AS w FROM u_vfinal),
+    v_edges AS (
+        SELECT c.word, c.wc, CAST(len(c.word) AS INT) AS wl,
+               CAST(t.j AS INT) AS j, CAST(t.j + u.l AS INT) AS i, w.w
+        FROM u_census c, unnest(range(0, len(c.word))) AS t(j),
+             unnest(range(1, 5)) AS u(l)
+        JOIN u_w w
+          ON w.piece = substring(c.word, CAST(t.j + 1 AS INT), CAST(u.l AS INT))
+        WHERE t.j + u.l <= len(c.word)
+    ),
+    v_rows AS (
+        SELECT word, wc, wl, list(struct_pack(j := j, i := i, w := w)) AS edges
+        FROM v_edges GROUP BY word, wc, wl
+    ),
+    v_best AS (
+        SELECT word, wc, wl, edges,
+            list_reduce(
+                [[CAST(0 AS BIGINT)]] || list_transform(range(1, wl + 1), x -> [CAST(x AS BIGINT)]),
+                (acc, x) -> acc || [coalesce(list_max(
+                    list_transform(list_filter(edges, e -> e.i = x[1]),
+                                   e -> acc[CAST(e.j + 1 AS INT)] + e.w)),
+                    CAST({T.VIT_NEG} AS BIGINT))]
+            ) AS best
+        FROM v_rows
+    ),
+    v_cuts AS (
+        -- Backward walk as a CUT-POSITION fold (wl, j1, j2, ..., 0): the
+        -- accumulator is a plain INT[] and the argmin-edge expression
+        -- appears exactly ONCE — DuckDB 1.0 mis-evaluates a complex
+        -- lambda subexpression REPEATED across struct_pack fields inside
+        -- list_reduce (observed: the pos field computed right while the
+        -- substring copy of the same expression came back NULL/''), so
+        -- the pieces are sliced from the cuts OUTSIDE the fold instead.
+        SELECT word, wc,
+            list_reduce(
+                [[wl]] || list_transform(range(1, wl + 1), x -> [CAST(0 AS INT)]),
+                (acc, x) -> CASE WHEN acc[len(acc)] <= 0 THEN acc ELSE
+                    acc || [CAST(list_min(list_transform(
+                        list_filter(edges, e -> e.i = acc[len(acc)]
+                            AND best[CAST(e.j + 1 AS INT)] + e.w
+                                = best[CAST(acc[len(acc)] + 1 AS INT)]),
+                        e -> e.j)) AS INT)] END
+            ) AS cuts
+        FROM v_best
+        WHERE best[CAST(wl + 1 AS INT)] > CAST({T.VIT_FLOOR} AS BIGINT)
+    ),
+    v_seg AS (
+        -- pieces between consecutive cuts (descending positions; list
+        -- order is reversed word order, irrelevant to the census)
+        SELECT word, wc,
+            list_transform(range(1, len(cuts)),
+                m -> substring(word,
+                               CAST(cuts[CAST(m + 1 AS INT)] + 1 AS INT),
+                               CAST(cuts[CAST(m AS INT)]
+                                    - cuts[CAST(m + 1 AS INT)] AS INT))) AS toks
+        FROM v_cuts
+    )
+    SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len,
+           CAST(SUM(wc) AS BIGINT) AS n_tok,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types
+    FROM (SELECT word, wc, unnest(toks) AS piece FROM v_seg)
+    GROUP BY piece
+    """
+
+
+@query(
+    "unigram_token_census",
+    _uni_tokenize_oracle_sql(),
+    doc="Unigram-LM Viterbi tokenization — the APPLY side of "
+    "unigram_lm_learn, the way bpe_token_census applies bpe_merge_learn: "
+    "learn the vocabulary (same two fixed-point EM rounds), then segment "
+    "every word TYPE by max-likelihood Viterbi in the LOG domain "
+    "(fixed-point log2 edge weights via ilog2fp — products of 2^-20 "
+    "probabilities would truncate to 0 within a few pieces, log sums "
+    "never do) and weight the piece census by the word counts. Tiebreak "
+    "is fully deterministic: among optimum-achieving edges the backward "
+    "reconstruction picks the smallest start j (the LONGEST piece); "
+    "words with an unreachable end (a vocabulary hole) drop identically "
+    "on both engines. The oracle replays the learn chain AND both "
+    "Viterbi folds as DuckDB list_reduce. Scale shape: ONE corpus scan "
+    "(the shared checkpointed census feeds learn and tokenize); "
+    "segmentation is computed once per word TYPE with the vocabulary "
+    "broadcast, so tokenizing 100 TB costs one scan plus "
+    "vocabulary-sized folds — the bpe_token_census discipline.",
+    tags=("text", "vocab", "pipeline"),
+)
+def unigram_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    census = T.unigram_census(docs).localCheckpoint(eager=False)
+    vocab = T.unigram_learn(docs, census=census).select("piece", "p_fp")
+    return T.unigram_token_counts(docs, vocab, census=census)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (round 11; similarity.hard_negative_topk)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH hn_vecs AS (SELECT vec_id, label, {_QSQL} AS v FROM embeddings),
+    hn_q AS (SELECT vec_id, label, v FROM hn_vecs WHERE vec_id % 25 = 0),
+    hn_pos AS (
+        SELECT a.vec_id AS query_id, MAX({_COS}) AS pos_max
+        FROM hn_q a JOIN hn_vecs b
+          ON b.label = a.label AND b.vec_id <> a.vec_id
+        GROUP BY a.vec_id
+    ),
+    hn_neg AS (
+        SELECT a.vec_id AS query_id, b.vec_id, b.label, {_COS} AS cosine
+        FROM hn_q a JOIN hn_vecs b ON b.label <> a.label
+    ),
+    hn_band AS (
+        SELECT n.query_id, n.vec_id, n.label, n.cosine,
+               coalesce(p.pos_max, 2.0) AS pos_max
+        FROM hn_neg n LEFT JOIN hn_pos p ON p.query_id = n.query_id
+    ),
+    hn_rk AS (
+        SELECT query_id, vec_id, label, cosine, pos_max,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS rank
+        FROM hn_band WHERE cosine < pos_max
+    )
+    SELECT query_id, vec_id, label, cosine, pos_max, rank
+    FROM hn_rk WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training (DPR / SimCSE; "
+    "semi-hard band per Schroff et al. 2015, arXiv:1503.03832) — "
+    "similarity.hard_negative_topk: per anchor the top-5 most-similar "
+    "DIFFERENT-label vectors scoring strictly below the anchor's hardest "
+    "positive (max same-label cosine; anchors with no positive keep all "
+    "negatives via the +2 sentinel). Positives come from a label "
+    "equi-join (match-sized), negatives from the one corpus scan under "
+    "the broadcast anchor set, then rank-then-filter WindowGroupLimit — "
+    "and at 100 TB the negative side composes with the clustered/IVF "
+    "candidate machinery exactly like filtered_topk. Exact quantized-int "
+    "cosines, deterministic (cosine DESC, vec_id) order.",
+    tags=("similarity", "embedding", "pipeline"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 25 == 0)
+    return V.hard_negative_topk(emb, anchors, k=5, semi_hard=True)
+
+
+# ---------------------------------------------------------------------------
+# Zipf corpus fit (round 11; text.zipf_fit)
+# ---------------------------------------------------------------------------
+
+_ZIL = lambda s: T.ilog2fp_sql(s, "duckdb", T.ZIPF_QUANT)  # noqa: E731
+
+
+@query(
+    "zipf_corpus_fit",
+    f"""
+    WITH zw AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                      x -> x <> '')) AS w
+        FROM documents
+    ),
+    zc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM zw GROUP BY w),
+    zr AS (
+        SELECT cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rk
+        FROM zc
+    ),
+    zp AS (
+        SELECT CAST({_ZIL('rk')} AS BIGINT) AS x,
+               CAST({_ZIL('cnt')} AS BIGINT) AS y
+        FROM zr WHERE rk <= 200
+    ),
+    zm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM zp
+    )
+    SELECT n_terms,
+           n_terms * sxy - sx * sy AS slope_num,
+           n_terms * sxx - sx * sx AS slope_den,
+           CAST(greatest(-(n_terms * sxy - sx * sy), 0) * 1000
+                // (n_terms * sxx - sx * sx) AS BIGINT) AS alpha_milli
+    FROM zm
+    """,
+    doc="Zipf's-law exponent of the corpus vocabulary (text.zipf_fit): "
+    "OLS slope of log2(count) on log2(rank) over the top-200 word types, "
+    "entirely exact-integer — logs are ilog2fp at coarse 2^-10 units so "
+    "every OLS moment and cross product sits deep inside int64 at ANY "
+    "corpus size (the relation the regression runs on is top_n rows by "
+    "construction), and the final alpha_milli divides nonnegative "
+    "integers only (negative integer division is where engines "
+    "disagree). The classic corpus-health statistic: a natural-language "
+    "crawl fits alpha ~ 1; template/boilerplate-heavy or deduplicated-"
+    "to-death corpora drift off it. Scale shape: corpus -> one hash-agg "
+    "census -> rank-then-filter top-200 -> a 1-row moment aggregate.",
+    tags=("text", "stats", "pipeline"),
+)
+def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("text")
+    return T.zipf_fit(docs, top_n=200)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch set algebra (round 11; operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+_KMV_KEY_SQL = (
+    "CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+)
+
+
+@query(
+    "kmv_theta_intersection",
+    f"""
+    WITH kv AS (
+        SELECT DISTINCT event_type AS g,
+               {SK.kmv_hash_sql(_KMV_KEY_SQL)} AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM kv
+    ),
+    skk AS (SELECT g, h FROM sk WHERE rk <= 128),
+    thr AS (
+        SELECT g,
+               coalesce(MAX(CASE WHEN rk = 128 THEN h END),
+                        CAST({SK.KMV_U} AS BIGINT)) AS theta
+        FROM sk WHERE rk <= 128 GROUP BY g
+    ),
+    kpairs AS (
+        SELECT a.g AS ga, b.g AS gb, least(a.theta, b.theta) AS theta
+        FROM thr a, thr b WHERE a.g < b.g
+    ),
+    kshared AS (
+        SELECT x.g AS ga, y.g AS gb, CAST(COUNT(*) AS BIGINT) AS w
+        FROM skk x
+        JOIN skk y ON x.h = y.h AND x.g < y.g
+        JOIN kpairs p ON p.ga = x.g AND p.gb = y.g AND x.h < p.theta
+        GROUP BY x.g, y.g
+    ),
+    kd AS (SELECT DISTINCT event_type AS g, {_KMV_KEY_SQL} AS uk FROM events),
+    kexact AS (
+        SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+        FROM kd a JOIN kd b ON a.uk = b.uk AND a.g < b.g
+        GROUP BY a.g, b.g
+    )
+    SELECT p.ga AS type_a, p.gb AS type_b,
+           coalesce(s.w, CAST(0 AS BIGINT)) AS shared_below_theta,
+           CAST((coalesce(s.w, CAST(0 AS BIGINT)) * CAST({SK.KMV_U} AS BIGINT))
+                // p.theta AS BIGINT) AS intersect_est,
+           coalesce(e.exact_inter, CAST(0 AS BIGINT)) AS exact_inter
+    FROM kpairs p
+    LEFT JOIN kshared s ON s.ga = p.ga AND s.gb = p.gb
+    LEFT JOIN kexact e ON e.ga = p.ga AND e.gb = p.gb
+    """,
+    doc="KMV / theta sketch set algebra (Beyer et al. 2007, SIGMOD) — "
+    "sketch.kmv_build/kmv_intersect_pairs: per event type, the 128 "
+    "smallest md5 order statistics of the distinct (user, day) keys; "
+    "pairwise INTERSECTION cardinality estimates from the sketches alone "
+    "(theta = min of the two thresholds, W = shared hashes below theta, "
+    "est = W * U div theta — the set operation HLL structurally cannot "
+    "answer), graded against the exact overlaps computed alongside. All "
+    "exact integers: the 2^52 universe keeps every estimator numerator "
+    "inside int64 under `div`/`//` (a double division here would round "
+    "differently per engine), so sketch AND estimates are bit-identical. "
+    "Scale shape: one distinct hash-agg over (type, key) with map-side "
+    "partial dedup, WindowGroupLimit rank<=k (each input partition "
+    "forwards <= k rows per group), then all set algebra on k-row "
+    "sketches — 100 TB of events reduces to 128 rows per group before "
+    "any pairwise work, and sketches merge by union + re-rank (pinned by "
+    "tests/test_kmv.py::test_sketch_merge_is_the_same_operator_...).",
+    tags=("sketch", "events", "pipeline"),
+)
+def kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.to_date("ts").cast("string"),
+        ).alias("uk"),
+    )
+    # the sketch is k x |event types| rows and the intersect algebra
+    # consumes it three times (thresholds + both join sides); the distinct
+    # key relation feeds both sides of the exact-overlap join — lazy
+    # localCheckpoint materializes each ONCE so events scans twice total
+    # (sketch build + distinct), not once per consumer
+    sk = SK.kmv_build(ev, "uk", ["event_type"], k=128).localCheckpoint(
+        eager=False
+    )
+    est = (
+        SK.kmv_intersect_pairs(sk, "event_type", k=128)
+        .withColumnRenamed("group_a", "type_a")
+        .withColumnRenamed("group_b", "type_b")
+    )
+    du = ev.distinct().localCheckpoint(eager=False)
+    ex = (
+        du.select(F.col("event_type").alias("type_a"), "uk")
+        .join(du.select(F.col("event_type").alias("type_b"), "uk"), "uk")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    return est.join(ex, ["type_a", "type_b"], "left").withColumn(
+        "exact_inter", F.coalesce("exact_inter", F.lit(0).cast("bigint"))
+    )

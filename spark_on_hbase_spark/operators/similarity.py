@@ -1616,3 +1616,75 @@ def filtered_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def hard_negative_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    semi_hard: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR / SimCSE /
+    FaceNet): per anchor, the top-k most-cosine-similar vectors of a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss, where random negatives are trivially easy. With ``semi_hard``
+    (Schroff et al. 2015's band) a negative must also score STRICTLY
+    BELOW the anchor's hardest positive (max same-label cosine), dropping
+    label-noise rows that would gradient-invert; anchors with no positive
+    at all keep every negative (pos_max = +2, above any cosine, so the
+    strictly-below gate never fires for them).
+
+    Relationally: anchors broadcast; positives come from a label
+    EQUI-join (cheap, match-sized — the filtered_topk shape); negatives
+    from the one corpus scan filtered label != anchor's (a broadcast
+    nested-loop, the same cost class as brute_force_topk's crossJoin);
+    rank-then-filter plans WindowGroupLimit. At 100 TB the negative side
+    composes with the clustered/IVF candidate machinery exactly like
+    ``filtered_topk`` — score cluster-probed candidates, not the corpus.
+    Returns (query_id, vec_id, label, cosine, pos_max, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        quantize_expr(vec_col).alias("__qv"),
+    )
+    c = candidates.select(
+        F.col(id_col), F.col(label_col), quantize_expr(vec_col).alias("__cv")
+    )
+    cos = cosine_expr(
+        dot_expr(F.col("__qv"), F.col("__cv")),
+        norm2_expr(F.col("__qv")),
+        norm2_expr(F.col("__cv")),
+    )
+    pos = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col(label_col) == F.col("__ql"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", cos.alias("__pc"))
+        .groupBy("query_id")
+        .agg(F.max("__pc").alias("pos_max"))
+    )
+    neg = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col(label_col) != F.col("__ql"))
+        .select("query_id", id_col, label_col, cos.alias("cosine"))
+    )
+    scored = neg.join(F.broadcast(pos), "query_id", "left").withColumn(
+        "pos_max", F.coalesce(F.col("pos_max"), F.lit(2.0))
+    )
+    if semi_hard:
+        scored = scored.where(F.col("cosine") < F.col("pos_max"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

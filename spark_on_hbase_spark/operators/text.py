@@ -1572,15 +1572,19 @@ def unigram_learn(
     text_col: str = "text",
     max_word_len: int = 8,
     keep_multi: int = 120,
+    census: DataFrame | None = None,
 ) -> DataFrame:
     """Two-round unigram-LM vocabulary learning: seed from all substrings,
     EM round, prune, EM round, final (piece, piece_len, cnt_ppm, p_fp).
     Every stage after the census is vocabulary-sized; the corpus is read
     ONCE (the census is the only corpus-pass and is checkpointed for its
-    three consumers)."""
-    census = unigram_census(df, text_col, max_word_len).localCheckpoint(
-        eager=False
-    )
+    three consumers). Callers that ALSO consume the census (the learn +
+    tokenize composition) pass their checkpointed one in so the corpus
+    still scans once across the whole pipeline."""
+    if census is None:
+        census = unigram_census(df, text_col, max_word_len).localCheckpoint(
+            eager=False
+        )
     vocab1 = unigram_rescore(unigram_seed(census))
     cnt1 = unigram_em_round(census, vocab1).localCheckpoint(eager=False)
     kept = unigram_prune(cnt1, keep_multi).where(F.col("cnt_ppm") > 0)
@@ -1596,4 +1600,226 @@ def unigram_learn(
         _uexact_div(F.col("cnt_ppm") * F.lit(UNI_SCALE), F.col("__tot")).alias(
             "p_fp"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM Viterbi tokenization (the APPLY side of unigram_learn, the way
+# bpe_token_counts is the apply side of bpe_learn)
+# ---------------------------------------------------------------------------
+
+#: Unreachable-position sentinel for the Viterbi fold. Any real path scores
+#: >= 8 edges * -20 * 2^20 ~ -1.7e8; the sentinel (and anything derived from
+#: it by adding <= 8 edge weights) stays below -2^39, so the reachability
+#: floor VIT_FLOOR separates them with ~3000x headroom on either side.
+VIT_NEG = -(1 << 40)
+VIT_FLOOR = -(1 << 39)
+
+
+def unigram_logw_sql(dialect: str) -> str:
+    """Edge weight of a vocabulary piece: fixed-point log2 of its
+    probability, w = ilog2fp(max(p_fp, 1)) - 20 * 2^20 (p = p_fp / 2^20).
+    Exact integer on both engines (the ilog2fp contract); a piece whose
+    renormalized probability truncated to 0 is clamped to the quantization
+    floor 2^-20 — it keeps every word segmentable (Kudo's single-char
+    guarantee) without ever out-scoring a real piece."""
+    g = "greatest(p_fp, CAST(1 AS BIGINT))"
+    return f"CAST({ilog2fp_sql(g, dialect)} - {20 * DSIR_QUANT} AS BIGINT)"
+
+
+def unigram_viterbi_segment(
+    census: DataFrame, vocab: DataFrame, max_piece_len: int = 4
+) -> DataFrame:
+    """Max-likelihood (Viterbi) segmentation of every word TYPE under a
+    learned unigram vocabulary (piece, p_fp): (word, wc, toks).
+
+    The lattice is the same edge relation as the EM round's, but scored in
+    the log domain (fixed-point log2, exact integers — products of 2^-20
+    probabilities would truncate to 0 within a few pieces, log sums never
+    do). Forward fold: best[i] = max over edges (j -> i) of best[j] + w;
+    backward reconstruction fold walks from the word's end choosing, among
+    edges achieving the optimum, the smallest j (= the LONGEST piece,
+    SentencePiece's practical tie habit) — a full deterministic tiebreak,
+    since (j, i) determines the piece text. Words with an unreachable end
+    (a character missing from the vocabulary) are dropped, identically on
+    both engines.
+
+    Scale shape: word-TYPE-sized relation x <= wl*max_piece_len edge slots;
+    the vocabulary broadcasts; both folds are per-row array expressions
+    (zero UDFs, zero extra shuffles beyond the census hash agg)."""
+    w_expr = F.expr(unigram_logw_sql("spark")).alias("w")
+    v = vocab.select("piece", w_expr)
+    edges = (
+        census.select(
+            "word",
+            "wc",
+            F.length("word").cast("int").alias("wl"),
+            F.explode(unigram_pieces_expr(F.col("word"), max_piece_len)).alias(
+                "s"
+            ),
+        )
+        .join(F.broadcast(v), F.col("s.piece") == v["piece"])
+        .select(
+            "word", "wc", "wl",
+            F.struct(
+                F.col("s.j").alias("j"),
+                F.col("s.i").alias("i"),
+                F.col("w").alias("w"),
+            ).alias("e"),
+        )
+    )
+    rows = edges.groupBy("word", "wc", "wl").agg(
+        F.collect_list("e").alias("edges")
+    )
+    neg = F.lit(VIT_NEG).cast("bigint")
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.col("wl")),
+        F.array(F.lit(0).cast("bigint")),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(
+                    F.array_max(
+                        F.transform(
+                            F.filter(F.col("edges"), lambda e: e["i"] == x),
+                            lambda e: F.element_at(acc, e["j"] + 1) + e["w"],
+                        )
+                    ),
+                    neg,
+                )
+            ),
+        ),
+    )
+    scored = rows.select("word", "wc", "wl", "edges", best.alias("best")).where(
+        F.element_at(F.col("best"), F.col("wl") + 1) > F.lit(VIT_FLOOR)
+    )
+
+    def _step(acc):
+        jstar = F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("edges"),
+                    lambda e: (e["i"] == acc["pos"])
+                    & (
+                        F.element_at(F.col("best"), e["j"] + 1) + e["w"]
+                        == F.element_at(F.col("best"), acc["pos"] + 1)
+                    ),
+                ),
+                lambda e: e["j"],
+            )
+        )
+        piece = F.col("word").substr(
+            jstar + 1, (acc["pos"] - jstar).cast("int")
+        )
+        return F.struct(
+            jstar.cast("int").alias("pos"),
+            F.concat(F.array(piece), acc["toks"]).alias("toks"),
+        )
+
+    seg = F.aggregate(
+        F.sequence(F.lit(1), F.col("wl")),
+        F.struct(
+            F.col("wl").cast("int").alias("pos"),
+            F.expr("CAST(array() AS ARRAY<STRING>)").alias("toks"),
+        ),
+        lambda acc, x: F.when(acc["pos"] <= 0, acc).otherwise(_step(acc)),
+    )
+    return scored.select("word", "wc", seg["toks"].alias("toks"))
+
+
+def unigram_token_counts(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 8,
+    census: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus token census under the Viterbi segmentation: (piece,
+    piece_len, n_tok, n_types) — n_tok counts corpus occurrences (word
+    count x uses within the word), n_types the distinct word TYPES whose
+    optimal segmentation uses the piece. The bpe_token_counts discipline:
+    segmentation is computed once per word TYPE and applied to the corpus
+    by the census weights — tokenizing 100 TB is one scan plus
+    vocabulary-sized work."""
+    if census is None:
+        census = unigram_census(df, text_col, max_word_len)
+    seg = unigram_viterbi_segment(census, vocab)
+    tok = seg.select("word", "wc", F.explode("toks").alias("piece"))
+    return (
+        tok.groupBy("piece")
+        .agg(
+            F.sum("wc").cast("bigint").alias("n_tok"),
+            F.countDistinct("word").cast("bigint").alias("n_types"),
+        )
+        .select(
+            "piece",
+            F.length("piece").cast("bigint").alias("piece_len"),
+            "n_tok",
+            "n_types",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf corpus statistics
+# ---------------------------------------------------------------------------
+
+ZIPF_QUANT = 1 << 10  # coarser log2 units: keeps the OLS moment sums in int64
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """Zipf's-law exponent over the corpus vocabulary: OLS slope of
+    log2(count) on log2(rank) for the top ``top_n`` word types, entirely
+    in exact integer arithmetic. One row: (n_terms, slope_num, slope_den,
+    alpha_milli) with slope = slope_num / slope_den and alpha_milli =
+    (1000 * -slope_num) DIV slope_den (Zipf alpha = -slope; clamped at 0
+    if the slope came out positive so the division stays nonnegative —
+    negative integer division is the one integer op the engines disagree
+    on).
+
+    Numeric envelope: logs are ilog2fp at 2^-10 units (x, y <= 64 * 1024),
+    so with n <= ~10^4 terms every moment sum and the n*Sxy / Sx*Sy
+    products stay far inside int64 — no overflow at any corpus size, since
+    the relation OLS runs on is top_n rows by construction. Scale shape:
+    corpus -> one hash agg (the census), top_n via rank-then-filter
+    (trimmed global window / TakeOrdered-sized), then a 1-row aggregate."""
+    from pyspark.sql import Window
+
+    cnts = (
+        df.select(F.explode(words_expr(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    ranked = (
+        cnts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("w"))
+            ).cast("bigint"),
+        )
+        .where(F.col("rk") <= top_n)
+    )
+    il = lambda s: ilog2fp_sql(s, "spark", ZIPF_QUANT)  # noqa: E731
+    pts = ranked.select(
+        F.expr(f"CAST({il('rk')} AS BIGINT)").alias("x"),
+        F.expr(f"CAST({il('cnt')} AS BIGINT)").alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.select(
+        "n_terms",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        _uexact_div(
+            F.greatest(-num, F.lit(0).cast("bigint")) * F.lit(1000), den
+        ).alias("alpha_milli"),
     )
