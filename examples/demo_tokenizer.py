@@ -61,6 +61,26 @@ def main() -> None:
     )
     print("C4 verdicts on constructed pages:")
     T.c4_rules(page).show(truncate=False)
+
+    # 5. the unigram-LM (SentencePiece) pairing: learn the vocabulary by
+    #    fixed-point lattice EM, then tokenize by log-domain Viterbi —
+    #    both sides of what bpe_learn/bpe_token_counts do for merges
+    census = T.unigram_census(docs).localCheckpoint(eager=False)
+    vocab = T.unigram_learn(docs, census=census)
+    print("top learned unigram pieces (multi-char, by expected count):")
+    vocab.where("piece_len > 1").orderBy(
+        F.col("cnt_ppm").desc()
+    ).show(10, truncate=False)
+    toks = T.unigram_token_counts(
+        docs, vocab.select("piece", "p_fp"), census=census
+    )
+    stats = toks.agg(
+        F.sum("n_tok").alias("tokens"), F.count("*").alias("pieces_used")
+    ).collect()[0]
+    print(
+        f"Viterbi tokenization: {stats['tokens']} tokens over "
+        f"{stats['pieces_used']} distinct pieces"
+    )
     spark.stop()
 
 

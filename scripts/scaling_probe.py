@@ -85,6 +85,9 @@ TARGETS = [
     "unigram_token_census",
     "zipf_corpus_fit",
     "hard_negative_fixedq",
+    # KMV sketch algebra over inline-replicated events (build_scaled does
+    # not scale events; see _kmv_sketch_scaled)
+    "kmv_sketch_scaled",
     # round-7: the skip scan (fixed high-cardinality probe against a
     # scaling composite index — cost must track |leading prefixes| +
     # result, both ~fixed), deep scrutiny (two table-sized audit scans —
@@ -822,9 +825,56 @@ def _hard_negative_fixedq(spark, sf: str) -> int:
     return V.hard_negative_topk(emb, anchors, k=5, semi_hard=True).count()
 
 
+def _kmv_sketch_scaled(spark, sf: str) -> int:
+    """Custom probe (round 11 late): KMV sketch build + theta intersection
+    over a key-space that actually scales. build_scaled copies events
+    verbatim (no graded query scaled on it before), so this probe
+    replicates events INLINE — user ids shifted per replica, so distinct
+    (user, day) keys grow ~linearly — and runs the full graded
+    composition. Sketch build is one distinct hash-agg + WindowGroupLimit
+    (linear); everything downstream is k-row algebra except the
+    exact-overlap twin, whose distinct relation also grows linearly. Warm
+    growth must track data growth."""
+    from spark_on_hbase_spark.inventory import load
+    from spark_on_hbase_spark.operators import sketch as SK
+
+    reps = 1 if sf == SMALL else int(os.environ.get("KMV_PROBE_REPS", "30"))
+    ev0 = load(spark, sf if sf == SMALL else SMALL, "events")
+    ev = (
+        ev0.select(
+            "event_type", "user_id", "ts",
+            F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("__r"),
+        )
+        .select(
+            "event_type",
+            F.concat_ws(
+                ":",
+                (F.col("user_id") + F.col("__r") * F.lit(_SHIFT)).cast(
+                    "string"
+                ),
+                F.to_date("ts").cast("string"),
+            ).alias("uk"),
+        )
+    )
+    sk = SK.kmv_build(ev, "uk", ["event_type"], k=128).localCheckpoint(
+        eager=False
+    )
+    est = SK.kmv_intersect_pairs(sk, "event_type", k=128)
+    du = ev.distinct().localCheckpoint(eager=False)
+    ex = (
+        du.select(F.col("event_type").alias("group_a"), "uk")
+        .join(du.select(F.col("event_type").alias("group_b"), "uk"), "uk")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return est.join(ex, ["group_a", "group_b"], "left").count()
+
+
 CUSTOM = {
     "ann_filtered_fixedq": _ann_filtered_fixedq,
     "hard_negative_fixedq": _hard_negative_fixedq,
+    "kmv_sketch_scaled": _kmv_sketch_scaled,
     "near_dup_index_maintain": _near_dup_index_maintain,
     "bpe_learn": _bpe_learn,
     "ann_sq8": _ann_sq8,
