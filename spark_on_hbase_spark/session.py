@@ -84,6 +84,13 @@ def get_spark(app_name: str = "spark_on_hbase_spark", shuffle_partitions: int | 
         # (inventory.load converts ns -> microsecond timestamps).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evlog:
+        # offline profiling hook (scripts/profile_queries.py): per-job/stage
+        # timings without the UI. Off unless the env var names a directory.
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", f"file://{evlog}"
+        )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
