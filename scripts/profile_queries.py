@@ -28,6 +28,11 @@ size_driver_heap_for_launch()
 
 def main() -> None:
     args = sys.argv[1:]
+    wall: dict[str, float] = {}
+    if args and args[0] == "--parse":
+        # re-parse an existing event-log dir (no Spark run)
+        _report(args[1], wall)
+        return
     sf_dir = "/root/testdata/sf0.1"
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
@@ -68,14 +73,46 @@ def main() -> None:
         print(f"[query] {name}: {wall[name]:.2f}s", flush=True)
     spark.stop()
     time.sleep(1.0)
+    _report(evdir, wall)
 
+
+def _report(evdir: str, wall: dict[str, float]) -> None:
     # ---- parse the event log ------------------------------------------------
-    logs = [os.path.join(evdir, f) for f in os.listdir(evdir)]
-    logs = [p for p in logs if not p.endswith(".inprogress")] or logs
+    # Spark 4 rolling layout: <evdir>/eventlog_v2_<app>/events_*; flat file
+    # layouts from older versions also handled.
+    paths: list[str] = []
+    for f in sorted(os.listdir(evdir)):
+        p = os.path.join(evdir, f)
+        if os.path.isdir(p):
+            paths.extend(
+                os.path.join(p, g)
+                for g in sorted(os.listdir(p))
+                if g.startswith("events_")
+            )
+        elif not f.endswith(".inprogress"):
+            paths.append(p)
     jobs: dict[int, dict] = {}
     stage_metrics: dict[int, dict] = {}
-    with open(max(logs, key=os.path.getmtime)) as fh:
-        for line in fh:
+    import itertools
+
+    def _lines():
+        import io
+        import subprocess
+
+        for p in paths:
+            if p.endswith(".zstd"):
+                # spark.eventLog.compress default codec on this build
+                proc = subprocess.Popen(
+                    ["zstd", "-dc", p], stdout=subprocess.PIPE
+                )
+                yield from io.TextIOWrapper(proc.stdout, encoding="utf-8")
+                proc.wait()
+            else:
+                with open(p) as fh:
+                    yield from fh
+
+    if True:
+        for line in _lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:

@@ -570,7 +570,13 @@ class SecondaryIndex:
             os.remove(self._guidepost_path())
         except OSError:
             pass
-        self.tbl.create(self._entries(self.base.df()))
+        # materialize the entry relation once (lazily): create()'s layer
+        # write executes its input twice (range-sampling + write), and a
+        # functional/multi-valued index's entry derivation (e.g. the
+        # near-dup index's per-document MinHash banding) is the expensive
+        # half of a bulk build. localCheckpoint spills to disk past
+        # memory, so the pattern holds at any build size (guide §2.4).
+        self.tbl.create(self._entries(self.base.df()).localCheckpoint(eager=False))
         self._refresh_guideposts()
         return self
 
@@ -604,7 +610,8 @@ class SecondaryIndex:
         skipped write reports 0 (the rows were counted when they actually
         landed)."""
         self._guarded(
-            self.tbl.delete, lambda: self._stale_winner_entry_keys(batch),
+            self.tbl.delete,
+            self._once(lambda: self._stale_winner_entry_keys(batch)),
             stamp, "_xd",
         )
         n = self._guarded(self.base.update, lambda: batch, stamp, "")
@@ -722,7 +729,7 @@ class SecondaryIndex:
         # (matching a fold that has no ts to compare).
         has_ts = self.base.ts_col in batch.columns
         gated = (lambda: self._winners(batch)) if has_ts else (lambda: batch)
-        stale = (
+        stale = self._once(
             (lambda: self._stale_winner_entry_keys(batch))
             if has_ts
             else (lambda: self._stale_entry_keys(batch))
@@ -762,7 +769,7 @@ class SecondaryIndex:
         return joined.select(*sel)
 
     def _stale(self, touched: DataFrame):
-        return lambda: self._stale_entry_keys(touched)
+        return self._once(lambda: self._stale_entry_keys(touched))
 
     def _stale_winner_entry_keys(self, batch: DataFrame) -> DataFrame:
         """Index keys of the CURRENT entries that the batch's winning rows
@@ -810,6 +817,20 @@ class SecondaryIndex:
         if derived in table.applied_stamps():
             return None
         return write(make_batch(), stamp=derived, **kw)
+
+    @staticmethod
+    def _once(make_batch):
+        """Wrap a lazy maintenance read so its result materializes ONCE:
+        every layer write executes its input twice (repartitionByRange
+        samples the batch to pick range bounds, then the write job runs it
+        again — table.py:_write_layer), so an _xd/_xi batch whose lineage
+        is a point-read fold + join re-ran that fold per write. The batches
+        are O(batch) rows by contract, so a lazy localCheckpoint (first
+        action materializes, the write re-reads blocks) halves the
+        maintenance read cost without changing when the read executes
+        (retry-idempotence depends on that timing — see update's
+        docstring). Guide §2.4: remove repeated passes."""
+        return lambda: make_batch().localCheckpoint(eager=False)
 
     # -- reads ---------------------------------------------------------------
 
@@ -1189,7 +1210,11 @@ class SecondaryIndex:
             e = make_entries()
             gcols = self._guidepost_cols()
             if not gcols:
-                return e
+                # no sidecar to union — still materialize once, lazily:
+                # the insert layer write would otherwise run the entries
+                # lineage (a point-read fold + expression derivation)
+                # twice (range-sampling + write; see _once)
+                return e.localCheckpoint(eager=False)
             if self._load_guideposts() is None:
                 # missing sidecar (pre-guidepost index dir, or a build()
                 # that crashed between create and refresh): heal by

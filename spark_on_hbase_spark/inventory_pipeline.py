@@ -5703,10 +5703,19 @@ def incremental_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(D.band_signature_array("text")).alias("band")
     )
     entries = idx.tbl.df().select("band", F.col("base_key").alias("id_b"))
+    # materialize the candidate relation once: it feeds the base semi-join
+    # AND both sides of the verify join, and without the checkpoint each
+    # consumer re-ran the probe's MinHash banding + the index fold (the r11
+    # before-profile showed three ~3.2s executions of that subtree in one
+    # count). O(candidates) rows by the LSH band guarantee — scale-safe.
     cands = (
         pbands.join(entries, "band")
         .select(F.col("doc_id").alias("id_a"), "id_b")
         .distinct()
+        # EAGER: AQE launches the downstream subtrees (semi-join build +
+        # both verify join sides) as parallel jobs, and a lazy checkpoint
+        # would be raced — each parallel job re-materializes it
+        .localCheckpoint()
     )
     matched = base_tbl.df().join(
         cands.select(F.col("id_b").alias("doc_id")).distinct(),
@@ -5719,8 +5728,16 @@ def incremental_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ish = matched.select(
         "doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle")
     )
+    # jaccard_verify consumes the exploded relation three times (sizes +
+    # both join sides); materialize it once — O(batch + candidate rows)
     verified = D.jaccard_verify(
-        cands, psh.unionByName(ish), "doc_id", "shingle", 0.7
+        cands,
+        # EAGER for the same reason: sizes + both join sides run as
+        # parallel AQE jobs
+        psh.unionByName(ish).localCheckpoint(),
+        "doc_id",
+        "shingle",
+        0.7,
     )
     return (
         probe.select(F.col("doc_id").alias("probe_id"))
@@ -5932,13 +5949,19 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "text")
         .join(dels, "doc_id", "left_anti")  # updated-then-deleted: delete wins
     )
-    touched = feed.select("doc_id").distinct()
-    regated = _v4_per_doc_frame(ups)  # O(batch): only changed docs re-gate
+    # materialize the O(batch) delta relations once (eager — the consumers
+    # below run as parallel AQE broadcast jobs, which race a lazy mark):
+    # touched feeds three joins, and regated (the expensive v4 gate
+    # recompute of the changed docs) fed both the affected-group union and
+    # the post-state union, re-running the gate pipeline per consumer
+    touched = feed.select("doc_id").distinct().localCheckpoint()
+    regated = _v4_per_doc_frame(ups).localCheckpoint()
     affected = (
         per_doc_base.join(F.broadcast(touched), "doc_id", "left_semi")
         .select("__fp")
         .unionByName(regated.select("__fp"))
         .distinct()
+        .localCheckpoint()
     )
     per_doc_post = per_doc_base.join(
         F.broadcast(touched), "doc_id", "left_anti"

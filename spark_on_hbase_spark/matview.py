@@ -294,12 +294,19 @@ class MaterializedAgg:
         (point reads under the multiget cap, snapshot-fold semi-joins
         past it)."""
         feed = self.base.changes(since_layer=lo, until_layer=hi)
-        changed = feed.select(self.base.key_col).distinct()
-        n_changed = changed.count()
-        if n_changed == 0:
+        # ONE pass over the feed: the changed-key relation is materialized
+        # (localCheckpoint) because every consumer downstream re-reads it —
+        # the path probe below, both semi-joins of the degraded path, and
+        # (for MIN/MAX views) the touched-group derivation. Before r11 each
+        # of those re-executed the feed scan + distinct from files (guide
+        # §2.4: remove repeated passes).
+        changed = feed.select(self.base.key_col).distinct().localCheckpoint()
+        keys = [
+            r[0] for r in changed.limit(self.max_point_keys + 1).collect()
+        ]
+        if not keys:
             return None, None, changed
-        if n_changed <= self.max_point_keys:
-            keys = [r[0] for r in changed.collect()]
+        if len(keys) <= self.max_point_keys:
             old = self.base.point_read(keys, as_of_layer=lo)
             new = self.base.point_read(keys, as_of_layer=hi)
         else:
@@ -312,6 +319,16 @@ class MaterializedAgg:
             new = self.base.df(as_of_layer=hi).join(
                 changed, self.base.key_col, "semi"
             )
+        # both states are read at least once by the sum delta and — for
+        # MIN/MAX views — a second time by the touched-group derivation,
+        # and the delta layer write itself executes its input twice
+        # (repartitionByRange samples, then writes). Marking the O(Δ)
+        # states lazily checkpointed folds all of that into ONE execution
+        # of each snapshot fold; before r11 the minmax refresh ran the
+        # full fold up to 4x (measured 13.8s at sf0.1, see
+        # OPTIMIZATION_r11.md).
+        old = old.localCheckpoint(eager=False)
+        new = new.localCheckpoint(eager=False)
         return old, new, changed
 
     def refresh(self) -> int:
@@ -364,6 +381,10 @@ class MaterializedAgg:
                             ],
                             F.sum("__dx_n").alias("__d_n"),
                         )
+                        # O(touched groups) rows; the delta layer write
+                        # executes its input twice (range-sampling + write),
+                        # so materialize the aggregation once
+                        .localCheckpoint(eager=False)
                     )
                     counters = {out: f"__d_{out}" for out in self.sums}
                     counters[self.count_col] = "__d_n"

@@ -197,24 +197,35 @@ def simhash_signatures(exploded: DataFrame, id_col: str, word_col: str) -> DataF
     block bucketing selective (16-bit blocks instead of 8) — the Manku et
     al. WWW'07 deployment used 64-bit fingerprints for exactly this
     reason."""
-    h1 = word_hash_expr(F.col(word_col))
-    h2 = word_hash2_expr(F.col(word_col))
+    # generated SQL (2 parses) instead of 64 Column-built SUMs + a 64-term
+    # Column sum: the Column form cost ~1.5s of py4j round-trips per
+    # construction (r11 profile); the analyzed plan is identical (same
+    # md5-derived halves, same shiftright/&1 votes, same signed bit sum)
+    wq = "`" + word_col.replace("`", "``") + "`"
+    h1 = f"CAST(CONV(SUBSTRING(MD5({wq}), 1, 8), 16, 10) AS BIGINT)"
+    h2 = f"CAST(CONV(SUBSTRING(MD5({wq}), 9, 8), 16, 10) AS BIGINT)"
     votes = [
-        F.sum(
-            F.shiftright(h1 if j < 32 else h2, j if j < 32 else j - 32)
-            .bitwiseAND(F.lit(1)) * 2 - 1
+        F.expr(
+            "SUM((SHIFTRIGHT({h}, {s}) & 1) * 2 - 1)".format(
+                h=h1 if j < 32 else h2, s=j if j < 32 else j - 32
+            )
         ).alias(f"v{j}")
         for j in range(SIMHASH_BITS)
     ]
     voted = exploded.groupBy(id_col).agg(*votes)
-    sig = None
+    terms = []
     for j in range(SIMHASH_BITS):
-        contrib = 2**j if j < 63 else -(2**63)
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(contrib).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+        contrib = (
+            str(2**j) if j < 63 else "BIGINT('-9223372036854775808')"
         )
-        sig = bit if sig is None else sig + bit
-    return voted.select(id_col, sig.alias("simhash"))
+        terms.append(
+            f"(CASE WHEN v{j} > 0 THEN CAST({contrib} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return voted.selectExpr(
+        "`" + id_col.replace("`", "``") + "`",
+        "(" + " + ".join(terms) + ") AS simhash",
+    )
 
 
 def simhash_near_pairs(

@@ -496,28 +496,26 @@ def _pow2(c: Column) -> Column:
     return F.pow(F.lit(2.0), c.cast("double")).cast("bigint")
 
 
-def plane_dots_expr(qvec: Column, planes: list[list[int]]) -> Column:
+def plane_dots_expr(qvec_col: str, planes: list[list[int]]) -> Column:
     """Per-plane exact integer dots of a quantized vector with each ±1
     hyperplane, as an array — the margin signal for query-directed probing
-    (the sign gives the bucket bit; |dot| is the distance to the plane)."""
-    # NB: one ArrayType literal per plane (F.lit(list)), not 64 scalar
-    # Literal nodes — the multi-table expression tree's ANALYSIS/codegen
-    # time scales with node count and measurably dominates small-batch
-    # query latency at L=6 x 16 planes x 64 dims
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    qvec,
-                    F.lit(plane),
-                    lambda x, s: x * s.cast("bigint"),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            )
-            for plane in planes
-        ]
-    )
+    (the sign gives the bucket bit; |dot| is the distance to the plane).
+
+    Takes the vector COLUMN NAME and emits the whole array as ONE
+    generated-SQL expression: the Column-by-Column form cost ~1 py4j
+    round-trip per node — at L=6 tables x 16 planes x 64 dims that was
+    ~29k round-trips (~5s) of pure construction per query build (r11
+    profile). The SQL parses JVM-side in milliseconds; the analyzed plan
+    is identical (one ArrayType literal per plane, exact bigint dots)."""
+    per_plane = [
+        "aggregate(zip_with(`{q}`, array({vals}), (x, s) -> x * CAST(s AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)".format(
+            q=qvec_col.replace("`", "``"),
+            vals=",".join(str(int(v)) for v in plane),
+        )
+        for plane in planes
+    ]
+    return F.expr("array(" + ", ".join(per_plane) + ")")
 
 
 def lsh_margin_topk(
@@ -579,35 +577,27 @@ def lsh_margin_topk(
         "query_id",
         "__qv",
         *[
-            plane_dots_expr(F.col("__qv"), planes).alias(f"__d{t}")
+            plane_dots_expr("__qv", planes).alias(f"__d{t}")
             for t, planes in enumerate(tables)
         ],
     )
-    # NB: captures go through factory closures, never lambda default args —
-    # PySpark derives a HOF lambda's arity from its full parameter list, so
-    # a defaulted capture silently turns a 2-arg lambda into a 3-arg one
+    # The per-table bucket / weak-plane / probe-subset builders are emitted
+    # as generated SQL (one parse each) for the same construction-cost
+    # reason as plane_dots_expr — the analyzed plans are identical to the
+    # Column forms they replace (same literals, same _pow2 = CAST(POW(2.0,
+    # CAST(j AS DOUBLE)) AS BIGINT) shape, same default struct ordering).
     def _bucket_of(t: int) -> Column:
-        dcol = F.col(f"__d{t}")
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(num_planes - 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, j: acc
-            + F.when(F.element_at(dcol, j + 1) > 0, _pow2(j)).otherwise(
-                F.lit(0).cast("bigint")
-            ),
+        return F.expr(
+            f"aggregate(sequence(0, {num_planes - 1}), CAST(0 AS BIGINT), "
+            f"(acc, j) -> acc + (CASE WHEN element_at(__d{t}, j + 1) > 0 "
+            f"THEN CAST(POW(2.0D, CAST(j AS DOUBLE)) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END))"
         )
 
     def _weak_of(t: int) -> Column:
-        dcol = F.col(f"__d{t}")
-        return F.slice(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(num_planes - 1)),
-                    lambda j: F.abs(F.element_at(dcol, j + 1)) * 32 + j,
-                )
-            ),
-            1,
-            w_eff,
+        return F.expr(
+            f"slice(array_sort(transform(sequence(0, {num_planes - 1}), "
+            f"j -> abs(element_at(__d{t}, j + 1)) * 32 + j)), 1, {w_eff})"
         )
 
     qd = qd.select(
@@ -633,32 +623,15 @@ def lsh_margin_topk(
     # (sc, t, bucket), so the selected probe SET — and the oracle — are
     # identical.
     def _probes_of(t: int) -> Column:
-        pairs = F.aggregate(
-            F.col(f"__w{t}"),
-            F.array(
-                F.struct(
-                    F.lit(0).cast("bigint").alias("sc"),
-                    F.lit(0).cast("bigint").alias("m"),
-                )
-            ),
-            lambda acc, e: F.concat(
-                acc,
-                F.transform(
-                    acc,
-                    lambda p: F.struct(
-                        (p["sc"] + F.floor(e / 32).cast("bigint")).alias("sc"),
-                        (p["m"] + _pow2(e % 32)).alias("m"),
-                    ),
-                ),
-            ),
-        )
-        return F.transform(
-            pairs,
-            lambda p: F.struct(
-                p["sc"].alias("sc"),
-                F.lit(t).cast("bigint").alias("t"),
-                F.col(f"__b{t}").bitwiseXOR(p["m"]).alias("b"),
-            ),
+        return F.expr(
+            f"transform("
+            f"aggregate(__w{t}, "
+            f"array(named_struct('sc', CAST(0 AS BIGINT), 'm', CAST(0 AS BIGINT))), "
+            f"(acc, e) -> concat(acc, transform(acc, p -> named_struct("
+            f"'sc', p.sc + CAST(FLOOR(e / 32) AS BIGINT), "
+            f"'m', p.m + CAST(POW(2.0D, CAST((e % 32) AS DOUBLE)) AS BIGINT))))), "
+            f"p -> named_struct('sc', p.sc, 't', CAST({t} AS BIGINT), "
+            f"'b', __b{t} ^ p.m))"
         )
 
     probes = F.slice(
@@ -1513,7 +1486,7 @@ def rp_project(
     projected dots <= m * (dim * QUANT)^2 (~1.3e17 at the graded m=32) —
     safely inside int64."""
     return vectors.select(
-        F.col(id_col), plane_dots_expr(F.col(qvec_col), planes).alias("pv")
+        F.col(id_col), plane_dots_expr(qvec_col, planes).alias("pv")
     )
 
 
@@ -1536,7 +1509,7 @@ def rp_topk(
     approximation. Returns (query_id, vec_id, cosine, rank)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        plane_dots_expr(F.col(qvec_col), planes).alias("__qp"),
+        plane_dots_expr(qvec_col, planes).alias("__qp"),
     ).select(
         "query_id", "__qp", norm2_expr(F.col("__qp")).alias("__qn2")
     )

@@ -128,6 +128,37 @@ def _is_numeric_dtype(simple: str) -> bool:
     return simple in _NUMERIC_TYPES or simple.startswith("decimal(")
 
 
+#: (SparkContext, layer path) -> full-layer DataFrame. Layer directories are
+#: IMMUTABLE once renamed into place (mutations append new seq-named dirs),
+#: so the DataFrame — whose file index and schema are resolved at
+#: ``read.parquet`` time, ~50ms of py4j + footer listing per open — can be
+#: reused for the layer's lifetime. Every read path opens every visible
+#: layer, so a bench run re-opened the same directories thousands of times
+#: (r11 profile). The ONLY operations that mutate or remove layer contents
+#: in place (compaction unlinking dirty part-files, _replace_all_layers /
+#: drop removing dirs) call ``_invalidate_layer_cache`` on the table root
+#: first. Keyed by the live SparkContext object so a stop/start never
+#: serves plans from a dead JVM.
+_LAYER_DF_CACHE: dict = {}
+
+
+def _cached_layer_df(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext, path)
+    df = _LAYER_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _LAYER_DF_CACHE[key] = df
+    return df
+
+
+def _invalidate_layer_cache(root: str) -> None:
+    """Drop every cached layer DataFrame under ``root`` — called by the
+    operations that delete or rewrite layer contents in place."""
+    pref = str(root)
+    for k in [k for k in _LAYER_DF_CACHE if k[1].startswith(pref)]:
+        del _LAYER_DF_CACHE[k]
+
+
 class KeyedTable:
     """A keyed, range-partitioned, sorted, log-structured Parquet table with
     HBase-like mutation semantics. Analog of HBaseTable (HBaseTable.scala:26-41)."""
@@ -313,6 +344,7 @@ class KeyedTable:
         for p in old:
             shutil.rmtree(p, ignore_errors=True)
             self._drop_bloom(p)
+        _invalidate_layer_cache(self.path)
 
     def _persist_stamps(self, layers: list[Path]) -> None:
         stamps = [s for p in layers if (s := self._stamp_of(p))]
@@ -343,6 +375,7 @@ class KeyedTable:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+        _invalidate_layer_cache(self.path)
 
     def copy(self, dest: "KeyedTable") -> None:
         """S12 — scan source, re-partition to destination layout, write
@@ -474,7 +507,7 @@ class KeyedTable:
         each surviving key's full history — including tombstones, which
         carry the key."""
         layers = self._visible_layers(as_of_layer)
-        frames = [self.spark.read.parquet(str(p)) for p in layers]
+        frames = [_cached_layer_df(self.spark, str(p)) for p in layers]
         if pred is not None:
             frames = [f.where(pred) for f in frames]
         return self._resolve(frames)
@@ -513,7 +546,7 @@ class KeyedTable:
                 for p in layers:
                     c = cands[p]
                     if c is None:
-                        frames.append(self.spark.read.parquet(str(p)).where(pred))
+                        frames.append(_cached_layer_df(self.spark, str(p)).where(pred))
                     elif c:
                         frames.append(self.spark.read.parquet(*c).where(pred))
                 if not frames:
@@ -593,7 +626,7 @@ class KeyedTable:
         frames = []
         for p in layers:
             seq = int(p.name.split("-")[1])
-            f = self.spark.read.parquet(str(p))
+            f = _cached_layer_df(self.spark, str(p))
             if _KIND in f.columns:
                 op = (
                     F.when(F.col(_KIND) == _SPARSE, F.lit("put"))
@@ -892,8 +925,33 @@ class KeyedTable:
 
     def _schema(self) -> dict[str, str]:
         """Column -> dtype of the logical table. Plan-only (parquet footers),
-        no job runs — mutations use it to shape O(batch) delta layers."""
-        return dict(self.df().dtypes)
+        no job runs — mutations use it to shape O(batch) delta layers.
+
+        Read from the LOWEST layer's footer, not ``self.df().dtypes``:
+        analyzing the full merged-fold plan (per-column CASE chains under
+        ``F.aggregate``) costs Catalyst 50-200ms, and every mutation calls
+        this — the footer read is equivalent because every live layer
+        carries the full data-column set (update validates it, put/delete/
+        increment shape to it, add/drop_column compact first) and the merge
+        preserves the lowest layer's column ORDER (``unionByName``; the
+        fold takes payload order from frames[0]), which callers rely on to
+        shape layers consistently."""
+        layers = self._layers()
+        if not layers:
+            raise FileNotFoundError(f"no table at {self.path}")
+        first = _cached_layer_df(self.spark, str(layers[0]))
+        data = {
+            c: t
+            for c, t in first.dtypes
+            if c not in (_TOMBSTONE, _KIND, _DELCOLS)
+        }
+        # match df()'s column order exactly (merge emits the key first,
+        # then the remaining columns in frames[0] order): callers iterate
+        # this dict to SHAPE layers, so order is part of the contract
+        return {
+            self.key_col: data[self.key_col],
+            **{c: t for c, t in data.items() if c != self.key_col},
+        }
 
     def put(self, batch: DataFrame, stamp: str | None = None) -> int:
         """Cell-level put (S6, HBaseTable.put, HBaseTable.scala:124-155):
@@ -1124,7 +1182,7 @@ class KeyedTable:
         # prefix snapshot that is no longer readable must raise, not fold
         self._visible_layers(keep_since)
         m = max(int(p.name.split("-")[1]) for p in fold)
-        frames = [self.spark.read.parquet(str(p)) for p in fold]
+        frames = [_cached_layer_df(self.spark, str(p)) for p in fold]
         if any(_KIND in f.columns for f in frames):
             state = _merge_layers_fold(
                 frames, self.key_col, self.ts_col, keep_state=True
@@ -1145,6 +1203,7 @@ class KeyedTable:
         for p in fold:
             shutil.rmtree(p, ignore_errors=True)
             self._drop_bloom(p)
+        _invalidate_layer_cache(self.path)
 
     # a string key whose footer max is this long (UTF-8 chars) is treated
     # as possibly-truncated and widened to +inf — defense in depth: the
@@ -1281,7 +1340,7 @@ class KeyedTable:
                     self.spark.read.parquet(*[str(f) for f in dirty_for[p]])
                 )
             elif p in deltas:
-                frames.append(self.spark.read.parquet(str(p)))
+                frames.append(_cached_layer_df(self.spark, str(p)))
         merged = self._resolve(frames, force_fold=True)
         merged = merged.localCheckpoint()  # sever lineage from removed files
         self._persist_stamps(deltas)
@@ -1313,6 +1372,10 @@ class KeyedTable:
         for p in deltas:
             shutil.rmtree(p, ignore_errors=True)
             self._drop_bloom(p)
+        # dirty compaction unlinked part-files INSIDE surviving base layer
+        # dirs — any cached layer DataFrame for this table now references
+        # dead files
+        _invalidate_layer_cache(self.path)
         return True
 
 
@@ -1376,81 +1439,103 @@ def _merge_layers_fold(
     data_cols = [c for c in frames[0].columns if c not in (_TOMBSTONE, _KIND, _DELCOLS)]
     payload = [c for c in data_cols if c != key_col]
     dtypes = dict(frames[0].dtypes)
+
+    # The whole fold is emitted as GENERATED SQL (one expression parse on
+    # the JVM) instead of Column-by-Column construction: the per-column
+    # CASE chains under F.aggregate cost ~1 py4j round-trip per node —
+    # measured ~0.85s and thousands of socket round-trips per fold
+    # construction at 10 columns, and every multi-kind table read builds
+    # one (r11 profile; OPTIMIZATION_r11.md). Semantics are transcribed
+    # 1:1 from the Column version this replaces; the version-fold tests
+    # (tests/test_table.py) and the oracle gate pin them.
+    def q(c: str) -> str:  # identifier quoting
+        return "`" + c.replace("`", "``") + "`"
+
+    def s(c: str) -> str:  # string-literal quoting (named_struct names)
+        return "'" + c.replace("'", "''") + "'"
+
+    key_q = q(key_col)
     tagged = None
     for seq, f in enumerate(frames):
-        if _TOMBSTONE not in f.columns:
-            f = f.withColumn(_TOMBSTONE, F.lit(False))
-        if _KIND not in f.columns:
-            f = f.withColumn(_KIND, F.lit(_ROW).cast("int"))
-        if _DELCOLS not in f.columns:
-            f = f.withColumn(_DELCOLS, F.lit(None).cast("array<string>"))
-        t = f.select(
-            F.col(key_col),
-            F.struct(
-                F.lit(seq).alias("__seq"),
-                F.col(_KIND).cast("int").alias("__kind"),
-                F.col(_DELCOLS).alias("__delcols"),
-                F.col(_TOMBSTONE).alias("__tombstone"),
-                *[F.col(c) for c in payload],
-            ).alias("__v"),
+        fields = [f"'__seq', {seq}"]
+        fields.append(
+            f"'__kind', CAST({q(_KIND)} AS INT)"
+            if _KIND in f.columns
+            else f"'__kind', CAST({_ROW} AS INT)"
+        )
+        fields.append(
+            f"'__delcols', {q(_DELCOLS)}"
+            if _DELCOLS in f.columns
+            else "'__delcols', CAST(NULL AS ARRAY<STRING>)"
+        )
+        fields.append(
+            f"'__tombstone', {q(_TOMBSTONE)}"
+            if _TOMBSTONE in f.columns
+            else "'__tombstone', false"
+        )
+        fields.extend(f"{s(c)}, {q(c)}" for c in payload)
+        t = f.selectExpr(
+            key_q, "named_struct(" + ", ".join(fields) + ") AS __v"
         )
         tagged = t if tagged is None else tagged.unionByName(t)
 
     versions = tagged.groupBy(key_col).agg(
-        F.array_sort(
-            F.collect_list("__v"),
-            lambda a, b: F.when(a["__seq"] < b["__seq"], -1)
-            .when(a["__seq"] > b["__seq"], 1)
-            .otherwise(F.lit(0)),
+        F.expr(
+            "array_sort(collect_list(__v), (a, b) -> "
+            "CASE WHEN a.__seq < b.__seq THEN -1 "
+            "WHEN a.__seq > b.__seq THEN 1 ELSE 0 END)"
         ).alias("__vs")
     )
 
-    init = F.struct(
-        F.lit(False).alias("__exists"),
-        F.lit(False).alias("__tombstone"),
-        *[F.lit(None).cast(dtypes[c]).alias(c) for c in payload],
+    init = "named_struct('__exists', false, '__tombstone', false, " + ", ".join(
+        f"{s(c)}, CAST(NULL AS {dtypes[c]})" for c in payload
+    ) + ")"
+
+    ts_q = q(ts_col)
+    ts_gate = (
+        f"(x.{ts_q} IS NULL OR NOT acc.__exists OR acc.{ts_q} IS NULL "
+        f"OR x.{ts_q} >= acc.{ts_q})"
     )
-
-    def step(acc, x):
-        ts_gate = (
-            x[ts_col].isNull()
-            | ~acc["__exists"]
-            | acc[ts_col].isNull()
-            | (x[ts_col] >= acc[ts_col])
-        )
-        row_applies = (x["__kind"] == _ROW) & ts_gate
-        sparse_applies = (x["__kind"] == _SPARSE) & ts_gate
-        is_delta = x["__kind"] == _DELTA
-        is_celldel = x["__kind"] == _CELLDEL
-        fields = [
-            (acc["__exists"] | row_applies | sparse_applies | is_delta).alias("__exists"),
-            F.when(row_applies, x["__tombstone"])
-            .when(sparse_applies | is_delta, F.lit(False))
-            .otherwise(acc["__tombstone"])
-            .alias("__tombstone"),
-        ]
-        for c in payload:
-            if c == ts_col:
-                expr = F.when(
-                    row_applies | sparse_applies, F.coalesce(x[c], acc[c])
-                ).otherwise(acc[c])
-            else:
-                expr = F.when(row_applies, x[c]).when(
-                    sparse_applies, F.coalesce(x[c], acc[c])
+    row_applies = f"((x.__kind = {_ROW}) AND {ts_gate})"
+    sparse_applies = f"((x.__kind = {_SPARSE}) AND {ts_gate})"
+    is_delta = f"(x.__kind = {_DELTA})"
+    is_celldel = f"(x.__kind = {_CELLDEL})"
+    step_fields = [
+        f"'__exists', (acc.__exists OR {row_applies} OR {sparse_applies} "
+        f"OR {is_delta})",
+        f"'__tombstone', CASE WHEN {row_applies} THEN x.__tombstone "
+        f"WHEN ({sparse_applies} OR {is_delta}) THEN false "
+        f"ELSE acc.__tombstone END",
+    ]
+    for c in payload:
+        cq, t = q(c), dtypes[c]
+        if c == ts_col:
+            expr = (
+                f"CASE WHEN ({row_applies} OR {sparse_applies}) "
+                f"THEN coalesce(x.{cq}, acc.{cq}) ELSE acc.{cq} END"
+            )
+        else:
+            branches = [
+                f"WHEN {row_applies} THEN x.{cq}",
+                f"WHEN {sparse_applies} THEN coalesce(x.{cq}, acc.{cq})",
+            ]
+            if _is_numeric_dtype(t):
+                branches.append(
+                    f"WHEN ({is_delta} AND x.{cq} IS NOT NULL) "
+                    f"THEN (coalesce(acc.{cq}, CAST(0 AS {t})) + x.{cq})"
                 )
-                if _is_numeric_dtype(dtypes[c]):
-                    expr = expr.when(
-                        is_delta & x[c].isNotNull(),
-                        F.coalesce(acc[c], F.lit(0).cast(dtypes[c])) + x[c],
-                    )
-                expr = expr.when(
-                    is_celldel & F.array_contains(x["__delcols"], F.lit(c)),
-                    F.lit(None).cast(dtypes[c]),
-                ).otherwise(acc[c])
-            fields.append(expr.cast(dtypes[c]).alias(c))
-        return F.struct(*fields)
+            branches.append(
+                f"WHEN ({is_celldel} AND array_contains(x.__delcols, {s(c)})) "
+                f"THEN CAST(NULL AS {t})"
+            )
+            expr = "CASE " + " ".join(branches) + f" ELSE acc.{cq} END"
+        step_fields.append(f"{s(c)}, CAST({expr} AS {t})")
 
-    folded = versions.select(key_col, F.aggregate("__vs", init, step).alias("__r"))
+    folded = versions.selectExpr(
+        key_q,
+        "aggregate(__vs, " + init + ", (acc, x) -> named_struct("
+        + ", ".join(step_fields) + ")) AS __r",
+    )
     if keep_state:
         # resolved per-key STATE, tombstones included — what a prefix
         # compaction persists so later layers resolve over the folded base
