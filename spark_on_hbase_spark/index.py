@@ -386,8 +386,15 @@ class SecondaryIndex:
     # touched-key batches up to this size read the base via a driver-known
     # IN-list (point_read: footer-pruned O(batch) file reads); above it the
     # literal list would bloat the plan, so fall back to a broadcast
-    # semi-join (table never shuffles, but the scan is table-sized)
-    MAX_POINT_READ_KEYS = 100_000
+    # semi-join (table never shuffles, but the scan is table-sized).
+    # Cap aligned with matview's measured finding (r11): the literal plan's
+    # Catalyst cost grows with the list at ANY table size — at 15k keys the
+    # IN-list read measured 5.8-7.6s vs 2.2-3.4s for the semi-join on the
+    # same batch (OPTIMIZATION_r11.md), and at ~94k literals the stacked
+    # expression tree OOMed a 20g driver. 8192 keeps genuinely point-like
+    # probes on the pruned multiget and hands bulk maintenance batches to
+    # the semi-join.
+    MAX_POINT_READ_KEYS = 8192
 
     def _stale_entry_keys(self, touched_keys: DataFrame) -> DataFrame:
         """Index keys of the touched base keys' CURRENT rows. Evaluated (by
@@ -414,10 +421,10 @@ class SecondaryIndex:
         ]
         if len(keys) <= self.MAX_POINT_READ_KEYS:
             return self.base.point_read(keys)
-        return self.base.df().join(
-            touched_keys.select(self.base.key_col).distinct(),
-            self.base.key_col,
-            "left_semi",
+        # oversized batch: broadcast semi-join pushed BELOW the version
+        # fold (semi_read) — the fold pays O(batch), never O(table)
+        return self.base.semi_read(
+            touched_keys.select(self.base.key_col).distinct()
         )
 
     # -- consistency tooling -------------------------------------------------

@@ -311,14 +311,12 @@ class MaterializedAgg:
             new = self.base.point_read(keys, as_of_layer=hi)
         else:
             # degraded path (same cap + contract as the secondary-index
-            # probe, index.py): two snapshot folds semi-joined to the
-            # changed keys — O(table) scan, O(Δ) output, still exact
-            old = self.base.df(as_of_layer=lo).join(
-                changed, self.base.key_col, "semi"
-            )
-            new = self.base.df(as_of_layer=hi).join(
-                changed, self.base.key_col, "semi"
-            )
+            # probe, index.py): the changed-key semi-join is pushed BELOW
+            # the version fold (semi_read — key membership is version-
+            # stable), so the fold processes O(Δ) rows; the per-layer scan
+            # stays O(table), output O(Δ), still exact
+            old = self.base.semi_read(changed, as_of_layer=lo)
+            new = self.base.semi_read(changed, as_of_layer=hi)
         # both states are read at least once by the sum delta and — for
         # MIN/MAX views — a second time by the touched-group derivation,
         # and the delta layer write itself executes its input twice

@@ -49,6 +49,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import threading
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -141,13 +142,21 @@ def _is_numeric_dtype(simple: str) -> bool:
 #: serves plans from a dead JVM.
 _LAYER_DF_CACHE: dict = {}
 
+# fixture builders mutate INDEPENDENT tables from a thread pool (guide
+# §2.6); the lock keeps the cache's iterate-and-delete safe against a
+# concurrent insert (the reads/writes themselves are GIL-atomic, but
+# invalidation iterates)
+_LAYER_DF_CACHE_LOCK = threading.Lock()
+
 
 def _cached_layer_df(spark: SparkSession, path: str) -> DataFrame:
     key = (spark.sparkContext, path)
-    df = _LAYER_DF_CACHE.get(key)
+    with _LAYER_DF_CACHE_LOCK:
+        df = _LAYER_DF_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)
-        _LAYER_DF_CACHE[key] = df
+        with _LAYER_DF_CACHE_LOCK:
+            df = _LAYER_DF_CACHE.setdefault(key, df)
     return df
 
 
@@ -155,8 +164,9 @@ def _invalidate_layer_cache(root: str) -> None:
     """Drop every cached layer DataFrame under ``root`` — called by the
     operations that delete or rewrite layer contents in place."""
     pref = str(root)
-    for k in [k for k in _LAYER_DF_CACHE if k[1].startswith(pref)]:
-        del _LAYER_DF_CACHE[k]
+    with _LAYER_DF_CACHE_LOCK:
+        for k in [k for k in _LAYER_DF_CACHE if k[1].startswith(pref)]:
+            del _LAYER_DF_CACHE[k]
 
 
 class KeyedTable:
@@ -303,6 +313,11 @@ class KeyedTable:
         out, obs = _observed_count(out)
         out.write.mode("overwrite").parquet(str(tmp))
         tmp.rename(target)
+        # a layer path can be REUSED within a session: kernels rmtree a
+        # session-scoped table root directly (not via drop()) and recreate
+        # it, so base-000000 comes back with new part-files — evict any
+        # cached DataFrame pinned to the old files at this path
+        _invalidate_layer_cache(str(target))
         n = int(obs.get["n"])
         if self.bloom:
             # SOFT-fail: the layer committed at the rename above, so a
@@ -341,10 +356,15 @@ class KeyedTable:
         old = self._layers()
         self._persist_stamps(old)
         self._write_layer(df, "base")
+        # invalidate BEFORE the destructive removals: a crash between an
+        # rmtree and a trailing invalidation would leave cached DataFrames
+        # whose file listings point at dead files (caught by the dirty-
+        # compaction crash test); dropping the cache early only costs a
+        # re-open
+        _invalidate_layer_cache(self.path)
         for p in old:
             shutil.rmtree(p, ignore_errors=True)
             self._drop_bloom(p)
-        _invalidate_layer_cache(self.path)
 
     def _persist_stamps(self, layers: list[Path]) -> None:
         stamps = [s for p in layers if (s := self._stamp_of(p))]
@@ -374,8 +394,10 @@ class KeyedTable:
         return self
 
     def drop(self) -> None:
-        shutil.rmtree(self.path, ignore_errors=True)
+        # invalidate first: crash-mid-rmtree must not leave cached plans
+        # over partially-deleted layer dirs
         _invalidate_layer_cache(self.path)
+        shutil.rmtree(self.path, ignore_errors=True)
 
     def copy(self, dest: "KeyedTable") -> None:
         """S12 — scan source, re-partition to destination layout, write
@@ -559,6 +581,32 @@ class KeyedTable:
                 # (the single-frame passthrough is only legal for a base)
                 return self._resolve(frames, force_fold=True)
         return self._layer_frames(pred, as_of_layer)
+
+    def semi_read(self, keys: DataFrame, as_of_layer: int | None = None) -> DataFrame:
+        """Merged view restricted to the keys PRESENT IN ``keys`` — the
+        relation-valued sibling of ``point_read`` for key sets too large
+        (or not driver-known) for a literal IN-list. The broadcast
+        semi-join is applied per layer BEFORE the merge: a key-membership
+        predicate has the same truth value for every version of a key
+        (``_layer_frames``'s contract — tombstones carry the key), so each
+        surviving key keeps its full history and the fold result is
+        identical to ``df(...).join(keys, key, 'semi')`` — but the
+        version fold now processes O(|keys| * versions) rows instead of
+        the whole table (the fold runs interpreted, not codegen'd, so at
+        100 TB folding the table to answer a Δ-sized question is the
+        dominant waste; the per-layer scan itself stays O(table) unless
+        footer/Bloom pruning applies)."""
+        kd = F.broadcast(keys.select(self.key_col).distinct())
+        layers = self._visible_layers(as_of_layer)
+        frames = [
+            _cached_layer_df(self.spark, str(p)).join(
+                kd, self.key_col, "left_semi"
+            )
+            for p in layers
+        ]
+        # a lone visible layer is always the base (folded, unique keys) —
+        # the semi-join preserves that, so the passthrough stays legal
+        return self._resolve(frames)
 
     def range_read(self, lower, upper, as_of_layer: int | None = None) -> DataFrame:
         """Key-range scan: the merged view restricted to keys in
@@ -1200,10 +1248,12 @@ class KeyedTable:
         horizon = Path(self.path) / "_history_horizon"
         prev = int(horizon.read_text()) if horizon.exists() else 0
         horizon.write_text(str(max(prev, m)))
+        # invalidate BEFORE the removals (crash safety — see
+        # _replace_all_layers)
+        _invalidate_layer_cache(self.path)
         for p in fold:
             shutil.rmtree(p, ignore_errors=True)
             self._drop_bloom(p)
-        _invalidate_layer_cache(self.path)
 
     # a string key whose footer max is this long (UTF-8 chars) is treated
     # as possibly-truncated and widened to +inf — defense in depth: the
@@ -1361,6 +1411,13 @@ class KeyedTable:
         # base row visible with its tombstone gone (deleted-row resurrection).
         # Crash after the unlinks: old clean base + deltas + folded base
         # reads correctly (the folded base, highest seq, wins the fold).
+        # dirty compaction unlinks part-files INSIDE surviving base layer
+        # dirs — any cached layer DataFrame for this table would reference
+        # dead files. Invalidate BEFORE the first unlink: a crash anywhere
+        # in the cleanup below must leave a cache-consistent session (the
+        # mid-crash on-disk state itself reads correctly — see the ordering
+        # comment above — but a stale cached file listing would not).
+        _invalidate_layer_cache(self.path)
         for f in dirty_files:
             f.unlink(missing_ok=True)
         # a base dir whose every part-file was consumed is no longer a
@@ -1372,10 +1429,6 @@ class KeyedTable:
         for p in deltas:
             shutil.rmtree(p, ignore_errors=True)
             self._drop_bloom(p)
-        # dirty compaction unlinked part-files INSIDE surviving base layer
-        # dirs — any cached layer DataFrame for this table now references
-        # dead files
-        _invalidate_layer_cache(self.path)
         return True
 
 

@@ -1183,3 +1183,49 @@ def test_prefix_compaction_crash_residue_never_double_applies(spark, tmp_path):
     )
     assert len(survivors) == 1 and survivors[0].startswith(f"base-{snap:06d}")
     assert {tuple(r) for r in t.df().collect()} == expected
+
+
+def test_semi_read_matches_fold_then_semi_join(spark, tmp_path):
+    """semi_read pushes the key semi-join BELOW the version fold (r11
+    optimization) — pin that its result is identical to the reference
+    formulation df().join(keys, key, 'semi') across every mutation kind,
+    under time travel, and in the lone-base-layer passthrough case."""
+    from pyspark.sql import functions as F
+
+    from spark_on_hbase_spark.table import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "t"), key_col="k", ts_col="ts",
+                   num_partitions=4)
+    base = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        (F.col("id") * 10).alias("v"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    t.create(base)
+    keys = base.where("k % 3 = 0").select("k")
+    # lone base layer: passthrough path
+    assert {tuple(r) for r in t.semi_read(keys).collect()} == {
+        tuple(r)
+        for r in t.df().join(keys, "k", "semi").collect()
+    }
+    t.update(base.where("k % 7 = 0").select(
+        "k", F.lit("u").alias("name"), (F.col("v") + 5).alias("v"),
+        F.lit(200).cast("int").alias("ts")))
+    snap = t.snapshot_seq()
+    t.put(base.where("k % 5 = 0").select(
+        "k", F.lit("p").alias("name"), F.lit(300).cast("int").alias("ts")))
+    t.increment(base.where("k % 2 = 0").select(
+        "k", F.lit(7).cast("bigint").alias("delta")), counter_col="v")
+    t.delete(base.where("k % 11 = 0").select("k"))
+    t.delete(base.where("k % 13 = 0").select("k"), columns=["name"])
+    got = {tuple(r) for r in t.semi_read(keys).collect()}
+    want = {tuple(r) for r in t.df().join(keys, "k", "semi").collect()}
+    assert got == want and got  # non-vacuous
+    # time travel: prefix reads agree too
+    got_snap = {tuple(r) for r in t.semi_read(keys, as_of_layer=snap).collect()}
+    want_snap = {
+        tuple(r)
+        for r in t.df(as_of_layer=snap).join(keys, "k", "semi").collect()
+    }
+    assert got_snap == want_snap and got_snap != got
