@@ -1532,19 +1532,24 @@ def _sec_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
         (F.col("c_custkey") % 13).cast("bigint").alias("band"),
         F.lit(100).cast("int").alias("ts"),
     )
-    h["idx_nation"].base.create(rows)
-    h["idx_nation"].build()
-    h["idx_nation"].update(
-        rows.where(F.col("key") % 10 == 3).select(
-            "key",
-            F.concat(F.lit("renamed #"), F.col("key").cast("string")).alias("name"),
-            F.lit(77).cast("bigint").alias("nation"),
-            "band",
-            F.lit(200).cast("int").alias("ts"),
+
+    def _build_nation() -> None:
+        h["idx_nation"].base.create(rows)
+        h["idx_nation"].build()
+        h["idx_nation"].update(
+            rows.where(F.col("key") % 10 == 3).select(
+                "key",
+                F.concat(
+                    F.lit("renamed #"), F.col("key").cast("string")
+                ).alias("name"),
+                F.lit(77).cast("bigint").alias("nation"),
+                "band",
+                F.lit(200).cast("int").alias("ts"),
+            )
         )
-    )
-    h["idx_nation"].delete(rows.where(F.col("key") % 10 == 6).select("key"))
-    h["idx_comp"].build()
+        h["idx_nation"].delete(rows.where(F.col("key") % 10 == 6).select("key"))
+        h["idx_comp"].build()
+
     # functional-index table: append '#Z' to names %8==3 THROUGH the
     # expression index (last-char derivation recomputed by maintenance),
     # row-delete %8==5
@@ -1553,16 +1558,19 @@ def _sec_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
         F.col("c_name").alias("name"),
         F.lit(100).cast("int").alias("ts"),
     )
-    h["idx_fx"].base.create(frows)
-    h["idx_fx"].build()
-    h["idx_fx"].update(
-        frows.where(F.col("key") % 8 == 3).select(
-            "key",
-            F.concat(F.col("name"), F.lit("#Z")).alias("name"),
-            F.lit(200).cast("int").alias("ts"),
+
+    def _build_fx() -> None:
+        h["idx_fx"].base.create(frows)
+        h["idx_fx"].build()
+        h["idx_fx"].update(
+            frows.where(F.col("key") % 8 == 3).select(
+                "key",
+                F.concat(F.col("name"), F.lit("#Z")).alias("name"),
+                F.lit(200).cast("int").alias("ts"),
+            )
         )
-    )
-    h["idx_fx"].delete(frows.where(F.col("key") % 8 == 5).select("key"))
+        h["idx_fx"].delete(frows.where(F.col("key") % 8 == 5).select("key"))
+
     # bal-indexed table: +2,000,000 cents for %9==4, delete %9==7
     brows = cust.select(
         F.col("c_custkey").alias("key"),
@@ -1570,31 +1578,56 @@ def _sec_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
         F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal"),
         F.lit(100).cast("int").alias("ts"),
     )
-    h["idx_bal"].base.create(brows)
-    h["idx_bal"].build()
-    h["idx_bal"].update(
-        brows.where(F.col("key") % 9 == 4).select(
-            "key", "name",
-            (F.col("bal") + F.lit(2000000)).alias("bal"),
-            F.lit(200).cast("int").alias("ts"),
+
+    def _build_bal() -> None:
+        h["idx_bal"].base.create(brows)
+        h["idx_bal"].build()
+        h["idx_bal"].update(
+            brows.where(F.col("key") % 9 == 4).select(
+                "key", "name",
+                (F.col("bal") + F.lit(2000000)).alias("bal"),
+                F.lit(200).cast("int").alias("ts"),
+            )
         )
-    )
-    h["idx_bal"].delete(brows.where(F.col("key") % 9 == 7).select("key"))
+        h["idx_bal"].delete(brows.where(F.col("key") % 9 == 7).select("key"))
+
     # index-free multiget table: rename %7==2 at ts 200, tombstone %7==5
     prows = cust.select(
         F.col("c_custkey").alias("key"),
         F.col("c_name").alias("name"),
         F.lit(100).cast("int").alias("ts"),
     )
-    h["tbl_point"].create(prows)
-    h["tbl_point"].update(
-        prows.where(F.col("key") % 7 == 2).select(
-            "key",
-            F.concat(F.lit("moved #"), F.col("key").cast("string")).alias("name"),
-            F.lit(200).cast("int").alias("ts"),
+
+    def _build_point() -> None:
+        h["tbl_point"].create(prows)
+        h["tbl_point"].update(
+            prows.where(F.col("key") % 7 == 2).select(
+                "key",
+                F.concat(
+                    F.lit("moved #"), F.col("key").cast("string")
+                ).alias("name"),
+                F.lit(200).cast("int").alias("ts"),
+            )
         )
-    )
-    h["tbl_point"].delete(prows.where(F.col("key") % 7 == 5).select("key"))
+        h["tbl_point"].delete(prows.where(F.col("key") % 7 == 5).select("key"))
+
+    # The four tables live under disjoint paths and share no state beyond
+    # the already-memoized source relation, so their mutation chains run
+    # from a thread pool: each chain is a sequence of SMALL Spark jobs
+    # that individually leave most of local[32] idle, and concurrent
+    # submission back-fills the gaps (guide §2.6 — overlap independent
+    # jobs). Sequencing WITHIN a chain (create -> build -> update ->
+    # delete -> dependent composite build) is preserved by each thread.
+    # Exceptions propagate: result() re-raises, the marker never lands.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(fn)
+            for fn in (_build_nation, _build_fx, _build_bal, _build_point)
+        ]
+        for fut in futs:
+            fut.result()
     with open(os.path.join(staging, "_COMPLETE"), "w") as f:
         f.write(str(_SEC_IDX_FIXTURE_VERSION))
     if os.path.exists(marker):

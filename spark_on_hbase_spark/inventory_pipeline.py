@@ -657,10 +657,14 @@ _VEC_BUCKET_CACHE: dict = {}
 
 @build("vec_bucketed")
 def _vec_bucket_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncached embedding quantize+sign-LSH-bucket build — build-gate entry."""
+    """Uncached embedding quantize+sign-LSH-bucket build — build-gate entry.
+    Carries the per-vector squared norm so the pair stage computes only the
+    dot (the norm is a per-ROW quantity; computing it here — once, in the
+    persisted relation — instead of twice per candidate pair is identical
+    by value; r11)."""
     return vec_corpus(spark, sf_dir).withColumn(
         "__bucket", V.bucket_expr(F.col("v"), _PLANES)
-    )
+    ).withColumn("__n2", V.norm2_expr(F.col("v")))
 
 
 # shared by embedding_near_dup and embedding_cluster_dedup: the verified
@@ -705,8 +709,14 @@ def _vec_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             del _VEC_BUCKET_CACHE[stale]
         _VEC_BUCKET_CACHE[key] = _vec_bucket_build(spark, sf_dir).persist()
     v = _VEC_BUCKET_CACHE[key]
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"), "__bucket")
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"), "__bucket")
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("__va"),
+        F.col("__n2").alias("__na"), "__bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"),
+        F.col("__n2").alias("__nb"), "__bucket",
+    )
     return (
         a.join(b, "__bucket")
         .where(F.col("id_a") < F.col("id_b"))
@@ -715,8 +725,8 @@ def _vec_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             V.cosine_expr(
                 V.dot_expr(F.col("__va"), F.col("__vb")),
-                V.norm2_expr(F.col("__va")),
-                V.norm2_expr(F.col("__vb")),
+                F.col("__na"),
+                F.col("__nb"),
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.999)
@@ -5717,10 +5727,11 @@ def incremental_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would be raced — each parallel job re-materializes it
         .localCheckpoint()
     )
-    matched = base_tbl.df().join(
-        cands.select(F.col("id_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
+    # candidate semi-join pushed BELOW the base's version fold (doc_id is
+    # the table key, so membership is version-stable): the fold pays
+    # O(candidates), never O(corpus)
+    matched = base_tbl.semi_read(
+        cands.select(F.col("id_b").alias("doc_id"))
     )
     psh = probe.select(
         "doc_id", F.explode(D.shingles_expr("text", 3)).alias("shingle")

@@ -96,10 +96,16 @@ def brute_force_topk(
     through one scan. Returns (query_id, vec_id, cosine, rank)."""
     from pyspark.sql import Window
 
+    # norms are per-ROW quantities: computing them in the side projections
+    # (below the join) evaluates each once per vector instead of once per
+    # scored pair — identical values, 2/3 less interpreted HOF work in the
+    # pair stage (r11; guide §1.2 "the algorithm first")
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
-    )
-    c = candidates.select(F.col(id_col), quantize_expr(vec_col).alias("__cv"))
+    ).withColumn("__qn", norm2_expr(F.col("__qv")))
+    c = candidates.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__cv")
+    ).withColumn("__cn", norm2_expr(F.col("__cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -109,8 +115,8 @@ def brute_force_topk(
             id_col,
             cosine_expr(
                 dot_expr(F.col("__qv"), F.col("__cv")),
-                norm2_expr(F.col("__qv")),
-                norm2_expr(F.col("__cv")),
+                F.col("__qn"),
+                F.col("__cn"),
             ).alias("cosine"),
         )
     )
@@ -437,12 +443,17 @@ def lsh_topk(
         if plane_pool is not None
         else table_planes(num_tables, num_planes, dim)
     )
+    # the query norm is hoisted BELOW the probe fanout (once per query, not
+    # per probe row or per candidate pair) and the corpus norm onto the
+    # bucketed entries (once per entry, not per pair) — identical values,
+    # the per-pair stage computes only the dot (r11)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm2_expr(F.col("__qv")))
     qb = q.select(
-        "query_id", "__qv", _table_bucket_rows(F.col("__qv"), tables).alias("__tb")
-    ).select("query_id", "__qv", "__tb.__t", "__tb.__bucket")
+        "query_id", "__qv", "__qn",
+        _table_bucket_rows(F.col("__qv"), tables).alias("__tb"),
+    ).select("query_id", "__qv", "__qn", "__tb.__t", "__tb.__bucket")
     if probe_bits:
         if probe_bits not in (1, 2):
             raise ValueError(f"probe_bits must be 0, 1 or 2, got {probe_bits}")
@@ -460,16 +471,17 @@ def lsh_topk(
             ]
         masks = F.array(*[F.lit(m).cast("bigint") for m in mask_vals])
         qb = qb.select(
-            "query_id", "__qv", "__t", "__bucket", F.explode(masks).alias("__m")
+            "query_id", "__qv", "__qn", "__t", "__bucket",
+            F.explode(masks).alias("__m"),
         ).select(
-            "query_id", "__qv", "__t",
+            "query_id", "__qv", "__qn", "__t",
             F.col("__bucket").bitwiseXOR(F.col("__m")).alias("__bucket"),
         )
     cb = (
         corpus_bucketed
         if corpus_bucketed is not None
         else lsh_bucket(candidates, num_planes, dim, id_col, vec_col, num_tables)
-    )
+    ).withColumn("__cn", norm2_expr(F.col("__cv")))
     cand = (
         F.broadcast(qb)
         .join(cb, ["__t", "__bucket"])
@@ -480,8 +492,8 @@ def lsh_topk(
         id_col,
         cosine_expr(
             dot_expr(F.col("__qv"), F.col("__cv")),
-            norm2_expr(F.col("__qv")),
-            norm2_expr(F.col("__cv")),
+            F.col("__qn"),
+            F.col("__cn"),
         ).alias("cosine"),
     )
     if num_tables > 1 or probe_bits:
@@ -639,11 +651,19 @@ def lsh_margin_topk(
         1,
         probe_total,
     )
+    # norms hoisted below the probe fanout / onto the bucketed entries —
+    # once per query row and per corpus entry, never per candidate pair
+    # (identical values; r11)
     qp = (
-        qd.select("query_id", "__qv", F.explode(probes).alias("__p"))
+        qd.select(
+            "query_id", "__qv",
+            norm2_expr(F.col("__qv")).alias("__qn"),
+            F.explode(probes).alias("__p"),
+        )
         .select(
             "query_id",
             "__qv",
+            "__qn",
             F.col("__p.t").cast("int").alias("__t"),
             F.col("__p.b").alias("__bucket"),
         )
@@ -654,7 +674,7 @@ def lsh_margin_topk(
         else lsh_bucket(
             candidates, num_planes, dim, id_col, vec_col, num_tables, plane_pool
         )
-    )
+    ).withColumn("__cn", norm2_expr(F.col("__cv")))
     cand = (
         F.broadcast(qp)
         .join(cb, ["__t", "__bucket"])
@@ -667,8 +687,8 @@ def lsh_margin_topk(
         id_col,
         cosine_expr(
             dot_expr(F.col("__qv"), F.col("__cv")),
-            norm2_expr(F.col("__qv")),
-            norm2_expr(F.col("__cv")),
+            F.col("__qn"),
+            F.col("__cn"),
         ).alias("cosine"),
     )
     scored = scored.groupBy("query_id", id_col).agg(F.max("cosine").alias("cosine"))
@@ -898,12 +918,17 @@ def ivf_topk(
         probe = ivf_assign(qs, cq, id_col, "__v") if nprobe == 1 else ivf_probe(
             qs, cq, nprobe, id_col, "__v"
         )
+    # norms hoisted onto the cell projections — once per query/corpus row,
+    # never per scored pair (identical values; r11)
     query_cells = probe.select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
-    )
+    ).withColumn("__qn", norm2_expr(F.col("__qv")))
     joined = (
         F.broadcast(query_cells)
-        .join(corpus_cells, "centroid_id")
+        .join(
+            corpus_cells.withColumn("__cn", norm2_expr(F.col("__v"))),
+            "centroid_id",
+        )
         .where(F.col("query_id") != F.col(id_col))
     )
     if return_candidates:  # frontier instrumentation: the scored-pair set
@@ -915,8 +940,8 @@ def ivf_topk(
             id_col,
             cosine_expr(
                 dot_expr(F.col("__qv"), F.col("__v")),
-                norm2_expr(F.col("__qv")),
-                norm2_expr(F.col("__v")),
+                F.col("__qn"),
+                F.col("__cn"),
             ).alias("cosine"),
         )
     )
@@ -936,11 +961,20 @@ def embedding_near_dups(
     candidate bound), exact quantized cosine verify. Same shape as the
     minhash/simhash dedups in dedup.py — bucket, then verify candidates only."""
     planes = plane_matrix(num_planes, dim)
+    # the norm is a per-vector quantity: compute it once per row below the
+    # bucket self-join instead of twice per candidate pair (identical
+    # values; r11)
     v = vectors.select(F.col(id_col), quantize_expr(vec_col).alias("__v")).withColumn(
         "__bucket", bucket_expr(F.col("__v"), planes)
+    ).withColumn("__n2", norm2_expr(F.col("__v")))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na"), "__bucket",
     )
-    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket")
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb"), "__bucket",
+    )
     return (
         a.join(b, "__bucket")
         .where(F.col("id_a") < F.col("id_b"))
@@ -949,8 +983,8 @@ def embedding_near_dups(
             "id_b",
             cosine_expr(
                 dot_expr(F.col("__va"), F.col("__vb")),
-                norm2_expr(F.col("__va")),
-                norm2_expr(F.col("__vb")),
+                F.col("__na"),
+                F.col("__nb"),
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -992,33 +1026,40 @@ def semantic_dedup(
     paper runs ~110k clusters for 5B docs for exactly this reason), which
     makes total pair work n*B, linear; the keep policy is partition-
     agnostic so the knob changes no code here."""
+    # norms hoisted: the centroid norm once per centroid (inside the
+    # broadcast side, not per assigned row), the member norm once per row
+    # (reused by BOTH sides of the cluster self-join, where it was
+    # recomputed twice per candidate pair) — identical values; r11
     c = centroids.select(
         F.col(id_col).alias("__cc_id"), F.col(qvec_col).alias("__cv")
-    )
-    ccos = assigned.join(
+    ).withColumn("__ccn", norm2_expr(F.col("__cv")))
+    ccos = assigned.withColumn("__n2", norm2_expr(F.col(qvec_col))).join(
         F.broadcast(c), F.col("centroid_id") == F.col("__cc_id")
     ).select(
         F.col(id_col),
         F.col(qvec_col),
+        F.col("__n2"),
         F.col("centroid_id"),
         cosine_expr(
             dot_expr(F.col(qvec_col), F.col("__cv")),
-            norm2_expr(F.col(qvec_col)),
-            norm2_expr(F.col("__cv")),
+            F.col("__n2"),
+            F.col("__ccn"),
         ).alias("centroid_cos"),
     )
     a = ccos.select(
         F.col(id_col).alias("__ida"), F.col(qvec_col).alias("__va"),
+        F.col("__n2").alias("__na"),
         F.col("centroid_id").alias("__cida"), F.col("centroid_cos").alias("__ca"),
     )
     b = ccos.select(
         F.col(id_col).alias("__idb"), F.col(qvec_col).alias("__vb"),
+        F.col("__n2").alias("__nb"),
         F.col("centroid_id").alias("__cidb"), F.col("centroid_cos").alias("__cb"),
     )
     pair_cos = cosine_expr(
         dot_expr(F.col("__va"), F.col("__vb")),
-        norm2_expr(F.col("__va")),
-        norm2_expr(F.col("__vb")),
+        F.col("__na"),
+        F.col("__nb"),
     )
     dropped = (
         a.join(b, (F.col("__cida") == F.col("__cidb")) & (F.col("__ida") != F.col("__idb")))
@@ -1375,12 +1416,18 @@ def _exact_rerank_topk(
         .select("query_id", id_col)
     )
     c = corpus.select(F.col(id_col), F.col(qvec_col).alias("__cv"))
+    # query norm hoisted into the broadcast side (once per query, not per
+    # surviving pair). The CORPUS norm stays in the pair projection on
+    # purpose: each surviving pair is unique, so it already evaluates once
+    # there — hoisting it into `c` would compute it for EVERY corpus row
+    # while the rerank only touches rerank_factor*k of them per query.
     exact = (
         cand.join(c, id_col)
         .join(
             F.broadcast(
                 queries.select(
-                    F.col(id_col).alias("query_id"), F.col(qvec_col).alias("__qv")
+                    F.col(id_col).alias("query_id"), F.col(qvec_col).alias("__qv"),
+                    norm2_expr(F.col(qvec_col)).alias("__qn"),
                 )
             ),
             "query_id",
@@ -1390,7 +1437,7 @@ def _exact_rerank_topk(
             id_col,
             cosine_expr(
                 dot_expr(F.col("__qv"), F.col("__cv")),
-                norm2_expr(F.col("__qv")),
+                F.col("__qn"),
                 norm2_expr(F.col("__cv")),
             ).alias("cosine"),
         )
@@ -1563,14 +1610,16 @@ def filtered_topk(
     (query_id, vec_id, label, cosine, rank)."""
     from pyspark.sql import Window
 
+    # norms hoisted into the side projections — once per vector, not per
+    # label-matched pair (identical values; r11)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("__ql"),
         quantize_expr(vec_col).alias("__qv"),
-    )
+    ).withColumn("__qn", norm2_expr(F.col("__qv")))
     c = candidates.select(
         F.col(id_col), F.col(label_col), quantize_expr(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", norm2_expr(F.col("__cv")))
     scored = (
         F.broadcast(q)
         .join(c, (F.col(label_col) == F.col("__ql")) & (F.col(id_col) != F.col("query_id")))
@@ -1580,8 +1629,8 @@ def filtered_topk(
             label_col,
             cosine_expr(
                 dot_expr(F.col("__qv"), F.col("__cv")),
-                norm2_expr(F.col("__qv")),
-                norm2_expr(F.col("__cv")),
+                F.col("__qn"),
+                F.col("__cn"),
             ).alias("cosine"),
         )
     )
@@ -1620,18 +1669,21 @@ def hard_negative_topk(
     Returns (query_id, vec_id, label, cosine, pos_max, rank)."""
     from pyspark.sql import Window
 
+    # norms hoisted into the side projections — once per vector instead of
+    # twice per (anchor, candidate) pair in BOTH the positive equi-join and
+    # the negative cross join (identical values; r11)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("__ql"),
         quantize_expr(vec_col).alias("__qv"),
-    )
+    ).withColumn("__qn", norm2_expr(F.col("__qv")))
     c = candidates.select(
         F.col(id_col), F.col(label_col), quantize_expr(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", norm2_expr(F.col("__cv")))
     cos = cosine_expr(
         dot_expr(F.col("__qv"), F.col("__cv")),
-        norm2_expr(F.col("__qv")),
-        norm2_expr(F.col("__cv")),
+        F.col("__qn"),
+        F.col("__cn"),
     )
     pos = (
         F.broadcast(q)
