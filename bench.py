@@ -191,6 +191,16 @@ def main() -> None:
             json.dump(out, fh, indent=1, sort_keys=False)
     except OSError as exc:
         print(f"could not write BENCH_local file: {exc}", file=sys.stderr)
+    # truncation-proof handoff (additions-only, VERDICT r11 item 6): the
+    # one-line JSON below is ~10KB at 163 queries and once exceeded the
+    # driver's stdout tail capture (r10's round-over-round table was lost
+    # to a failed parse). The SAME payload is therefore also written to a
+    # fixed filename the driver (or a human) can always read whole.
+    try:
+        with open(os.path.join(here, "BENCH_selfreport.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=False)
+    except OSError as exc:
+        print(f"could not write BENCH_selfreport.json: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -339,20 +339,39 @@ def pooled_table_planes(
     return [tp[:num_planes] for tp in table_planes(num_tables, pool, dim)]
 
 
-def _table_bucket_rows(vcol: Column, tables: list[list[list[int]]]) -> Column:
-    """Explode a quantized vector to one (table, bucket) struct per hash
-    table — all tables ride one scan of the vector column."""
-    return F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("__t"),
-                    bucket_expr(vcol, planes).alias("__bucket"),
-                )
-                for t, planes in enumerate(tables)
-            ]
+def _bucket_sql_spark(vec_sql: str, planes: list[list[int]]) -> str:
+    """Spark-SQL transcription of ``bucket_expr`` (same zip_with/aggregate
+    shapes, same exact integer arithmetic) for single-parse emission."""
+    terms = ["CAST(0 AS BIGINT)"]
+    for j, plane in enumerate(planes):
+        lit = "array(" + ",".join(str(s) for s in plane) + ")"
+        dot_j = (
+            f"aggregate(zip_with({vec_sql}, {lit}, "
+            f"(x, s) -> x * CAST(s AS BIGINT)), CAST(0 AS BIGINT), "
+            f"(acc, v) -> acc + v)"
         )
+        terms.append(
+            f"(CASE WHEN {dot_j} > 0 THEN CAST({2 ** j} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _table_bucket_rows(vcol_name: str, tables: list[list[list[int]]]) -> Column:
+    """Explode a quantized vector to one (table, bucket) struct per hash
+    table — all tables ride one scan of the vector column. Emitted as ONE
+    generated-SQL parse (r12): the Column-by-Column construction cost ~1
+    py4j round-trip per expression node — measured ~6s of driver time per
+    ``lsh_bucket`` call at L=6 x B=10 x 64 dims against ~0.5s of actual
+    execution at sf0.1 — while a single parse is milliseconds. The parsed
+    expressions are the same zip_with/aggregate shapes (values pinned by
+    the oracle hash gate and the plan-equality test)."""
+    vq = "`" + vcol_name.replace("`", "``") + "`"
+    structs = ", ".join(
+        f"named_struct('__t', {t}, '__bucket', {_bucket_sql_spark(vq, planes)})"
+        for t, planes in enumerate(tables)
     )
+    return F.expr(f"explode(array({structs}))")
 
 
 def lsh_bucket(
@@ -380,7 +399,7 @@ def lsh_bucket(
         else table_planes(num_tables, num_planes, dim)
     )
     v = vectors.select(F.col(id_col), quantize_expr(vec_col).alias("__cv"))
-    return v.select(id_col, "__cv", _table_bucket_rows(F.col("__cv"), tables).alias("__tb")).select(
+    return v.select(id_col, "__cv", _table_bucket_rows("__cv", tables).alias("__tb")).select(
         id_col, "__cv", "__tb.__t", "__tb.__bucket"
     )
 
@@ -452,7 +471,7 @@ def lsh_topk(
     ).withColumn("__qn", norm2_expr(F.col("__qv")))
     qb = q.select(
         "query_id", "__qv", "__qn",
-        _table_bucket_rows(F.col("__qv"), tables).alias("__tb"),
+        _table_bucket_rows("__qv", tables).alias("__tb"),
     ).select("query_id", "__qv", "__qn", "__tb.__t", "__tb.__bucket")
     if probe_bits:
         if probe_bits not in (1, 2):
@@ -719,6 +738,28 @@ def cosine_pandas_udf():
         return pd.Series(out)
 
     return _cos
+
+
+def dot_pandas_udf():
+    """Vectorized Arrow dot kernel over two quantized int64 vector columns
+    — the batched alternative to the interpreted ``dot_expr`` HOF for the
+    pair stages whose per-pair expression work dominates (guide §4.2:
+    hand whole batches to numpy). BIT-IDENTICAL to the expression path:
+    the quantized components are |x| <= 1e6, so 64-term int64 dots are
+    exact in both engines (asserted in tests/test_pipeline.py). The whole
+    batch is stacked into one (n, dim) matrix and reduced with a single
+    einsum — no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="int64")
+        av = np.stack([np.asarray(x, dtype=np.int64) for x in a])
+        bv = np.stack([np.asarray(x, dtype=np.int64) for x in b])
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+    return _dot
 
 
 def ivf_assign(
@@ -1421,6 +1462,10 @@ def _exact_rerank_topk(
     # purpose: each surviving pair is unique, so it already evaluates once
     # there — hoisting it into `c` would compute it for EVERY corpus row
     # while the rerank only touches rerank_factor*k of them per query.
+    # Both the pair dot and that corpus norm run through the vectorized
+    # Arrow kernel (r12, guide §4.2) — one ArrowEvalPython pass evaluates
+    # both; values bit-identical (exact int64), oracle-pinned.
+    dot = dot_pandas_udf()
     exact = (
         cand.join(c, id_col)
         .join(
@@ -1436,9 +1481,9 @@ def _exact_rerank_topk(
             "query_id",
             id_col,
             cosine_expr(
-                dot_expr(F.col("__qv"), F.col("__cv")),
+                dot(F.col("__qv"), F.col("__cv")),
                 F.col("__qn"),
-                norm2_expr(F.col("__cv")),
+                dot(F.col("__cv"), F.col("__cv")),
             ).alias("cosine"),
         )
     )
@@ -1680,8 +1725,25 @@ def hard_negative_topk(
     c = candidates.select(
         F.col(id_col), F.col(label_col), quantize_expr(vec_col).alias("__cv")
     ).withColumn("__cn", norm2_expr(F.col("__cv")))
+    # the per-pair dot runs through the vectorized Arrow kernel (r12): the
+    # anchor x corpus pair volume is the one place the interpreted HOF dot
+    # dominated (guide §4.2); values are bit-identical (exact int64 dots,
+    # same IEEE double cosine), pinned by the oracle hash gate
+    dot = dot_pandas_udf()
     cos = cosine_expr(
-        dot_expr(F.col("__qv"), F.col("__cv")),
+        dot(F.col("__qv"), F.col("__cv")),
+        F.col("__qn"),
+        F.col("__cn"),
+    )
+    # negative side: the semi-hard filter references the UDF-derived cosine,
+    # and the optimizer's filter pushdown would otherwise evaluate the
+    # Arrow kernel TWICE per surviving pair (guide §4.4 — two
+    # ArrowEvalPython nodes observed in the plan); the nondeterministic
+    # mark pins a single evaluation. Values are unchanged — the kernel is
+    # pure — only reorder/duplicate freedom is withdrawn.
+    dot_once = dot.asNondeterministic()
+    cos_once = cosine_expr(
+        dot_once(F.col("__qv"), F.col("__cv")),
         F.col("__qn"),
         F.col("__cn"),
     )
@@ -1700,7 +1762,7 @@ def hard_negative_topk(
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col(label_col) != F.col("__ql"))
-        .select("query_id", id_col, label_col, cos.alias("cosine"))
+        .select("query_id", id_col, label_col, cos_once.alias("cosine"))
     )
     scored = neg.join(F.broadcast(pos), "query_id", "left").withColumn(
         "pos_max", F.coalesce(F.col("pos_max"), F.lit(2.0))

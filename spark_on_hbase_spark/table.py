@@ -156,16 +156,28 @@ def _cached_layer_df(spark: SparkSession, path: str) -> DataFrame:
     if df is None:
         df = spark.read.parquet(path)
         with _LAYER_DF_CACHE_LOCK:
+            # prune entries pinned to OTHER (stopped) SparkContexts so a
+            # session-restarting process never accumulates dead-JVM plan
+            # handles without bound (ADVICE r11)
+            for k in [k for k in _LAYER_DF_CACHE if k[0] is not key[0]]:
+                del _LAYER_DF_CACHE[k]
             df = _LAYER_DF_CACHE.setdefault(key, df)
     return df
 
 
 def _invalidate_layer_cache(root: str) -> None:
     """Drop every cached layer DataFrame under ``root`` — called by the
-    operations that delete or rewrite layer contents in place."""
+    operations that delete or rewrite layer contents in place. Matches on
+    the directory boundary so a table at /data/t never invalidates a
+    sibling at /data/t2 (ADVICE r11; over-invalidation only costs a
+    re-open, but the coupling was silent)."""
     pref = str(root)
     with _LAYER_DF_CACHE_LOCK:
-        for k in [k for k in _LAYER_DF_CACHE if k[1].startswith(pref)]:
+        for k in [
+            k
+            for k in _LAYER_DF_CACHE
+            if k[1] == pref or k[1].startswith(pref + os.sep)
+        ]:
             del _LAYER_DF_CACHE[k]
 
 
@@ -590,18 +602,42 @@ class KeyedTable:
         predicate has the same truth value for every version of a key
         (``_layer_frames``'s contract — tombstones carry the key), so each
         surviving key keeps its full history and the fold result is
-        identical to ``df(...).join(keys, key, 'semi')`` — but the
-        version fold now processes O(|keys| * versions) rows instead of
-        the whole table (the fold runs interpreted, not codegen'd, so at
-        100 TB folding the table to answer a Δ-sized question is the
-        dominant waste; the per-layer scan itself stays O(table) unless
-        footer/Bloom pruning applies)."""
-        kd = F.broadcast(keys.select(self.key_col).distinct())
+        identical to ``df(...).join(keys, key, 'semi')`` — and the
+        version fold processes O(|keys| * versions) rows instead of
+        the whole table.
+
+        The batch's key ENVELOPE [min, max] is derived once (an O(batch)
+        aggregation over the checkpointed key set) and ANDed into every
+        layer scan before the semi-join (r12): a key-range predicate
+        reaches the parquet scan as PushedFilters, so the sorted layout's
+        footer min/max stats prune each layer to the file run covering
+        the batch — for a localized maintenance batch the per-layer scan
+        drops from O(table) to O(covered files), which is what lets the
+        degrade path stand in front of a 100 TB layout. A spread-out
+        batch prunes nothing and costs one extra metadata-cheap
+        aggregation; correctness is unaffected either way (every key in
+        the set lies inside its own envelope, and a key-range predicate
+        keeps each surviving key's full history — tombstones carry the
+        key)."""
+        kd = keys.select(self.key_col).distinct().localCheckpoint(eager=False)
+        lo, hi = kd.agg(
+            F.min(self.key_col), F.max(self.key_col)
+        ).first()
         layers = self._visible_layers(as_of_layer)
+        if lo is None:
+            # empty key set: schema-correct empty view, no data touched
+            frames = [
+                _cached_layer_df(self.spark, str(p)).where(F.lit(False))
+                for p in layers
+            ]
+            return self._resolve(frames)
+        k = F.col(self.key_col)
+        pred = (k >= F.lit(lo)) & (k <= F.lit(hi))
+        kb = F.broadcast(kd)
         frames = [
-            _cached_layer_df(self.spark, str(p)).join(
-                kd, self.key_col, "left_semi"
-            )
+            _cached_layer_df(self.spark, str(p))
+            .where(pred)
+            .join(kb, self.key_col, "left_semi")
             for p in layers
         ]
         # a lone visible layer is always the base (folded, unique keys) —
@@ -1471,6 +1507,193 @@ def _merge_layers(frames: list[DataFrame], key_col: str, ts_col: str) -> DataFra
 def _merge_layers_fold(
     frames: list[DataFrame], key_col: str, ts_col: str, keep_state: bool = False
 ) -> DataFrame:
+    """Merge ordered layers carrying mixed row kinds — dispatches between
+    the codegen-friendly window formulation (default; see
+    ``_merge_layers_fold_window``) and the original interpreted
+    aggregate-HOF fold (``SPARK_GRAFT_FOLD=hof`` — the escape hatch kept
+    while the window rewrite proves itself; both are pinned equivalent by
+    tests/test_table.py::test_fold_window_matches_hof and the oracle
+    gate)."""
+    if os.environ.get("SPARK_GRAFT_FOLD", "window") == "hof":
+        return _merge_layers_fold_hof(frames, key_col, ts_col, keep_state)
+    return _merge_layers_fold_window(frames, key_col, ts_col, keep_state)
+
+
+def _fold_q(c: str) -> str:  # identifier quoting
+    return "`" + c.replace("`", "``") + "`"
+
+
+def _fold_s(c: str) -> str:
+    """String-literal quoting for column names embedded in generated SQL.
+    Backslashes are escaped FIRST: Spark SQL string literals process
+    backslash escapes, while identifier references (backtick-quoted) do
+    not, so an unescaped backslash would desynchronize the two spellings
+    of the same column name (ADVICE r11)."""
+    return "'" + c.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _merge_layers_fold_window(
+    frames: list[DataFrame], key_col: str, ts_col: str, keep_state: bool = False
+) -> DataFrame:
+    """The version fold as ONE shuffle + sort + window/CASE resolution —
+    no interpreted higher-order functions, so the per-version resolution
+    runs through codegen'd projections instead of Catalyst's interpreted
+    ``aggregate`` lambda (~30µs/row-version; the r11 verdict measured the
+    HOF fold as the dominant executor cost of every LSM-backed query).
+
+    Semantics are derived from the sequential fold (``_merge_layers_fold_hof``)
+    via three provable reductions, each pinned by the equivalence test and
+    the oracle gate:
+
+    1. **ts gate.** A ROW/SPARSE version applies iff ``x.ts IS NULL OR
+       prior_max IS NULL OR x.ts >= prior_max`` where ``prior_max`` is the
+       running max of ts over ALL prior ROW/SPARSE versions. (Invariant:
+       the fold's accumulated resolved ts always equals that running max —
+       a version that fails the gate has ts < max and cannot change it,
+       and the first ROW/SPARSE always applies because no earlier version
+       sets the accumulated ts.)
+    2. **Final scalar state.** resolved ts = max ts over ROW/SPARSE
+       versions (nulls ignored); ``__exists`` = any non-CELLDEL version;
+       ``__tombstone`` = the LAST version among {applying ROW, applying
+       SPARSE, any DELTA} is an applying ROW, carrying its tombstone.
+    3. **Per column.** The last *setter* (applying ROW — any value;
+       applying SPARSE with a non-null cell; CELLDEL naming the cell →
+       NULL) fixes the base value; DELTA contributions after it add onto
+       ``coalesce(base, 0)``. The window sum feeds the setter's
+       ``coalesce(base, 0)`` in as the FIRST term and the deltas in seq
+       order after it, so even float addition associates exactly as the
+       sequential fold did (bit-identical doubles).
+
+    In-layer duplicate keys share a seq; their relative order is
+    arbitrary under both formulations (array_sort's seq-only comparator
+    vs row_number's tie-break) — the same nondeterminism class."""
+    data_cols = [c for c in frames[0].columns if c not in (_TOMBSTONE, _KIND, _DELCOLS)]
+    payload = [c for c in data_cols if c != key_col]
+    dtypes = dict(frames[0].dtypes)
+    q, s = _fold_q, _fold_s
+    key_q, ts_q = q(key_col), q(ts_col)
+
+    tagged = None
+    for seq, f in enumerate(frames):
+        sel = [
+            key_q,
+            f"CAST({seq} AS INT) AS __fseq",
+            (
+                f"CAST({q(_KIND)} AS INT)"
+                if _KIND in f.columns
+                else f"CAST({_ROW} AS INT)"
+            )
+            + " AS __fk",
+            (q(_DELCOLS) if _DELCOLS in f.columns else "CAST(NULL AS ARRAY<STRING>)")
+            + " AS __fdc",
+            (q(_TOMBSTONE) if _TOMBSTONE in f.columns else "false") + " AS __ftb",
+        ] + [q(c) for c in payload]
+        t = f.selectExpr(*sel)
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    wo = f"PARTITION BY {key_q} ORDER BY __fseq"
+    wpart = f"{wo} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+    # pass 1: position + the running ts max that decides the LWW gate
+    w1 = tagged.selectExpr(
+        "*",
+        f"row_number() OVER ({wo}) AS __frn",
+        f"max(CASE WHEN __fk <= {_SPARSE} THEN {ts_q} END) OVER "
+        f"({wo} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __fpm",
+    ).selectExpr(
+        "*",
+        f"((__fk <= {_SPARSE}) AND ({ts_q} IS NULL OR __fpm IS NULL "
+        f"OR {ts_q} >= __fpm)) AS __fap",
+    )
+
+    # pass 2: whole-partition state — exists / final ts / tombstone, plus
+    # each column's last setter (position + value; the value rides a
+    # single-field struct so ignore-nulls `last` can carry a NULL set
+    # value, and so unorderable payload types never enter an ordering)
+    w2_exprs = [
+        "*",
+        f"max(CASE WHEN __fk != {_CELLDEL} THEN true END) OVER ({wpart}) AS __fex",
+        f"max(CASE WHEN __fk <= {_SPARSE} THEN {ts_q} END) OVER ({wpart}) AS __fts",
+        f"last(CASE WHEN (__fap OR __fk = {_DELTA}) THEN "
+        f"named_struct('v', (__fk = {_ROW}) AND __ftb) END, true) "
+        f"OVER ({wpart}) AS __ftm",
+    ]
+    for i, c in enumerate(payload):
+        if c == ts_col:
+            continue
+        cq = q(c)
+        setter = (
+            f"((__fap AND (__fk = {_ROW} OR ({cq} IS NOT NULL AND __fk = {_SPARSE}))) "
+            f"OR (__fk = {_CELLDEL} AND array_contains(__fdc, {s(c)})))"
+        )
+        w2_exprs.append(
+            f"max(CASE WHEN {setter} THEN __frn END) OVER ({wpart}) AS __fp{i}"
+        )
+        w2_exprs.append(
+            f"last(CASE WHEN {setter} THEN named_struct('v', "
+            f"CASE WHEN __fk = {_CELLDEL} THEN CAST(NULL AS {dtypes[c]}) "
+            f"ELSE {cq} END) END, true) OVER ({wpart}) AS __fv{i}"
+        )
+    w2 = w1.selectExpr(*w2_exprs)
+
+    # pass 3: additive-delta resolution per numeric column — a sequential
+    # window sum whose first term is the setter's coalesce(base, 0), so
+    # the addition order (and float rounding) matches the sequential fold
+    w3_exprs = ["*"]
+    numeric = [
+        (i, c)
+        for i, c in enumerate(payload)
+        if c != ts_col and _is_numeric_dtype(dtypes[c])
+    ]
+    for i, c in numeric:
+        cq, t = q(c), dtypes[c]
+        delta_here = (
+            f"(__fk = {_DELTA} AND {cq} IS NOT NULL "
+            f"AND (__fp{i} IS NULL OR __frn > __fp{i}))"
+        )
+        contrib = (
+            f"CASE WHEN __fp{i} IS NOT NULL AND __frn = __fp{i} "
+            f"THEN coalesce(__fv{i}.v, CAST(0 AS {t})) "
+            f"WHEN {delta_here} THEN {cq} END"
+        )
+        w3_exprs.append(f"sum({contrib}) OVER ({wpart}) AS __fs{i}")
+        w3_exprs.append(
+            f"sum(CASE WHEN {delta_here} THEN 1 END) OVER ({wpart}) AS __fn{i}"
+        )
+    w3 = w2.selectExpr(*w3_exprs) if numeric else w2
+
+    final_cols = [key_q]
+    for i, c in enumerate(payload):
+        t = dtypes[c]
+        if c == ts_col:
+            final_cols.append(f"__fts AS {q(c)}")
+        elif _is_numeric_dtype(t):
+            final_cols.append(
+                f"CASE WHEN __fn{i} > 0 THEN CAST(__fs{i} AS {t}) "
+                f"ELSE __fv{i}.v END AS {q(c)}"
+            )
+        else:
+            final_cols.append(f"__fv{i}.v AS {q(c)}")
+
+    one = w3.where(F.expr("__frn = 1"))
+    if keep_state:
+        # resolved per-key STATE, tombstones included (prefix compaction):
+        # a NULL resolved tombstone (an explicit NULL in a ROW batch)
+        # stays NULL, exactly like the sequential fold's accumulator
+        return one.where(F.expr("coalesce(__fex, false)")).selectExpr(
+            *final_cols,
+            f"CASE WHEN __ftm IS NULL THEN false ELSE __ftm.v END AS {q(_TOMBSTONE)}",
+        )
+    # alive view: a NULL resolved tombstone drops the row (three-valued
+    # NOT NULL), mirroring the sequential fold's `where(~tombstone)`
+    return one.where(
+        F.expr("coalesce(__fex, false) AND (__ftm IS NULL OR (NOT __ftm.v))")
+    ).selectExpr(*final_cols)
+
+
+def _merge_layers_fold_hof(
+    frames: list[DataFrame], key_col: str, ts_col: str, keep_state: bool = False
+) -> DataFrame:
     """Merge ordered layers carrying mixed row kinds (ROW / SPARSE / DELTA /
     CELLDEL) by folding each key's version list in layer order — the HBase
     read path over typed cells, as pure column expressions (collect_list ->
@@ -1501,11 +1724,7 @@ def _merge_layers_fold(
     # one (r11 profile; OPTIMIZATION_r11.md). Semantics are transcribed
     # 1:1 from the Column version this replaces; the version-fold tests
     # (tests/test_table.py) and the oracle gate pin them.
-    def q(c: str) -> str:  # identifier quoting
-        return "`" + c.replace("`", "``") + "`"
-
-    def s(c: str) -> str:  # string-literal quoting (named_struct names)
-        return "'" + c.replace("'", "''") + "'"
+    q, s = _fold_q, _fold_s  # shared with the window fold (backslash-safe)
 
     key_q = q(key_col)
     tagged = None

@@ -2173,3 +2173,23 @@ def test_source_calibration_keeps_top_quarter_per_source(spark, sf_dir):
         frac = per_src.get(src, 0) / total
         assert frac <= 0.4, (src, frac)
         assert frac >= 0.05, (src, frac)
+
+
+def test_pandas_dot_kernel_matches_expression(vectors):
+    """The batched Arrow dot kernel (r12 pair-stage vectorization) and the
+    interpreted HOF dot must be bit-identical int64s — including the
+    self-dot used as the corpus norm in the exact rerank."""
+    q = vectors.select("vec_id", V.quantize_expr("embedding").alias("v"))
+    a = q.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = q.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b")).limit(50)
+    kernel = V.dot_pandas_udf()
+    out = pairs.select(
+        V.dot_expr(F.col("va"), F.col("vb")).alias("d_expr"),
+        kernel(F.col("va"), F.col("vb")).alias("d_pd"),
+        V.norm2_expr(F.col("va")).alias("n_expr"),
+        kernel(F.col("va"), F.col("va")).alias("n_pd"),
+    ).collect()
+    assert out and all(
+        r["d_expr"] == r["d_pd"] and r["n_expr"] == r["n_pd"] for r in out
+    )

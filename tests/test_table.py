@@ -1229,3 +1229,98 @@ def test_semi_read_matches_fold_then_semi_join(spark, tmp_path):
         for r in t.df(as_of_layer=snap).join(keys, "k", "semi").collect()
     }
     assert got_snap == want_snap and got_snap != got
+
+
+def test_fold_window_matches_hof(spark, tmp_path):
+    """The codegen-friendly window fold (r12 optimization, the default)
+    must resolve BIT-IDENTICALLY to the sequential aggregate-HOF fold it
+    replaces — across all five mutation kinds, ts-gate rejections, null
+    ts, tombstone-resurrection, and (the float-sensitive case) SEVERAL
+    double increments stacked on one key, where addition order changes
+    the last ULP. Compared at repr() precision for both the alive view
+    and the keep_state (prefix-compaction) view."""
+    from spark_on_hbase_spark import plans
+    from spark_on_hbase_spark.table import (
+        _merge_layers_fold_hof,
+        _merge_layers_fold_window,
+    )
+
+    t = KeyedTable(spark, str(tmp_path / "t"), key_col="key", ts_col="ts",
+                   num_partitions=3, compact_threshold=99)
+    t.create(spark.createDataFrame(
+        [Row(key=f"k{i:02d}", ts=100, bal=0.1 * i, cnt=i, tag=f"v{i}")
+         for i in range(40)]
+    ))
+    keys = t.df().select("key")
+    # ROW upsert at ts 200 (applies) and a LOWER-ts upsert (gate-rejected)
+    t.update(spark.createDataFrame(
+        [Row(key=f"k{i:02d}", ts=200, bal=1.5 * i, cnt=i + 1, tag=f"u{i}")
+         for i in range(0, 40, 7)]))
+    t.update(spark.createDataFrame(
+        [Row(key=f"k{i:02d}", ts=50, bal=-1.0, cnt=0, tag="stale")
+         for i in range(0, 40, 11)]))
+    # SPARSE put with null-ts (always applies) and partial cells
+    t.put(spark.createDataFrame(
+        [Row(key=f"k{i:02d}", ts=None, tag=f"p{i}") for i in range(0, 40, 5)],
+        schema="key string, ts int, tag string"))
+    # two stacked double increments + one int increment (order-sensitive)
+    t.increment(spark.createDataFrame(
+        [Row(key=f"k{i:02d}", delta=0.3) for i in range(0, 40, 2)]),
+        counter_col="bal")
+    t.increment(spark.createDataFrame(
+        [Row(key=f"k{i:02d}", delta=0.7) for i in range(0, 40, 2)]),
+        counter_col="bal")
+    t.increment(spark.createDataFrame(
+        [Row(key=f"k{i:02d}", delta=5) for i in range(0, 40, 3)]),
+        counter_col="cnt")
+    # tombstones, then a resurrecting increment; cell deletes
+    t.delete(keys.where(F.col("key").isin("k04", "k09", "k14")))
+    t.increment(spark.createDataFrame([Row(key="k09", delta=2.5)]),
+                counter_col="bal")
+    t.delete(keys.where(F.col("key").isin("k06", "k18")), columns=["tag"])
+
+    frames = [spark.read.parquet(str(p)) for p in t._layers()]
+    for keep in (False, True):
+        w = _merge_layers_fold_window(frames, "key", "ts", keep)
+        h = _merge_layers_fold_hof(frames, "key", "ts", keep)
+        assert w.columns == h.columns
+        wr = sorted(tuple(repr(x) for x in r) for r in w.collect())
+        hr = sorted(tuple(repr(x) for x in r) for r in h.collect())
+        assert wr and wr == hr
+
+    # plan shape: the default read path resolves through Window operators,
+    # with NO interpreted aggregate-HOF lambda left in the fold
+    plan = plans.formatted_plan(t.df())
+    assert "Window" in plan
+    assert "aggregate(" not in plan and "collect_list" not in plan
+
+
+def test_semi_read_pushes_key_envelope_to_layer_scans(spark, tmp_path):
+    """semi_read derives the key batch's [min, max] envelope and ANDs it
+    into every layer scan below the semi-join (r12): the range must reach
+    the parquet scans as PushedFilters so footer stats can prune files,
+    and the result must stay identical to the unpruned formulation."""
+    from spark_on_hbase_spark import plans
+
+    t = KeyedTable(spark, str(tmp_path / "t"), key_col="k", ts_col="ts",
+                   num_partitions=4)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.lit(100).cast("int").alias("ts"),
+    )
+    t.create(base)
+    t.increment(
+        base.where("k % 4 = 0").select("k", F.lit(5).cast("bigint").alias("delta")),
+        counter_col="v",
+    )
+    keys = base.where("k >= 100 AND k <= 200").select("k")
+    sr = t.semi_read(keys)
+    plan = plans.formatted_plan(sr)
+    assert "GreaterThanOrEqual(k,100)" in plan
+    assert "LessThanOrEqual(k,200)" in plan
+    got = {tuple(r) for r in sr.collect()}
+    want = {tuple(r) for r in t.df().join(keys, "k", "semi").collect()}
+    assert got == want and got
+    # empty key set: schema-correct empty result, no job over the table
+    empty = t.semi_read(keys.where(F.lit(False)))
+    assert empty.columns == sr.columns and empty.count() == 0
