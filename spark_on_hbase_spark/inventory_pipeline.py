@@ -1352,6 +1352,28 @@ def _curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CURATION_STATS_CACHE[key]
 
 
+def _curation_gated_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized gated-cluster relation for pipeline_curation_v2 — the
+    repetition-gated near-dup components. Registered as its own WARMER
+    (like clusters_minhash / clusters_embedding) so the one-time BSP
+    cluster build lands under bench `builds` instead of inflating
+    whichever session's first v2 call (the r11->r12 drift on the v2 row
+    was exactly this build: 4.5s first call vs 0.4s warm)."""
+    stats = _curation_stats(spark, sf_dir)
+    gated = stats.where(F.col("dup_trigram_frac") < 0.1).select("doc_id")
+
+    def _gated_pairs() -> DataFrame:
+        pairs = _minhash_verified(spark, sf_dir).select("id_a", "id_b")
+        return pairs.join(
+            gated.withColumnRenamed("doc_id", "id_a"), "id_a"
+        ).join(gated.withColumnRenamed("doc_id", "id_b"), "id_b")
+
+    return _memo_clusters(spark, sf_dir, "curation_gated", _gated_pairs)
+
+
+warmer("clusters_curation_gated")(_curation_gated_clusters)
+
+
 @query(
     "pipeline_curation_v2",
     f"""
@@ -1410,15 +1432,7 @@ def _curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = _curation_stats(spark, sf_dir)
-    gated = stats.where(F.col("dup_trigram_frac") < 0.1).select("doc_id")
-
-    def _gated_pairs() -> DataFrame:
-        pairs = _minhash_verified(spark, sf_dir).select("id_a", "id_b")
-        return pairs.join(
-            gated.withColumnRenamed("doc_id", "id_a"), "id_a"
-        ).join(gated.withColumnRenamed("doc_id", "id_b"), "id_b")
-
-    clusters = _memo_clusters(spark, sf_dir, "curation_gated", _gated_pairs)
+    clusters = _curation_gated_clusters(spark, sf_dir)
     dropped_dup = clusters.where(F.col("doc_id") != F.col("canonical_id")).select(
         "doc_id", F.lit(1).alias("__d")
     )

@@ -838,7 +838,7 @@ def kmeans_refine(
     iters: int = 5,
     id_col: str = "vec_id",
     qvec_col: str = "__v",
-    adaptive: bool = False,
+    adaptive: bool = True,
 ) -> DataFrame:
     """Lloyd's k-means over quantized vectors, DataFrame-native: assign
     (exact int L2 via ivf_assign) -> recompute centroids as element-wise
@@ -858,7 +858,15 @@ def kmeans_refine(
     Per iteration: one broadcast-assign scan + one (cell, dim)-key
     aggregation — both partial+final, no driver-side state; centroids are
     eagerly persisted so the loop's plan stays O(1), and superseded
-    iterations are released immediately."""
+    iterations are released immediately.
+
+    ``adaptive`` defaults True (r12): unlike the BSP frontier loops (whose
+    cached-state statistics make AQE's re-planning pure latency —
+    loop_planner's rationale), each Lloyd iteration runs 3-4 fresh
+    shuffles over centroid-sized relations, and AQE's partition coalescing
+    collapses their fixed-width task waves; measured 2x on the 2-iteration
+    index builds (8.5/5.3s -> 4.0/4.0s same-session A/B at sf0.1), and at
+    cluster scale coalescing is the standard posture (guide §2.2)."""
     centroids = init_centroids.select(
         F.col(id_col), F.col(qvec_col)
     ).persist()
@@ -1462,10 +1470,15 @@ def _exact_rerank_topk(
     # purpose: each surviving pair is unique, so it already evaluates once
     # there — hoisting it into `c` would compute it for EVERY corpus row
     # while the rerank only touches rerank_factor*k of them per query.
-    # Both the pair dot and that corpus norm run through the vectorized
-    # Arrow kernel (r12, guide §4.2) — one ArrowEvalPython pass evaluates
-    # both; values bit-identical (exact int64), oracle-pinned.
-    dot = dot_pandas_udf()
+    # The pair stage deliberately stays EXPRESSION-ONLY (r12 measured the
+    # Arrow-kernel variant and reverted it): the rerank relation is
+    # rank-bounded (rerank_factor*k rows per query), so the interpreted
+    # dot work here is bounded and was never hot — and an EvalPython node
+    # does not propagate its child's output partitioning, which cost the
+    # plan one extra exchange before the final per-query window
+    # (plan-budget gate caught it: ann_rp/sq8 shuffles 2 -> 3 with no
+    # bench-row win). The vectorized kernel stays where pair volume is
+    # unbounded (hard_negative_topk).
     exact = (
         cand.join(c, id_col)
         .join(
@@ -1481,9 +1494,9 @@ def _exact_rerank_topk(
             "query_id",
             id_col,
             cosine_expr(
-                dot(F.col("__qv"), F.col("__cv")),
+                dot_expr(F.col("__qv"), F.col("__cv")),
                 F.col("__qn"),
-                dot(F.col("__cv"), F.col("__cv")),
+                norm2_expr(F.col("__cv")),
             ).alias("cosine"),
         )
     )

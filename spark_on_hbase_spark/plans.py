@@ -189,15 +189,22 @@ def count_shuffles(df: DataFrame) -> int:
 @contextmanager
 def loop_planner(df: DataFrame, adaptive: bool):
     """Planner mode for iterative loops (BSP, Lloyd's). With
-    ``adaptive=False`` (the loop operators' default) AQE is suspended for
-    the duration of the loop and restored after: every superstep runs over
-    eagerly-materialized cached state whose statistics the static planner
-    already has exactly, so AQE's per-stage re-planning rounds only add
-    driver latency — measured ~25% of superstep wall time on small states.
-    Pass ``adaptive=True`` on clusters where the frontier join is skewed and
-    AQE's runtime skew-join splitting pays for itself. The flag is
-    session-scoped conf: loops sharing a session with concurrently running
-    queries should keep ``adaptive=True``."""
+    ``adaptive=False`` (the BSP loop operators' default) AQE is suspended
+    for the duration of the loop and restored after.
+
+    The r12 re-measurement nuanced the original "~25% superstep latency"
+    rationale: AQE's partition coalescing actually makes the loops
+    themselves 10-40% FASTER locally (pagerank 8.4->6.4s,
+    label_propagation 5.7->3.7s same-session A/Bs) — but a BSP loop's
+    FINAL localCheckpoint'd state then carries AQE-coalesced (hence
+    unrecognizable) partitioning, and every consumer plan that previously
+    reused the state's hash partitioning pays a NEW exchange over the
+    corpus-sized relation (plan-budget gate: pipeline_curation_v2 2->3
+    shuffles, leakage_safe_split 3->4). Trading a full consumer shuffle
+    at scale for local superstep latency inverts guide §1.2's priority,
+    so the BSP loops keep ``adaptive=False``. ``kmeans_refine`` defaults
+    ``adaptive=True`` instead: its output is consumed through persisted
+    relations with no partitioning reuse, and the measured win is ~2x."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     if not adaptive:
