@@ -147,7 +147,22 @@ def _shingled(
             if stale[0] == key[0]:  # same session: release the pinned blocks
                 _SHINGLE_CACHE[stale].unpersist()
             del _SHINGLE_CACHE[stale]
-        sh = _shingle_build(spark, sf_dir, n, source).persist()
+        sh = _shingle_build(spark, sf_dir, n, source)
+        # The explode is narrow, so the persisted blocks inherit the SOURCE
+        # scan's partitioning — on a small corpus (one parquet row group)
+        # that is ONE partition, and every consumer's map stage (simhash
+        # vote counting, minhash mins, doc-freq partials) runs serially on
+        # it, 3-5 times per pipeline (r12, measured: 0.8s single-task
+        # signature jobs with 31 idle cores). Spread the blocks across the
+        # cluster's parallelism ONCE at build; skipped when the source
+        # already splits finer (the 100 TB regime — the exchange is a
+        # local-small-input guard, not a scale tax). Hash on doc_id keeps
+        # placement deterministic; every consumer aggregates or joins, so
+        # no consumer observes row order.
+        target = spark.sparkContext.defaultParallelism
+        if sh.rdd.getNumPartitions() < target:
+            sh = sh.repartition(target, "doc_id")
+        sh = sh.persist()
         sh.count()
         _SHINGLE_CACHE[key] = sh
     return _SHINGLE_CACHE[key]
@@ -1369,9 +1384,6 @@ def _curation_gated_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).join(gated.withColumnRenamed("doc_id", "id_b"), "id_b")
 
     return _memo_clusters(spark, sf_dir, "curation_gated", _gated_pairs)
-
-
-warmer("clusters_curation_gated")(_curation_gated_clusters)
 
 
 @query(
@@ -3717,6 +3729,12 @@ warmer("pq_index")(_pq_index)
 warmer("semdedup_index")(_semdedup_index)
 warmer("dsir_buckets")(_dsir_buckets_memo)
 warmer("curation_stats")(_curation_stats)
+# registered AFTER curation_stats / minhash_verified_pairs / shingles_n3:
+# the gated-cluster build consumes all three memos, and a warmer that runs
+# first absorbs its dependencies' build time into its own row (bench builds
+# run in registration order) — r27's 18s clusters_curation_gated row was
+# ~13s of exactly that mis-attribution.
+warmer("clusters_curation_gated")(_curation_gated_clusters)
 warmer("ahash_signatures")(_ahash_sigs)
 
 

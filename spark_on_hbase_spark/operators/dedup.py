@@ -239,7 +239,17 @@ def simhash_near_pairs(
     flip-free block (pigeonhole), so with the default (max_hamming=3,
     blocks=4) EVERY qualifying pair is found — the round-4 prefix scheme
     silently missed any pair with a flip in the top 16 bits, and its
-    random-pair candidate mass was 4x higher at equal bucket width."""
+    random-pair candidate mass was 4x higher at equal bucket width.
+
+    The self-join references ``signatures`` twice, so without a lineage
+    cut the signature computation — a full pass over every shingle
+    weighing 64 bit votes — executes once per side (r12, measured: 2
+    identical 0.8s jobs in edit_distance_dedup's profile). A lazy
+    localCheckpoint (index.py's _once discipline; guide §2.4) materializes
+    the per-doc (id, simhash) relation — one row per document, the
+    storable simhash-index artifact at 100 TB — and both sides read the
+    blocks."""
+    signatures = signatures.localCheckpoint(eager=False)
     width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
     blk = F.explode(
@@ -799,11 +809,17 @@ def edit_distance_near_dups(
     )
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    # banded DP (r12): levenshtein with a threshold computes an
+    # O(tau * max_len) band instead of the full O(|a| * |b|) matrix and
+    # returns -1 past the band — exactly the accepted set and the exact
+    # distances of `levenshtein(a, b) <= tau` (guide §1.2 step 2: per-task
+    # work, after the candidate shape is right). The oracle's full-DP
+    # filter is unchanged; values agree on every kept pair.
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("edit_distance", F.levenshtein("__ta", "__tb"))
-        .where(F.col("edit_distance") <= tau)
+        .withColumn("edit_distance", F.levenshtein("__ta", "__tb", tau))
+        .where(F.col("edit_distance") >= 0)
         .select("id_a", "id_b", "hamming", "edit_distance")
     )
 

@@ -813,56 +813,36 @@ def bpe_pair_counts(seqs: DataFrame) -> DataFrame:
 def bpe_apply_merge(seqs: DataFrame, a: str, b: str) -> DataFrame:
     """Apply ONE merge (a, b) -> a||b to every word's symbol sequence with
     greedy leftmost pairing (the BPE rule: "aaa" under merge (a,a) becomes
-    ["aa","a"], never ["a","aa"]). Relational form: per-word positions, a
-    candidate at pos i iff (syms[i], syms[i+1]) == (a, b); overlapping
-    candidates (possible only when a == b) form runs, and within each run
-    exactly the even-offset candidates merge — computed as a running max of
-    run-start positions, so the whole application is one partition-by-word
-    window pipeline (a single hash exchange on the vocab-sized relation)
-    plus one re-assembly aggregation. No Python in the loop body."""
-    from pyspark.sql import Window
+    ["aa","a"], never ["a","aa"]).
 
-    w = Window.partitionBy("word").orderBy("pos")
-    rows = seqs.select(
-        "word", "cnt", F.posexplode("syms").alias("pos", "sym")
-    )
-    la, lb = F.lit(a), F.lit(b)
-    r = rows.select(
-        "word",
-        "cnt",
-        "pos",
-        "sym",
-        F.coalesce(
-            (F.col("sym") == la) & (F.lead("sym").over(w) == lb), F.lit(False)
-        ).alias("cand"),
-        # cand evaluated at pos-1: syms[pos-1]==a AND syms[pos]==b
-        F.coalesce(
-            (F.lag("sym").over(w) == la) & (F.col("sym") == lb), F.lit(False)
-        ).alias("prev_cand"),
-    )
-    r = r.withColumn("run_start", F.col("cand") & ~F.col("prev_cand"))
-    r = r.withColumn(
-        "rs_pos",
-        F.max(F.when(F.col("run_start"), F.col("pos"))).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    r = r.withColumn(
-        "keep",
-        F.col("cand") & (((F.col("pos") - F.col("rs_pos")) % 2) == 0),
-    )
-    r = r.withColumn("prev_keep", F.coalesce(F.lag("keep").over(w), F.lit(False)))
-    out = r.where(~F.col("prev_keep")).select(
-        "word",
-        "cnt",
-        "pos",
-        F.when(F.col("keep"), F.concat(la, lb)).otherwise(F.col("sym")).alias("sym"),
-    )
-    return out.groupBy("word", "cnt").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "sym"))), lambda s: s["sym"]
-        ).alias("syms")
-    )
+    A merge application is ROW-LOCAL — each word's new sequence depends
+    only on its own ``syms`` — so it runs as one array fold per row with
+    ZERO exchanges (r12; guide §2.4). The previous relational form
+    (posexplode -> partition-by-word window pipeline -> collect_list
+    re-assembly) paid a shuffle + sort of the exploded symbol rows per
+    merge round for no distribution benefit. The fold transcribes the
+    greedy scan exactly: append each symbol; when the accumulator's last
+    element is ``a`` and the incoming symbol is ``b``, replace that last
+    element with ``a||b``. The replaced element is ``a`` ONLY when it is
+    an unconsumed original symbol — a merged token ``a||b`` never equals
+    ``a`` (``b`` is nonempty) — so a merge can never chain onto the symbol
+    it just consumed: exactly the reference scan's skip-past-the-pair
+    (greedy leftmost; on an ``a==b`` run the 1st/3rd/5th... candidates
+    merge, pinned by test_bpe_greedy_leftmost_pairing_on_overlapping_runs).
+    The relation is vocabulary-sized, so the interpreted per-row lambda is
+    bounded by word types x word length — unlike the corpus, it does not
+    grow with data volume (the LSM-fold HOF lesson does not apply)."""
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def step(acc, s):
+        # try_element_at: NULL (not an ANSI error) on the empty accumulator
+        return F.when(
+            (F.try_element_at(acc, F.lit(-1)) == la) & (s == lb),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lm)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    new_syms = F.aggregate(F.col("syms"), F.array().cast("array<string>"), step)
+    return seqs.select("word", "cnt", new_syms.alias("syms"))
 
 
 def bpe_learn(
@@ -875,10 +855,15 @@ def bpe_learn(
     Driver involvement per round is ONE TakeOrdered row (the winning pair)
     — the same bounded per-superstep probe discipline as graph.bsp_converge;
     each round's sequences are localCheckpoint-ed so plan depth stays O(1)
-    across rounds. Tie-break is exact and engine-portable: highest count,
-    then lexicographically smallest (a, b) — ASCII-only symbols, so Spark's
-    UTF8 binary ordering and DuckDB's default collation agree."""
-    seqs = bpe_word_census(df, text_col).localCheckpoint(eager=True)
+    across rounds. The checkpoints are LAZY (r12): a merge application is
+    map-only (see bpe_apply_merge), so round r+1's pair-count TakeOrdered
+    both materializes round r's blocks and finds the winner — one job per
+    round instead of two (the graph-loop "ONE job" discipline); the final
+    round's blocks materialize at the caller's first action. Tie-break is
+    exact and engine-portable: highest count, then lexicographically
+    smallest (a, b) — ASCII-only symbols, so Spark's UTF8 binary ordering
+    and DuckDB's default collation agree."""
+    seqs = bpe_word_census(df, text_col).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
         best = (
@@ -891,7 +876,7 @@ def bpe_learn(
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         merges.append((step, a, b, n))
-        seqs = bpe_apply_merge(seqs, a, b).localCheckpoint(eager=True)
+        seqs = bpe_apply_merge(seqs, a, b).localCheckpoint(eager=False)
     return merges, seqs
 
 
