@@ -865,6 +865,10 @@ class KeyedTable:
         target = root / layer.name
         tmp = target.with_suffix(".tmp")
         side.write.mode("overwrite").parquet(str(tmp))
+        # a backfill may rewrite an existing sidecar in place; drop any
+        # cached plan handle for it before the swap (r12 — sidecar frames
+        # now ride the layer-DF cache)
+        _invalidate_layer_cache(str(target))
         shutil.rmtree(target, ignore_errors=True)
         tmp.rename(target)
         meta = {
@@ -914,12 +918,18 @@ class KeyedTable:
 
     def _bloom_candidates(self, layers: list[Path], keys: list):
         """Per-layer candidate part-file paths from the Bloom sidecars, or
-        None for a layer without a valid sidecar (read it in full). One
-        probe job per distinct nwords (word indices are nwords-relative):
-        probe keys become (word, mask) rows through the SAME expressions
-        the build used, broadcast against the unioned sidecars, and a file
-        is a candidate iff some probed key's whole mask is present in its
-        word — `bits & mask = mask`. Absent (file, word) rows mean bits=0,
+        None for a layer without a valid sidecar (read it in full). ONE
+        probe job for every layer (r12; guide §1.2/§2.6): word indices are
+        nwords-relative, so the probe keys become (word, mask) rows through
+        the SAME expressions the build used once per distinct nwords, each
+        group's broadcast-join hits are unioned, and a single collect
+        returns every candidate — a multi-layer mixed-size table used to
+        pay one 0.5s driver round trip PER distinct sidecar size (4 of
+        bloom_point_read's ~5s). Sidecar frames come from the layer-DF
+        cache (plan handles; the sidecars live under the table root, so
+        the destructive-op invalidation already covers them). A file is a
+        candidate iff some probed key's whole mask is present in its word
+        — `bits & mask = mask`; absent (file, word) rows mean bits=0,
         i.e. provably key-free."""
         metas = {p: self._bloom_meta(p) for p in layers}
         out: dict[Path, list[str] | None] = {
@@ -930,18 +940,23 @@ class KeyedTable:
             if m is not None:
                 by_nwords.setdefault(m["nwords"], []).append(p)
                 out[p] = []  # provisional: no candidate files
+        if not by_nwords:
+            return out
         kdtype = self._schema()[self.key_col]
+        base_probe = self.spark.createDataFrame(
+            [(k,) for k in keys], f"`{self.key_col}` {kdtype}"
+        )
+        all_hits = None
         for nwords, group in by_nwords.items():
-            probe = self.spark.createDataFrame(
-                [(k,) for k in keys], f"`{self.key_col}` {kdtype}"
-            ).select(*self._bloom_cols(f"`{self.key_col}`", nwords))
+            probe = base_probe.select(
+                *self._bloom_cols(f"`{self.key_col}`", nwords)
+            )
             # sidecars store part-file BASENAMES (rename-relocatable), so
-            # each sidecar frame is tagged with its layer name here — one
-            # union, one probe job for every layer at this nwords
+            # each sidecar frame is tagged with its layer name here
             side = None
             for p in group:
-                f = self.spark.read.parquet(
-                    str(self._bloom_root() / p.name)
+                f = _cached_layer_df(
+                    self.spark, str(self._bloom_root() / p.name)
                 ).withColumn("__blayer", F.lit(p.name))
                 side = f if side is None else side.unionByName(f)
             hit = (
@@ -956,25 +971,26 @@ class KeyedTable:
                 )
                 .where(F.expr("(bits & mask) = mask"))
                 .select("__blayer", "file")
-                .distinct()
-                .collect()
             )
-            root = Path(self.path)
-            for r in hit:
-                # The existence check is load-bearing, not hygiene: the
-                # subset-tolerant fingerprint deliberately keeps a sidecar
-                # valid after dirty compaction UNLINKS part-files, so its
-                # rows can still bloom-positive a dead file — reading that
-                # path would throw, and the dead file's keys (if any were
-                # probed) are served by the folded layer that replaced it.
-                layer_dir = root / r["__blayer"]
-                local = str(layer_dir / r["file"])
-                if (
-                    layer_dir in out
-                    and out[layer_dir] is not None
-                    and os.path.exists(local)
-                ):
-                    out[layer_dir].append(local)
+            all_hits = hit if all_hits is None else all_hits.unionByName(hit)
+        # layer names are distinct across nwords groups, so one global
+        # distinct equals the old per-group distinct
+        root = Path(self.path)
+        for r in all_hits.distinct().collect():
+            # The existence check is load-bearing, not hygiene: the
+            # subset-tolerant fingerprint deliberately keeps a sidecar
+            # valid after dirty compaction UNLINKS part-files, so its
+            # rows can still bloom-positive a dead file — reading that
+            # path would throw, and the dead file's keys (if any were
+            # probed) are served by the folded layer that replaced it.
+            layer_dir = root / r["__blayer"]
+            local = str(layer_dir / r["file"])
+            if (
+                layer_dir in out
+                and out[layer_dir] is not None
+                and os.path.exists(local)
+            ):
+                out[layer_dir].append(local)
         return out
 
     # -- mutations ---------------------------------------------------------
